@@ -1,0 +1,12 @@
+"""Source/sink layer (SURVEY.md §2.1 S1–S4)."""
+
+from finance_etl_pipeline_spark.sources.readers import (  # noqa: F401
+    load_tables,
+    read_csv,
+    read_parquet,
+    table,
+)
+from finance_etl_pipeline_spark.sources.writers import (  # noqa: F401
+    write_csv,
+    write_parquet,
+)

@@ -1,0 +1,80 @@
+"""Readers (SURVEY.md §2.1 S1, S2).
+
+Reference behavior replicated:
+- CSV scan fails fast on a missing path (reference io_utils.py:8-11).
+- Parquet scan returns an *empty, correctly-typed* DataFrame when the
+  path is missing (reference scripts/export_bi_datasets.py:11-12) —
+  downstream month-filters and joins then no-op instead of crashing.
+
+Scale notes: explicit schemas avoid the inference scan; PERMISSIVE mode
+with a ``_corrupt_record`` column keeps bad rows visible to the DQ
+layer instead of silently dropping them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from finance_etl_pipeline_spark import schemas
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """Schema-first CSV scan; raises FileNotFoundError on missing path."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"missing input: {path}")
+    reader = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .schema(schema)
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.csv(path)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, empty_schema: StructType | None = None
+) -> DataFrame:
+    """Parquet scan; optional empty-DataFrame fallback for missing paths."""
+    if not os.path.exists(path):
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
+        raise FileNotFoundError(f"missing input: {path}")
+    return spark.read.parquet(path)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (FIXTURES.md §B).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4
+    refuses to read natively — we read it as a nanosecond long via the
+    ``nanosAsLong`` legacy conf and truncate to microseconds with exact
+    integer division (``div``, not ``/``: ns-epoch values exceed the
+    53-bit double mantissa, so float division would corrupt them).
+    DuckDB performs the same ns→us truncation, keeping the oracle in
+    bit-parity.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several testdata tables at once."""
+    if not names:
+        names = tuple(schemas.TESTDATA)
+    return {n: table(spark, sf_dir, n) for n in names}
