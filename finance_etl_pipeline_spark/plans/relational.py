@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from finance_etl_pipeline_spark.functions.scalars import fround
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -34,13 +35,13 @@ from finance_etl_pipeline_spark.sources.readers import table
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           floor((sum(l_quantity)) * 100 + 0.5001) / 100                                    AS sum_qty,
+           floor((sum(l_extendedprice)) * 100 + 0.5001) / 100                               AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5001) / 100            AS sum_disc_price,
+           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5001) / 100 AS sum_charge,
+           floor((avg(l_quantity)) * 10000 + 0.5001) / 10000                                    AS avg_qty,
+           floor((avg(l_extendedprice)) * 10000 + 0.5001) / 10000                               AS avg_price,
+           floor((avg(l_discount)) * 10000 + 0.5001) / 10000                                    AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -58,13 +59,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            fround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -75,7 +76,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped_orders",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -105,7 +106,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -119,7 +120,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -152,7 +153,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -163,7 +164,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5001) / 100 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -185,7 +186,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
 
 
@@ -193,8 +194,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           round(c.c_acctbal, 2) AS c_acctbal, n.n_name
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue,
+           floor((c.c_acctbal) * 100 + 0.5001) / 100 AS c_acctbal, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -225,7 +226,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
+            fround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -233,7 +234,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "revenue",
-            F.round("c_acctbal", 2).alias("c_acctbal"),
+            fround("c_acctbal", 2).alias("c_acctbal"),
             "n_name",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -252,7 +253,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey AS order_id,
            o_custkey  AS customer_id,
            'orders'   AS source,
-           round(o_totalprice, 2) AS total_price
+           floor((o_totalprice) * 100 + 0.5001) / 100 AS total_price
     FROM orders
     """,
     "project",
@@ -265,7 +266,7 @@ def p_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
         F.lit("orders").alias("source"),
-        F.round("o_totalprice", 2).alias("total_price"),
+        fround("o_totalprice", 2).alias("total_price"),
     )
 
 
@@ -388,8 +389,8 @@ def p_filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_conditional_update",
     """
     SELECT l_orderkey, l_linenumber,
-           round(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
-                      ELSE l_extendedprice END, 2) AS signed_price
+           floor((CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+                      ELSE l_extendedprice END) * 100 + 0.5001) / 100 AS signed_price
     FROM lineitem
     """,
     "project",
@@ -401,7 +402,7 @@ def p_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
+        fround(
             F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice")).otherwise(
                 F.col("l_extendedprice")
             ),
@@ -420,11 +421,11 @@ def p_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily_rate AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
-               round(avg(o_totalprice), 4) AS avg_price
+               floor((avg(o_totalprice)) * 10000 + 0.5001) / 10000 AS avg_price
         FROM orders GROUP BY 1, 2
     )
     SELECT o.o_orderkey,
-           round(coalesce(d.avg_price, 1.0), 4) AS rate
+           floor((coalesce(d.avg_price, 1.0)) * 10000 + 0.5001) / 10000 AS rate
     FROM orders o
     LEFT JOIN daily_rate d
       ON strftime(o.o_orderdate, '%Y-%m') = d.month
@@ -443,7 +444,7 @@ def j_left_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
             "o_orderpriority",
         )
-        .agg(F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(fround(F.avg("o_totalprice"), 4).alias("avg_price"))
     )
     joined = o.join(
         F.broadcast(rate),
@@ -453,7 +454,7 @@ def j_left_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "o_orderkey",
-        F.round(F.coalesce(rate.avg_price, F.lit(1.0)), 4).alias("rate"),
+        fround(F.coalesce(rate.avg_price, F.lit(1.0)), 4).alias("rate"),
     ).orderBy("o_orderkey")
 
 
@@ -566,7 +567,7 @@ def j_static_case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_groupby_sum",
     """
-    SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total_price
+    SELECT l_returnflag, floor((sum(l_extendedprice)) * 100 + 0.5001) / 100 AS total_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -579,7 +580,7 @@ def a_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(fround(F.sum("l_extendedprice"), 2).alias("total_price"))
         .orderBy("l_returnflag")
     )
 
@@ -588,8 +589,8 @@ def a_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_pivot_wide",
     """
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END), 2) AS F,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END), 2) AS O
+           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END)) * 100 + 0.5001) / 100 AS F,
+           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END)) * 100 + 0.5001) / 100 AS O
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -606,7 +607,7 @@ def a_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .sum("l_extendedprice")
         .na.fill(0.0)
-        .select("l_returnflag", F.round("F", 2).alias("F"), F.round("O", 2).alias("O"))
+        .select("l_returnflag", fround("F", 2).alias("F"), fround("O", 2).alias("O"))
         .orderBy("l_returnflag")
     )
 
@@ -664,7 +665,7 @@ def a_duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_max_abs_identity",
     """
-    SELECT round(max(abs(o_totalprice - o_totalprice)), 2) AS max_abs_diff
+    SELECT floor((max(abs(o_totalprice - o_totalprice))) * 100 + 0.5001) / 100 AS max_abs_diff
     FROM orders
     """,
     "agg",
@@ -676,7 +677,7 @@ def a_max_abs_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the operator shape is what is verified)."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
-        F.round(
+        fround(
             F.max(F.abs(F.col("o_totalprice") - F.col("o_totalprice"))), 2
         ).alias("max_abs_diff")
     )
@@ -688,8 +689,8 @@ def a_max_abs_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order,
-           round(min(o_totalprice), 2) AS min_price,
-           round(max(o_totalprice), 2) AS max_price
+           floor((min(o_totalprice)) * 100 + 0.5001) / 100 AS min_price,
+           floor((max(o_totalprice)) * 100 + 0.5001) / 100 AS max_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -705,8 +706,8 @@ def a_group_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("last_order"),
-            F.round(F.min("o_totalprice"), 2).alias("min_price"),
-            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            fround(F.min("o_totalprice"), 2).alias("min_price"),
+            fround(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -715,7 +716,7 @@ def a_group_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_topn_by_aggregate",
     """
-    SELECT c_custkey, round(sum(o_totalprice), 2) AS total_spend
+    SELECT c_custkey, floor((sum(o_totalprice)) * 100 + 0.5001) / 100 AS total_spend
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
     ORDER BY total_spend DESC, c_custkey
@@ -731,7 +732,7 @@ def a_topn_by_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+        .agg(fround(F.sum("o_totalprice"), 2).alias("total_spend"))
         .orderBy(F.desc("total_spend"), "c_custkey")
         .limit(8)
     )
@@ -776,10 +777,10 @@ def a_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           round(avg(value), 4) AS avg_value,
-           round(stddev_samp(value), 4) AS sd_value,
-           round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value,
+           floor((avg(value)) * 10000 + 0.5001) / 10000 AS avg_value,
+           floor((stddev_samp(value)) * 10000 + 0.5001) / 10000 AS sd_value,
+           floor((min(value)) * 100 + 0.5001) / 100 AS min_value,
+           floor((max(value)) * 100 + 0.5001) / 100 AS max_value,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type
@@ -795,10 +796,10 @@ def a_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
-            F.round(F.stddev_samp("value"), 4).alias("sd_value"),
-            F.round(F.min("value"), 2).alias("min_value"),
-            F.round(F.max("value"), 2).alias("max_value"),
+            fround(F.avg("value"), 4).alias("avg_value"),
+            fround(F.stddev_samp("value"), 4).alias("sd_value"),
+            fround(F.min("value"), 2).alias("min_value"),
+            fround(F.max("value"), 2).alias("max_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -810,7 +811,7 @@ def a_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_extendedprice), 2) AS total_price
+           floor((sum(l_extendedprice)) * 100 + 0.5001) / 100 AS total_price
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -822,7 +823,7 @@ def a_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(fround(F.sum("l_extendedprice"), 2).alias("total_price"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -836,8 +837,8 @@ def a_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_percentiles",
     """
     SELECT l_returnflag,
-           round(median(l_extendedprice), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+           floor((median(l_extendedprice)) * 10000 + 0.5001) / 10000 AS p50,
+           floor((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5001) / 10000 AS p95
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -852,8 +853,8 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            fround(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            fround(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
         )
         .orderBy("l_returnflag")
     )
@@ -921,8 +922,8 @@ def w_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_lag_delta",
     """
     SELECT user_id, event_id,
-           round(value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id), 2) AS delta
+           floor((value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)) * 100 + 0.5001) / 100 AS delta
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -935,7 +936,7 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        fround(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
     ).orderBy("user_id", "event_id")
 
 
@@ -943,8 +944,8 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_moving_sum",
     """
     SELECT user_id, event_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+           floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5001) / 100
              AS moving_sum
     FROM events
     ORDER BY user_id, event_id
@@ -962,7 +963,7 @@ def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 2).alias("moving_sum"),
+        fround(F.sum("value").over(w), 2).alias("moving_sum"),
     ).orderBy("user_id", "event_id")
 
 
@@ -974,7 +975,7 @@ def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o_multicol_sort_limit",
     """
-    SELECT o_orderdate, o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    SELECT o_orderdate, o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
     FROM orders
     ORDER BY o_orderdate, o_custkey, o_orderkey
     LIMIT 200
@@ -990,7 +991,7 @@ def o_multicol_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             "o_custkey",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
+            fround("o_totalprice", 2).alias("o_totalprice"),
         )
         .orderBy("o_orderdate", "o_custkey", "o_orderkey")
         .limit(200)
@@ -1005,7 +1006,7 @@ def o_multicol_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u_union_by_name",
     """
-    SELECT id, kind, round(amount, 2) AS amount FROM (
+    SELECT id, kind, floor((amount) * 100 + 0.5001) / 100 AS amount FROM (
       SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS amount FROM orders
       UNION ALL
       SELECT l_orderkey * 10 + l_linenumber AS id, 'lineitem' AS kind,
@@ -1031,7 +1032,7 @@ def u_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.unionByName(li)
-        .select("id", "kind", F.round("amount", 2).alias("amount"))
+        .select("id", "kind", fround("amount", 2).alias("amount"))
         .orderBy("kind", "id")
     )
 
