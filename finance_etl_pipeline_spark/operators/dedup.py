@@ -1,0 +1,182 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all pure DataFrame expressions (no UDFs, no MLlib
+randomness) so every stage is verifiable against the DuckDB oracle:
+
+- exact dedup: content-hash groupBy (md5);
+- n-gram Jaccard: word-shingle inverted index → self-join → exact
+  Jaccard — the ground-truth near-dup measure;
+- MinHash + LSH: deterministic md5-based 60-bit shingle hashes →
+  ``NUM_HASHES`` affine permutations mod a Mersenne prime → banded
+  signatures → candidate pairs → exact-Jaccard verification of
+  candidates only.  At 100 TB the banding join is what makes near-dup
+  feasible: candidates ∝ true-dup density, not n²;
+- SimHash: 32-bit sign-aggregated token hashes + banded Hamming
+  candidate search.
+
+Determinism note: MLlib's MinHashLSH draws random coefficients at fit
+time; we need the *same* permutations in Spark and the SQL oracle, so
+the coefficients are fixed constants below and the shingle hash is
+md5-derived (md5 is identical everywhere).  Arithmetic stays below
+2^62 (hash reduced mod P before the affine map) so it is safe under
+ANSI mode and identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Affine-permutation constants shared by the Spark plans and the SQL
+# oracle builders (plans/llm.py interpolates the same values).
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 bands x 4 rows
+SHINGLE_N = 3
+
+
+def hash_a(i: str = "i") -> str:
+    """SQL text of the i-th permutation's multiplier (1-based-safe)."""
+    return f"(1103 + 977 * {i})"
+
+
+def hash_b(i: str = "i") -> str:
+    return f"(12289 + 31 * {i})"
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def shingles_expr(tokens: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct word n-gram shingles; empty array when < n tokens
+    (guarded because Spark's sequence(1, k) runs DESCENDING for k<1)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + off) for off in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def hash60_expr(s: Column) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of md5.
+
+    ``conv(hex, 16, 10)`` in Spark == ``CAST('0x'||hex AS BIGINT)`` in
+    DuckDB; 60 bits keeps every downstream product below 2^62."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) inverted index — the base of Jaccard/MinHash."""
+    toks = tokens_expr()
+    return docs.select(
+        F.col(id_col), F.explode(shingles_expr(toks)).alias("s")
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, i, mh): the i-th minhash of each doc's shingle set.
+
+    One explode over the hash index then a single groupBy — partial
+    (map-side) min keeps the shuffle tiny at scale."""
+    hmod = (hash60_expr(F.col("s")) % MERSENNE_P).alias("hmod")
+    exploded = sh.select(
+        F.col(id_col),
+        hmod,
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias("i"),
+    )
+    mh = ((F.lit(1103) + 977 * F.col("i")) * F.col("hmod") + (F.lit(12289) + 31 * F.col("i"))) % MERSENNE_P
+    return exploded.groupBy(id_col, "i").agg(F.min(mh).alias("mh"))
+
+
+def band_signatures(mh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, sig): md5 of the band's ordered minhash values."""
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    banded = mh.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("mh")))),
+        lambda x: x["mh"].cast("string"),
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(F.concat_ws(",", ordered)).alias("sig")
+    )
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any band signature —
+    the LSH bucket join; the only pairwise step, and it is bounded by
+    bucket sizes, never n²."""
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("sig")
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("sig")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    candidates: DataFrame | None,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for (candidate) pairs.
+
+    With ``candidates`` None this is the brute-force inverted-index
+    join (ground truth); with candidates it verifies only LSH hits."""
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = sh.select(F.col(id_col).alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"])
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", fround(j, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_table(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): sign-aggregated token-hash fingerprint."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens_expr())).alias("tok"),
+    )
+    hashed = toks.select(
+        id_col, (hash60_expr(F.col("tok"))).alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    # shiftright/shiftleft builtins demand a literal count — use SQL
+    # exprs so the shift distance can be the exploded bit column
+    contrib = F.expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1")
+    bit_sums = hashed.groupBy(id_col, "b").agg(F.sum(contrib).alias("s"))
+    bit_val = F.when(
+        F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
+    ).otherwise(F.lit(0).cast("long"))
+    return bit_sums.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — query set ×
+  corpus with higher-order-function dot products (JVM-side, no UDF);
+- LSH hyperplane bucketing: the scale path — deterministic md5-derived
+  ±1 hyperplanes hash each vector to a bucket; near-neighbor search
+  then only compares within buckets (candidates ∝ bucket size, not n).
+
+Floats are cast to double *before* any arithmetic: float32 partial
+sums would diverge between engines; double dot products on the same
+inputs are bit-identical (both engines fold sequentially).
+Similarities are quantized with ``fround`` before ranking so rank
+order is deterministic cross-engine (ties broken by vec_id).
+
+At cluster scale the corpus side stays partitioned; the query set is
+broadcast.  IVF-style coarse quantization would replace the random
+hyperplanes with k-means centroids — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+
+NUM_PLANES = 16
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame, query_pred: Column, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors for each query vector (brute force).
+
+    The query side is small by construction → broadcast; the corpus
+    never shuffles until the final per-query top-k (TakeOrdered-style
+    via a rank window partitioned by query)."""
+    base = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), norm(as_double(F.col("embedding"))).alias("nrm")
+    )
+    q = base.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    sim = fround(
+        dot(F.col("qv"), F.col("v"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hyperplane_bucket(vec: Column, dims: int, planes: int = NUM_PLANES) -> Column:
+    """LSH bucket id: sign bits against ``planes`` deterministic ±1
+    hyperplanes (component sign = parity of md5(plane_dim))."""
+    from finance_etl_pipeline_spark.operators.dedup import hash60_expr
+
+    def plane_dot(p: Column) -> Column:
+        signed = F.transform(
+            F.sequence(F.lit(1), F.lit(dims)),
+            lambda d: F.when(
+                hash60_expr(
+                    F.concat(p.cast("string"), F.lit("_"), d.cast("string"))
+                )
+                % 2
+                == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(
+            F.zip_with(vec, signed, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(planes - 1)),
+        lambda p: F.when(
+            fround(plane_dot(p), 6) > 0,
+            F.shiftleft(F.lit(1).cast("long"), p.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)

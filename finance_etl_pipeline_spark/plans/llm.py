@@ -1,1 +1,468 @@
-"""Placeholder — filled in incrementally."""
+"""LLM-data-pipeline operator battery (BASELINE.json north_star):
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force cosine top-k + LSH hyperplane buckets), and text
+analysis — every SQL-expressible op oracle-verified; the multimodal
+plumbing is rows-only (Pandas-UDF stage, see operators/multimodal.py).
+
+The SQL oracles mirror the Spark expressions constant-for-constant
+(MinHash permutation coefficients, lexicons, the LSH hyperplane sign
+matrix) — shared Python constants are interpolated into the SQL so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.operators import dedup as D
+from finance_etl_pipeline_spark.operators import similarity as S
+from finance_etl_pipeline_spark.operators import text as T
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (constants interpolated from the operator modules)
+# ---------------------------------------------------------------------------
+
+_P = D.MERSENNE_P
+
+_SQL_TOK = r"SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS t FROM documents"
+
+_SQL_SH = (
+    "SELECT doc_id, unnest(list_distinct(list_transform("
+    " generate_series(1, greatest(len(t)-2, 0)),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s"
+    f" FROM ({_SQL_TOK})"
+)
+
+_SQL_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd_exact_dedup",
+    """
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100
+    )
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM doubled
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+    "llm",
+    "dedup",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, deterministic min-id keeper.
+    Run on a deliberately doubled corpus (the testdata has no exact
+    dups). At scale: one shuffle on the 128-bit hash, no data compare."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return (
+        doubled.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+_JACCARD_CORE = f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+@register(
+    "dd_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SQL_SH}),
+    {_JACCARD_CORE}
+    SELECT * FROM (
+      SELECT doc_a, doc_b,
+             floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) / 10000 AS jaccard
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+    "llm",
+    "dedup",
+    "bench",
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup: word-3-gram inverted index → self-join →
+    exact Jaccard ≥ 0.7. The brute-force baseline the LSH variant is
+    measured against."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs)
+    return D.jaccard_pairs(sh, None, 0.7).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SQL_SH}),
+    hashes AS (SELECT doc_id, {_SQL_H60.format(x='s')} % {_P} AS hmod FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             min(({D.hash_a('i')} * hmod + {D.hash_b('i')}) % {_P}) AS mh
+      FROM hashes, range(0, {D.NUM_HASHES}) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.NUM_HASHES // D.NUM_BANDS} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    {_JACCARD_CORE}
+    SELECT * FROM (
+      SELECT inter.doc_a, inter.doc_b,
+             floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) / 10000 AS jaccard
+      FROM inter
+      JOIN cand ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.7
+    ORDER BY doc_a, doc_b
+    """,
+    "llm",
+    "dedup",
+    "bench",
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→verify.
+    The 100 TB path: candidate pairs come from band-bucket joins
+    (∝ dup density), and exact Jaccard runs only on candidates.
+    Deterministic md5-based permutations — see operators/dedup.py."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs)
+    mh = D.minhash_signatures(sh)
+    bands = D.band_signatures(mh)
+    cand = D.candidate_pairs(bands)
+    return D.jaccard_pairs(sh, cand, 0.7).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "dd_simhash_neardup",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {_SQL_H60.format(x='tok')} AS h FROM tokd),
+    bits AS (
+      SELECT doc_id, i AS b,
+             sum(((h >> CAST(i AS INTEGER)) & 1) * 2 - 1) AS sgn
+      FROM th, range(0, 32) t(i)
+      GROUP BY doc_id, i
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN sgn > 0
+                      THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    sbands AS (
+      SELECT doc_id, k, (simhash >> CAST(k * 8 AS INTEGER)) & 255 AS bv
+      FROM sim, range(0, 4) t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN sim sa ON doc_a = sa.doc_id
+    JOIN sim sb ON doc_b = sb.doc_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+    ORDER BY doc_a, doc_b
+    """,
+    "llm",
+    "dedup",
+)
+def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit sign-aggregated fingerprints, banded
+    (4×8-bit) candidate search, Hamming ≤ 6 verification."""
+    docs = table(spark, sf_dir, "documents")
+    sim = D.simhash_table(docs)
+    sbands = sim.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "k",
+        F.expr("shiftright(simhash, cast(k * 8 as int)) & 255").alias("bv"),
+    )
+    a = sbands.select(
+        F.col("doc_id").alias("doc_a"), "k", "bv"
+    )
+    b = sbands.select(F.col("doc_id").alias("doc_b"), "k", "bv")
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"))
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(hamming <= 6)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tx_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+           floor((CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE)
+                  / len(t)) * 10000 + 0.5001) / 10000 AS mean_token_len,
+           CAST(len(text) AS BIGINT) AS n_chars_actual
+    FROM ({_SQL_TOK})
+    ORDER BY doc_id
+    """,
+    "llm",
+    "text",
+)
+def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: totals, distincts, mean token length —
+    higher-order array functions, no UDF."""
+    return T.token_stats(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "tx_language_id",
+    f"""
+    WITH t AS ({_SQL_TOK}),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, x -> list_contains({_sql_list(T.LEXICONS['A'])}, x))) AS BIGINT) AS hits_a,
+             CAST(len(list_filter(t, x -> list_contains({_sql_list(T.LEXICONS['B'])}, x))) AS BIGINT) AS hits_b,
+             CAST(len(list_filter(t, x -> list_contains({_sql_list(T.LEXICONS['C'])}, x))) AS BIGINT) AS hits_c
+      FROM t
+    )
+    SELECT doc_id, hits_a, hits_b, hits_c,
+           CASE WHEN hits_a >= hits_b AND hits_a >= hits_c THEN 'A'
+                WHEN hits_b >= hits_c THEN 'B'
+                ELSE 'C' END AS predicted_lexicon
+    FROM hits
+    ORDER BY doc_id
+    """,
+    "llm",
+    "text",
+)
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit argmax language/domain classifier (n-gram-heuristic
+    shape; real deployments swap in per-language frequency tables)."""
+    return T.language_id(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "tx_quality_score",
+    f"""
+    WITH t AS ({_SQL_TOK}),
+    m AS (
+      SELECT doc_id,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS length_score,
+             CAST(len(list_filter(t, x -> list_contains({_sql_list(T.STOPWORDS)}, x))) AS DOUBLE)
+               / nullif(CAST(len(t) AS DOUBLE), 0.0) AS stop_ratio,
+             least((CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE)
+                    / nullif(CAST(len(t) AS DOUBLE), 0.0)) / 8.0, 1.0) AS shape_score
+      FROM t
+    )
+    SELECT doc_id,
+           floor((length_score) * 10000 + 0.5001) / 10000 AS length_score,
+           floor((stop_ratio) * 10000 + 0.5001) / 10000 AS stopword_ratio,
+           floor((shape_score) * 10000 + 0.5001) / 10000 AS shape_score,
+           floor((0.4 * length_score + 0.3 * stop_ratio + 0.3 * shape_score) * 10000 + 0.5001) / 10000 AS quality_score
+    FROM m
+    ORDER BY doc_id
+    """,
+    "llm",
+    "text",
+)
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: length + stopword density + token
+    shape (the filter stage of a training-data pipeline)."""
+    return T.quality_score(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "tx_fingerprint",
+    f"""
+    WITH sh AS ({_SQL_SH})
+    SELECT doc_id, min({_SQL_H60.format(x='s')}) AS fingerprint
+    FROM sh GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm",
+    "text",
+)
+def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-shingle document fingerprint (1-hash MinHash)."""
+    return T.fingerprints(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+
+EMB_DIMS = 64
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+      SELECT query_id, vec_id,
+             floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+      FROM q CROSS JOIN base
+      WHERE query_id != vec_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "llm",
+    "similarity",
+    "bench",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for each query vector (vec_id % 50 = 0)
+    — the exact-search baseline. Query side broadcast; similarities
+    quantized before ranking so order is deterministic cross-engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _plane_matrix() -> list[list[float]]:
+    """±1 hyperplane components, sign = parity of md5(f"{p}_{d}") —
+    the same derivation the in-engine hash60 would give, computed once
+    here and inlined as literals on BOTH sides (no per-row md5)."""
+    planes = []
+    for p in range(S.NUM_PLANES):
+        row = []
+        for d in range(1, EMB_DIMS + 1):
+            h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+            row.append(1.0 if h % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _plane_sql(row: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v:.1f} AS DOUBLE)" for v in row) + "]"
+
+
+_PLANES = _plane_matrix()
+
+_ANN_LSH_SQL = (
+    "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)\n"
+    "SELECT vec_id, CAST("
+    + " + ".join(
+        f"(CASE WHEN floor((list_dot_product(v, {_plane_sql(row)})) * 1000000 + 0.5001) / 1000000 > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p, row in enumerate(_PLANES)
+    )
+    + " AS BIGINT) AS bucket\nFROM base\nORDER BY vec_id"
+)
+
+
+@register("ann_lsh_buckets", _ANN_LSH_SQL, "llm", "similarity")
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH hyperplane bucketing — the ANN scale path: 16 deterministic
+    ±1 hyperplanes hash each vector to a 16-bit bucket; neighbor search
+    then compares only within (or near) buckets. The plane matrix is a
+    broadcast-style literal, not per-row hashing."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = S.as_double(F.col("embedding"))
+    bucket = None
+    for p, row in enumerate(_PLANES):
+        plane = F.array(*[F.lit(x) for x in row])
+        dp = S.dot(v, plane)
+        bit = F.when(fround(dp, 6) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select("vec_id", bucket.alias("bucket")).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only check; see operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@register("mm_decode_features", None, "llm", "multimodal")
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal pipeline: synthesize a binary payload
+    column, run the Arrow-batched mapInPandas decode/feature stage
+    (deterministic fake decoder — see operators/multimodal.py), return
+    typed features. Not SQL-expressible (Pandas UDF) → rows-only check."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        decode_features,
+        with_binary_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    payloads = with_binary_payload(docs)
+    return decode_features(payloads).orderBy("doc_id")
