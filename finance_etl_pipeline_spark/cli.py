@@ -1,0 +1,81 @@
+"""CLI — actually invokes the pipeline (unlike the reference's stub,
+reference cli.py:18-21 which only parses args). argparse, std-lib only.
+
+Usage:
+    python -m finance_etl_pipeline_spark.cli run \
+        --month 2025-12 --raw-dir data/raw --curated-dir data/curated \
+        --reference-dir data/reference [--fail-on ERROR|WARN|NEVER]
+    python -m finance_etl_pipeline_spark.cli generate \
+        --out-dir data/raw --month 2025-12 [--seed 42] [--dirty]
+    python -m finance_etl_pipeline_spark.cli version
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="finance-etl-spark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    run_p = sub.add_parser("run", help="run the monthly pipeline")
+    run_p.add_argument("--month", required=True, help="YYYY-MM")
+    run_p.add_argument("--raw-dir", required=True)
+    run_p.add_argument("--curated-dir", required=True)
+    run_p.add_argument("--reference-dir", required=True)
+    run_p.add_argument(
+        "--fail-on", default="ERROR", choices=["ERROR", "WARN", "NEVER"]
+    )
+
+    gen_p = sub.add_parser("generate", help="generate synthetic raw CSVs")
+    gen_p.add_argument("--out-dir", required=True)
+    gen_p.add_argument("--month", default="2025-12")
+    gen_p.add_argument("--seed", type=int, default=42)
+    gen_p.add_argument("--dirty", action="store_true")
+    gen_p.add_argument("--reference-dir", default=None)
+
+    sub.add_parser("version", help="print version")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "version":
+        from finance_etl_pipeline_spark import __version__
+
+        print(__version__)
+        return 0
+
+    if args.command == "generate":
+        from finance_etl_pipeline_spark import sample_data
+
+        sample_data.generate_raw(args.out_dir, args.month, args.seed, args.dirty)
+        if args.reference_dir:
+            sample_data.generate_reference(args.reference_dir)
+        print(f"wrote raw CSVs to {args.out_dir}")
+        return 0
+
+    from finance_etl_pipeline_spark.pipeline import DataQualityGateError, run_month
+    from finance_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="finance-etl-run")
+    try:
+        res = run_month(
+            spark,
+            args.month,
+            args.raw_dir,
+            args.curated_dir,
+            args.reference_dir,
+            fail_on=args.fail_on,
+        )
+    except DataQualityGateError as e:
+        print(f"FAIL: {e}", file=sys.stderr)
+        return 2
+    for name, path in res.paths.items():
+        print(f"{name}: {path}")
+    print(f"status: {res.status}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

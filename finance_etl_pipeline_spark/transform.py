@@ -1,0 +1,215 @@
+"""Finance transforms — Spark re-expression of the reference dataflow.
+
+Semantics parity with reference ``src/finance_etl/transform.py``
+(cited per function); architecture is lazy DataFrame composition, so
+Catalyst prunes/pushes everything and the whole fact build is one
+shuffle-free union of narrow projections plus one broadcast join.
+
+Money rounding uses ``bround`` (HALF_EVEN) to match pandas/NumPy
+``round`` in the reference — SURVEY.md §7.6.2.  (The oracle-checked
+testdata queries use ``fround`` instead; the finance path optimizes
+for reference parity, not DuckDB parity.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class MissingFxRatesError(ValueError):
+    """Raised when a non-base currency has no FX rate for its date
+    (reference transform.py:40-42 — a hard error, deliberately NOT an
+    as-of fill: silent rate substitution corrupts the books)."""
+
+
+def build_dim_accounts(chart_of_accounts: DataFrame) -> DataFrame:
+    """Account codes are strings, never ints — leading-zero safety
+    (reference transform.py:6-9)."""
+    return chart_of_accounts.withColumn(
+        "account_code", F.col("account_code").cast("string")
+    )
+
+
+def fx_to_base(fx_rates: DataFrame, base_currency: str) -> DataFrame:
+    """Day-grain FX table restricted to quotes into the base currency
+    (reference transform.py:12-16)."""
+    return fx_rates.filter(F.col("to_currency") == base_currency).select(
+        F.to_date("date").alias("fx_date"),
+        "from_currency",
+        F.col("rate").alias("rate_fx"),
+    )
+
+
+def add_fx_amount_base(
+    df: DataFrame, fx: DataFrame, base_currency: str
+) -> DataFrame:
+    """FX enrichment (reference transform.py:19-46):
+
+    - broadcast left join on (day, currency) — the FX table is tiny
+      (currencies × days), so the fact side never shuffles;
+    - base-currency rows keep rate 1.0 even if an FX row exists
+      (reference :23-25,37 — the join result is ignored for them);
+    - any non-base row without a rate is a hard error listing the
+      distinct missing (date, currency) pairs (reference :40-42);
+    - amount_base = HALF_EVEN round(amount * rate, 2) (reference :44).
+    """
+    joined = df.join(
+        F.broadcast(fx),
+        (F.to_date(df["date"]) == fx["fx_date"])
+        & (df["currency"] == fx["from_currency"]),
+        "left",
+    )
+    rate = F.when(F.col("currency") == base_currency, F.lit(1.0)).otherwise(
+        F.col("rate_fx")
+    )
+    out = joined.withColumn("rate", rate).drop("fx_date", "from_currency", "rate_fx")
+
+    missing = (
+        out.filter(F.col("rate").isNull())
+        .select(F.to_date("date").alias("date"), "currency")
+        .distinct()
+    )
+    missing_rows = missing.limit(20).collect()
+    if missing_rows:
+        pairs = ", ".join(f"({r.date}, {r.currency})" for r in missing_rows)
+        raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
+
+    return out.withColumn(
+        "amount_base", F.bround(F.col("amount") * F.col("rate"), 2)
+    )
+
+
+def _project(df: DataFrame, source: str, document_id, amount, extra=None) -> DataFrame:
+    """Align a raw source to the canonical 8-column pre-fact shape
+    (reference transform.py:60,65,75,86)."""
+    cols = {
+        "date": F.col("date"),
+        "entity": F.col("entity"),
+        "source": F.lit(source),
+        "document_id": document_id,
+        "account_code": F.col("account_code").cast("string"),
+        "currency": F.col("currency").cast("string"),
+        "amount": amount,
+        "description": F.col("description"),
+    }
+    if extra:
+        cols.update(extra)
+    return df.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def to_fact_transactions(
+    sales: DataFrame,
+    expenses: DataFrame,
+    payroll: DataFrame,
+    inventory: DataFrame,
+    fx: DataFrame,
+    base_currency: str,
+) -> DataFrame:
+    """Union of the four source projections + FX enrichment + txn_id
+    (reference transform.py:49-110). Sign conventions are applied
+    BEFORE any aggregation: expenses/payroll negative, inventory
+    issues negative (reference :66,73,84)."""
+    s = _project(sales, "sales", F.col("invoice_id"), F.col("amount"))
+    e = _project(expenses, "expenses", F.col("bill_id"), -F.col("amount"))
+
+    p = payroll.withColumns(
+        {
+            "date": F.last_day(F.to_date(F.concat(F.col("month"), F.lit("-01")))).cast(
+                "timestamp"
+            ),
+            "account_code": F.lit("61000001"),
+            "description": F.lit("Payroll net"),
+        }
+    )
+    p = _project(
+        p,
+        "payroll",
+        F.concat_ws("_", F.col("employee_id"), F.col("month")),
+        -F.col("net"),
+    )
+
+    inv = inventory.withColumns(
+        {
+            "account_code": F.when(F.col("movement_type") == "issue", "50000001")
+            .when(F.col("movement_type") == "receipt", "10000001")
+            .when(F.col("movement_type") == "adjustment", "10000001"),
+            "description": F.concat_ws(" ", F.col("movement_type"), F.col("sku")),
+        }
+    )
+    inv_amount = F.bround(F.col("qty") * F.col("unit_cost"), 2)
+    inv = _project(
+        inv,
+        "inventory",
+        F.concat_ws("_", F.col("sku"), F.to_date("date").cast("string")),
+        F.when(F.col("movement_type") == "issue", -inv_amount).otherwise(inv_amount),
+    )
+
+    fact = s.unionByName(e).unionByName(p).unionByName(inv)
+    fact = add_fx_amount_base(fact, fx, base_currency)
+
+    fact = fact.withColumn(
+        "txn_id", F.concat_ws("|", "entity", "source", "document_id")
+    )
+    # Sort is a file-presentation guarantee (reference transform.py:94)
+    # — downstream consumers must not rely on row order at scale.
+    return fact.select(
+        "txn_id",
+        "date",
+        "entity",
+        "source",
+        "document_id",
+        "account_code",
+        "currency",
+        "amount",
+        "rate",
+        "amount_base",
+        "description",
+    ).orderBy("date", "entity", "source", "document_id")
+
+
+KPI_ACCOUNT_TYPES = ["Asset", "COGS", "Expense", "Liability", "Revenue"]
+
+
+def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
+    """Monthly KPI pivot (reference transform.py:113-128):
+    broadcast account-type join → yyyy-MM derive → group-sum → pivot
+    with EXPLICIT values (deterministic plan, no extra distinct job) →
+    profits. COGS/Expense are stored negative, so gross_profit =
+    Revenue + COGS and operating_profit = gross_profit + Expense."""
+    df = fact.join(
+        F.broadcast(dim_accounts.select("account_code", "account_type")),
+        "account_code",
+        "left",
+    ).withColumn("month", F.date_format("date", "yyyy-MM"))
+
+    wide = (
+        df.groupBy("entity", "month")
+        .pivot("account_type", KPI_ACCOUNT_TYPES)
+        .sum("amount_base")
+        .na.fill(0.0, KPI_ACCOUNT_TYPES)
+    )
+    for col in ["Revenue", "COGS", "Expense"]:
+        if col not in wide.columns:
+            wide = wide.withColumn(col, F.lit(0.0))
+    return (
+        wide.withColumn("gross_profit", F.bround(F.col("Revenue") + F.col("COGS"), 2))
+        .withColumn(
+            "operating_profit", F.bround(F.col("gross_profit") + F.col("Expense"), 2)
+        )
+        .orderBy("entity", "month")
+    )
+
+
+def add_margins(kpi: DataFrame) -> DataFrame:
+    """BI margin enrichment (reference export_bi_datasets.py:45-55).
+    Division by zero → null (Spark semantics; SURVEY.md §7.6.5)."""
+    rev = F.nullif(F.col("Revenue"), F.lit(0.0))
+    return kpi.withColumns(
+        {
+            "gross_margin_pct": F.bround(F.col("gross_profit") / rev * 100, 2),
+            "operating_margin_pct": F.bround(
+                F.col("operating_profit") / rev * 100, 2
+            ),
+        }
+    )

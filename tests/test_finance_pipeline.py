@@ -1,0 +1,119 @@
+"""End-to-end finance pipeline tests (reference
+tests/test_pipeline_smoke.py:13-48 strategy + DQ-path coverage the
+reference lacks). Golden-value parity with the reference's committed
+outputs is impossible without its raw inputs (not committed), so these
+assert the algebraic invariants instead: sign conventions, profit
+identities, FX application, gate behavior on dirty data."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark import sample_data
+from finance_etl_pipeline_spark.pipeline import (
+    DataQualityGateError,
+    Settings,
+    run_month,
+)
+from finance_etl_pipeline_spark.transform import MissingFxRatesError
+
+MONTH = "2025-12"
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("finance")
+    raw, ref = str(root / "raw"), str(root / "ref")
+    sample_data.generate_raw(raw, MONTH, seed=42)
+    sample_data.generate_reference(ref)
+    dirty = str(root / "raw_dirty")
+    sample_data.generate_raw(dirty, MONTH, seed=42, dirty=True)
+    return {"root": str(root), "raw": raw, "ref": ref, "dirty": dirty}
+
+
+def test_clean_run_passes_and_writes(spark, dirs):
+    out = os.path.join(dirs["root"], "curated_clean")
+    res = run_month(spark, MONTH, dirs["raw"], out, dirs["ref"])
+    assert res.status == "PASS"
+    fact = spark.read.parquet(res.paths["fact_transactions"])
+    kpi = spark.read.parquet(res.paths["kpi_monthly"])
+
+    # canonical fact schema + column order (reference transform.py:97-110)
+    assert fact.columns == [
+        "txn_id", "date", "entity", "source", "document_id", "account_code",
+        "currency", "amount", "rate", "amount_base", "description",
+    ]
+    assert fact.count() > 100
+    # sign conventions (reference transform.py:66,73,84)
+    signs = {
+        r.source: (r.neg, r.pos)
+        for r in fact.groupBy("source")
+        .agg(
+            F.sum((F.col("amount") < 0).cast("int")).alias("neg"),
+            F.sum((F.col("amount") > 0).cast("int")).alias("pos"),
+        )
+        .collect()
+    }
+    assert signs["sales"][0] == 0        # all positive
+    assert signs["expenses"][1] == 0     # all negative
+    assert signs["payroll"][1] == 0      # all negative
+    # fx: base currency rows always rate 1.0 (reference transform.py:23-25)
+    assert fact.filter((F.col("currency") == "USD") & (F.col("rate") != 1.0)).count() == 0
+    # profit identities (reference transform.py:126-127)
+    bad = kpi.filter(
+        (F.abs(F.col("gross_profit") - F.bround(F.col("Revenue") + F.col("COGS"), 2)) > 0.011)
+        | (F.abs(F.col("operating_profit") - F.bround(F.col("gross_profit") + F.col("Expense"), 2)) > 0.011)
+    )
+    assert bad.count() == 0
+    assert kpi.count() == 2  # one row per entity for the month
+
+    # audit trail exists and is empty-but-typed (reference pipeline.py:136-162)
+    exc = spark.read.option("header", "true").csv(res.paths["dq_exceptions"])
+    assert exc.count() == 0 or "dataset" in exc.columns
+
+
+def test_dirty_run_fails_gate_with_expected_checks(spark, dirs):
+    out = os.path.join(dirs["root"], "curated_dirty")
+    with pytest.raises(DataQualityGateError):
+        run_month(spark, MONTH, dirs["dirty"], out, dirs["ref"])
+    exc = spark.read.option("header", "true").csv(os.path.join(out, "dq_exceptions"))
+    checks = {r.check for r in exc.select("check").distinct().collect()}
+    assert {"gt_0", "isin", "unique_key", "identity", "account_in_coa"} <= checks
+    summary = spark.read.option("header", "true").csv(os.path.join(out, "dq_summary"))
+    by_ds = {r.dataset: r.status for r in summary.collect()}
+    assert by_ds["sales"] == "FAIL"
+    assert set(by_ds) == {"sales", "expenses", "payroll", "inventory_movements", "fx_rates"}
+
+
+def test_dirty_run_fail_on_never_proceeds(spark, dirs):
+    out = os.path.join(dirs["root"], "curated_never")
+    res = run_month(spark, MONTH, dirs["dirty"], out, dirs["ref"], fail_on="NEVER")
+    # reference quality.py:239-240: NEVER reports PASS even with issues
+    assert res.status == "PASS"
+    exc = spark.read.option("header", "true").csv(os.path.join(out, "dq_exceptions"))
+    assert exc.count() > 0  # ...but the audit trail still records them
+    assert os.path.exists(res.paths["kpi_monthly"])
+
+
+def test_missing_fx_is_hard_error(spark, dirs):
+    # strip EUR quotes from fx_rates → EUR rows cannot convert
+    import csv as _csv
+
+    raw2 = os.path.join(dirs["root"], "raw_nofx")
+    os.makedirs(raw2, exist_ok=True)
+    for name in ("sales", "expenses", "payroll", "inventory_movements", "fx_rates"):
+        src = os.path.join(dirs["raw"], f"{name}.csv")
+        dst = os.path.join(raw2, f"{name}.csv")
+        with open(src) as fi, open(dst, "w", newline="") as fo:
+            r, w = _csv.reader(fi), _csv.writer(fo)
+            header = next(r)
+            w.writerow(header)
+            for row in r:
+                if name == "fx_rates" and row[1] == "EUR":
+                    continue
+                w.writerow(row)
+    with pytest.raises(MissingFxRatesError):
+        run_month(spark, MONTH, raw2, os.path.join(dirs["root"], "curated_nofx"), dirs["ref"])
