@@ -1,0 +1,101 @@
+"""Structured Streaming wrappers over the batch event analytics.
+
+Posture (SURVEY.md §7.5): the reference is pure batch, so streaming is
+an additive surface — the SAME window expressions used by the batch
+plans (plans/events.py, oracle-verified there) wrapped in readStream /
+withWatermark / writeStream. Semantics parity between the two modes is
+what tests/test_streaming.py asserts (availableNow drain == batch).
+
+Scale notes: watermarks bound state (late events beyond the watermark
+are dropped); ``maxFilesPerTrigger`` paces backfills; checkpointing
+(not exercised in tests) goes to the lake, one dir per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark import schemas
+from finance_etl_pipeline_spark.functions.scalars import fround
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events parquet (ns timestamps handled the
+    same way as the batch reader — see sources/readers.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ns_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            schemas.EVENTS["event_type"],
+            schemas.EVENTS["value"],
+            schemas.EVENTS["props"],
+        ]
+    )
+    reader = spark.readStream.schema(ns_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans/events.py::e_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans/events.py::e_session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            fround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def drain_to_memory(stream: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Run the stream to completion over existing files (availableNow)
+    and return the materialized result — the test/backfill harness."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
