@@ -76,6 +76,9 @@ def hash60_expr(s: Column) -> Column:
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, shingle) inverted index — the base of Jaccard/MinHash."""
+    from finance_etl_pipeline_spark.sources.readers import spread
+
+    docs = spread(docs)
     toks = tokens_expr()
     return docs.select(
         F.col(id_col), F.explode(shingles_expr(toks)).alias("s")
@@ -137,20 +140,32 @@ def jaccard_pairs(
     """Exact Jaccard over shingle sets for (candidate) pairs.
 
     With ``candidates`` None this is the brute-force inverted-index
-    join (ground truth); with candidates it verifies only LSH hits."""
+    join (ground truth); with candidates it verifies only LSH hits.
+
+    Scale-critical ordering: the candidate restriction is applied
+    BEFORE the pairwise join — first a semi-join keeps only candidate
+    docs' shingles (complete per doc, so Jaccard denominators stay
+    exact), then the broadcast pair filter drops non-candidate pairs
+    as they are generated.  Filtering after the aggregation instead
+    (the naive translation of the SQL) makes LSH as expensive as
+    brute force — measured 21 s → 2 s at sf0.1."""
     from finance_etl_pipeline_spark.functions.scalars import fround
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "s")
-    b = sh.select(F.col(id_col).alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    pair_sh = sh
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"])
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        cand_docs = (
+            candidates.select(F.col("doc_a").alias(id_col))
+            .union(candidates.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        pair_sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+    a = pair_sh.select(F.col(id_col).alias("doc_a"), "s")
+    b = pair_sh.select(F.col(id_col).alias("doc_b"), "s")
+    pairs = a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+    if candidates is not None:
+        pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))
+    sizes = pair_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     j = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
@@ -164,6 +179,9 @@ def jaccard_pairs(
 
 def simhash_table(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): sign-aggregated token-hash fingerprint."""
+    from finance_etl_pipeline_spark.sources.readers import spread
+
+    docs = spread(docs)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_expr())).alias("tok"),

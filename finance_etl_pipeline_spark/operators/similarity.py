@@ -51,8 +51,12 @@ def cosine_topk(
     The query side is small by construction → broadcast; the corpus
     never shuffles until the final per-query top-k (TakeOrdered-style
     via a rank window partitioned by query)."""
-    base = emb.select(
-        "vec_id", as_double(F.col("embedding")).alias("v"), norm(as_double(F.col("embedding"))).alias("nrm")
+    from finance_etl_pipeline_spark.sources.readers import spread
+
+    base = spread(emb).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
     )
     q = base.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),

@@ -117,12 +117,12 @@ _JACCARD_CORE = f"""
     """,
     "llm",
     "dedup",
-    "bench",
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth near-dup: word-3-gram inverted index → self-join →
     exact Jaccard ≥ 0.7. The brute-force baseline the LSH variant is
-    measured against."""
+    measured against. Deliberately NOT a bench query: all-pairs
+    shingle joins are the thing LSH exists to avoid at scale."""
     docs = table(spark, sf_dir, "documents")
     sh = D.shingle_table(docs)
     return D.jaccard_pairs(sh, None, 0.7).orderBy("doc_a", "doc_b")

@@ -73,6 +73,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Ensure a DataFrame has at least cores×factor partitions.
+
+    Small single-file inputs (the testdata doc/embedding tables are
+    <1 MB) scan as ONE partition, serializing expression-heavy stages
+    (measured: the sf0.1 shingle+md5 stage ran 8.7 s on one core).
+    Repartitioning costs a trivial shuffle for such inputs.  Inputs
+    that already have enough partitions (any real-scale table) pass
+    through untouched — this never repartitions big data.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several testdata tables at once."""
     if not names:
