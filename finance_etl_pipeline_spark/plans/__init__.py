@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QueryDef]:
         quality,
         relational,
         scalars,
+        subqueries,
     )
 
     return REGISTRY

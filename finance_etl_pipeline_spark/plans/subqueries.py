@@ -1,0 +1,173 @@
+"""Join-shape and subquery completeness battery (beyond-reference:
+SURVEY.md §2.3 lists inner/right/full/semi joins and correlated
+subqueries as absent from the reference — a complete engine needs
+them). Also exposes the raw Spark-SQL-text surface: the engine accepts
+SQL strings against registered views, with the same Catalyst plans as
+the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+@register(
+    "j_full_outer",
+    """
+    WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+         hi AS (SELECT c_custkey, floor((c_acctbal) * 100 + 0.5001) / 100 AS acctbal
+                FROM customer WHERE c_acctbal > 7000)
+    SELECT coalesce(o.o_custkey, hi.c_custkey) AS custkey,
+           coalesce(o.n_orders, 0) AS n_orders,
+           hi.acctbal
+    FROM o FULL OUTER JOIN hi ON o.o_custkey = hi.c_custkey
+    ORDER BY custkey
+    """,
+    "join",
+)
+def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-customer order counts × high-balance
+    customers — both unmatched sides survive."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    hi = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 7000)
+        .select("c_custkey", fround(F.col("c_acctbal"), 2).alias("acctbal"))
+    )
+    return (
+        o.join(hi, o.o_custkey == hi.c_custkey, "full_outer")
+        .select(
+            F.coalesce(o.o_custkey, hi.c_custkey).alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "acctbal",
+        )
+        .orderBy("custkey")
+    )
+
+
+@register(
+    "j_left_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    SEMI JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def j_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers having at least one big order —
+    no duplication, no right-side columns."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "sub_correlated_exists",
+    """
+    SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    ORDER BY o_orderkey
+    """,
+    "subquery",
+)
+def sub_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates it to a left-semi
+    join; expressed through the SQL surface to prove the engine's
+    SQL-text path handles subqueries."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o.createOrReplaceTempView("v_orders")
+    li.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+        FROM v_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_scalar_avg",
+    """
+    SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+    ORDER BY o_orderkey
+    """,
+    "subquery",
+)
+def sub_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders above 2× the mean),
+    via the SQL-text surface."""
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+        FROM v_orders2
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM v_orders2)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "sub_in_subquery",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "subquery",
+)
+def sub_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery predicate → left-semi join under Catalyst."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register("a_approx_count_distinct", None, "agg", "approx")
+def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path for A9-style
+    distinct counting (exact distinct shuffles every value; HLL ships
+    one sketch per partition). No SQL oracle: the estimate is
+    engine-specific — rows-only check; the companion exact value is
+    covered by a_stats_summary's n_users."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    ).orderBy("event_type")
