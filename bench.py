@@ -43,9 +43,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, qdef in sorted(bench_queries.items()):
         qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        start = time.perf_counter()
-        qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: JIT/scheduler noise dominates at this SF
+            start = time.perf_counter()
+            qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -170,7 +170,11 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (∝ dup density), and exact Jaccard runs only on candidates.
     Deterministic md5-based permutations — see operators/dedup.py."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_table(docs)
+    # the shingle table feeds three DAG branches (signatures, sizes,
+    # pair join) — checkpoint it once instead of recomputing the
+    # tokenize+md5 scan per branch (localCheckpoint: executor-local,
+    # lazy; on a cluster prefer persist(DISK_ONLY) for fault tolerance)
+    sh = D.shingle_table(docs).localCheckpoint(eager=False)
     mh = D.minhash_signatures(sh)
     bands = D.band_signatures(mh)
     cand = D.candidate_pairs(bands)
