@@ -45,6 +45,7 @@ def register(name: str, oracle: str | None, *tags: str):
 def all_queries() -> dict[str, QueryDef]:
     """Import every plans module and return the full registry."""
     from finance_etl_pipeline_spark.plans import (  # noqa: F401
+        asof_plans,
         events,
         llm,
         quality,
