@@ -1,0 +1,48 @@
+"""Property-style cross-engine check of the fround contract.
+
+Batched (one Spark job + one DuckDB query over many random values)
+rather than per-example hypothesis — a Spark job per example would be
+prohibitive. Seeds are fixed; the value sets include the adversarial
+regions (decimal ties, large magnitudes, negatives).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+
+
+def _values() -> list[float]:
+    rng = random.Random(12345)
+    vals = []
+    # uniform ranges incl. negatives and large magnitudes
+    for _ in range(300):
+        vals.append(rng.uniform(-1e6, 1e6))
+    # decimal-tie adversaries: exact .xx5 and .xxxx5 patterns
+    for _ in range(300):
+        base = rng.randint(-10_000_00, 10_000_00) / 100.0
+        vals.append(base + 0.005)
+        vals.append(base + 0.00005)
+    # tiny values around zero
+    for _ in range(100):
+        vals.append(rng.uniform(-0.01, 0.01))
+    return vals
+
+
+def test_fround_matches_duckdb_bitwise(spark):
+    vals = _values()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got2 = [r[0] for r in df.select(fround("x", 2)).collect()]
+    got4 = [r[0] for r in df.select(fround("x", 4)).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    exp2 = [r[0] for r in con.execute(f"SELECT {sql_round('x', 2)} FROM t").fetchall()]
+    exp4 = [r[0] for r in con.execute(f"SELECT {sql_round('x', 4)} FROM t").fetchall()]
+
+    assert got2 == exp2  # bit-identical, not approximately equal
+    assert got4 == exp4
