@@ -1,0 +1,123 @@
+"""IVF-style ANN (coarse quantization) — the second scale path for
+similarity search next to LSH buckets (ann_lsh_buckets).
+
+Cells come from 8 deterministic centroids (the vectors with
+vec_id < 8 — a real deployment uses k-means; determinism is required
+here so the DuckDB oracle can mirror the assignment).  Search probes
+only the query's own cell: cost drops from |corpus| to |cell| per
+query, recall is the tradeoff — the standard IVF nprobe=1 contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.operators.similarity import as_double, dot, norm
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+N_CELLS = 8
+
+_IVF_SQL = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM base WHERE vec_id < {N_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY floor((list_dot_product(b.v, c.cv) / nullif(b.nrm * c.cn, 0.0)) * 1000000 + 0.5001) / 1000000 DESC,
+                          c.cell_id
+               ) AS rn
+        FROM base b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT b.vec_id AS query_id, b.v AS qv, b.nrm AS qn, a.cell_id
+      FROM base b JOIN assign a ON b.vec_id = a.vec_id
+      WHERE b.vec_id % 50 = 0
+    ),
+    pairs AS (
+      SELECT q.query_id, b.vec_id,
+             floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+      FROM q
+      JOIN assign a ON a.cell_id = q.cell_id
+      JOIN base b ON b.vec_id = a.vec_id
+      WHERE b.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 3
+    ORDER BY query_id, rank
+"""
+
+
+@register("ann_ivf_topk", _IVF_SQL, "llm", "similarity")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe=1 top-3: assign every vector to its nearest of 8
+    centroids (broadcast), then each query searches only its own cell.
+    At 100 TB the assignment is one broadcast pass over the corpus and
+    searches touch |corpus|/cells vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    cents = base.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_to_cent = fround(
+        dot(F.col("v"), F.col("cv")) / F.nullif(F.col("nrm") * F.col("cn"), F.lit(0.0)),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("centroid_sim"), F.col("cell_id")
+    )
+    assign = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", sim_to_cent.alias("centroid_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id")
+    )
+    q = (
+        base.join(assign, "vec_id")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cell_id",
+        )
+    )
+    cell_members = assign.join(base, "vec_id").select(
+        "cell_id", "vec_id", "v", "nrm"
+    )
+    cosine = fround(
+        dot(F.col("qv"), F.col("v")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(cell_members, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
