@@ -167,3 +167,41 @@ def run_month(
     write_parquet(kpi, paths["kpi_monthly"])
 
     return MonthResult(paths=paths, status="PASS" if passed else "FAIL")
+
+
+def run_months(
+    spark: SparkSession,
+    months: list[str],
+    raw_dir: str,
+    curated_dir: str,
+    reference_dir: str,
+    settings: Settings | None = None,
+    fail_on: str = "ERROR",
+) -> dict[str, MonthResult]:
+    """Multi-month orchestration with month-partitioned curated output.
+
+    Each month runs the standard gate+build, then fact/KPI land in a
+    single month-partitioned dataset via dynamic partition overwrite —
+    re-running one month replaces only that month's partition.  At
+    scale this is the layout that turns downstream month filters into
+    partition pruning (SURVEY.md §4 'output partitioning').
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    results: dict[str, MonthResult] = {}
+    for month in months:
+        month_dir = os.path.join(curated_dir, "by_month_staging", month)
+        res = run_month(
+            spark, month, raw_dir, month_dir, reference_dir, settings, fail_on
+        )
+        fact = spark.read.parquet(res.paths["fact_transactions"]).withColumn(
+            "month", F.date_format("date", "yyyy-MM")
+        )
+        fact.write.mode("overwrite").partitionBy("month").parquet(
+            os.path.join(curated_dir, "fact_transactions_by_month")
+        )
+        kpi = spark.read.parquet(res.paths["kpi_monthly"])
+        kpi.write.mode("overwrite").partitionBy("month").parquet(
+            os.path.join(curated_dir, "kpi_monthly_by_month")
+        )
+        results[month] = res
+    return results
