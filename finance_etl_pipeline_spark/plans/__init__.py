@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         scalars,
         subqueries,
+        tpch_more,
     )
 
     return REGISTRY

@@ -129,6 +129,10 @@ def generate_raw(
                     f"Expense {i}",
                 ]
             )
+    if dirty:
+        # non-numeric amount: PERMISSIVE CSV read nulls it out, the
+        # required(amount) check fires (SURVEY.md §7.6.8 dtype story)
+        exp_rows.append([days[1].isoformat(), "UPE", "BILL-UPE-9999", "62000001", "USD", "not-a-number", "dtype"])
     _write(
         os.path.join(raw_dir, "expenses.csv"),
         ["date", "entity", "bill_id", "account_code", "currency", "amount", "description"],

@@ -81,7 +81,9 @@ def test_dirty_run_fails_gate_with_expected_checks(spark, dirs):
         run_month(spark, MONTH, dirs["dirty"], out, dirs["ref"])
     exc = spark.read.option("header", "true").csv(os.path.join(out, "dq_exceptions"))
     checks = {r.check for r in exc.select("check").distinct().collect()}
-    assert {"gt_0", "isin", "unique_key", "identity", "account_in_coa"} <= checks
+    # 'required' fires via the dtype-coercion path: a non-numeric CSV
+    # amount nulls out under the explicit schema (PERMISSIVE mode)
+    assert {"gt_0", "isin", "unique_key", "identity", "account_in_coa", "required"} <= checks
     summary = spark.read.option("header", "true").csv(os.path.join(out, "dq_summary"))
     by_ds = {r.dataset: r.status for r in summary.collect()}
     assert by_ds["sales"] == "FAIL"
