@@ -18,7 +18,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark import schemas
 from finance_etl_pipeline_spark.sources.readers import read_parquet
 from finance_etl_pipeline_spark.sources.writers import write_csv
 from finance_etl_pipeline_spark.transform import add_margins

@@ -1,0 +1,52 @@
+"""CLI surface (reference tests/test_cli.py strategy — but our CLI
+actually runs the pipeline, unlike the reference stub cli.py:18-21)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "finance_etl_pipeline_spark.cli", *args],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=300,
+    )
+
+
+def test_version():
+    r = _run("version")
+    assert r.returncode == 0
+    assert r.stdout.strip() == "0.1.0"
+
+
+def test_help_lists_commands():
+    r = _run("--help")
+    assert r.returncode == 0
+    for cmd in ("run", "generate", "version"):
+        assert cmd in r.stdout
+
+
+def test_run_requires_month():
+    r = _run("run", "--raw-dir", "/tmp/x", "--curated-dir", "/tmp/y",
+             "--reference-dir", "/tmp/z")
+    assert r.returncode != 0
+    assert "--month" in r.stderr
+
+
+def test_generate_then_dirty_run_exits_2(tmp_path):
+    raw, ref, cur = (str(tmp_path / d) for d in ("raw", "ref", "cur"))
+    g = _run("generate", "--out-dir", raw, "--reference-dir", ref, "--dirty")
+    assert g.returncode == 0
+    r = _run(
+        "run", "--month", "2025-12", "--raw-dir", raw,
+        "--curated-dir", cur, "--reference-dir", ref,
+    )
+    assert r.returncode == 2  # DQ gate failure is exit 2, not a traceback
+    assert "FAIL" in r.stderr

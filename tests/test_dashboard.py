@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark import dashboard, sample_data
 from finance_etl_pipeline_spark.pipeline import run_month

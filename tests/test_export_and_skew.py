@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark import sample_data

@@ -13,11 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark import sample_data
-from finance_etl_pipeline_spark.pipeline import (
-    DataQualityGateError,
-    Settings,
-    run_month,
-)
+from finance_etl_pipeline_spark.pipeline import DataQualityGateError, run_month
 from finance_etl_pipeline_spark.transform import MissingFxRatesError
 
 MONTH = "2025-12"

@@ -9,8 +9,6 @@ from __future__ import annotations
 import contextlib
 import io
 
-import pytest
-
 from finance_etl_pipeline_spark.plans import all_queries
 
 QUERIES = all_queries()

@@ -8,8 +8,6 @@ a single parametrized pass validates them all.
 
 from __future__ import annotations
 
-import math
-
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

@@ -5,7 +5,6 @@ from __future__ import annotations
 import os
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark.sources.readers import table
