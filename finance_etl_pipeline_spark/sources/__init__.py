@@ -3,10 +3,13 @@
 from finance_etl_pipeline_spark.sources.readers import (  # noqa: F401
     load_tables,
     read_csv,
+    read_json,
     read_parquet,
+    spread,
     table,
 )
 from finance_etl_pipeline_spark.sources.writers import (  # noqa: F401
     write_csv,
+    write_json,
     write_parquet,
 )

@@ -73,6 +73,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """Schema-first line-delimited JSON scan (no inference pass)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"missing input: {path}")
+    return spark.read.schema(schema).json(path)
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Ensure a DataFrame has at least cores×factor partitions.
 

@@ -28,3 +28,9 @@ def write_parquet(
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = True) -> None:
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON sink (interchange format; stays partitioned
+    — JSON is for handoff, never the curated store)."""
+    df.write.mode(mode).json(path)
