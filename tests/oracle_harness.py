@@ -33,10 +33,13 @@ def _norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
+        # deliberately NO tolerance: every query's rounding goes through
+        # the shared fround formula, and all 79 oracles measured
+        # bit-exact at sf0.01 — keep the local gate as strict as any
+        # driver-side value hash
         if math.isnan(v):
             return "NaN"
-        # quantize so ULP-level summation-order differences never matter
-        return round(v, 6)
+        return v
     if isinstance(v, bool):
         return bool(v)
     if hasattr(v, "isoformat"):
