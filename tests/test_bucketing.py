@@ -57,8 +57,14 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan
     # bucketed layout co-locates both sides: no exchange before the join
     assert "Exchange hashpartitioning" not in join_section
-    # and the result is right
-    assert joined.count() == ob.count()
+    # and the result matches the non-bucketed computation
+    expected = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_extendedprice").alias("s"))
+        .count()
+    )
+    assert joined.count() == expected
     spark.sql("DROP DATABASE buckets_demo CASCADE")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     if old_aqe is not None:
