@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryDef]:
         ivf,
         llm,
         quality,
+        regression,
         relational,
         scalars,
         subqueries,
