@@ -3,9 +3,11 @@ similarity search next to LSH buckets (ann_lsh_buckets).
 
 Cells come from 8 deterministic centroids (the vectors with
 vec_id < 8 — a real deployment uses k-means; determinism is required
-here so the DuckDB oracle can mirror the assignment).  Search probes
-only the query's own cell: cost drops from |corpus| to |cell| per
-query, recall is the tradeoff — the standard IVF nprobe=1 contract.
+here so the DuckDB oracle can mirror the assignment).  Each vector lives
+in ONE cell; queries probe their NPROBE nearest cells — cost is
+NPROBE/|cells| of the corpus per query, recall is the dial (the
+corpus here is near-random, the adversarial case for IVF, so
+nprobe=2 is what keeps recall useful; see tests/test_ann_recall.py).
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
 N_CELLS = 8
+NPROBE = 2
 
 _IVF_SQL = f"""
     WITH base AS (
@@ -29,27 +32,27 @@ _IVF_SQL = f"""
     cents AS (
       SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM base WHERE vec_id < {N_CELLS}
     ),
-    assign AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT b.vec_id, c.cell_id,
-               row_number() OVER (
-                 PARTITION BY b.vec_id
-                 ORDER BY floor((list_dot_product(b.v, c.cv) / nullif(b.nrm * c.cn, 0.0)) * 1000000 + 0.5001) / 1000000 DESC,
-                          c.cell_id
-               ) AS rn
-        FROM base b CROSS JOIN cents c
-      ) WHERE rn = 1
+    ranked AS (
+      SELECT b.vec_id, c.cell_id,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY floor((list_dot_product(b.v, c.cv) / nullif(b.nrm * c.cn, 0.0)) * 1000000 + 0.5001) / 1000000 DESC,
+                        c.cell_id
+             ) AS rn
+      FROM base b CROSS JOIN cents c
     ),
-    q AS (
-      SELECT b.vec_id AS query_id, b.v AS qv, b.nrm AS qn, a.cell_id
-      FROM base b JOIN assign a ON b.vec_id = a.vec_id
-      WHERE b.vec_id % 50 = 0
+    assign AS (SELECT vec_id, cell_id FROM ranked WHERE rn = 1),
+    qcells AS (
+      SELECT vec_id AS query_id, cell_id
+      FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0
     ),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0),
     pairs AS (
-      SELECT q.query_id, b.vec_id,
+      SELECT DISTINCT q.query_id, b.vec_id,
              floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
       FROM q
-      JOIN assign a ON a.cell_id = q.cell_id
+      JOIN qcells qc ON qc.query_id = q.query_id
+      JOIN assign a ON a.cell_id = qc.cell_id
       JOIN base b ON b.vec_id = a.vec_id
       WHERE b.vec_id != q.query_id
     )
@@ -63,10 +66,10 @@ _IVF_SQL = f"""
 
 @register("ann_ivf_topk", _IVF_SQL, "llm", "similarity")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF nprobe=1 top-3: assign every vector to its nearest of 8
-    centroids (broadcast), then each query searches only its own cell.
-    At 100 TB the assignment is one broadcast pass over the corpus and
-    searches touch |corpus|/cells vectors."""
+    """IVF top-3 with nprobe=2: every vector lives in its nearest of 8
+    cells; each query probes its 2 nearest cells. At 100 TB the
+    assignment is one broadcast pass over the corpus and each search
+    touches ~NPROBE/N_CELLS of it."""
     emb = table(spark, sf_dir, "embeddings")
     base = spread(emb).select(
         "vec_id",
@@ -85,22 +88,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("centroid_sim"), F.col("cell_id")
     )
-    assign = (
+    ranked = (
         base.crossJoin(F.broadcast(cents))
         .select("vec_id", "cell_id", sim_to_cent.alias("centroid_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell_id")
     )
-    q = (
-        base.join(assign, "vec_id")
-        .filter(F.col("vec_id") % 50 == 0)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qn"),
-            "cell_id",
-        )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    qcells = (
+        ranked.filter((F.col("rn") <= NPROBE) & (F.col("vec_id") % 50 == 0))
+        .select(F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     cell_members = assign.join(base, "vec_id").select(
         "cell_id", "vec_id", "v", "nrm"
@@ -110,10 +111,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     pairs = (
-        F.broadcast(q)
+        F.broadcast(q.join(qcells, "query_id"))
         .join(cell_members, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", cosine.alias("cosine"))
+        .distinct()
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (

