@@ -132,7 +132,3 @@ def payroll_identity_exceptions(payroll: DataFrame) -> DataFrame:
         row_ids()["payroll"],
     )
 
-
-def strict_columns_ok(df: DataFrame, expected: list[str]) -> list[str]:
-    """pandera strict=True equivalent: returns unexpected columns."""
-    return [c for c in df.columns if c not in expected]

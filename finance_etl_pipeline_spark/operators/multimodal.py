@@ -66,10 +66,14 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
     raise NotImplementedError("image decoding libraries not installed")
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+def _fake_decode(payload: bytes | None) -> tuple[int, int, int]:
     """Deterministic stand-in for decode: pseudo width/height from the
-    leading bytes, additive checksum over the buffer."""
-    width = 64 + (payload[0] if payload else 0)
+    leading bytes, additive checksum over the buffer. NULL payloads
+    (e.g. encode(NULL text)) yield the zero-feature row instead of
+    crashing the whole Arrow batch."""
+    if not payload:
+        return 64, 64, 0
+    width = 64 + payload[0]
     height = 64 + (payload[1] if len(payload) > 1 else 0)
     checksum = sum(payload) % 1_000_000_007
     return width, height, checksum
@@ -85,7 +89,9 @@ def decode_features(payloads: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "n_bytes": pdf["payload"]
+                    .map(lambda b: len(b) if b is not None else 0)
+                    .astype("int64"),
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "checksum": [d[2] for d in decoded],

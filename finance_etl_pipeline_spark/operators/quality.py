@@ -100,6 +100,7 @@ def exceptions_df(
                     F.lit(c.name).alias("check"),
                     F.col(c.column).cast("string").alias("failure_case"),
                     F.lit(i).alias("check_number"),
+                    F.lit(c.severity).cast("string").alias("severity"),
                 ),
             )
         )
@@ -114,13 +115,14 @@ def exceptions_df(
             F.col("f.failure_case").alias("failure_case"),
             F.lit("Column").alias("schema_context"),
             F.col("f.check_number").alias("check_number"),
+            F.col("f.severity").alias("severity"),
         )
     )
     return out
 
 
 def duplicate_key_exceptions(
-    df: DataFrame, dataset: str, key_cols: list[str]
+    df: DataFrame, dataset: str, key_cols: list[str], severity: str | None = None
 ) -> DataFrame:
     """Q3: rows whose key occurs more than once (reference
     quality.py:8-13). Group-count then filter — one shuffle on the key."""
@@ -137,6 +139,7 @@ def duplicate_key_exceptions(
             F.col("n").cast("string").alias("failure_case"),
             F.lit("DataFrameSchema").alias("schema_context"),
             F.lit(-1).alias("check_number"),
+            F.lit(severity).cast("string").alias("severity"),
         )
     )
 
@@ -161,6 +164,7 @@ def identity_exceptions(
         F.abs(expr).cast("string").alias("failure_case"),
         F.lit("DataFrameSchema").alias("schema_context"),
         F.lit(-2).alias("check_number"),
+        F.lit(None).cast("string").alias("severity"),
     )
 
 
@@ -172,11 +176,15 @@ def referential_exceptions(
     pk_col: str,
     check_name: str,
     row_id: Column,
+    severity: str | None = "ERROR",
 ) -> DataFrame:
     """Q5: rows whose FK has no match in the dim — broadcast left_anti
     join (the Spark idiom for the reference's ``~isin`` set mask,
     pipeline.py:30-47; at scale the dim broadcasts, the fact side
-    never shuffles)."""
+    never shuffles). Broken FK integrity defaults to ERROR severity
+    regardless of the check's name — the severity *rules* only match
+    names containing 'referential', and a silent WARN here would let
+    the gate pass on corrupt joins."""
     dim_keys = dim.select(F.col(pk_col).alias("__pk")).distinct()
     return (
         df.join(F.broadcast(dim_keys), df[fk_col] == F.col("__pk"), "left_anti")
@@ -188,6 +196,7 @@ def referential_exceptions(
             F.col(fk_col).cast("string").alias("failure_case"),
             F.lit("DataFrameSchema").alias("schema_context"),
             F.lit(-3).alias("check_number"),
+            F.lit(severity).cast("string").alias("severity"),
         )
     )
 
@@ -198,10 +207,13 @@ def with_severity(
     error_datasets: tuple[str, ...] = (),
 ) -> DataFrame:
     """Q7: severity assignment (reference quality.py:150-182):
-    default WARN; ERROR when the column is a key column, the dataset is
-    in the always-error set, or the check is required/dtype/referential."""
+    an explicit per-exception severity (from Check.severity or a
+    producer default like referential_exceptions) wins; else ERROR
+    when the column is a key column, the dataset is in the
+    always-error set, or the check is required/dtype/referential;
+    else WARN."""
     check_lc = F.lower(F.col("check"))
-    sev = (
+    rules = (
         F.when(F.col("column").isin(*key_columns) if key_columns else F.lit(False), "ERROR")
         .when(F.col("dataset").isin(*error_datasets) if error_datasets else F.lit(False), "ERROR")
         .when(
@@ -213,7 +225,8 @@ def with_severity(
         )
         .otherwise("WARN")
     )
-    return exceptions.withColumn("severity", sev)
+    preset = F.col("severity") if "severity" in exceptions.columns else F.lit(None)
+    return exceptions.withColumn("severity", F.coalesce(preset, rules))
 
 
 def dq_summary(

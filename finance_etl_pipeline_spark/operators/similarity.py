@@ -5,6 +5,8 @@
 - LSH hyperplane bucketing: the scale path — deterministic md5-derived
   ±1 hyperplanes hash each vector to a bucket; near-neighbor search
   then only compares within buckets (candidates ∝ bucket size, not n).
+  The plane matrix is precomputed once as literals (plans/llm.py
+  ann_lsh_buckets) — no per-row hashing.
 
 Floats are cast to double *before* any arithmetic: float32 partial
 sums would diverge between engines; double dot products on the same
@@ -82,36 +84,3 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
-
-
-def hyperplane_bucket(vec: Column, dims: int, planes: int = NUM_PLANES) -> Column:
-    """LSH bucket id: sign bits against ``planes`` deterministic ±1
-    hyperplanes (component sign = parity of md5(plane_dim))."""
-    from finance_etl_pipeline_spark.operators.dedup import hash60_expr
-
-    def plane_dot(p: Column) -> Column:
-        signed = F.transform(
-            F.sequence(F.lit(1), F.lit(dims)),
-            lambda d: F.when(
-                hash60_expr(
-                    F.concat(p.cast("string"), F.lit("_"), d.cast("string"))
-                )
-                % 2
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        return F.aggregate(
-            F.zip_with(vec, signed, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(planes - 1)),
-        lambda p: F.when(
-            fround(plane_dot(p), 6) > 0,
-            F.shiftleft(F.lit(1).cast("long"), p.cast("int")),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)

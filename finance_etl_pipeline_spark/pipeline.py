@@ -112,13 +112,10 @@ def run_month(
     exceptions = issues[0]
     for df in issues[1:]:
         exceptions = exceptions.unionByName(df)
+    # referential checks (account_in_coa) carry ERROR from their
+    # producer; with_severity fills the rest from the rule set
     exceptions = Q.with_severity(
         exceptions, key_columns=FC.ERROR_COLUMNS, error_datasets=FC.ERROR_DATASETS
-    ).withColumn(
-        "severity",
-        F.when(F.col("check").contains("account_in_coa"), "ERROR").otherwise(
-            F.col("severity")
-        ),
     )
     # one materialization: the audit trail is reused by summary + gate
     exceptions = exceptions.cache()
@@ -166,6 +163,11 @@ def run_month(
     write_parquet(dim_accounts, paths["dim_accounts"])
     write_parquet(kpi, paths["kpi_monthly"])
 
+    # release the per-run caches — multi-month loops over one session
+    # would otherwise accumulate stale entries in storage memory
+    fact.unpersist()
+    exceptions.unpersist()
+
     return MonthResult(paths=paths, status="PASS" if passed else "FAIL")
 
 
@@ -186,22 +188,28 @@ def run_months(
     scale this is the layout that turns downstream month filters into
     partition pruning (SURVEY.md §4 'output partitioning').
     """
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    results: dict[str, MonthResult] = {}
-    for month in months:
-        month_dir = os.path.join(curated_dir, "by_month_staging", month)
-        res = run_month(
-            spark, month, raw_dir, month_dir, reference_dir, settings, fail_on
-        )
-        fact = spark.read.parquet(res.paths["fact_transactions"]).withColumn(
-            "month", F.date_format("date", "yyyy-MM")
-        )
-        fact.write.mode("overwrite").partitionBy("month").parquet(
-            os.path.join(curated_dir, "fact_transactions_by_month")
-        )
-        kpi = spark.read.parquet(res.paths["kpi_monthly"])
-        kpi.write.mode("overwrite").partitionBy("month").parquet(
-            os.path.join(curated_dir, "kpi_monthly_by_month")
-        )
-        results[month] = res
-    return results
+    try:
+        results: dict[str, MonthResult] = {}
+        for month in months:
+            month_dir = os.path.join(curated_dir, "by_month_staging", month)
+            res = run_month(
+                spark, month, raw_dir, month_dir, reference_dir, settings, fail_on
+            )
+            fact = spark.read.parquet(res.paths["fact_transactions"]).withColumn(
+                "month", F.date_format("date", "yyyy-MM")
+            )
+            fact.write.mode("overwrite").partitionBy("month").parquet(
+                os.path.join(curated_dir, "fact_transactions_by_month")
+            )
+            kpi = spark.read.parquet(res.paths["kpi_monthly"])
+            kpi.write.mode("overwrite").partitionBy("month").parquet(
+                os.path.join(curated_dir, "kpi_monthly_by_month")
+            )
+            results[month] = res
+        return results
+    finally:
+        # don't leak dynamic-overwrite semantics into the caller's
+        # later writes on this shared session
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

@@ -44,7 +44,7 @@ _IVF_SQL = f"""
     assign AS (SELECT vec_id, cell_id FROM ranked WHERE rn = 1),
     qcells AS (
       SELECT vec_id AS query_id, cell_id
-      FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0
+      FROM ranked WHERE rn <= {NPROBE} AND vec_id % 50 = 0
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0),
     pairs AS (

@@ -70,7 +70,11 @@ def dq_exceptions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     array+explode engine (reference quality.py:98-115 semantics;
     design notes in operators/quality.py)."""
     li = table(spark, sf_dir, "lineitem")
-    exc = Q.exceptions_df(li, "lineitem", _lineitem_checks(), _li_row_id())
+    # engine emits a severity slot (None here — no overrides declared);
+    # this plan verifies the pre-severity exception shape
+    exc = Q.exceptions_df(li, "lineitem", _lineitem_checks(), _li_row_id()).drop(
+        "severity"
+    )
     # rewrite double failure_cases to the decimal-deterministic form
     exc = exc.withColumn(
         "failure_case",
@@ -108,8 +112,10 @@ def dq_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deliberately doubled slice so violations exist."""
     e = table(spark, sf_dir, "events")
     doubled = e.unionByName(e.filter(F.col("event_id") < 50))
-    return Q.duplicate_key_exceptions(doubled, "events", ["event_id"]).orderBy(
-        F.col("row_id").cast("long")
+    return (
+        Q.duplicate_key_exceptions(doubled, "events", ["event_id"])
+        .drop("severity")
+        .orderBy(F.col("row_id").cast("long"))
     )
 
 
@@ -135,9 +141,14 @@ def dq_referential_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference pipeline.py:30-47 account_in_coa)."""
     li = table(spark, sf_dir, "lineitem")
     dim = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
-    return Q.referential_exceptions(
-        li, "lineitem", "l_partkey", dim, "p_partkey", "referential_part", _li_row_id()
-    ).orderBy("row_id")
+    return (
+        Q.referential_exceptions(
+            li, "lineitem", "l_partkey", dim, "p_partkey", "referential_part",
+            _li_row_id(),
+        )
+        .drop("severity")
+        .orderBy("row_id")
+    )
 
 
 @register(

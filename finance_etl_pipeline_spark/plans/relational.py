@@ -629,7 +629,11 @@ def a_count_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return (
         e.withColumn(
-            "band", F.when(F.col("value") >= 100, "high").otherwise("low")
+            # null values fall in NEITHER band (matching the oracle's
+            # CASE WHEN counting) — an otherwise() would bucket nulls
+            # into 'low' and diverge on the first null-bearing dataset
+            "band",
+            F.when(F.col("value") >= 100, "high").when(F.col("value") < 100, "low"),
         )
         .groupBy("event_type")
         .pivot("band", ["high", "low"])

@@ -104,27 +104,14 @@ FINANCE_RAW = {
     "fx_rates": FX_RATES,
 }
 
-# Canonical curated fact schema (reference transform.py:97-110).
-FACT_COLUMNS = [
-    "txn_id",
-    "date",
-    "entity",
-    "source",
-    "document_id",
-    "account_code",
-    "currency",
-    "amount",
-    "rate",
-    "amount_base",
-    "description",
-]
-
 # DQ exception canonical schema (reference quality.py:106-114 +
 # severity at pipeline.py:148-160).
+# row_id is a STRING natural key (operators/quality.py contract) — a
+# pandas-style integer index is not stable under Spark partitioning
 DQ_EXCEPTIONS = _st(
     [
         ("dataset", StringType(), True),
-        ("row_id", LongType(), True),
+        ("row_id", StringType(), True),
         ("column", StringType(), True),
         ("check", StringType(), True),
         ("failure_case", StringType(), True),

@@ -12,8 +12,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
-
 
 def _seq_key(df: DataFrame, order_col: str, key_name: str) -> DataFrame:
     """Sequential surrogate key over a sorted small dim (W1).
@@ -118,10 +116,14 @@ def fact_gl(
 
 def fact_kpi_monthly(kpi: DataFrame, d_entity: DataFrame) -> DataFrame:
     """KPI fact keyed by (month_key, entity_key) + margin %s
-    (reference :259-319)."""
-    rev = F.nullif(F.col("Revenue"), F.lit(0.0))
+    (reference :259-319). Margins come from the one shared
+    ``transform.add_margins`` so the star export publishes the exact
+    same rounded values as the flat BI export."""
+    from finance_etl_pipeline_spark.transform import add_margins
+
     return (
-        kpi.join(F.broadcast(d_entity.select("entity", "entity_key")), "entity", "left")
+        add_margins(kpi)
+        .join(F.broadcast(d_entity.select("entity", "entity_key")), "entity", "left")
         .select(
             F.regexp_replace("month", "-", "").cast("int").alias("month_key"),
             "entity_key",
@@ -130,10 +132,8 @@ def fact_kpi_monthly(kpi: DataFrame, d_entity: DataFrame) -> DataFrame:
             "Expense",
             "gross_profit",
             "operating_profit",
-            fround(F.col("gross_profit") / rev * 100, 2).alias("gross_margin_pct"),
-            fround(F.col("operating_profit") / rev * 100, 2).alias(
-                "operating_margin_pct"
-            ),
+            "gross_margin_pct",
+            "operating_margin_pct",
         )
     )
 

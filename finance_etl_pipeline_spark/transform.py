@@ -183,15 +183,14 @@ def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
         "left",
     ).withColumn("month", F.date_format("date", "yyyy-MM"))
 
+    # explicit pivot values guarantee Revenue/COGS/Expense columns
+    # always exist (no reference-style backfill loop needed)
     wide = (
         df.groupBy("entity", "month")
         .pivot("account_type", KPI_ACCOUNT_TYPES)
         .sum("amount_base")
         .na.fill(0.0, KPI_ACCOUNT_TYPES)
     )
-    for col in ["Revenue", "COGS", "Expense"]:
-        if col not in wide.columns:
-            wide = wide.withColumn(col, F.lit(0.0))
     return (
         wide.withColumn("gross_profit", F.bround(F.col("Revenue") + F.col("COGS"), 2))
         .withColumn(
