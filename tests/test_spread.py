@@ -1,0 +1,23 @@
+"""spread() widens under-partitioned scans and NEVER narrows or
+reshuffles data that is already wide enough (the 100 TB safety
+property — see sources/readers.py)."""
+
+from __future__ import annotations
+
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+
+def test_spread_widens_single_file_scan(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    wide = spread(docs)
+    assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert wide.count() == docs.count()
+
+
+def test_spread_passes_through_wide_input(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 10_000, numPartitions=target * 4)
+    out = spread(df)
+    # untouched: same object, no repartition inserted
+    assert out is df
