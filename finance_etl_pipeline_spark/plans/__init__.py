@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QueryDef]:
         relational,
         scalars,
         subqueries,
+        supplier_shapes,
         tpch_more,
     )
 
