@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
         subqueries,
         supplier_shapes,
         tpch_more,
+        tpch_rest,
     )
 
     return REGISTRY

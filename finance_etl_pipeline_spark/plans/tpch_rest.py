@@ -1,0 +1,448 @@
+"""The remaining classic TPC-H query shapes (Q2/Q8/Q9/Q15/Q16/Q17/Q20/Q21),
+adapted to the driver testdata schema (TESTDATA.md — no ``partsupp``
+table, no commit/receipt dates on lineitem).  Each adaptation keeps the
+query's *topology* — the thing that stresses the engine — and swaps the
+missing columns for available proxies:
+
+- Q2's min-supplycost correlated subquery   → min effective unit price
+  (``l_extendedprice / l_quantity``) over the region-filtered lineitem.
+- Q9's supplycost profit term               → ``p_retailprice`` proxy cost.
+- Q16's "complaint" supplier NOT IN         → negative-balance suppliers.
+- Q20's partsupp availqty threshold         → shipped-quantity threshold.
+- Q21's receipt-after-commit "late" flag    → ``l_returnflag = 'R'``.
+
+Beyond-reference additions (the reference at /root/reference has only
+left equi-joins — SURVEY.md §2.3); these exercise correlated-min
+decorrelation, conditional-share aggregation, equality-to-max selection,
+distinct-count grouping, correlated-average thresholds, grouped-HAVING
+semi-joins, and EXISTS / NOT-EXISTS pairs re-expressed as one per-order
+aggregate (one shuffle instead of two self-joins — the 100 TB-friendly
+plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+def _asia_supplier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ supplier ⋈ nation ⋈ region, restricted to ASIA, with
+    the effective unit price — shared by both sides of the Q2 shape."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+           floor((l.l_extendedprice / l.l_quantity) * 10000 + 0.5001) / 10000 AS unit_cost
+    FROM part p, lineitem l, supplier s, nation n, region r
+    WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA' AND p.p_size BETWEEN 10 AND 14 AND p.p_type = 'STANDARD'
+      AND l.l_extendedprice / l.l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2, supplier s2, nation n2, region r2
+        WHERE l2.l_partkey = p.p_partkey AND s2.s_suppkey = l2.l_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'ASIA')
+    ORDER BY p_partkey, s_suppkey
+    """,
+    "join",
+    "subquery",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest-supplier-per-part via a correlated min
+    subquery.  Spark side decorrelates explicitly with a partitioned
+    window min — one shuffle on p_partkey instead of a rejoin of the
+    aggregated subquery (what Catalyst would synthesize anyway, stated
+    declaratively).  Equality on the raw double is cross-engine safe:
+    min() selects an existing IEEE value, it doesn't accumulate."""
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 14) & (F.col("p_type") == "STANDARD")
+    )
+    base = _asia_supplier_lineitem(spark, sf_dir).join(
+        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        base.withColumn("min_uc", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_uc"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            fround(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           floor((sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN l.l_extendedprice * (1 - l.l_discount)
+                           ELSE 0 END)
+                  / sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000 + 0.5001)
+             / 1000000 AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "join",
+    "agg",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional market volume —
+    conditional-sum / sum ratio over a 7-table join with nation in two
+    roles.  All dims broadcast; the only shuffles are the two fact
+    joins and the final tiny group-by-year."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            fround(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount)
+                      - p.p_retailprice * l.l_quantity * 0.01)) * 100 + 0.5001) / 100
+             AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    "join",
+    "agg",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year.  The reference testdata has no partsupp, so supply
+    cost is proxied at 1% of p_retailprice per unit — same expression
+    topology (two fact columns × one dim column inside the sum)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.01)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(fround(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           floor((r.total_revenue) * 100 + 0.5001) / 100 AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "agg",
+    "subquery",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — a reused derived table ("view") compared against its own
+    max.  The revenue CTE is computed once and self-compared via an
+    unpartitioned window max over |suppliers| rows (tiny), not a
+    recompute."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue_raw"
+        )
+    )
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue_raw").over(Window.partitionBy())
+    ).filter(F.col("total_revenue_raw") == F.col("max_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(top, s.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            fround(F.col("total_revenue_raw"), 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45, 49, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group,
+    excluding a supplier denylist (negative balance proxies the
+    "customer complaints" comment filter — testdata has no comments).
+    The NOT IN becomes a broadcast left-anti join."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45, 49, 50)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    """
+    SELECT floor((sum(l.l_extendedprice) / 7.0) * 100 + 0.5001) / 100 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_type = 'PROMO'
+      AND l.l_quantity < (
+        SELECT 0.2 * (sum(l2.l_quantity) / count(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — a
+    correlated per-part average threshold.  Decorrelated to one
+    per-part aggregate joined back (one lineitem shuffle).  The
+    threshold is written as ``0.2 * (sum/count)`` in BOTH engines:
+    quantities are integral so the sum is exact and the ratio is a
+    single IEEE division — bit-identical cross-engine (a running-mean
+    ``avg()`` implementation would not be)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_thr")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "PROMO")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%blue%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 400)
+    ORDER BY s_suppkey
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an excess volume of a part
+    family in a year (shipped-quantity threshold proxies the partsupp
+    availqty rule).  Nested grouped-HAVING IN-subquery → aggregate then
+    left-semi join.  Quantities are integral → the HAVING sum is exact
+    and cross-engine stable."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n, region r
+    WHERE s.s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    "join",
+    "agg",
+    "subquery",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers solely responsible for a problem in
+    multi-supplier finished orders (returnflag='R' proxies the
+    late-delivery receipt>commit predicate — testdata has no commit /
+    receipt dates).  The oracle states it as EXISTS + NOT EXISTS; the
+    Spark plan folds BOTH correlated subqueries into ONE per-order
+    aggregate (distinct suppliers, distinct flagged suppliers) joined
+    back — one extra shuffle of lineitem instead of two lineitem
+    self-joins, the plan that survives at 100 TB.
+
+      EXISTS(other supplier)            ⇔  n_supp > 1
+      NOT EXISTS(other 'R' supplier)    ⇔  n_r_supp = 1   (l1 itself is 'R')
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(per_order, l1.l_orderkey == F.col("po_key"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
