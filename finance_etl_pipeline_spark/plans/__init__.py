@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryDef]:
         scalars,
         subqueries,
         supplier_shapes,
+        text_rank,
         tpch_more,
         tpch_rest,
     )

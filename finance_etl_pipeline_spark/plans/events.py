@@ -184,3 +184,66 @@ def e_type_share_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_day"
         ),
     ).orderBy("day", "event_type")
+
+
+@register(
+    "e_click_purchase_attribution",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_sec,
+           floor((p.value) * 100 + 0.5001) / 100 AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+    "events",
+    "join",
+)
+def e_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (range join): purchases attributed to a
+    same-user click within the preceding 30 minutes.  This is the batch
+    twin of the stream-stream join in streaming/events.py —
+    identical predicates, so availableNow drain must reproduce it
+    (tests/test_streaming.py).
+
+    Scale: the join shuffles both sides on user_id; the time-range
+    predicate is evaluated post-match per user partition.  The delay is
+    exact integer microseconds floor-divided to seconds — deterministic
+    in both engines (no timestamp-truncation semantics involved)."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.expr(
+                "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+            ).alias("delay_sec"),
+            fround(F.col("value"), 2).alias("purchase_value"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -1,0 +1,196 @@
+"""Text-ranking operators over the ``documents`` table: TF-IDF top
+terms per document and BM25 retrieval for a fixed query term set.
+
+Beyond-reference additions (the reference at /root/reference has no
+text processing at all — SURVEY.md §2.8 "Absent" list); these are the
+ranking half of the LLM-pipeline text-analysis family (tx_token_stats /
+tx_language_id / tx_quality_score / tx_fingerprint cover the scoring
+half in plans/llm.py).
+
+Cross-engine determinism notes:
+
+- Tokenization is ``split(lower(text), '\\s+')`` in Spark and
+  ``string_split_regex(lower(text), '\\s+')`` in DuckDB, with empty
+  tokens filtered in both.
+- ``ln`` may differ by 1 ulp between Java's ``Math.log`` and DuckDB's
+  libm, so every score is pushed through the shared ``fround``
+  contract before it is ranked or emitted; ranking ties are broken on
+  the term / doc id, making row_number deterministic in both engines.
+- tf, df, dl are exact integers; avgdl is an exact integer sum over
+  an IEEE division — bit-identical cross-engine.  Both sides build the
+  identical expression *tree* (same parenthesization), so the only
+  noise source is ``ln``.
+
+At 100 TB: everything is exploded-token group-bys (map-side combined)
+plus one broadcast of the per-term df table (vocabulary ≪ corpus) and
+a broadcast of the query-term list — no shuffle carries raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+BM25_TERMS = ("vector", "spark", "merge")
+K1 = 1.2
+B = 0.75
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok) exploded token table, empty tokens dropped."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+@register(
+    "tx_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+             floor((tf.tf * ln(n.n_docs / df.df)) * 1000000 + 0.5001) / 1000000
+               AS tfidf
+      FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    "llm",
+    "text",
+)
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  df is a vocabulary-sized
+    table (broadcast); ranking happens on the *rounded* score so the
+    1-ulp ``ln`` difference between engines can never flip an order."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            fround(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )
+
+
+@register(
+    "tx_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT sum(dl) / count(*) AS avgdl, count(*) AS n_docs FROM dl),
+    qterms AS (SELECT unnest(['vector', 'spark', 'merge']) AS tok),
+    tf AS (
+      SELECT t.doc_id, t.tok, count(*) AS tf
+      FROM toks t SEMI JOIN qterms q ON q.tok = t.tok
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {K1 + 1}) / (tf.tf + {K1} * ({1 - B} + {B} * (dl.dl / s.avgdl))))
+               AS c
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id,
+             floor((sum(c)) * 10000 + 0.5001) / 10000 AS bm25
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+    FROM scored
+    QUALIFY rk <= 20
+    ORDER BY rk
+    """,
+    "llm",
+    "text",
+)
+def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for the fixed query (vector, spark,
+    merge) with k1=1.2, b=0.75.  The token table is semi-joined against
+    the broadcast query-term list FIRST, so tf/df/contrib only ever
+    hold query-term rows — at 100 TB the per-doc state is |query|
+    terms, not |vocabulary|.  Scores are rounded before the global
+    top-20 rank (tiny: |matching docs| rows through one window)."""
+    toks = _tokens(spark, sf_dir)
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], ["tok"]
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok", "left_semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * F.lit(K1 + 1)) / (
+        F.col("tf")
+        + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * (F.col("dl") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_part).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(fround(F.sum("c"), 4).alias("bm25"))
+    w = Window.partitionBy().orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("rk")
+    )

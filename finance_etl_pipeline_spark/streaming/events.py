@@ -87,13 +87,71 @@ def session_aggregates(
     )
 
 
-def drain_to_memory(stream: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+def click_purchase_stream_join(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans/events.py::e_click_purchase_attribution
+    — a stream-stream inner join (clicks × purchases of the same user
+    within 30 minutes).  Both sides carry a watermark and the join
+    condition bounds event time in both directions, which is what lets
+    Spark expire join state: a click older than watermark + 30 min can
+    never match a future purchase and is dropped from state."""
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("delay_sec"),
+        fround(F.col("value"), 2).alias("purchase_value"),
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "35 days"
+) -> DataFrame:
+    """Streaming exact-dedup twin of the batch dd_exact_dedup family:
+    keep the first arrival per event_id, with state bounded by the
+    watermark (a duplicate arriving later than the watermark delay is
+    not caught — that is the documented contract of
+    dropDuplicatesWithinWatermark; size the delay to the source's real
+    duplication window, here ≥ the 30-day fixture span so the drain is
+    exhaustive)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def drain_to_memory(
+    stream: DataFrame, name: str, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
     """Run the stream to completion over existing files (availableNow)
-    and return the materialized result — the test/backfill harness."""
+    and return the materialized result — the test/backfill harness.
+    Aggregations drain in ``complete`` mode; joins and dedup are
+    append-only operators and must drain in ``append`` mode."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )

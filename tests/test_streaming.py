@@ -32,3 +32,52 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_dir):
     got_rows = {key(r): (r.n_events, r.total_value) for r in got.collect()}
     batch_rows = {key(r): (r.n_events, r.total_value) for r in batch.collect()}
     assert got_rows == batch_rows
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
+    from finance_etl_pipeline_spark.streaming.events import (
+        click_purchase_stream_join,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = drain_to_memory(
+        click_purchase_stream_join(stream), "t_ss_join", spark, mode="append"
+    )
+    batch = all_queries()["e_click_purchase_attribution"].fn(spark, sf_dir)
+    key = lambda r: (r.click_id, r.purchase_id)  # noqa: E731
+    got_rows = {
+        key(r): (r.user_id, r.delay_sec, r.purchase_value) for r in got.collect()
+    }
+    batch_rows = {
+        key(r): (r.user_id, r.delay_sec, r.purchase_value)
+        for r in batch.collect()
+    }
+    assert got_rows == batch_rows
+    assert len(got_rows) > 0
+
+
+def test_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
+    """A doubled source (same file twice) dedups back to the batch
+    distinct count; every surviving event_id is unique."""
+    import shutil
+
+    from finance_etl_pipeline_spark.streaming.events import (
+        dedup_within_watermark,
+    )
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(os.path.join(events_dir, "part-0.parquet"), d / "a.parquet")
+    shutil.copy(os.path.join(events_dir, "part-0.parquet"), d / "b.parquet")
+    stream = read_events_stream(spark, str(d))
+    got = drain_to_memory(
+        dedup_within_watermark(stream), "t_dedup_wm", spark, mode="append"
+    )
+    n_batch = (
+        spark.read.parquet(os.path.join(str(d), "*.parquet"))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == n_batch
