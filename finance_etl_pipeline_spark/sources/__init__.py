@@ -4,6 +4,7 @@ from finance_etl_pipeline_spark.sources.readers import (  # noqa: F401
     load_tables,
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     spread,
     table,
@@ -11,5 +12,6 @@ from finance_etl_pipeline_spark.sources.readers import (  # noqa: F401
 from finance_etl_pipeline_spark.sources.writers import (  # noqa: F401
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )

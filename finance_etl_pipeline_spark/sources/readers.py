@@ -104,3 +104,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     if not names:
         names = tuple(schemas.TESTDATA)
     return {n: table(spark, sf_dir, n) for n in names}
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; same fail-fast contract as read_parquet (predicate
+    pushdown and column pruning work the same way — ORC carries
+    min/max stride indexes Catalyst pushes filters into)."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"missing input: {path}")
+    return spark.read.orc(path)

@@ -34,3 +34,18 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Line-delimited JSON sink (interchange format; stays partitioned
     — JSON is for handoff, never the curated store)."""
     df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink — columnar alternative to Parquet for warehouses
+    standardized on ORC (Hive-lineage lakes); same partitioning
+    contract as write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
