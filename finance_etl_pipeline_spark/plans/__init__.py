@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QueryDef]:
         quality,
         regression,
         relational,
+        sampling,
         scalars,
         subqueries,
         supplier_shapes,

@@ -1153,3 +1153,84 @@ def u_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", F.lit("only_high_bal").alias("tag")
     )
     return both.unionByName(only_hi).orderBy("tag", "custkey")
+
+
+@register(
+    "w_distribution_funcs",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           floor((percent_rank() OVER w) * 1000000 + 0.5001) / 1000000 AS pct_rank,
+           floor((cume_dist() OVER w) * 1000000 + 0.5001) / 1000000 AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_custkey
+    """,
+    "window",
+)
+def w_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per market segment.  The window order includes the key
+    (c_custkey) so the total order is unique — without it, ntile's
+    bucket boundaries on tied acctbals would be engine-dependent.
+    percent_rank/cume_dist are exact integer ratios → IEEE-identical;
+    rounded anyway under the shared contract."""
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cdist"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+@register(
+    "a_unpivot_long",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             sum(l_quantity) AS qty,
+             sum(l_extendedprice) AS price,
+             sum(l_discount) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure,
+           floor((total) * 100 + 0.5001) / 100 AS total
+    FROM (
+      SELECT l_returnflag, 'qty' AS measure, qty AS total FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'price', price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'disc', disc FROM wide
+    )
+    ORDER BY l_returnflag, measure
+    """,
+    "agg",
+    "reshape",
+)
+def a_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of A2's pivot: a wide per-flag
+    aggregate reshaped to (key, measure, value) long form via Spark's
+    native unpivot operator (the oracle states it as the portable
+    UNION ALL).  Long form is what generic BI/metric sinks ingest."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_extendedprice").alias("price"),
+        F.sum("l_discount").alias("disc"),
+    )
+    return (
+        wide.unpivot(
+            ["l_returnflag"], ["qty", "price", "disc"], "measure", "total"
+        )
+        .select(
+            "l_returnflag",
+            "measure",
+            fround(F.col("total"), 2).alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )

@@ -1,0 +1,128 @@
+"""Deterministic sampling and split operators — LLM-pipeline staples
+(corpus subsampling, stratified class balancing, train/val/test
+assignment) that the reference has no equivalent of.
+
+Random sampling (``df.sample``, ``TABLESAMPLE``) is engine-seeded and
+not reproducible across engines or even across partitionings of the
+same data, so every operator here derives its randomness from a
+*content hash* (the shared md5→60-bit scheme of operators/dedup.py):
+the same row always lands in the same sample/split regardless of
+engine, partition layout, or cluster size — the property that makes
+training-data lineage auditable.  That also makes every operator
+oracle-checkable.
+
+At 100 TB each operator is a stateless narrow map (hash + filter) —
+no shuffle at all until the (tiny) per-stratum count aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.operators.dedup import hash60_expr
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+_SQL_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_H_EVENT = _SQL_H60.format(x="CAST(event_id AS VARCHAR)")
+_H_DOC = _SQL_H60.format(x="CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "s_hash_sample",
+    f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE {_H_EVENT} % 100 < 10
+    ORDER BY event_id
+    """,
+    "sampling",
+)
+def s_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: hash(event_id) mod 100 < 10.
+    Content-addressed, so re-runs, engine swaps, and repartitions all
+    select the identical row set (unlike seeded df.sample, whose
+    output depends on partition layout)."""
+    e = table(spark, sf_dir, "events")
+    h = hash60_expr(F.col("event_id").cast("string"))
+    return (
+        e.filter(h % 100 < 10)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "s_stratified_sample",
+    f"""
+    WITH sampled AS (
+      SELECT event_type
+      FROM events
+      WHERE {_H_EVENT} % 100 <
+            CASE event_type WHEN 'purchase' THEN 50
+                            WHEN 'click' THEN 5
+                            ELSE 10 END
+    )
+    SELECT event_type, count(*) AS n_sampled
+    FROM sampled GROUP BY event_type ORDER BY event_type
+    """,
+    "sampling",
+    "agg",
+)
+def s_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling: per-class rates (purchase 50%, click
+    5%, else 10%) — the class-rebalancing primitive.  The rate map is
+    a CASE expression, so the whole sample is still one narrow pass;
+    emitted as per-stratum counts."""
+    e = table(spark, sf_dir, "events")
+    h = hash60_expr(F.col("event_id").cast("string"))
+    rate = (
+        F.when(F.col("event_type") == "purchase", 50)
+        .when(F.col("event_type") == "click", 5)
+        .otherwise(10)
+    )
+    return (
+        e.filter((h % 100) < rate)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "s_train_test_split",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN {_H_DOC} % 100 < 80 THEN 'train'
+                  WHEN {_H_DOC} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM labeled GROUP BY split ORDER BY split
+    """,
+    "sampling",
+    "agg",
+)
+def s_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by content hash — stable
+    under corpus growth (a doc's split never changes when other docs
+    are added/removed, unlike percentile- or row_number-based splits)."""
+    d = table(spark, sf_dir, "documents")
+    h = hash60_expr(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
