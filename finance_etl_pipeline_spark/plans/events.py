@@ -247,3 +247,36 @@ def e_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+@register(
+    "e_rollup_daily_from_hourly",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+           event_type AS key,
+           count(*) AS n_events,
+           floor((sum(value)) * 100 + 0.5001) / 100 AS total_value,
+           floor((sum(value) / count(*)) * 10000 + 0.5001) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY bucket, key
+    """,
+    "events",
+    "rollup",
+    "agg",
+)
+def e_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate path: raw → hourly partial states → rerolled
+    daily → finished metrics.  The oracle computes daily DIRECTLY from
+    raw, so the hash match proves the two-stage partial-state
+    re-aggregation is lossless (counts/sums are exactly additive; avg
+    is derived at finish time as sum/count, never merged)."""
+    from finance_etl_pipeline_spark.operators.rollup import (
+        finish,
+        reroll,
+        rollup_partials,
+    )
+
+    e = table(spark, sf_dir, "events")
+    hourly = rollup_partials(e, "hour")
+    return finish(reroll(hourly, "day")).orderBy("bucket", "key")
