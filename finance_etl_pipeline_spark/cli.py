@@ -8,6 +8,9 @@ Usage:
     python -m finance_etl_pipeline_spark.cli generate \
         --out-dir data/raw --month 2025-12 [--seed 42] [--dirty]
     python -m finance_etl_pipeline_spark.cli version
+    python -m finance_etl_pipeline_spark.cli queries [--tag TAG]
+    python -m finance_etl_pipeline_spark.cli query NAME \
+        [--sf-dir /root/testdata/sf0.001] [--limit 20] [--explain]
 """
 
 from __future__ import annotations
@@ -38,12 +41,51 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("version", help="print version")
 
+    ls_p = sub.add_parser("queries", help="list registered queries")
+    ls_p.add_argument("--tag", default=None, help="filter by tag")
+
+    q_p = sub.add_parser("query", help="run a registered query by name")
+    q_p.add_argument("name")
+    q_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q_p.add_argument("--limit", type=int, default=20)
+    q_p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+
     args = parser.parse_args(argv)
 
     if args.command == "version":
         from finance_etl_pipeline_spark import __version__
 
         print(__version__)
+        return 0
+
+    if args.command == "queries":
+        from finance_etl_pipeline_spark.plans import all_queries
+
+        for name, qd in sorted(all_queries().items()):
+            if args.tag and args.tag not in qd.tags:
+                continue
+            oracle = "oracle" if qd.oracle else "rows-only"
+            print(f"{name}\t[{', '.join(qd.tags)}]\t{oracle}")
+        return 0
+
+    if args.command == "query":
+        from finance_etl_pipeline_spark.plans import all_queries
+        from finance_etl_pipeline_spark.session import get_spark
+
+        qs = all_queries()
+        if args.name not in qs:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name=f"query-{args.name}")
+        df = qs[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain(mode="formatted")
+        else:
+            df.show(args.limit, truncate=False)
         return 0
 
     if args.command == "generate":

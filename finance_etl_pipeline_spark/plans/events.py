@@ -280,3 +280,46 @@ def e_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     hourly = rollup_partials(e, "hour")
     return finish(reroll(hourly, "day")).orderBy("bucket", "key")
+
+
+@register(
+    "w_trailing_range_window",
+    """
+    SELECT event_id, user_id,
+           floor((sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           )) * 100 + 0.5001) / 100 AS trailing_7d_value
+    FROM events
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+    "events",
+    "window",
+)
+def w_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user 7-day trailing purchase value
+    — a RANGE (value-based) frame over event-time seconds, distinct
+    from the ROWS frames of w_moving_sum.  Spark range frames need a
+    numeric ordering column, so event time is projected to epoch
+    seconds (unix_micros div 1_000_000, exact integer — identical to
+    DuckDB's epoch()).  Same-second events fall in one frame in both
+    engines, so the sum is order-insensitive and cross-engine stable."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    e = e.withColumn(
+        "ts_sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-604800, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        fround(F.sum("value").over(w), 2).alias("trailing_7d_value"),
+    ).orderBy("event_id")

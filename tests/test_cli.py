@@ -50,3 +50,16 @@ def test_generate_then_dirty_run_exits_2(tmp_path):
     )
     assert r.returncode == 2  # DQ gate failure is exit 2, not a traceback
     assert "FAIL" in r.stderr
+
+
+def test_queries_lists_registry():
+    r = _run("queries", "--tag", "sampling")
+    assert r.returncode == 0
+    assert "s_hash_sample" in r.stdout
+    assert "q1_pricing_summary" not in r.stdout  # tag filter applied
+
+
+def test_query_unknown_name_exits_2():
+    r = _run("query", "no_such_query")
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr

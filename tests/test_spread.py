@@ -21,3 +21,25 @@ def test_spread_passes_through_wide_input(spark):
     out = spread(df)
     # untouched: same object, no repartition inserted
     assert out is df
+
+
+def test_hash_sample_invariant_under_repartition(spark, sf_dir):
+    """Content-hash sampling must select the identical row set no
+    matter how the input is partitioned (the property seeded
+    df.sample does NOT have)."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_spark.operators.dedup import hash60_expr
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    e = table(spark, sf_dir, "events")
+    h = hash60_expr(F.col("event_id").cast("string"))
+    base = {r.event_id for r in e.filter(h % 100 < 10).select("event_id").collect()}
+    repart = {
+        r.event_id
+        for r in e.repartition(7, "user_id")
+        .filter(h % 100 < 10)
+        .select("event_id")
+        .collect()
+    }
+    assert base == repart and base
