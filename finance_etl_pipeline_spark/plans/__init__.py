@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         ivf,
         llm,
         quality,
+        quantized,
         regression,
         relational,
         sampling,

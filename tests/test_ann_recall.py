@@ -41,3 +41,20 @@ def test_ivf_recall_floor_vs_brute_force(spark, sf_dir):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.3, f"IVF nprobe=1 recall {recall:.2f} below floor"
+
+
+def test_int8_quantized_recall_vs_exact(spark, sf_dir):
+    """Int8 quantization must preserve nearly all top-3 neighbors —
+    unlike the coarse LSH/IVF paths it approximates the VALUES, not
+    the candidate set, so recall should be near-perfect."""
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_cosine_topk"].fn(spark, sf_dir).collect()
+        if r.rank <= 3
+    }
+    quant = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["ann_int8_topk"].fn(spark, sf_dir).collect()
+    }
+    recall = len(brute & quant) / len(brute)
+    assert recall >= 0.85, f"int8 recall {recall:.2f} below floor"
