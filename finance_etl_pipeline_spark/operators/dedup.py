@@ -203,3 +203,58 @@ def simhash_table(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> Da
         F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
     ).otherwise(F.lit(0).cast("long"))
     return bit_sums.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node, lbl)
+    where lbl is the component's minimum doc id.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; the fixpoint is
+    the component minimum (unique — so the result is deterministic
+    regardless of engine or iteration schedule).  Near-dup components
+    are tiny (pairs of re-posts, small mirror clusters), so rounds ≈
+    small component diameter; each round is one shuffle of |edges|.
+    Lineage is cut per round (localCheckpoint; persist on a cluster —
+    SCALE.md).  For planet-scale graphs swap in the alternating
+    star-contraction variant — same external contract.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -470,3 +470,57 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     payloads = with_binary_payload(docs)
     return decode_features(payloads).orderBy("doc_id")
+
+
+@register(
+    "dd_dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SQL_SH}),
+    {_JACCARD_CORE},
+    jpairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.7
+    ),
+    cedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jpairs
+      UNION
+      SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM cedges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN cedges e ON e.a = r.b
+    )
+    SELECT a AS doc_id,
+           least(a, min(b)) AS cluster_id,
+           least(a, min(b)) = a AS is_canonical
+    FROM reach
+    GROUP BY a
+    ORDER BY doc_id
+    """,
+    "llm",
+    "dedup",
+)
+def dd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical keeper: the
+    step that turns pairwise similarity into an actionable dedup
+    decision (keep cluster minimum, drop the rest).  Spark runs
+    iterative min-label propagation (operators/dedup.py::
+    connected_components — fixpoint = component min, engine-
+    independent); the oracle states the same thing as a recursive-CTE
+    transitive closure.  Only docs that appear in some near-dup pair
+    are emitted."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs)
+    pairs = D.jaccard_pairs(sh, None, 0.7).select("doc_a", "doc_b")
+    labels = D.connected_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("node")).alias("is_canonical"),
+    ).orderBy("doc_id")
