@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark import finance_checks as FC
@@ -43,6 +43,7 @@ class DataQualityGateError(RuntimeError):
 class MonthResult:
     paths: dict[str, str] = field(default_factory=dict)
     status: str = "PASS"
+    metrics: dict[str, float] = field(default_factory=dict)
 
 
 def _month_window(month: str) -> tuple[str, str]:
@@ -149,6 +150,16 @@ def run_month(
     fact = transform.to_fact_transactions(
         sales, expenses, payroll, inventory, fx, settings.base_currency
     )
+    # run-level metrics ride the write via observe() — collected from
+    # the SAME pass that materializes the fact table, no extra scan
+    # (the streaming-safe way to count; a .count() here would re-run
+    # the whole plan on an uncached frame)
+    fact_obs = Observation("fact_metrics")
+    fact = fact.observe(
+        fact_obs,
+        F.count(F.lit(1)).alias("fact_rows"),
+        F.sum("amount_base").alias("fact_amount_base_total"),
+    )
     fact = fact.cache()  # feeds both the write and the KPI build
     kpi = transform.kpi_monthly(fact, dim_accounts)
 
@@ -168,7 +179,16 @@ def run_month(
     fact.unpersist()
     exceptions.unpersist()
 
-    return MonthResult(paths=paths, status="PASS" if passed else "FAIL")
+    obs = dict(fact_obs.get)
+    metrics = {
+        "fact_rows": float(obs.get("fact_rows", 0) or 0),
+        "fact_amount_base_total": float(
+            obs.get("fact_amount_base_total", 0.0) or 0.0
+        ),
+    }
+    return MonthResult(
+        paths=paths, status="PASS" if passed else "FAIL", metrics=metrics
+    )
 
 
 def run_months(

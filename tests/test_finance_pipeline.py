@@ -115,3 +115,14 @@ def test_missing_fx_is_hard_error(spark, dirs):
                 w.writerow(row)
     with pytest.raises(MissingFxRatesError):
         run_month(spark, MONTH, raw2, os.path.join(dirs["root"], "curated_nofx"), dirs["ref"])
+
+
+def test_run_month_observe_metrics(spark, dirs):
+    """observe() metrics ride the materializing pass — fact_rows must
+    equal the written table's count, with no extra scan issued."""
+    out = os.path.join(dirs["root"], "curated_obs")
+    res = run_month(spark, MONTH, dirs["raw"], out, dirs["ref"])
+    fact = spark.read.parquet(res.paths["fact_transactions"])
+    assert res.metrics["fact_rows"] == fact.count()
+    total = fact.agg(F.sum("amount_base")).first()[0]
+    assert abs(res.metrics["fact_amount_base_total"] - total) < 1e-6
