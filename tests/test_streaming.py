@@ -81,3 +81,35 @@ def test_dedup_within_watermark(spark, sf_dir, events_dir, tmp_path):
     )
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert len(ids) == len(set(ids)) == n_batch
+
+
+def test_foreachbatch_upsert_sink(spark, sf_dir, events_dir, tmp_path):
+    """Two micro-batches of the same keys MERGE down to one current-
+    state row per event_id — the streaming CDC table-maintenance path."""
+    import shutil as _sh
+
+    from finance_etl_pipeline_spark.streaming.sink import upsert_each_batch
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    _sh.copy(os.path.join(events_dir, "part-0.parquet"), src / "a.parquet")
+    _sh.copy(os.path.join(events_dir, "part-0.parquet"), src / "b.parquet")
+    target = str(tmp_path / "cdc_table")
+
+    stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        upsert_each_batch(stream, spark, target, keys=["event_id"], order_col="ts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    table = spark.read.parquet(target)
+    n_keys = (
+        spark.read.parquet(os.path.join(str(src), "*.parquet"))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert table.count() == n_keys
+    assert table.select("event_id").distinct().count() == n_keys
