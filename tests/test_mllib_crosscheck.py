@@ -53,3 +53,45 @@ def test_mllib_minhash_recovers_same_neardup_pairs(spark, sf_dir):
     assert len(missing) <= max(1, len(ours) // 10), (
         f"MLlib missed too many of our verified pairs: {missing}"
     )
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check: Spark min-label propagation == driver-side
+    union-find on randomized graphs (several seeds, varied density)."""
+    import random
+
+    from finance_etl_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        # reference: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {x for e in edges for x in e}
+        expected = {}
+        for node in touched:
+            root = find(node)
+            expected[node] = min(x for x in touched if find(x) == root)
+
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {
+            r.node: r.lbl for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"seed {seed}: CC labels diverge"

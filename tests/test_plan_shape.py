@@ -52,3 +52,24 @@ def test_projection_pruned_to_read_schema(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "a_topn_by_aggregate", sf_dir)
     assert "TakeOrderedAndProject" in plan  # not a global sort
+
+
+def test_q8_dims_broadcast_type_filter_pushed(spark, sf_dir):
+    plan = plan_of(spark, "q8_market_share", sf_dir)
+    # part/supplier/nation×2/region all broadcast; orders+customer may shuffle
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "EqualTo(p_type,ECONOMY)" in plan  # dim filter reaches its scan
+    assert "EqualTo(r_name,AMERICA)" in plan
+
+
+def test_q21_single_lineitem_reaggregate_no_self_sortmerge(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must run as ONE per-order aggregate
+    joined back — not two sort-merge self-joins of lineitem."""
+    plan = plan_of(spark, "q21_waiting_suppliers", sf_dir)
+    assert plan.count("SortMergeJoin") <= 2  # l1×orders and l1×per_order
+    assert "BroadcastHashJoin" in plan  # supplier/nation/region stay broadcast
+
+
+def test_tfidf_df_join_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "tx_tfidf_top_terms", sf_dir)
+    assert "BroadcastHashJoin" in plan  # vocabulary-side df table broadcast
