@@ -194,3 +194,180 @@ def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .orderBy("rk")
     )
+
+
+RRF_K = 60
+HYBRID_CAND = 50
+HYBRID_TOP = 20
+
+
+@register(
+    "tx_hybrid_search_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT sum(dl) / count(*) AS avgdl, count(*) AS n_docs FROM dl),
+    qterms AS (SELECT unnest(['vector', 'spark', 'merge']) AS tok),
+    tf AS (
+      SELECT t.doc_id, t.tok, count(*) AS tf
+      FROM toks t SEMI JOIN qterms q ON q.tok = t.tok
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * ((tf.tf * {K1 + 1}) / (tf.tf + {K1} * ({1 - B} + {B} * (dl.dl / s.avgdl))))
+               AS c
+      FROM tf
+      JOIN df ON df.tok = tf.tok
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    brank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_text
+      FROM (SELECT doc_id,
+                   floor((sum(c)) * 10000 + 0.5001) / 10000 AS bm25
+            FROM contrib WHERE doc_id <> 0 GROUP BY doc_id)
+      QUALIFY r_text <= {HYBRID_CAND}
+    ),
+    base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT v AS q, nrm AS qn FROM base WHERE vec_id = 0),
+    crank AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS r_sem
+      FROM (SELECT b.vec_id,
+                   floor((list_dot_product(b.v, qv.q)
+                          / nullif(b.nrm * qv.qn, 0.0)) * 10000 + 0.5001) / 10000
+                     AS cosine
+            FROM base b CROSS JOIN qv WHERE b.vec_id <> 0)
+      QUALIFY r_sem <= {HYBRID_CAND}
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
+             b.r_text, c.r_sem,
+             floor((coalesce(1.0 / ({RRF_K} + b.r_text), 0.0)
+                    + coalesce(1.0 / ({RRF_K} + c.r_sem), 0.0)) * 100000000 + 0.5001)
+               / 100000000 AS rrf
+      FROM brank b FULL OUTER JOIN crank c ON c.vec_id = b.doc_id
+    )
+    SELECT doc_id, r_text, r_sem, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+    FROM fused
+    QUALIFY rk <= {HYBRID_TOP}
+    ORDER BY rk
+    """,
+    "llm",
+    "text",
+    "similarity",
+)
+def tx_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword candidates + embedding-cosine
+    candidates (query = vec 0's embedding, the testdata's stand-in for
+    an encoded query) fused by reciprocal-rank fusion
+    rrf = Σ 1/(60 + rank).  RRF operates on RANKS, not raw scores, so
+    the fusion needs no score normalization and stays bit-deterministic
+    (ranks come from rounded scores with id tiebreaks; 1/(60+r) is one
+    IEEE divide).  At scale both arms are already bounded: BM25 via the
+    broadcast query-term semi-join, cosine via any ANN path
+    (ann_lsh_buckets / ann_ivf_topk / ann_int8_topk are drop-ins for
+    the brute-force arm used here at test SF)."""
+    from finance_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        dot,
+        norm,
+    )
+
+    # --- BM25 arm (same expressions as tx_bm25_search) ---------------
+    toks = _tokens(spark, sf_dir)
+    qterms = spark.createDataFrame([(t,) for t in BM25_TERMS], ["tok"])
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok", "left_semi")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * F.lit(K1 + 1)) / (
+        F.col("tf")
+        + F.lit(K1) * (F.lit(1 - B) + F.lit(B) * (F.col("dl") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_part).alias("c"))
+    )
+    bm25 = (
+        contrib.filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(fround(F.sum("c"), 4).alias("bm25"))
+    )
+    w_text = Window.partitionBy().orderBy(F.desc("bm25"), "doc_id")
+    brank = (
+        bm25.withColumn("r_text", F.row_number().over(w_text))
+        .filter(F.col("r_text") <= HYBRID_CAND)
+        .select("doc_id", "r_text")
+    )
+
+    # --- semantic arm (cosine vs vec 0) ------------------------------
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("q"), F.col("nrm").alias("qn")
+    )
+    cos = fround(
+        dot(F.col("v"), F.col("q"))
+        / F.nullif(F.col("nrm") * F.col("qn"), F.lit(0.0)),
+        4,
+    )
+    w_sem = Window.partitionBy().orderBy(F.desc("cosine"), "vec_id")
+    crank = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", cos.alias("cosine"))
+        .withColumn("r_sem", F.row_number().over(w_sem))
+        .filter(F.col("r_sem") <= HYBRID_CAND)
+        .select("vec_id", "r_sem")
+    )
+
+    # --- reciprocal-rank fusion --------------------------------------
+    fused = brank.join(
+        crank, brank.doc_id == crank.vec_id, "full_outer"
+    ).select(
+        F.coalesce(brank.doc_id, crank.vec_id).alias("doc_id"),
+        "r_text",
+        "r_sem",
+        fround(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    w_rk = Window.partitionBy().orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .filter(F.col("rk") <= HYBRID_TOP)
+        .orderBy("rk")
+    )
