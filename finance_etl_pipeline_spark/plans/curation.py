@@ -1,0 +1,423 @@
+"""Corpus-curation query battery: chunking, chunk-level dedup,
+Gopher-style quality flags, heavy hitters, drift monitoring, and
+temperature-scaled mixture resampling.
+
+These extend the LLM-pipeline surface (BASELINE.json north_star)
+beyond plans/llm.py's dedup/ANN/text-stats set with the ops that sit
+between raw documents and tokenized training shards.  Every query is
+oracle-paired; shared constants (chunk geometry, rule thresholds) are
+interpolated into the SQL so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.operators import curation as C
+from finance_etl_pipeline_spark.operators.dedup import tokens_expr
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+_SQL_TOKD = r"SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents"
+
+_CHUNK = C.CHUNK_TOKENS
+_STRIDE = C.CHUNK_STRIDE
+
+# slice of t covering chunk k (1-based start 1 + k*stride, length CHUNK)
+_SQL_SLICE = (
+    f"list_slice(t, 1 + chunk_idx * {_STRIDE}, chunk_idx * {_STRIDE} + {_CHUNK})"
+)
+
+_SQL_CHUNKS = f"""
+  tokd AS ({_SQL_TOKD}),
+  starts AS (
+    SELECT doc_id, t,
+           unnest(generate_series(0, (greatest(len(t), 1) - 1) // {_STRIDE})) AS chunk_idx
+    FROM tokd
+  ),
+  chunks AS (
+    SELECT doc_id, chunk_idx,
+           len({_SQL_SLICE}) AS n_tokens,
+           array_to_string({_SQL_SLICE}, ' ') AS chunk_text
+    FROM starts
+  )
+"""
+
+
+@register(
+    "tx_doc_chunks",
+    f"""
+    WITH {_SQL_CHUNKS}
+    SELECT * FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    "llm",
+    "curation",
+)
+def tx_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 32-token
+    windows on a 24-token stride (8-token overlap).  The packing step
+    before tokenization in a pre-training pipeline; a pure narrow
+    map+explode — zero shuffle at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    return C.chunk_table(docs).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "dd_chunk_dup_rate",
+    f"""
+    WITH {_SQL_CHUNKS},
+    hashed AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY md5(chunk_text)) AS dup_cnt
+      FROM chunks
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+           {sql_round('sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS dup_rate
+    FROM hashed GROUP BY doc_id ORDER BY doc_id
+    """,
+    "llm",
+    "curation",
+    "dedup",
+)
+def dd_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact-dup rate per document: the fraction of a
+    doc's chunks whose md5 also appears elsewhere in the corpus —
+    sub-document boilerplate detection (headers, licence blocks)
+    that whole-doc dedup misses.
+
+    Spark shape: per-hash counts via groupBy (map-side combined),
+    broadcast-free join back on the hash, then a per-doc aggregate.
+    Both shuffles are on high-cardinality keys — no skew, no n²."""
+    ch = C.chunk_table(table(spark, sf_dir, "documents"))
+    hashed = ch.select("doc_id", F.md5("chunk_text").alias("h"))
+    per_hash = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("dup_cnt"))
+    dup = F.sum(F.when(F.col("dup_cnt") > 1, 1).otherwise(0))
+    return (
+        hashed.join(per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("dup_chunks"),
+            fround(dup / F.count(F.lit(1)).cast("double"), 4).alias("dup_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+# synthetic corpus: word-soup docs have no lines/symbols, so the three
+# rules that bind are count, word length, and repetition).
+_WC_MIN, _WC_MAX = 10, 100_000
+_MWL_MIN, _MWL_MAX = 2.0, 12.0
+_TOP2_MAX = 0.2
+
+
+@register(
+    "tx_gopher_flags",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    base AS (
+      SELECT doc_id, len(t) AS word_cnt,
+             {sql_round('list_sum(list_transform(t, x -> len(x))) / CAST(len(t) AS DOUBLE)', 4)} AS mean_word_len
+      FROM tokd
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM tokd WHERE len(t) >= 2
+    ),
+    per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    rep AS (
+      SELECT doc_id, {sql_round('max(c) / CAST(sum(c) AS DOUBLE)', 4)} AS top2_share
+      FROM per_gram GROUP BY doc_id
+    )
+    SELECT base.doc_id AS doc_id, word_cnt, mean_word_len,
+           coalesce(top2_share, 0.0) AS top2_share,
+           CAST(word_cnt BETWEEN {_WC_MIN} AND {_WC_MAX}
+                AND mean_word_len BETWEEN {_MWL_MIN} AND {_MWL_MAX}
+                AND coalesce(top2_share, 0.0) <= {_TOP2_MAX} AS INTEGER) AS passes
+    FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
+    ORDER BY base.doc_id
+    """,
+    "llm",
+    "curation",
+    "quality",
+)
+def tx_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: word-count bounds, mean
+    word length bounds, and top-2-gram repetition share, combined
+    into a single pass/fail flag.  Rules are evaluated on the rounded
+    metrics so the gate decision is identical cross-engine.
+
+    Spark shape: the per-doc scalar metrics are one narrow pass; only
+    the repetition signal aggregates (by (doc, gram), map-side
+    combined)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    with_t = docs.select("doc_id", tokens_expr().alias("t"))
+    mwl = F.expr(
+        "aggregate(transform(t, x -> length(x)), cast(0 as bigint), (a, x) -> a + x)"
+    ).cast("double") / F.size("t")
+    base = with_t.select(
+        "doc_id",
+        F.size("t").alias("word_cnt"),
+        fround(mwl, 4).alias("mean_word_len"),
+    )
+    rep = C.bigram_top_share(docs).select(
+        "doc_id", fround(F.col("__raw_share"), 4).alias("top2_share")
+    )
+    j = base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "word_cnt",
+        "mean_word_len",
+        F.coalesce("top2_share", F.lit(0.0)).alias("top2_share"),
+    )
+    passes = (
+        F.col("word_cnt").between(_WC_MIN, _WC_MAX)
+        & F.col("mean_word_len").between(_MWL_MIN, _MWL_MAX)
+        & (F.col("top2_share") <= _TOP2_MAX)
+    )
+    return j.withColumn("passes", passes.cast("int")).orderBy("doc_id")
+
+
+@register(
+    "hh_top_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest(t) AS token FROM ({_SQL_TOKD})
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT sum(cnt) AS total FROM counts)
+    SELECT token, cnt, {sql_round('cnt / CAST(total AS DOUBLE)', 6)} AS share
+    FROM counts CROSS JOIN tot
+    ORDER BY cnt DESC, token LIMIT 20
+    """,
+    "llm",
+    "curation",
+    "agg",
+)
+def hh_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: exact top-20 tokens by frequency with
+    corpus share.  The exact baseline the Misra-Gries sketch
+    (operators/sketch.py) is tested against; at 100 TB the exact
+    variant is still one map-side-combined groupBy over tokens —
+    the vocabulary, not the corpus, is what shuffles."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens_expr()).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            fround(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), "token")
+        .limit(20)
+    )
+
+
+_N_BINS = 10
+_BIN_W = 50.0
+
+
+@register(
+    "drift_psi_events",
+    f"""
+    WITH binned AS (
+      SELECT least(CAST(floor(value / {_BIN_W}) AS INTEGER), {_N_BINS - 1}) AS bin,
+             event_id % 2 AS grp
+      FROM events
+    ),
+    cells AS (
+      SELECT bin,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cells)
+    SELECT bin, ca, cb,
+           {sql_round(f'''((ca + 1) / CAST(ta + {_N_BINS} AS DOUBLE)
+              - (cb + 1) / CAST(tb + {_N_BINS} AS DOUBLE))
+            * ln(((ca + 1) / CAST(ta + {_N_BINS} AS DOUBLE))
+               / ((cb + 1) / CAST(tb + {_N_BINS} AS DOUBLE)))''', 6)} AS psi_term
+    FROM cells CROSS JOIN tot
+    ORDER BY bin
+    """,
+    "llm",
+    "curation",
+    "events",
+)
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor: bin `value` into 10
+    fixed-width buckets, split the population by a deterministic
+    hash (event_id parity = the A/B cohorts), and emit each bin's
+    Laplace-smoothed PSI term.  Per-bin terms (not a single total)
+    keep the output independent of float summation order.
+
+    Spark shape: one groupBy(bin) with conditional sums (map-side
+    combined to <= 10 rows per partition), totals broadcast back."""
+    e = table(spark, sf_dir, "events")
+    binned = e.select(
+        F.least(
+            F.floor(F.col("value") / _BIN_W).cast("int"), F.lit(_N_BINS - 1)
+        ).alias("bin"),
+        (F.col("event_id") % 2).alias("grp"),
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    tot = cells.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    pa = (F.col("ca") + 1) / (F.col("ta") + _N_BINS).cast("double")
+    pb = (F.col("cb") + 1) / (F.col("tb") + _N_BINS).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ca",
+            "cb",
+            fround((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ALPHA_KEEP = 200  # total docs the resampled mixture targets
+
+
+@register(
+    "s_mixture_resample",
+    f"""
+    WITH per_src AS (
+      SELECT source, sum(n_chars) AS tot_chars FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, tot_chars, sqrt(CAST(tot_chars AS DOUBLE)) AS wt FROM per_src
+    ),
+    tgt AS (
+      SELECT source, tot_chars,
+             greatest(1, CAST(floor(wt / (SELECT sum(wt) FROM w) * {_ALPHA_KEEP} + 0.0001) AS BIGINT)) AS target_docs
+      FROM w
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rk
+    FROM ranked r JOIN tgt ON r.source = tgt.source
+    WHERE r.rk <= tgt.target_docs
+    ORDER BY r.source, r.rk
+    """,
+    "llm",
+    "curation",
+    "sampling",
+)
+def s_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (alpha = 0.5): each source's
+    share of the kept corpus ∝ sqrt(its total chars) — the standard
+    upweight-the-tail trick for multilingual / multi-domain training
+    mixes.  The kept set per source is the top-`target` documents in
+    content-hash order, so the sample is reproducible across engines,
+    partitionings, and re-runs (auditable lineage).
+
+    The +0.0001 pad before floor() absorbs summation-order ULP noise
+    in the share so the target count is stable.  Spark shape: the
+    per-source targets are a tiny broadcast; ranking is one shuffle
+    partitioned by source."""
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.sum("n_chars").alias("tot_chars"))
+    w = per_src.select(
+        "source", "tot_chars", F.sqrt(F.col("tot_chars").cast("double")).alias("wt")
+    )
+    tot = w.agg(F.sum("wt").alias("sw"))
+    tgt = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.col("wt") / F.col("sw") * _ALPHA_KEEP + 0.0001),
+        ).alias("target_docs"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = docs.select("doc_id", "source", rk.alias("rk"))
+    return (
+        ranked.join(F.broadcast(tgt), "source")
+        .filter(F.col("rk") <= F.col("target_docs"))
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "tx_collapse_repeats",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    kept AS (
+      SELECT doc_id, t,
+             list_transform(
+               list_filter(generate_series(1, len(t)), i -> i = 1 OR t[i] <> t[i-1]),
+               i -> t[i]) AS k
+      FROM tokd
+    )
+    SELECT doc_id, len(t) AS n_tokens, len(k) AS n_kept,
+           substr(array_to_string(k, ' '), 1, 60) AS cleaned_prefix
+    FROM kept ORDER BY doc_id
+    """,
+    "llm",
+    "curation",
+    "quality",
+)
+def tx_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-repeat collapse ("the the the" → "the"): the
+    cheapest Gopher-style repetition cleanup, as a pure positional
+    array-lambda — narrow map, no shuffle, stays in codegen."""
+    docs = table(spark, sf_dir, "documents")
+    return C.collapse_repeats(docs).orderBy("doc_id")
+
+
+@register(
+    "prof_doclen_histogram",
+    f"""
+    WITH b AS (
+      SELECT CAST(floor(n_chars / 50.0) AS INTEGER) AS bucket FROM documents
+    ),
+    cells AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    tot AS (SELECT sum(cnt) AS total FROM cells)
+    SELECT bucket, cnt, {sql_round('cnt / CAST(total AS DOUBLE)', 6)} AS share
+    FROM cells CROSS JOIN tot ORDER BY bucket
+    """,
+    "llm",
+    "curation",
+    "agg",
+)
+def prof_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length profile: fixed-width (50-char) histogram with
+    corpus share per bucket — the standard pre-filter profiling view
+    (truncation candidates, length outliers).  One map-side-combined
+    groupBy; the bucket count, not the corpus, is what shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(F.floor(F.col("n_chars") / 50.0).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = cells.agg(F.sum("cnt").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "cnt",
+            fround(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+        )
+        .orderBy("bucket")
+    )

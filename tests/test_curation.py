@@ -1,0 +1,57 @@
+"""Structural properties of the curation operators (the oracle checks
+values; these check the invariants that make the ops safe to run
+blind over a 100 TB corpus)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.operators import curation as C
+from finance_etl_pipeline_spark.operators.dedup import tokens_expr
+from finance_etl_pipeline_spark.sources.readers import table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_chunks_reconstruct_original_tokens(spark):
+    """Dropping each chunk's overlap tail (keeping the first STRIDE
+    tokens, all of the last chunk) and concatenating in chunk order
+    must reproduce the document's token stream exactly — i.e. the
+    windows tile the document with no gap and no loss."""
+    docs = table(spark, SF_DIR, "documents")
+    orig = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", tokens_expr().alias("t")).collect()
+    }
+    chunks = C.chunk_table(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(orig)
+    for doc_id, rows in by_doc.items():
+        rebuilt: list[str] = []
+        for i, r in enumerate(rows):
+            toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            assert len(toks) == r["n_tokens"]
+            last = i == len(rows) - 1
+            rebuilt.extend(toks if last else toks[: C.CHUNK_STRIDE])
+        assert rebuilt == orig[doc_id], f"doc {doc_id} tiles badly"
+
+
+def test_collapse_repeats_is_idempotent_and_shorter(spark):
+    docs = table(spark, SF_DIR, "documents")
+    out = C.collapse_repeats(docs)
+    bad = out.filter(F.col("n_kept") > F.col("n_tokens")).count()
+    assert bad == 0
+    # collapsing an already-collapsed stream changes nothing: rebuild
+    # each doc from its full collapsed token stream and collapse again
+    kept = F.expr("filter(t, (x, i) -> if(i = 0, true, x != t[i - 1]))")
+    once = (
+        docs.select(F.col("doc_id"), tokens_expr().alias("t"))
+        .select("doc_id", F.concat_ws(" ", kept).alias("text"))
+    )
+    twice = C.collapse_repeats(once)
+    diff = (
+        twice.filter(F.col("n_kept") != F.col("n_tokens")).count()
+    )
+    assert diff == 0

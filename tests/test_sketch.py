@@ -1,0 +1,45 @@
+"""Misra-Gries sketch vs exact corpus frequencies.
+
+Checks the two guarantees that make the sketch usable as the
+heavy-hitter scale path (operators/sketch.py):
+
+1. soundness of the bound: for every sketched token,
+   true - N/k <= est <= true;
+2. completeness: every token with true frequency > N/k appears in
+   the merged sketch (the heavy-hitter guarantee survives the
+   per-partition merge).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.operators.dedup import tokens_expr
+from finance_etl_pipeline_spark.operators.sketch import mg_heavy_hitters
+from finance_etl_pipeline_spark.sources.readers import table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_misra_gries_bounds_and_completeness(spark):
+    docs = table(spark, SF_DIR, "documents")
+    toks = docs.select(F.explode(tokens_expr()).alias("token")).repartition(8)
+    k = 64
+
+    exact = {
+        r["token"]: r["cnt"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    est = {r["token"]: r["est"] for r in mg_heavy_hitters(toks, k=k).collect()}
+    assert est, "sketch produced no counters"
+
+    slack = n_total / k
+    for tok, e in est.items():
+        true = exact[tok]
+        assert e <= true, f"{tok}: est {e} overshoots true {true}"
+        assert e >= true - slack, f"{tok}: est {e} below true-N/k {true - slack}"
+
+    heavy = {t for t, c in exact.items() if c > slack}
+    missing = heavy - set(est)
+    assert not missing, f"heavy hitters absent from sketch: {missing}"
