@@ -104,6 +104,85 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return with_h.groupBy(id_col).agg(*aggs)
 
 
+def hashed_shingle_rows(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, h): the shingle inverted index with each shingle
+    already reduced to its 60-bit hash mod P.
+
+    The md5 runs on EXPLODED rows on purpose: scalar expressions over
+    rows stay inside whole-stage codegen, while the same md5 inside a
+    higher-order ``transform`` lambda is interpreted per array
+    element (measured ~10x slower at sf0.1).  Downstream everything
+    -- signature aggregation, candidate verification -- operates on
+    8-byte longs instead of shingle strings, shrinking every shuffle
+    and the checkpoint that feeds the two DAG branches."""
+    sh = shingle_table(docs, id_col)
+    return sh.select(
+        F.col(id_col), (hash60_expr(F.col("s")) % MERSENNE_P).alias("h")
+    )
+
+
+def minhash_signatures_hashed(
+    sh_hashed: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Wide signature row (doc_id, mh0..mh15) from pre-hashed shingle
+    rows -- same values and shape as :func:`minhash_signatures`, minus
+    the md5 (already done in :func:`hashed_shingle_rows`)."""
+    h = F.col("h")
+    aggs = [
+        F.min(
+            ((F.lit(1103 + 977 * i)) * h + F.lit(12289 + 31 * i)) % MERSENNE_P
+        ).alias(f"mh{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return sh_hashed.groupBy(id_col).agg(*aggs)
+
+
+def jaccard_verify_hashed(
+    sh_hashed: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs over hashed shingle SETS:
+    restrict the inverted index to candidate docs (broadcast
+    semi-join), fold each survivor's hashes into one array
+    (collect_list -- one small shuffle proportional to candidate
+    docs), then compute ``|intersect| / |union|`` per pair with array
+    expressions via two broadcast joins -- no pairwise explode, no
+    n-squared anything.
+
+    Jaccard is computed over 60-bit shingle hashes rather than the
+    strings; a collision would have to land inside one candidate pair
+    (P ~ |doc shingles|^2 / 2^61 -- vanishing, and the result is
+    verified bit-identical to the string-based oracle at
+    sf0.001/0.01/0.1).  Candidates are proportional to true-dup
+    density, so both broadcasts stay tiny; if a pathological corpus
+    outgrew them, dropping the hints degrades to hash joins still
+    proportional to candidates."""
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sets = (
+        sh_hashed.join(F.broadcast(cand_docs), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("hs").alias("sa"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("hs").alias("sb"))
+    with_a = sa.join(F.broadcast(candidates), "doc_a")
+    both = sb.join(F.broadcast(with_a), "doc_b")
+    inter = F.size(F.array_intersect("sa", "sb"))
+    j = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    return (
+        both.select("doc_a", "doc_b", fround(j, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def band_signatures(mh_wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, band, sig): md5 over each band's comma-joined minhash
     values (same string the oracle's ``string_agg ... ORDER BY i``

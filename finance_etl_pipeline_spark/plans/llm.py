@@ -170,15 +170,16 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (∝ dup density), and exact Jaccard runs only on candidates.
     Deterministic md5-based permutations — see operators/dedup.py."""
     docs = table(spark, sf_dir, "documents")
-    # the shingle table feeds three DAG branches (signatures, sizes,
-    # pair join) — checkpoint it once instead of recomputing the
-    # tokenize+md5 scan per branch (localCheckpoint: executor-local,
-    # lazy; on a cluster prefer persist(DISK_ONLY) for fault tolerance)
-    sh = D.shingle_table(docs).localCheckpoint(eager=False)
-    mh = D.minhash_signatures(sh)
+    # hash the shingles ONCE on exploded rows (codegen'd md5), then
+    # checkpoint the (doc_id, long) index — both DAG branches
+    # (signatures, candidate verification) re-read 8-byte longs, not
+    # shingle strings (localCheckpoint: executor-local, lazy; on a
+    # cluster prefer persist(DISK_ONLY) for fault tolerance)
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=False)
+    mh = D.minhash_signatures_hashed(sh_hashed)
     bands = D.band_signatures(mh)
     cand = D.candidate_pairs(bands)
-    return D.jaccard_pairs(sh, cand, 0.7).orderBy("doc_a", "doc_b")
+    return D.jaccard_verify_hashed(sh_hashed, cand, 0.7).orderBy("doc_a", "doc_b")
 
 
 @register(
