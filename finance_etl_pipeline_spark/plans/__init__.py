@@ -46,6 +46,7 @@ def all_queries() -> dict[str, QueryDef]:
     """Import every plans module and return the full registry."""
     from finance_etl_pipeline_spark.plans import (  # noqa: F401
         asof_plans,
+        behavior,
         complex_shapes,
         curation,
         emb_neardup,
