@@ -323,3 +323,141 @@ def w_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         fround(F.sum("value").over(w), 2).alias("trailing_7d_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "e_gapfill_interpolate",
+    """
+    WITH grid AS (
+      SELECT t.event_type, CAST(d.d AS DATE) AS day
+      FROM (SELECT unnest(['click', 'purchase']) AS event_type) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS d
+      ) d
+    ),
+    obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             floor(avg(value) * 10000 + 0.5001) / 10000 AS v
+      FROM events
+      WHERE value > 200 AND event_type IN ('click', 'purchase')
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    g AS (
+      SELECT grid.event_type, grid.day, obs.v
+      FROM grid LEFT JOIN obs
+        ON grid.event_type = obs.event_type AND grid.day = obs.day
+    ),
+    ctx AS (
+      SELECT event_type, day, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS prev_d,
+             first_value(v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS next_d
+      FROM g
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day, v AS v_raw,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               floor((prev_v + (next_v - prev_v)
+                      * date_diff('day', prev_d, day)
+                      / nullif(date_diff('day', prev_d, next_d), 0))
+                     * 10000 + 0.5001) / 10000
+             ELSE NULL
+           END AS v_filled
+    FROM ctx
+    ORDER BY event_type, day
+    """,
+    "events",
+    "window",
+    "timeseries",
+)
+def e_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: a dense (series, day) grid with
+    missing days linearly interpolated between the nearest observed
+    neighbors (endpoints stay null) — the resample/align step every
+    downstream model-feature pipeline needs.
+
+    Built entirely from window functions: last_value/first_value with
+    ignorenulls over mirrored frames recover each gap's bracketing
+    observations; interpolation is then one deterministic expression
+    over already-fround'ed inputs.  The dense grid is generated, not
+    scanned (sequence + explode) — at scale the shuffle is
+    |series × days|, independent of raw event volume."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(F.lit("click"), F.lit("purchase"))).alias(
+                "event_type"
+            )
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01").cast("date"),
+                        F.lit("2024-01-30").cast("date"),
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    obs = (
+        e.filter(
+            (F.col("value") > 200)
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(fround(F.avg("value"), 4).alias("v"))
+    )
+    g = grid.join(obs, ["event_type", "day"], "left")
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = g.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(day_if_obs, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(day_if_obs, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * F.datediff(
+        "day", "prev_d"
+    ) / F.nullif(
+        F.datediff("next_d", "prev_d").cast("double"), F.lit(0.0)
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            fround(interp, 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        F.col("v").alias("v_raw"),
+        filled.alias("v_filled"),
+    ).orderBy("event_type", "day")

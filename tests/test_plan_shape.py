@@ -73,3 +73,21 @@ def test_q21_single_lineitem_reaggregate_no_self_sortmerge(spark, sf_dir):
 def test_tfidf_df_join_broadcast(spark, sf_dir):
     plan = plan_of(spark, "tx_tfidf_top_terms", sf_dir)
     assert "BroadcastHashJoin" in plan  # vocabulary-side df table broadcast
+
+
+def test_minhash_verify_stays_broadcast_no_cartesian(spark, sf_dir):
+    """Candidate verification must be broadcast array math: the only
+    non-broadcast exchanges allowed are the signature groupBy, the
+    band self-join, and the collect_list fold — never a cartesian or
+    a shuffled pair join of the shingle index with itself."""
+    plan = plan_of(spark, "dd_minhash_lsh_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # verify-side joins (cand_docs semi, pairs x2) are all broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
+    plan = plan_of(spark, "emb_centroid_classify", sf_dir)
+    assert "BroadcastHashJoin" in plan  # 640-row centroid table broadcast
+    assert "CartesianProduct" not in plan
