@@ -421,3 +421,148 @@ def prof_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_EVAL_SRC = "src0"  # held-out split used as the "eval benchmark" set
+_DECON_N = 5  # n-gram length for contamination matching
+
+
+@register(
+    "tx_decontaminate",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    grams AS (
+      SELECT d.doc_id, d.source, g.g
+      FROM (SELECT t.doc_id, doc.source, t.t
+            FROM tokd t JOIN documents doc ON t.doc_id = doc.doc_id) d,
+      LATERAL (
+        SELECT unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(d.t) - {_DECON_N - 1}, 0)),
+          i -> d.t[i] || ' ' || d.t[i+1] || ' ' || d.t[i+2] || ' ' || d.t[i+3] || ' ' || d.t[i+4]
+        ))) AS g
+      ) g
+    ),
+    eval_grams AS (SELECT doc_id, g FROM grams WHERE source = '{_EVAL_SRC}'),
+    train_grams AS (SELECT DISTINCT g FROM grams WHERE source <> '{_EVAL_SRC}'),
+    hits AS (
+      SELECT e.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM eval_grams e LEFT JOIN train_grams t ON e.g = t.g
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           {sql_round('n_hit / CAST(n_grams AS DOUBLE)', 4)} AS contamination,
+           CAST({sql_round('n_hit / CAST(n_grams AS DOUBLE)', 4)} >= 0.5 AS INTEGER) AS flagged
+    FROM hits ORDER BY doc_id
+    """,
+    "llm",
+    "curation",
+    "dedup",
+)
+def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every document of the held-out
+    eval split (source = src0), the fraction of its distinct word
+    5-grams that appear anywhere in the train split — the standard
+    train/test overlap audit run before training on a scraped corpus.
+
+    Spark shape: distinct train grams and eval grams shuffle once on
+    the gram key (both map-side combined); the overlap is a left join
+    on that same key, so all three exchanges co-partition.  At 100 TB
+    the train side is the big one — production pipelines swap the
+    exact distinct for a bloom filter (might_contain) built in one
+    pass; the exact join here is the oracle-checkable reference
+    semantics."""
+    from finance_etl_pipeline_spark.operators.dedup import (
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_expr(tokens_expr(), n=_DECON_N)).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("source") == _EVAL_SRC).select("doc_id", "g")
+    train_grams = (
+        grams.filter(F.col("source") != _EVAL_SRC).select("g").distinct()
+    )
+    marked = eval_grams.join(
+        train_grams.withColumn("__hit", F.lit(1)), "g", "left"
+    )
+    contamination = fround(
+        F.sum(F.coalesce("__hit", F.lit(0)))
+        / F.count(F.lit(1)).cast("double"),
+        4,
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+            contamination.alias("contamination"),
+            (contamination >= 0.5).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET = 128  # tokens per packed training sequence
+
+
+@register(
+    "tx_pack_sequences",
+    f"""
+    WITH {_SQL_CHUNKS},
+    numbered AS (
+      SELECT c.doc_id, c.chunk_idx, c.n_tokens, d.source,
+             sum(c.n_tokens) OVER (
+               PARTITION BY d.source ORDER BY c.doc_id, c.chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - c.n_tokens AS tokens_before
+      FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT source, tokens_before // {_PACK_BUDGET} AS seq_id,
+           count(*) AS n_chunks, sum(n_tokens) AS tokens
+    FROM numbered
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+    "llm",
+    "curation",
+)
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign chunks (in stable corpus order, per
+    source) to fixed token-budget training sequences by cumulative
+    token count — the batching step between chunking and tokenized
+    shards.  Deterministic because the order key (doc_id, chunk_idx)
+    is unique; the budget boundary may split a chunk's tokens across
+    sequences exactly like streaming packers do.
+
+    Spark shape: one window cumsum partitioned by source, then a tiny
+    (source × seq) aggregate.  At scale the window partitions by
+    source shard — the same key the mixture resampler uses, so the
+    two stages co-partition."""
+    docs = table(spark, sf_dir, "documents")
+    ch = C.chunk_table(docs)
+    numbered = ch.join(docs.select("doc_id", "source"), "doc_id").withColumn(
+        "tokens_before",
+        F.sum("n_tokens").over(
+            Window.partitionBy("source")
+            .orderBy("doc_id", "chunk_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_tokens"),
+    )
+    return (
+        numbered.groupBy(
+            "source",
+            F.floor(F.col("tokens_before") / _PACK_BUDGET).alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
