@@ -171,3 +171,35 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users")
     ).orderBy("event_type")
+
+
+@register("a_hll_incremental_uniques", None, "agg", "approx", "incremental")
+def a_hll_incremental_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count maintenance with MERGEABLE HLL
+    sketches (Apache DataSketches, Spark 4 `hll_sketch_agg` /
+    `hll_union_agg`): build one compact sketch per day, then union the
+    stored sketches into the monthly unique-user estimate WITHOUT
+    rescanning events — the warehouse pattern where each ETL run
+    aggregates only its increment and rollups merge state.  The same
+    shape as operators/rollup.py's count/sum partials, for the one
+    aggregate (COUNT DISTINCT) that has no algebraic partial.
+
+    No SQL oracle (sketch bytes are engine-specific) — rows-only
+    check; tests/test_hll_incremental.py proves merged-estimate ==
+    one-shot estimate and pins the error vs the exact count."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_day = daily.select(
+        "day",
+        F.hll_sketch_estimate("sk").alias("est_uniques"),
+        "n_events",
+    )
+    month = daily.agg(
+        F.lit(None).cast("date").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_uniques"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_day.unionAll(month).orderBy(F.col("day").asc_nulls_last())
