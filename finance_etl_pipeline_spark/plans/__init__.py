@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QueryDef]:
         quantized,
         regression,
         relational,
+        robust,
         sampling,
         scalars,
         subqueries,

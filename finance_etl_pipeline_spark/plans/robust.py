@@ -1,0 +1,229 @@
+"""Robust statistics and fuzzy matching: winsorization, median/MAD
+outlier detection, Benford first-digit audit, and blocked
+edit-distance name matching.
+
+The robust-stats trio is the feature-preparation / anomaly layer a
+financial or telemetry pipeline runs before modeling (the reference's
+DQ engine checks declared rules; these checks are *distributional*).
+The fuzzy join is the blocking pattern every entity-resolution
+pipeline uses: never all-pairs — block on a cheap key, pay the
+quadratic cost only inside blocks.
+
+Cross-engine determinism: percentiles/medians are fround'ed BEFORE
+they feed thresholds or caps, so flag decisions can't flip on
+interpolation ULPs; Benford's first digit is extracted from the
+integer cents string (shared floor-epsilon contract), never from
+float log10, whose boundary behavior differs by ULP at powers of 10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+@register(
+    "f_winsorize_caps",
+    f"""
+    WITH caps AS (
+      SELECT event_type,
+             {sql_round('quantile_cont(value, 0.01)', 4)} AS p01,
+             {sql_round('quantile_cont(value, 0.99)', 4)} AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type, caps.p01, caps.p99,
+           {sql_round('avg(e.value)', 2)} AS avg_raw,
+           {sql_round('avg(least(greatest(e.value, caps.p01), caps.p99))', 2)} AS avg_winsorized
+    FROM events e JOIN caps ON e.event_type = caps.event_type
+    GROUP BY e.event_type, caps.p01, caps.p99
+    ORDER BY e.event_type
+    """,
+    "robust",
+    "agg",
+)
+def f_winsorize_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per series: cap values at the rounded
+    p01/p99 before averaging — the standard heavy-tail guard for
+    features and KPIs.  Two aggregations over the same shuffle key
+    (event_type); the caps table is tiny and broadcast back."""
+    e = table(spark, sf_dir, "events")
+    caps = e.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.01)"), 4).alias("p01"),
+        fround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+    capped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(F.broadcast(caps), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            fround(F.avg("value"), 2).alias("avg_raw"),
+            fround(F.avg(capped), 2).alias("avg_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MAD_K = 3.5  # modified z-score threshold (Iglewicz & Hoaglin)
+
+
+@register(
+    "f_mad_outliers",
+    f"""
+    WITH med AS (
+      SELECT event_type, {sql_round('quantile_cont(value, 0.5)', 4)} AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             {sql_round('quantile_cont(abs(e.value - med.med), 0.5)', 4)} AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type AS event_type, med.med, mad.mad,
+           count(*) AS n,
+           sum(CASE WHEN abs(e.value - med.med) > {_MAD_K} * mad.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e
+    JOIN med ON e.event_type = med.event_type
+    JOIN mad ON e.event_type = mad.event_type
+    GROUP BY e.event_type, med.med, mad.mad
+    ORDER BY e.event_type
+    """,
+    "robust",
+    "agg",
+    "quality",
+)
+def f_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier counts per series — the robust alternative
+    to mean/stddev z-scores (one wild value cannot move the
+    threshold).  Two percentile passes (median, then median absolute
+    deviation) + one flagging pass, all shuffling on event_type; med
+    and mad are rounded before the threshold comparison so flags are
+    engine-stable."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        fround(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    with_med = e.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        fround(
+            F.expr("percentile(abs(value - med), 0.5)"), 4
+        ).alias("mad")
+    )
+    flagged = with_med.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "dq_benford_first_digit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM cents
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT sum(n) AS total FROM obs)
+    SELECT digit, n,
+           {sql_round('n / CAST(total AS DOUBLE)', 6)} AS share,
+           {sql_round('log10(1.0 + 1.0 / digit)', 6)} AS benford_expected,
+           {sql_round('abs(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / digit))', 6)} AS abs_dev
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+    "robust",
+    "quality",
+    "finance",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on money amounts — the classic
+    forensic-accounting screen (fabricated amounts drift from the
+    log10(1+1/d) curve).  The first digit comes from the integer
+    CENTS string (shared floor-epsilon rounding), never from float
+    log10 of the raw amount, which mis-buckets at powers of ten by
+    one ULP.  One narrow pass + a 9-row aggregate."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5001).cast("long")
+    obs = (
+        li.select(
+            F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total").cast("double")
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            fround(share, 6).alias("share"),
+            fround(expected, 6).alias("benford_expected"),
+            fround(F.abs(share - expected), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+_FUZZY_MAX_DIST = 4
+
+
+@register(
+    "j_fuzzy_name_match",
+    f"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             split_part(p_name, ' ', -1) AS block
+      FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {_FUZZY_MAX_DIST}
+    ORDER BY name_a, name_b
+    """,
+    "robust",
+    "join",
+    "dedup",
+)
+def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: candidate name pairs share a blocking
+    key (the head noun = last word) and are kept when edit distance
+    <= {_FUZZY_MAX_DIST} — the entity-resolution primitive.  The
+    quadratic cost is confined inside blocks: the join key IS the
+    block, so at 100 TB the shuffle distributes blocks and no
+    executor ever sees the full name universe.  (For skewed block
+    sizes, add a second blocking key — e.g. length bucket — exactly
+    like the salting pattern in operators/skew.py.)"""
+    p = table(spark, sf_dir, "part")
+    names = (
+        p.select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split("name", " "), -1))
+    )
+    a = names.select(F.col("name").alias("name_a"), "block")
+    b = names.select(F.col("name").alias("name_b"), "block")
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select("name_a", "name_b", dist.alias("dist"))
+        .orderBy("name_a", "name_b")
+    )
