@@ -126,3 +126,42 @@ def s_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "s_weighted_sample",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             floor(pow(({_H_DOC} % 1000000 + 1) / 1000000.0,
+                       1.0 / n_chars) * 1e10 + 0.5001) / 1e10 AS k
+      FROM documents
+    )
+    SELECT doc_id, n_chars, k
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 50
+    """,
+    "sampling",
+)
+def s_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets key u^(1/w) with u a
+    content-hash uniform and w = n_chars; the top-k keys ARE a
+    weighted sample.  Content-addressed randomness keeps the sample
+    reproducible across engines/partitionings (cf. s_hash_sample);
+    the key is rounded at 10 dp (doc_id tie-break) so cross-engine
+    pow() ULPs cannot reorder the cut.  One narrow map + a TakeOrdered
+    top-k — no shuffle of the corpus at any scale."""
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    docs = table(spark, sf_dir, "documents")
+    u = (hash60_expr(F.col("doc_id").cast("string")) % 1000000 + 1) / 1000000.0
+    k = fround(
+        F.pow(u, 1.0 / F.col("n_chars")), 10
+    )
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+    )
