@@ -39,6 +39,6 @@ def risk_score_udf(value: pd.Series) -> pd.Series:
 def risk_score_expr(value: Column) -> Column:
     """The same math as a JVM-side expression — the form to PREFER
     whenever the logic is expressible; kept in lockstep with the UDF
-    by tests/test_vectorized_udf.py."""
+    by tests/test_diff_and_udf.py."""
     z = F.lit(_W0) + F.lit(_W1) * F.log1p(value)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

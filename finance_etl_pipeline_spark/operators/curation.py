@@ -92,7 +92,9 @@ def collapse_repeats(
 def bigram_top_share(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, top2_share): fraction of a document's word-2-grams
     taken by its single most frequent 2-gram — Gopher's repetition
-    signal (high share = boilerplate / template text).
+    signal (high share = boilerplate / template text).  The share is
+    returned RAW; callers round it under their own contract (the
+    oracle-paired plan rounds at 4 dp).
 
     Two small aggregations keyed by doc_id; at scale both shuffles
     carry one row per distinct (doc, gram), already combined
@@ -105,5 +107,5 @@ def bigram_top_share(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     g = with_t.select(id_col, F.explode(grams).alias("g"))
     per_gram = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
     return per_gram.groupBy(id_col).agg(
-        (F.max("c").cast("double") / F.sum("c")).alias("__raw_share")
+        (F.max("c").cast("double") / F.sum("c")).alias("top2_share")
     )

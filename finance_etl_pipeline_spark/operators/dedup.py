@@ -93,20 +93,19 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     not |shingles|×NUM_HASHES, and map-side partial mins shrink it to
     |docs| per partition before the exchange (16× less shuffle volume
     than the exploded formulation; measured 8.4 s → 3.3 s at sf0.1)."""
-    hmod = F.col("__hmod")
-    with_h = sh.withColumn("__hmod", hash60_expr(F.col("s")) % MERSENNE_P)
-    aggs = [
-        F.min(
-            ((F.lit(1103 + 977 * i)) * hmod + F.lit(12289 + 31 * i)) % MERSENNE_P
-        ).alias(f"mh{i}")
-        for i in range(NUM_HASHES)
-    ]
-    return with_h.groupBy(id_col).agg(*aggs)
+    return minhash_signatures_hashed(
+        sh.select(F.col(id_col), hash60_expr(F.col("s")).alias("h")), id_col
+    )
 
 
 def hashed_shingle_rows(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, h): the shingle inverted index with each shingle
-    already reduced to its 60-bit hash mod P.
+    reduced to its FULL 60-bit hash (not mod P — the Jaccard
+    verification identifies shingles by this value, and reducing to
+    the 31-bit Mersenne space there would reintroduce exactly the
+    collision noise SCALE.md rejects; the mod-P reduction the affine
+    permutations need to stay under 2^62 happens inside
+    :func:`minhash_signatures_hashed`).
 
     The md5 runs on EXPLODED rows on purpose: scalar expressions over
     rows stay inside whole-stage codegen, while the same md5 inside a
@@ -116,9 +115,7 @@ def hashed_shingle_rows(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     8-byte longs instead of shingle strings, shrinking every shuffle
     and the checkpoint that feeds the two DAG branches."""
     sh = shingle_table(docs, id_col)
-    return sh.select(
-        F.col(id_col), (hash60_expr(F.col("s")) % MERSENNE_P).alias("h")
-    )
+    return sh.select(F.col(id_col), hash60_expr(F.col("s")).alias("h"))
 
 
 def minhash_signatures_hashed(
@@ -126,11 +123,14 @@ def minhash_signatures_hashed(
 ) -> DataFrame:
     """Wide signature row (doc_id, mh0..mh15) from pre-hashed shingle
     rows -- same values and shape as :func:`minhash_signatures`, minus
-    the md5 (already done in :func:`hashed_shingle_rows`)."""
-    h = F.col("h")
+    the md5 (already done in :func:`hashed_shingle_rows`).  The hash
+    is reduced mod P here, immediately before the affine map, so the
+    products stay below 2^62 (ANSI-safe) while the verification path
+    keeps the full 60-bit identity."""
+    hmod = F.col("h") % MERSENNE_P
     aggs = [
         F.min(
-            ((F.lit(1103 + 977 * i)) * h + F.lit(12289 + 31 * i)) % MERSENNE_P
+            ((F.lit(1103 + 977 * i)) * hmod + F.lit(12289 + 31 * i)) % MERSENNE_P
         ).alias(f"mh{i}")
         for i in range(NUM_HASHES)
     ]

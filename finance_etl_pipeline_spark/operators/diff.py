@@ -35,12 +35,16 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         raise ValueError("no non-key columns to compare")
 
     def hashed(df: DataFrame, name: str) -> DataFrame:
-        h = F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in value_cols],
-            )
-        )
+        # hash each column separately, then hash the fixed-width
+        # concatenation: per-column digests cannot bleed into each
+        # other, so no separator/sentinel value occurring IN the data
+        # can make two different rows collide (md5 output is always
+        # 32 hex chars; 'N' marks NULL unambiguously)
+        col_digests = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N" * 32))
+            for c in value_cols
+        ]
+        h = F.md5(F.concat(*col_digests))
         return df.select(*keys, h.alias(name))
 
     o = hashed(old, "h_old")

@@ -78,6 +78,13 @@ def zorder_by(
     coded = with_stats.withColumn("__z", morton_code(cells, bits)).drop(
         *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
     )
-    if num_partitions:
+    # always range-partition so the order is GLOBAL along the curve —
+    # sortWithinPartitions alone would leave every pre-existing
+    # partition spanning the full z-range and prune nothing; with no
+    # explicit count, repartitionByRange uses spark.sql.shuffle
+    # .partitions (AQE may coalesce)
+    if num_partitions is not None:
         coded = coded.repartitionByRange(num_partitions, "__z")
+    else:
+        coded = coded.repartitionByRange("__z")
     return coded.sortWithinPartitions("__z").drop("__z")

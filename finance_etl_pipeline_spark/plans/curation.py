@@ -167,7 +167,7 @@ def tx_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(mwl, 4).alias("mean_word_len"),
     )
     rep = C.bigram_top_share(docs).select(
-        "doc_id", fround(F.col("__raw_share"), 4).alias("top2_share")
+        "doc_id", fround(F.col("top2_share"), 4).alias("top2_share")
     )
     j = base.join(rep, "doc_id", "left").select(
         "doc_id",

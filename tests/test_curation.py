@@ -31,7 +31,9 @@ def test_chunks_reconstruct_original_tokens(spark):
     for doc_id, rows in by_doc.items():
         rebuilt: list[str] = []
         for i, r in enumerate(rows):
-            toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+            # unconditional split mirrors Spark's semantics: an empty
+            # chunk_text still holds ONE empty token ([''].size == 1)
+            toks = r["chunk_text"].split(" ")
             assert len(toks) == r["n_tokens"]
             last = i == len(rows) - 1
             rebuilt.extend(toks if last else toks[: C.CHUNK_STRIDE])

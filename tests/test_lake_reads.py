@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -57,11 +57,12 @@ def test_merge_schema_reads_old_and_new_files(spark, tmp_path):
     assert declared.filter(F.col("currency").isNull()).count() == 5
 
 
-def test_runtime_bloom_filter_prunes_fact_side(sf_dir):
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
     """With broadcast disabled (big-dim regime), Spark should inject a
     bloom_filter_agg built from the filtered orders side and apply
-    might_contain on lineitem before its shuffle."""
-    spark = SparkSession.builder.master("local[8]").appName("bloom-test").getOrCreate()
+    might_contain on lineitem before its shuffle.  Uses the shared
+    session fixture (a fresh builder here would race the repo's
+    session factory config when this file runs alone)."""
     tuned = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
