@@ -54,6 +54,20 @@ def main(argv: list[str] | None = None) -> int:
         help="print the formatted physical plan instead of rows",
     )
 
+    sql_p = sub.add_parser(
+        "sql",
+        help="run ad-hoc Spark SQL with every testdata table "
+        "pre-registered as a temp view",
+    )
+    sql_p.add_argument("statement")
+    sql_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sql_p.add_argument("--limit", type=int, default=20)
+    sql_p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+
     args = parser.parse_args(argv)
 
     if args.command == "version":
@@ -82,6 +96,20 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark(app_name=f"query-{args.name}")
         df = qs[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain(mode="formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "sql":
+        from finance_etl_pipeline_spark.session import get_spark
+        from finance_etl_pipeline_spark.sources.readers import TABLES, table
+
+        spark = get_spark(app_name="adhoc-sql")
+        for t in TABLES:
+            table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(args.statement)
         if args.explain:
             df.explain(mode="formatted")
         else:

@@ -51,6 +51,22 @@ def read_parquet(
     return spark.read.parquet(path)
 
 
+# the driver testdata catalog (TESTDATA.md) — what `cli.py sql`
+# registers as temp views
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (FIXTURES.md §B).
 

@@ -63,3 +63,19 @@ def test_query_unknown_name_exits_2():
     r = _run("query", "no_such_query")
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_sql_subcommand_runs_adhoc_query():
+    r = _run(
+        "sql",
+        "SELECT o_orderpriority, count(*) AS n FROM orders "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    )
+    assert r.returncode == 0
+    assert "1-URGENT" in r.stdout
+
+
+def test_sql_subcommand_explain():
+    r = _run("sql", "--explain", "SELECT count(*) AS n FROM lineitem")
+    assert r.returncode == 0
+    assert "Physical Plan" in r.stdout

@@ -57,3 +57,29 @@ def test_collapse_repeats_is_idempotent_and_shorter(spark):
         twice.filter(F.col("n_kept") != F.col("n_tokens")).count()
     )
     assert diff == 0
+
+
+def test_curation_operators_on_empty_input(spark):
+    """Zero-row input → zero-row output, correct schema, no crash —
+    the property that lets these ops run blind in a pipeline whose
+    upstream filter may leave nothing."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+    )
+    assert C.chunk_table(empty).count() == 0
+    assert C.collapse_repeats(empty).count() == 0
+    assert C.bigram_top_share(empty).count() == 0
+    assert set(C.chunk_table(empty).columns) == {
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        "chunk_text",
+    }

@@ -43,3 +43,35 @@ def test_misra_gries_bounds_and_completeness(spark):
     heavy = {t for t, c in exact.items() if c > slack}
     missing = heavy - set(est)
     assert not missing, f"heavy hitters absent from sketch: {missing}"
+
+
+def test_count_min_sketch_bounds(spark):
+    """Spark's built-in Count-Min sketch (the `count_min_sketch` SQL
+    aggregate — mergeable binary state, probed here through the JVM
+    sketch library since PySpark exposes no estimator): point
+    estimates are never UNDER the true count and stay within eps*N
+    above it — the complementary guarantee to Misra-Gries
+    (MG: est <= true; CMS: est >= true)."""
+    docs = table(spark, SF_DIR, "documents")
+    toks = docs.select(F.explode(tokens_expr()).alias("token"))
+    eps = 0.005
+    sk_bytes = toks.agg(
+        F.expr(f"count_min_sketch(token, {eps}d, 0.99d, 42)").alias("sk")
+    ).collect()[0]["sk"]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(sk_bytes))
+    )
+
+    exact = {
+        r["token"]: r["cnt"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(exact.values())
+    overshoot_budget = eps * n_total
+    for tok, true in exact.items():
+        est = cms.estimateCount(tok)
+        assert est >= true, f"{tok}: CMS underestimated {est} < {true}"
+        assert est <= true + overshoot_budget, (
+            f"{tok}: CMS overshoot {est - true} > eps*N {overshoot_budget}"
+        )
