@@ -1,0 +1,105 @@
+"""Distributed PCA for embedding columns — the dimensionality
+reduction stage that makes downstream ANN cheaper (project to top-k
+components, then bucket/search in the smaller space).
+
+Spark-first split of the work:
+
+- the DATA-side pass is one explode → multiply → groupBy(i, j) sum:
+  the (dim × dim) scatter matrix accumulates via map-side partial
+  aggregation, so the shuffle carries at most dim² rows per partition
+  regardless of corpus size — the canonical "big n, small d" shape;
+- the EIGEN-solve happens driver-side with numpy on the tiny
+  dim × dim matrix (64×64 here) — no distributed linear algebra
+  needed below ~10k dims;
+- PROJECTION is the same explode-join-reaggregate used by
+  emb_centroid_classify: broadcast the (dim × k) component table,
+  join on dim index, sum products per (vec, component) — all codegen,
+  no Python in the hot path.
+
+Verified against MLlib's PCA (tests/test_pca.py): same subspace up to
+per-component sign, same explained variance."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scatter_stats(emb: DataFrame, vec_col: str = "embedding"):
+    """Driver-side (mean vector, covariance matrix) from one
+    distributed pass each: means via groupBy(i), scatter via
+    groupBy(i, j) over the per-row outer product."""
+    flat = emb.select(
+        F.posexplode(vec_col).alias("i", "x")
+    )
+    n = emb.count()
+    means = np.zeros(flat.agg(F.max("i")).collect()[0][0] + 1)
+    for r in flat.groupBy("i").agg(F.avg("x").alias("m")).collect():
+        means[r["i"]] = r["m"]
+
+    # outer product via self-join on a row id would shuffle |rows|×dim
+    # twice; instead explode once and pair within the row's own array
+    pairs = emb.select(
+        F.posexplode(vec_col).alias("i", "x"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "i", "x", F.posexplode("v").alias("j", "y")
+    )
+    scatter = (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("x").cast("double") * F.col("y")).alias("s"))
+        .collect()
+    )
+    d = len(means)
+    s = np.zeros((d, d))
+    for r in scatter:
+        s[r["i"], r["j"]] = r["s"]
+    cov = s / n - np.outer(means, means)
+    return means, cov
+
+
+def top_components(cov: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(eigvals desc [k], eigvecs [d, k]) of a symmetric matrix, with
+    a deterministic sign convention (largest-|coord| entry positive)
+    so results are stable across LAPACK builds."""
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(vecs.shape[1]):
+        pivot = np.argmax(np.abs(vecs[:, c]))
+        if vecs[pivot, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    return vals, vecs
+
+
+def project(
+    emb: DataFrame,
+    means: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pc0..pc{k-1}): mean-centered projection onto the
+    components.  The component table is dim × k rows, broadcast; the
+    data side is one explode + join + pivot-free aggregate."""
+    spark = emb.sparkSession
+    comp_rows = [
+        (int(i), int(c), float(components[i, c]), float(means[i]))
+        for i in range(components.shape[0])
+        for c in range(components.shape[1])
+    ]
+    comp = spark.createDataFrame(comp_rows, "i int, c int, w double, mu double")
+    flat = emb.select(
+        id_col, F.posexplode(vec_col).alias("i", "x")
+    )
+    k = components.shape[1]
+    dots = (
+        flat.join(F.broadcast(comp), "i")
+        .groupBy(id_col, "c")
+        .agg(F.sum((F.col("x") - F.col("mu")) * F.col("w")).alias("p"))
+    )
+    wide = dots.groupBy(id_col).pivot("c", list(range(k))).agg(F.first("p"))
+    return wide.select(
+        id_col, *[F.col(str(c)).alias(f"pc{c}") for c in range(k)]
+    )
