@@ -525,3 +525,33 @@ def dd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("cluster_id"),
         (F.col("lbl") == F.col("node")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+@register("ann_pca_topk", None, "llm", "similarity", "ann")
+def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN in PCA-reduced space: project embeddings onto the top-16
+    principal components (operators/pca.py — one scatter pass +
+    driver-side eigh), then run the exact cosine top-5 in the 16-dim
+    space.  The dim-reduction scale path: 4× less bandwidth and
+    arithmetic per comparison, recall measured honestly against the
+    full-space ground truth in tests/test_ann_recall.py (this corpus
+    is near-random — the adversarial case — so recall documents the
+    floor, not the ceiling a clustered corpus would give).  No SQL
+    oracle: eigenvectors are not SQL-expressible — rows-only check."""
+    from finance_etl_pipeline_spark.operators.pca import (
+        project,
+        scatter_stats,
+        top_components,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    means, cov = scatter_stats(emb)
+    _, vecs = top_components(cov, 16)
+    proj = project(emb, means, vecs)
+    arr = proj.select(
+        "vec_id",
+        F.array(*[F.col(f"pc{c}") for c in range(16)]).alias("embedding"),
+    )
+    return S.cosine_topk(arr, F.col("vec_id") % 50 == 0, k=5).orderBy(
+        "query_id", "rank"
+    )
