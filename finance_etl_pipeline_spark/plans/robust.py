@@ -227,3 +227,58 @@ def j_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", dist.alias("dist"))
         .orderBy("name_a", "name_b")
     )
+
+
+_PROF_COLS = ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "prof_table_summary",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name, count(*) AS n,
+           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           {sql_round(f'min({c})', 4)} AS min_v,
+           {sql_round(f'max({c})', 4)} AS max_v,
+           {sql_round(f'avg({c})', 4)} AS avg_v
+    FROM lineitem
+    """
+        for c in _PROF_COLS
+    )
+    + " ORDER BY column_name",
+    "robust",
+    "quality",
+    "agg",
+)
+def prof_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (count / nulls / exact distinct /
+    min / max / mean) for the numeric fact columns, long-form — the
+    stats a query optimizer or DQ baseline collects per table.
+
+    Spark shape: ONE aggregate computes every column's stats in a
+    single scan (the multi-countDistinct triggers Catalyst's expand,
+    cost x|cols|, still one pass), then a stack() unpivots the single
+    wide row — unlike the oracle SQL's five scans.  At 100 TB
+    swap exact count(DISTINCT) for approx_count_distinct and the
+    expand disappears (a_approx_count_distinct shows the path)."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROF_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            fround(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            fround(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+            fround(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max, {c}__avg"
+        for c in _PROF_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROF_COLS)}, {stack_args}) AS "
+        "(column_name, n, n_nulls, n_distinct, min_v, max_v, avg_v)"
+    ).orderBy("column_name")
