@@ -282,3 +282,77 @@ def prof_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROF_COLS)}, {stack_args}) AS "
         "(column_name, n, n_nulls, n_distinct, min_v, max_v, avg_v)"
     ).orderBy("column_name")
+
+
+@register(
+    "dq_chi2_independence",
+    f"""
+    WITH banded AS (
+      SELECT event_type,
+             CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 150 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, band, count(*) AS obs FROM banded
+      GROUP BY event_type, band
+    ),
+    margins AS (
+      SELECT c.event_type, c.band, c.obs,
+             rt.row_tot, ct.col_tot, g.grand
+      FROM cells c
+      JOIN (SELECT event_type, sum(obs) AS row_tot FROM cells GROUP BY event_type) rt
+        ON c.event_type = rt.event_type
+      JOIN (SELECT band, sum(obs) AS col_tot FROM cells GROUP BY band) ct
+        ON c.band = ct.band
+      CROSS JOIN (SELECT sum(obs) AS grand FROM cells) g
+    )
+    SELECT event_type, band, obs,
+           {sql_round('row_tot * col_tot / CAST(grand AS DOUBLE)', 4)} AS expected,
+           {sql_round('''pow(obs - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
+              / (row_tot * col_tot / CAST(grand AS DOUBLE))''', 6)} AS chi2_term
+    FROM margins
+    ORDER BY event_type, band
+    """,
+    "robust",
+    "quality",
+    "agg",
+)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is value-band distribution
+    independent of event_type?  Emits each contingency cell's
+    observed count, expected count under independence, and chi²
+    term (per-cell rows keep the output summation-order-free; the
+    statistic is their sum, df = (r-1)(c-1)).
+
+    Spark shape: one groupBy for the cells, two tiny margin
+    aggregates broadcast back — the contingency table never exceeds
+    |types| × |bands| rows no matter the event volume."""
+    e = table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    cells = (
+        e.select("event_type", band.alias("band"))
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("band").agg(F.sum("obs").alias("col_tot"))
+    g = cells.agg(F.sum("obs").alias("grand"))
+    m = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(g))
+    )
+    expected = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double")
+    return m.select(
+        "event_type",
+        "band",
+        "obs",
+        fround(expected, 4).alias("expected"),
+        fround(F.pow(F.col("obs") - expected, 2) / expected, 6).alias("chi2_term"),
+    ).orderBy("event_type", "band")

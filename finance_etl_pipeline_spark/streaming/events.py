@@ -157,3 +157,31 @@ def drain_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enrich_with_user_profile(
+    stream: DataFrame, profile: DataFrame
+) -> DataFrame:
+    """Stream-STATIC join: enrich each streamed event with the user's
+    precomputed profile (historical average spend, event count) — the
+    reference-data pattern.  Unlike stream-stream joins this needs no
+    watermark and holds no join state: the static side is just a
+    (broadcastable) batch DataFrame re-read per micro-batch, and each
+    event emits exactly one enriched row with a deviation flag."""
+    p = F.broadcast(
+        profile.select(
+            "user_id",
+            F.col("avg_value").alias("profile_avg"),
+            F.col("n_events").alias("profile_n"),
+        )
+    )
+    out = stream.join(p, "user_id", "left")
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        "profile_avg",
+        (F.col("value") > 2 * F.coalesce("profile_avg", F.lit(0.0))).alias(
+            "above_2x_profile"
+        ),
+    )
