@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -461,3 +461,98 @@ def e_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("v_raw"),
         filled.alias("v_filled"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "e_scd2_intervals",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM seq
+    ORDER BY user_id, valid_from
+    """,
+    "events",
+    "window",
+    "scd",
+)
+def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 construction: turn a change stream into validity
+    intervals — each state row is valid from its own timestamp until
+    the user's next change (open-ended for the current state).  The
+    temporal-dimension build step; operators/asof.py is the matching
+    point-in-time LOOKUP.  One lead() window on the natural user_id
+    distribution key."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), 1).otherwise(0),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@register(
+    "e_interarrival_stats",
+    f"""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             )) // 1000000 AS gap_s
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+           {{p50}} AS p50_gap_s, {{p90}} AS p90_gap_s
+    FROM seq WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """.format(
+        p50=sql_round("quantile_cont(gap_s, 0.5)", 2),
+        p90=sql_round("quantile_cont(gap_s, 0.9)", 2),
+    ),
+    "events",
+    "window",
+    "agg",
+)
+def e_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type (median / p90
+    gap between a user's consecutive same-type events, in seconds) —
+    the cadence profile behind session-gap tuning and anomaly
+    baselines.  Epoch seconds are exact integers (unix_micros div
+    1e6), so the lag difference is integer math and only the
+    percentile interpolation needs the rounding contract."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            fround(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
+            fround(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
