@@ -314,3 +314,82 @@ def e_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "e_funnel_windowed",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS name, count(*) AS users FROM v
+    UNION ALL
+    SELECT 2 AS stage, 'view>click(7d)' AS name, count(*) AS users FROM c
+    UNION ALL
+    SELECT 3 AS stage, 'view>click>purchase(7d)' AS name, count(*) AS users FROM p
+    ORDER BY stage
+    """,
+    "events",
+    "behavior",
+)
+def e_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: each step must happen within 7 days
+    of the previous step's first event — the attribution-realistic
+    variant of e_funnel_conversion (an unbounded funnel overstates
+    conversion by crediting purchases months later).  Same
+    user_id-co-partitioned shuffle shape."""
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionAll(stage(c, 2, "view>click(7d)"))
+        .unionAll(stage(p, 3, "view>click>purchase(7d)"))
+        .orderBy("stage")
+    )
