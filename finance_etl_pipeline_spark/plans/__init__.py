@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QueryDef]:
     from finance_etl_pipeline_spark.plans import (  # noqa: F401
         asof_plans,
         behavior,
+        bi_shapes,
         complex_shapes,
         curation,
         emb_neardup,

@@ -1,0 +1,202 @@
+"""Classic BI / customer-analytics shapes: RFM segmentation,
+Pareto (ABC) revenue concentration, and cross-table reconciliation.
+
+These are the warehouse queries every finance/commerce deployment
+runs on top of the fact tables — quartile scoring with window
+functions, cumulative-share classification, and the
+order-header-vs-lines consistency audit (the cross-TABLE counterpart
+of the reference's row-level identity check, quality.py Q4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+@register(
+    "bi_rfm_segments",
+    """
+    WITH purchases AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             count(*) AS frequency,
+             sum(value) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      FROM purchases
+    )
+    SELECT r_score, f_score, m_score, count(*) AS n_users
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    "bi",
+    "window",
+    "agg",
+)
+def bi_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score every purchaser on recency /
+    frequency / monetary (ntile with user_id tie-break so quartile
+    edges are deterministic), then count the segment grid — the
+    classic CRM cut.  One purchase aggregate + three global ntiles
+    (single-partition windows over |users| rows — at 100 TB swap for
+    percentile-threshold joins; the aggregate stage is unchanged)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    purchases = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("value").alias("monetary"),
+    )
+    scored = purchases.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_ts"), "user_id"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "bi_pareto_abc",
+    f"""
+    WITH rev AS (
+      SELECT o_custkey, sum(o_totalprice) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / sum(revenue) OVER () AS cum_share
+      FROM rev
+    ),
+    classed AS (
+      SELECT o_custkey,
+             CASE WHEN {sql_round('cum_share', 6)} <= 0.5 THEN 'A'
+                  WHEN {sql_round('cum_share', 6)} <= 0.8 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class, count(*) AS n_customers
+    FROM classed GROUP BY abc_class ORDER BY abc_class
+    """,
+    "bi",
+    "window",
+    "agg",
+)
+def bi_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC revenue concentration: customers sorted by
+    revenue, classified by cumulative share (A: first 50% of revenue,
+    B: to 80%, C: tail) — the 80/20 view behind account tiering.
+    The cumulative share is rounded BEFORE the class thresholds so a
+    summation-order ULP can't flip a boundary customer's class.
+    Shape: one aggregate + one global cumulative window (driver-size
+    data after the aggregate) + a 3-row count."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    w_cum = Window.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    share = fround(
+        F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
+    )
+    classed = rev.select(
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "dq_order_reconciliation",
+    f"""
+    WITH line_sums AS (
+      SELECT l_orderkey, {sql_round('sum(l_extendedprice)', 2)} AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             {sql_round('o.o_totalprice', 2)} AS header_total,
+             coalesce(ls.line_total, 0.0) AS line_total
+      FROM orders o LEFT JOIN line_sums ls ON o.o_orderkey = ls.l_orderkey
+    )
+    SELECT CASE
+             WHEN line_total = 0.0 THEN 'no_lines'
+             WHEN abs(header_total - line_total) <= 0.01 THEN 'reconciled'
+             WHEN abs(header_total - line_total) / header_total <= 0.05 THEN 'small_drift'
+             ELSE 'mismatch'
+           END AS status,
+           count(*) AS n_orders,
+           {sql_round('sum(abs(header_total - line_total))', 2)} AS abs_delta_total
+    FROM joined GROUP BY status ORDER BY status
+    """,
+    "bi",
+    "quality",
+    "finance",
+)
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation: every order's o_totalprice
+    against the sum of its lineitem extendedprices, bucketed into
+    reconciled / small-drift / mismatch / no-lines — the cross-table
+    consistency audit (the reference's Q4 identity check is the
+    row-level analogue).  Both sides rounded through the shared
+    contract before comparison.  One lineitem aggregate co-keyed
+    with the join; the report is 4 rows."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    line_sums = li.groupBy("l_orderkey").agg(
+        fround(F.sum("l_extendedprice"), 2).alias("line_total")
+    )
+    joined = o.select(
+        "o_orderkey", fround(F.col("o_totalprice"), 2).alias("header_total")
+    ).join(
+        line_sums.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        "left",
+    ).withColumn("line_total", F.coalesce("line_total", F.lit(0.0)))
+    delta = F.abs(F.col("header_total") - F.col("line_total"))
+    status = (
+        F.when(F.col("line_total") == 0.0, "no_lines")
+        .when(delta <= 0.01, "reconciled")
+        .when(delta / F.col("header_total") <= 0.05, "small_drift")
+        .otherwise("mismatch")
+    )
+    return (
+        joined.select(status.alias("status"), delta.alias("d"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            fround(F.sum("d"), 2).alias("abs_delta_total"),
+        )
+        .orderBy("status")
+    )
