@@ -1,0 +1,83 @@
+"""Iterative graph algorithms expressed as DataFrame loops.
+
+The reference has no graph surface; this extends the engine with the
+standard Pregel-style pattern (join ranks to edges, aggregate by
+destination) that near-dup clustering (operators/dedup.py connected
+components) already uses in unweighted form.  PageRank here is the
+weighted, damped variant over a co-purchase graph.
+
+Scale notes (100 TB): the transition matrix is computed once, hash-
+partitioned on ``src`` and cached, so every iteration's join reuses
+the same shuffle-free co-partitioning; only the (small) rank vector
+moves per iteration.  For billion-edge graphs, checkpoint the rank
+DataFrame every few iterations to truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 10
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """Weighted PageRank over directed ``(src, dst, w)`` edges.
+
+    Every node must have at least one outgoing edge (true for any
+    symmetrized/undirected graph), so there is no dangling-mass
+    correction term.  Returns ``(node, rank)`` with ranks summing
+    to 1.  Uses exact per-iteration recomputation (no tolerance
+    early-exit) so the result is deterministic for a fixed
+    ``iterations`` — matching a fixed-depth SQL unrolling.
+    """
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tot"))
+    trans = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("tot")).alias("p_move"))
+        .repartition("src")
+        .cache()
+    )
+    nodes = trans.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iterations):
+        contrib = (
+            trans.join(ranks, trans["src"] == ranks["node"])
+            .groupBy(trans["dst"].alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("p_move")).alias("inflow"))
+        )
+        ranks = contrib.select(
+            "node",
+            (F.lit(teleport) + F.lit(damping) * F.col("inflow")).alias("rank"),
+        )
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric part-copurchase edges: weight = number of orders in
+    which both parts appear.  The per-order self-join is bounded by
+    lines-per-order (≤13 on this data, ≤7 in classic TPC-H), so the
+    pair blowup is a small constant factor of |lineitem| at any scale
+    and the join key (l_orderkey) is high-cardinality — no skew."""
+    lp = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = lp.alias("a")
+    b = lp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )

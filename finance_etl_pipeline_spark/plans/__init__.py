@@ -55,6 +55,7 @@ def all_queries() -> dict[str, QueryDef]:
         events,
         ivf,
         llm,
+        market,
         quality,
         quantized,
         regression,

@@ -1,0 +1,293 @@
+"""Market/merchandising analytics: basket-affinity lift, year-over-
+year growth, operational anomaly detection, and co-purchase PageRank.
+
+Four warehouse shapes the reference's BI layer stops short of:
+association mining (self-join within a transaction key), calendar
+self-joins (YoY), trailing-window z-scores (ops monitoring), and an
+iterative graph algorithm whose oracle is a fixed-depth SQL unrolling
+— demonstrating that even loop-shaped computation stays inside the
+declarative, hash-checkable contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.operators import graph as G
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+@register(
+    "bi_basket_lift",
+    f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS pair_orders
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ),
+    bt AS (SELECT p_brand, count(*) AS brand_orders FROM ob GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)
+    SELECT brand_a, brand_b, pair_orders,
+           {sql_round(
+               'pair_orders * CAST(n.n_orders AS DOUBLE)'
+               ' / (ba.brand_orders * CAST(bb.brand_orders AS DOUBLE))', 4
+           )} AS lift
+    FROM pairs
+    JOIN bt ba ON pairs.brand_a = ba.p_brand
+    JOIN bt bb ON pairs.brand_b = bb.p_brand
+    CROSS JOIN n
+    ORDER BY brand_a, brand_b
+    """,
+    "bi",
+    "join",
+    "agg",
+)
+def bi_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for every brand pair, the lift
+    P(a,b)/(P(a)P(b)) over orders — association mining's first cut.
+
+    Shape: broadcast the part dim onto lineitem, distinct to
+    order×brand (kills quantity noise), self-join on the order key.
+    The self-join is keyed on high-cardinality l_orderkey with ≤13
+    lines/order, so pair blowup is a bounded constant factor and
+    there is no skew; the result is |brands|² ≤ tiny.  Brand totals
+    and the order count are broadcast back onto the pair table."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("pair_orders"))
+    )
+    bt = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("brand_orders"))
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ba = bt.select(
+        F.col("p_brand").alias("brand_a"),
+        F.col("brand_orders").alias("orders_a"),
+    )
+    bb = bt.select(
+        F.col("p_brand").alias("brand_b"),
+        F.col("brand_orders").alias("orders_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ba), "brand_a")
+        .join(F.broadcast(bb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            fround(
+                F.col("pair_orders")
+                * F.col("n_orders").cast("double")
+                / (F.col("orders_a") * F.col("orders_b").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+@register(
+    "bi_yoy_growth",
+    f"""
+    WITH monthly AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+             sum(o_totalprice) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mon,
+           {sql_round('cur.revenue', 2)} AS revenue,
+           {sql_round('prev.revenue', 2)} AS revenue_prev_year,
+           CASE WHEN prev.revenue IS NOT NULL AND prev.revenue > 0
+                THEN {sql_round('(cur.revenue / prev.revenue - 1) * 100', 4)}
+           END AS yoy_pct
+    FROM monthly cur
+    LEFT JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mon = cur.mon
+    ORDER BY cur.yr, cur.mon
+    """,
+    "bi",
+    "join",
+    "agg",
+)
+def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth via a calendar self-join
+    (same month, previous year) rather than lag(12), so calendar gaps
+    can never silently misalign the comparison.  The monthly
+    aggregate is tiny after the first groupBy — the self-join is
+    driver-scale regardless of input size."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    yoy = F.when(
+        F.col("prev.revenue").isNotNull() & (F.col("prev.revenue") > 0),
+        fround((F.col("cur.revenue") / F.col("prev.revenue") - 1) * 100, 4),
+    )
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.yr") == F.col("cur.yr") - 1)
+            & (F.col("prev.mon") == F.col("cur.mon")),
+            "left",
+        )
+        .select(
+            F.col("cur.yr").alias("yr"),
+            F.col("cur.mon").alias("mon"),
+            fround(F.col("cur.revenue"), 2).alias("revenue"),
+            fround(F.col("prev.revenue"), 2).alias("revenue_prev_year"),
+            yoy.alias("yoy_pct"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
+@register(
+    "e_anomaly_zscore",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n_events,
+             avg(n_events) OVER tw AS mu,
+             stddev_samp(n_events) OVER tw AS sigma,
+             count(*) OVER tw AS n_prior
+      FROM daily
+      WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events,
+           CASE WHEN n_prior >= 3 AND sigma > 0
+                THEN {sql_round('(n_events - mu) / sigma', 4)} END AS zscore,
+           CASE WHEN n_prior >= 3 AND sigma > 0
+                     AND abs((n_events - mu) / sigma) > 3.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w ORDER BY event_type, day
+    """,
+    "bi",
+    "window",
+    "events",
+)
+def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection: each day's event count scored
+    against the trailing 7-day window (previous 6 days, current day
+    EXCLUDED so a spike can't mask itself), flagged at |z| > 3.
+    Needs ≥3 prior days and nonzero variance to score at all.
+
+    Shape: one partial-aggregated daily rollup, then a per-type
+    window — partitioned by event_type, so the window shuffles the
+    (tiny) daily table, never raw events."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, -1)
+    )
+    mu = F.avg("n_events").over(tw)
+    sigma = F.stddev_samp("n_events").over(tw)
+    n_prior = F.count(F.lit(1)).over(tw)
+    scoreable = (n_prior >= 3) & (sigma > 0)
+    z = (F.col("n_events") - mu) / sigma
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(scoreable, fround(z, 4)).alias("zscore"),
+        F.when(scoreable & (F.abs(z) > 3.0), 1).otherwise(0).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+def _pagerank_oracle() -> str:
+    """Fixed-depth SQL unrolling of weighted PageRank: r0 plus one
+    CTE per iteration, mirroring operators/graph.py::pagerank
+    exactly (same damping, same iteration count, no early exit)."""
+    d, n_it = G.DAMPING, G.ITERATIONS
+    ctes = [
+        """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS w
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS tot FROM pairs GROUP BY 1),
+    trans AS (
+      SELECT p.src, p.dst, p.w / CAST(o.tot AS DOUBLE) AS p_move
+      FROM pairs p JOIN outw o ON p.src = o.src
+    ),
+    n AS (SELECT count(DISTINCT src) AS n_nodes FROM pairs),
+    r0 AS (
+      SELECT src AS node, 1.0 / n.n_nodes AS rank
+      FROM (SELECT DISTINCT src FROM pairs) CROSS JOIN n
+    )"""
+    ]
+    for k in range(1, n_it + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT t.dst AS node,
+             (1.0 - {d}) / max(n.n_nodes) + {d} * sum(r.rank * t.p_move) AS rank
+      FROM r{k - 1} r JOIN trans t ON r.node = t.src CROSS JOIN n
+      GROUP BY t.dst
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS part_id, {sql_round('rank', 7)} AS rank
+    FROM r{n_it} ORDER BY part_id"""
+    )
+
+
+@register(
+    "graph_pagerank_copurchase",
+    _pagerank_oracle(),
+    "graph",
+    "iterative",
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (edge weight = number
+    of orders containing both parts), 10 damped iterations — 'which
+    parts sit at the center of the catalog's basket structure'.
+
+    The Spark side is the iterative Pregel-style loop
+    (operators/graph.py); the oracle is the same recurrence unrolled
+    into 10 SQL CTEs, so an inherently loop-shaped algorithm still
+    gets full value-hash verification.  The transition matrix is
+    cached and co-partitioned on src once; each iteration shuffles
+    only the rank vector (|parts| rows)."""
+    edges = G.copurchase_edges(table(spark, sf_dir, "lineitem"))
+    ranks = G.pagerank(edges)
+    return ranks.select(
+        F.col("node").alias("part_id"), fround("rank", 7).alias("rank")
+    ).orderBy("part_id")
