@@ -173,9 +173,12 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash the shingles ONCE on exploded rows (codegen'd md5), then
     # checkpoint the (doc_id, long) index — both DAG branches
     # (signatures, candidate verification) re-read 8-byte longs, not
-    # shingle strings (localCheckpoint: executor-local, lazy; on a
-    # cluster prefer persist(DISK_ONLY) for fault tolerance)
-    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=False)
+    # shingle strings.  Eager: a lazy checkpoint only cuts lineage for
+    # jobs submitted after materialization, so a single downstream
+    # action recomputes the md5 explode per branch (sf0.1: 34s eager
+    # vs 68s lazy vs 242s none).  On a cluster prefer
+    # persist(DISK_ONLY) for fault tolerance.
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
     mh = D.minhash_signatures_hashed(sh_hashed)
     bands = D.band_signatures(mh)
     cand = D.candidate_pairs(bands)
