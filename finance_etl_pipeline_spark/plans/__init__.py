@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QueryDef]:
         robust,
         sampling,
         scalars,
+        semdedup,
         subqueries,
         supplier_shapes,
         text_rank,

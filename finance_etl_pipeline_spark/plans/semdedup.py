@@ -1,0 +1,184 @@
+"""K-means clustering and SemDeDup-style semantic dedup over the
+embeddings table.
+
+Two queries:
+
+- ``emb_kmeans_clusters`` — Lloyd's k-means (operators/kmeans.py),
+  fixed iterations, fully value-hash-verified: the loop unrolls into
+  one assignment CTE + one centroid CTE per iteration (the
+  graph_pagerank_copurchase precedent for iterative algorithms).
+- ``dd_semantic_dedup`` — the SemDeDup recipe (Abbas et al. 2023,
+  arXiv:2303.09540): cluster first, then search for near-duplicate
+  pairs only WITHIN a cluster.  Candidate volume is Σ|cluster|²
+  instead of n² — with production k ≈ n / target_cluster_size the
+  per-cluster pair join is constant-bounded, which is what makes
+  embedding dedup feasible at 100 TB.  Here the brute within-cluster
+  join doubles as a recall probe against dd_embedding_neardup (the
+  exact n² baseline): tests/test_kmeans.py asserts containment.
+
+Skew note: with the test-scale k=8 the pair join keys on only 8
+cluster ids; at real scale k is thousands-to-millions, the key is
+high-cardinality, and AQE skew-split handles hot clusters.
+
+Determinism: distances/centroids quantized per iteration (see
+operators/kmeans.py); cosine quantized at 4dp like every similarity
+query.  The oracle hardcodes DIM=64 (the testdata embedding width);
+the Spark side is dimension-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.operators import kmeans as KM
+from finance_etl_pipeline_spark.operators.similarity import as_double, dot
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+DIM = 64
+COSINE_THRESHOLD = 0.45  # near-random synthetic corpus; prod ≈ 0.95+
+
+
+def _sql_sqdist(v: str, c: str) -> str:
+    """Squared L2 via dot-product expansion (list_dot_product is the
+    proven-available DuckDB primitive); sub-ULP differences vs the
+    Spark Σ(x-y)² fold are absorbed by the 1e-6 quantization."""
+    return (
+        f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
+        f" + list_dot_product({c}, {c})"
+    )
+
+
+def _kmeans_ctes() -> str:
+    """The WITH-chain: init → a0 → (c1 → a1) … for ITERATIONS rounds.
+
+    Mirrors operators/kmeans.py::kmeans exactly: same init, same
+    per-iteration quantization, same (dist, cluster) tie-break."""
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {KM.K})
+    )""",
+    ]
+
+    def assignment(name: str, cents: str) -> str:
+        d = sql_round(_sql_sqdist("b.v", "c.v"), KM.ROUND_N)
+        return f"""{name} AS (
+      SELECT vec_id, v, cluster, dist FROM (
+        SELECT b.vec_id, b.v, c.cluster, {d} AS dist,
+               row_number() OVER (
+                 PARTITION BY b.vec_id ORDER BY {d}, c.cluster) AS rn
+        FROM base b CROSS JOIN {cents} c
+      ) WHERE rn = 1
+    )"""
+
+    ctes.append(assignment("a0", "init"))
+    for it in range(1, KM.ITERATIONS + 1):
+        m = sql_round("avg(v[i])", KM.ROUND_N)
+        ctes.append(
+            f"""c{it} AS (
+      SELECT cluster, list(m ORDER BY pos) AS v FROM (
+        SELECT cluster, i AS pos, {m} AS m
+        FROM a{it - 1}, range(1, {DIM + 1}) t(i)
+        GROUP BY cluster, i
+      ) GROUP BY cluster
+    )"""
+        )
+        ctes.append(assignment(f"a{it}", f"c{it}"))
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    base = (
+        spread(emb)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .cache()
+    )
+    assigned, _ = KM.kmeans(base)
+    return assigned
+
+
+@register(
+    "emb_kmeans_clusters",
+    _kmeans_ctes()
+    + f"""
+    SELECT vec_id, cluster, dist
+    FROM a{KM.ITERATIONS} ORDER BY vec_id""",
+    "llm",
+    "similarity",
+    "iterative",
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd's assignment: (vec_id, cluster, squared distance).
+
+    Assignment never shuffles (literal-centroid array_min, map-only);
+    each of the {ITERATIONS} updates shuffles only k×d partial means
+    — see operators/kmeans.py for the 100 TB rationale."""
+    return _final_assignment(spark, sf_dir).select(
+        "vec_id", "cluster", "dist"
+    ).orderBy("vec_id")
+
+
+@register(
+    "dd_semantic_dedup",
+    _kmeans_ctes()
+    + f""",
+    nrm AS (
+      SELECT vec_id, sqrt(list_dot_product(v, v)) AS n FROM base
+    )
+    SELECT * FROM (
+      SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {sql_round(
+                 "list_dot_product(a.v, b.v) / nullif(na.n * nb.n, 0.0)", 4
+             )} AS cosine
+      FROM a{KM.ITERATIONS} a
+      JOIN a{KM.ITERATIONS} b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN nrm na ON a.vec_id = na.vec_id
+      JOIN nrm nb ON b.vec_id = nb.vec_id
+    ) WHERE cosine >= {COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b""",
+    "llm",
+    "dedup",
+    "similarity",
+)
+def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: near-dup pairs restricted to a shared k-means cluster.
+
+    The cluster restriction is the scale story — pair candidates are
+    generated per cluster (Σ|cluster|² ≪ n²), the same candidate-
+    pruning shape as MinHash bands and IVF cells.  Keeper policy on a
+    pair list is min(vec_id), as in dd_dedup_clusters."""
+    assigned = _final_assignment(spark, sf_dir)
+    withn = assigned.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = withn.select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withn.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = fround(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("cluster", "vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
