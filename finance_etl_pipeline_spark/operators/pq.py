@@ -1,0 +1,169 @@
+"""Product quantization (PQ) for embedding columns — the memory-side
+scale path for ANN, next to IVF (plans/ivf.py) and int8 quantization
+(plans/quantized.py).
+
+The reference has no vector surface at all (SURVEY.md §2.10 extension
+scope); PQ is the standard third leg of a 100 TB vector stack
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011): split each d-dim vector into M subvectors, train a
+small k-means codebook per subspace (operators/kmeans.py), and store
+each vector as M small codes — here 4 subspaces × 8 centroids = 4
+codes ≤ 3 bits each, a 128× reduction vs float64 storage.  Search
+uses asymmetric distance computation (ADC): the query stays exact;
+the distance to a corpus vector is the sum over subspaces of the
+distance from the query's subvector to the corpus code's centroid.
+
+Spark-first shape:
+
+- **Training** runs M independent Lloyd's jobs over sliced views of
+  the (cached) base — at 100 TB you train on a sample; the codebook
+  is M×K×(d/M) doubles of driver state either way.
+- **Encoding is map-only**: per subspace the same literal-centroid
+  ``array_min(struct(dist, code))`` as kmeans assignment — one
+  projection, no shuffle, emits M small ints per vector.
+- **ADC search never touches corpus vectors.** The codebooks ride
+  into the plan as literal maps (code → centroid); per (query, row)
+  the plan does M map lookups + M subvector distances against the
+  broadcast query — the corpus side moves only (vec_id, codes).
+
+Determinism contract (cross-engine oracle parity): training inherits
+the kmeans contract (fround-quantized distances/centroids, lowest-id
+init/tie-break); per-subspace ADC terms are fround-quantized before
+the fixed-order sum, so Spark and DuckDB rank identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.operators import kmeans as KM
+
+M_SUBSPACES = 4
+K_SUB = 8
+ITERATIONS = 2
+
+Codebooks = list[KM.Centroids]  # one Centroids list per subspace
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double-array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def subspace_bounds(dim: int, m: int = M_SUBSPACES) -> list[tuple[int, int]]:
+    """1-based (start, length) slices; dim must divide evenly."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    ds = dim // m
+    return [(i * ds + 1, ds) for i in range(m)]
+
+
+def train_codebooks(
+    base: DataFrame,
+    dim: int,
+    m: int = M_SUBSPACES,
+    k: int = K_SUB,
+    iterations: int = ITERATIONS,
+) -> Codebooks:
+    """One deterministic Lloyd's run per subspace over sliced views.
+
+    ``base`` must carry (vec_id, v) and should be cached by the
+    caller: each subspace runs iterations+1 jobs over it.  At real
+    scale, pass a hash-sampled base — the codebook quality is
+    sample-stable and the driver state is m×k×(dim/m) doubles."""
+    books: Codebooks = []
+    for start, length in subspace_bounds(dim, m):
+        sliced = base.select(
+            "vec_id", F.slice("v", start, length).alias("v")
+        )
+        _, cents = KM.kmeans(sliced, k=k, iterations=iterations)
+        books.append(cents)
+    return books
+
+
+def encode(base: DataFrame, dim: int, books: Codebooks) -> DataFrame:
+    """Map-only PQ encoding: (vec_id, code0..code{m-1}).
+
+    Each code is the argmin over the subspace codebook, computed as a
+    literal-centroid ``array_min(struct(dist, code))`` on a slice —
+    one narrow projection, no shuffle, no vector in the output."""
+    cols = [F.col("vec_id")]
+    for i, (start, length) in enumerate(subspace_bounds(dim, len(books))):
+        sub = F.slice("v", start, length)
+        candidates = F.array(
+            *[
+                F.struct(
+                    fround(KM.sqdist_to(sub, vec), KM.ROUND_N).alias("dist"),
+                    F.lit(cid).alias("code"),
+                )
+                for cid, vec in books[i]
+            ]
+        )
+        cols.append(F.array_min(candidates)["code"].alias(f"code{i}"))
+    return base.select(*cols)
+
+
+def adc_distance(qv: Column, books: Codebooks, dim: int) -> Column:
+    """ADC: Σ over subspaces of fround(‖q_sub − centroid[code_sub]‖²).
+
+    ``code{i}`` columns must be in scope.  The codebooks enter as
+    literal code→centroid maps, so the lookup is a map probe inside
+    whole-stage codegen — no join, no corpus vector access."""
+    terms = []
+    for i, (start, length) in enumerate(subspace_bounds(dim, len(books))):
+        lookup = F.map_from_arrays(
+            F.array(*[F.lit(cid) for cid, _ in books[i]]),
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in vec])
+                    for _, vec in books[i]
+                ]
+            ),
+        )
+        cent = F.element_at(lookup, F.col(f"code{i}"))
+        terms.append(fround(sqdist(F.slice(qv, start, length), cent), KM.ROUND_N))
+    total = terms[0]
+    for t in terms[1:]:  # fixed left-to-right order: oracle adds in same order
+        total = total + t
+    return total
+
+
+def adc_topk(
+    base: DataFrame,
+    dim: int,
+    books: Codebooks,
+    query_pred: Column,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k by approximate (ADC) distance for each query vector.
+
+    Queries (small by construction) broadcast against the encoded
+    corpus; the per-query top-k is a rank window.  Ties break to the
+    lowest vec_id, ranks ascend with distance."""
+    codes = encode(base, dim, books)
+    q = base.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            fround(adc_distance(F.col("qv"), books, dim), KM.ROUND_N).alias(
+                "adist"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

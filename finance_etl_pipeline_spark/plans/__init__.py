@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QueryDef]:
         ivf,
         llm,
         market,
+        pq,
         quality,
         quantized,
         regression,

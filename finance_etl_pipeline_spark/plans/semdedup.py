@@ -35,60 +35,21 @@ from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
 from finance_etl_pipeline_spark.operators import kmeans as KM
 from finance_etl_pipeline_spark.operators.similarity import as_double, dot
 from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.plans.kmeans_sql import kmeans_ctes
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
 DIM = 64
 COSINE_THRESHOLD = 0.45  # near-random synthetic corpus; prod ≈ 0.95+
 
 
-def _sql_sqdist(v: str, c: str) -> str:
-    """Squared L2 via dot-product expansion (list_dot_product is the
-    proven-available DuckDB primitive); sub-ULP differences vs the
-    Spark Σ(x-y)² fold are absorbed by the 1e-6 quantization."""
-    return (
-        f"list_dot_product({v}, {v}) - 2 * list_dot_product({v}, {c})"
-        f" + list_dot_product({c}, {c})"
-    )
-
-
 def _kmeans_ctes() -> str:
-    """The WITH-chain: init → a0 → (c1 → a1) … for ITERATIONS rounds.
-
-    Mirrors operators/kmeans.py::kmeans exactly: same init, same
-    per-iteration quantization, same (dist, cluster) tie-break."""
-    ctes = [
-        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"""init AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v
-      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {KM.K})
-    )""",
-    ]
-
-    def assignment(name: str, cents: str) -> str:
-        d = sql_round(_sql_sqdist("b.v", "c.v"), KM.ROUND_N)
-        return f"""{name} AS (
-      SELECT vec_id, v, cluster, dist FROM (
-        SELECT b.vec_id, b.v, c.cluster, {d} AS dist,
-               row_number() OVER (
-                 PARTITION BY b.vec_id ORDER BY {d}, c.cluster) AS rn
-        FROM base b CROSS JOIN {cents} c
-      ) WHERE rn = 1
-    )"""
-
-    ctes.append(assignment("a0", "init"))
-    for it in range(1, KM.ITERATIONS + 1):
-        m = sql_round("avg(v[i])", KM.ROUND_N)
-        ctes.append(
-            f"""c{it} AS (
-      SELECT cluster, list(m ORDER BY pos) AS v FROM (
-        SELECT cluster, i AS pos, {m} AS m
-        FROM a{it - 1}, range(1, {DIM + 1}) t(i)
-        GROUP BY cluster, i
-      ) GROUP BY cluster
-    )"""
-        )
-        ctes.append(assignment(f"a{it}", f"c{it}"))
-    return "WITH " + ",\n    ".join(ctes)
+    """The WITH-chain: init → a0 → (c1 → a1) … for ITERATIONS rounds
+    (shared generator in plans/kmeans_sql.py)."""
+    ctes, _, _ = kmeans_ctes("base", DIM)
+    return "WITH " + ",\n    ".join(
+        ["base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+        + ctes
+    )
 
 
 def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
