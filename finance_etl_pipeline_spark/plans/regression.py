@@ -45,3 +45,98 @@ def a_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- multi-feature OLS via normal equations, solved inside the plan ---
+#
+# Revenue ~ intercept + quantity + discount over lineitem.  ONE pass
+# computes every moment the 3×3 normal system needs (count + 9 sums,
+# all map-side partial-aggregated — the shuffle moves one row per
+# partition); the solve is Cramer's rule written as plain column
+# expressions over that single aggregate row.  Nothing is collected:
+# the "model fit" is itself a Catalyst plan, so at 100 TB this is one
+# scan + a 10-double exchange.  The SAME formula text is evaluated by
+# Spark (F.expr) and DuckDB, so both engines run an identical IEEE
+# expression tree over their (ULP-close) sums; fround(4) on the
+# coefficients absorbs the summation-order noise.
+
+_OLS_SUMS = """
+      count(*)::DOUBLE AS n,
+      sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+      sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+      sum(x1 * y) AS s1y, sum(x2 * y) AS s2y, sum(y * y) AS syy
+"""
+
+_DET = (
+    "(n * (s11 * s22 - s12 * s12) - sx1 * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - sx1 * (s1y * s22 - s12 * s2y)"
+    " + sx2 * (s1y * s12 - s11 * s2y))"
+)
+_DET1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s2y - s1y * sx2))"
+)
+_DET2 = (
+    "(n * (s11 * s2y - s1y * s12) - sx1 * (sx1 * s2y - s1y * sx2)"
+    " + sy * (sx1 * s12 - s11 * sx2))"
+)
+_SSE = f"(syy - ({_DET0} * sy + {_DET1} * s1y + {_DET2} * s2y) / {_DET})"
+_SST = "(syy - sy * sy / n)"
+
+
+def _ols_outputs() -> dict[str, str]:
+    from finance_etl_pipeline_spark.functions.scalars import sql_round
+
+    return {
+        "n_obs": "CAST(n AS BIGINT)",
+        "beta_intercept": sql_round(f"{_DET0} / {_DET}", 4),
+        "beta_quantity": sql_round(f"{_DET1} / {_DET}", 4),
+        "beta_discount": sql_round(f"{_DET2} / {_DET}", 4),
+        "r2": sql_round(f"1.0 - {_SSE} / {_SST}", 6),
+    }
+
+
+@register(
+    "r_ols_normal_equations",
+    f"""
+    WITH obs AS (
+      SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
+             l_extendedprice::DOUBLE AS y
+      FROM lineitem
+    ),
+    sums AS (SELECT {_OLS_SUMS} FROM obs)
+    SELECT {', '.join(f'{e} AS {a}' for a, e in _ols_outputs().items())}
+    FROM sums
+    """,
+    "regression",
+    "stats",
+)
+def r_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of extendedprice ~ quantity + discount, solved by
+    Cramer's rule as column expressions over a one-row aggregate —
+    the distributed normal-equations pattern (single scan, 10-double
+    shuffle, no driver-side math)."""
+    li = table(spark, sf_dir, "lineitem")
+    obs = li.select(
+        F.col("l_quantity").cast("double").alias("x1"),
+        F.col("l_discount").cast("double").alias("x2"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    sums = obs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return sums.select(
+        *[F.expr(e).alias(a) for a, e in _ols_outputs().items()]
+    )
