@@ -50,6 +50,7 @@ def all_queries() -> dict[str, QueryDef]:
         bi_shapes,
         complex_shapes,
         curation,
+        diversity,
         emb_neardup,
         etl_extras,
         events,

@@ -70,22 +70,35 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (FIXTURES.md §B).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark 4
-    refuses to read natively — we read it as a nanosecond long via the
-    ``nanosAsLong`` legacy conf and truncate to microseconds with exact
-    integer division (``div``, not ``/``: ns-epoch values exceed the
-    53-bit double mantissa, so float division would corrupt them).
-    DuckDB performs the same ns→us truncation, keeping the oracle in
-    bit-parity.
+    ``events.ts`` may be stored as parquet TIMESTAMP(NANOS), which
+    Spark 4 refuses to read natively.  When it is, we read it as a
+    nanosecond long via the ``nanosAsLong`` legacy conf and truncate to
+    microseconds with exact integer division (``div``, not ``/``:
+    ns-epoch values exceed the 53-bit double mantissa, so float
+    division would corrupt them).  DuckDB performs the same ns→us
+    truncation, keeping the oracle in bit-parity.  Testdata generated
+    with micro-second timestamps reads natively (as TIMESTAMP_NTZ) and
+    is cast to the session-zone TIMESTAMP type — an identity on the
+    underlying micros under the engine's fixed UTC session zone
+    (session.py), and the type every downstream consumer
+    (``unix_micros``, watermarks, the streaming twins) expects.  The
+    branch inspects the actual read type, not the table name.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

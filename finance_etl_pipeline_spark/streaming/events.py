@@ -23,27 +23,42 @@ from finance_etl_pipeline_spark.functions.scalars import fround
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream of events parquet (ns timestamps handled the
-    same way as the batch reader — see sources/readers.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql.types import LongType, StructField, StructType
+    """File-source stream of events parquet.
 
-    ns_schema = StructType(
+    Streams require a declared schema, but the events files differ by
+    environment (TIMESTAMP(NANOS) vs plain micro-second timestamps), so
+    the actual ``ts`` type is probed with a footer-only batch read and
+    the declared schema + normalization mirror sources/readers.py:
+    nanos-long → exact ``div`` truncation to micros; TIMESTAMP_NTZ →
+    identity cast into the session-zone TIMESTAMP (UTC session)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    stream_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", ts_type),
             StructField("user_id", LongType()),
             schemas.EVENTS["event_type"],
             schemas.EVENTS["value"],
             schemas.EVENTS["props"],
         ]
     )
-    reader = spark.readStream.schema(ns_schema)
+    reader = spark.readStream.schema(stream_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = reader.parquet(path)
+    if isinstance(ts_type, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(
