@@ -13,13 +13,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
 from finance_etl_pipeline_spark.operators.similarity import as_double, dot, norm
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
 THRESHOLD = 0.45
+KNN_K = 5
 
 
 @register(
@@ -68,4 +70,126 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= THRESHOLD)
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "emb_knn_label_accuracy",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor, a.label AS actual,
+             b.vec_id AS nb_id, b.label AS nb_label,
+             {sql_round(
+               'list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0)', 6
+             )} AS cosine
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT anchor, actual, nb_label,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY cosine DESC, nb_id) AS rk
+      FROM pairs
+    ),
+    votes AS (
+      SELECT anchor, actual, nb_label, count(*) AS cnt
+      FROM knn WHERE rk <= {KNN_K}
+      GROUP BY anchor, actual, nb_label
+    ),
+    pick AS (
+      SELECT anchor, actual, nb_label AS pred,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY cnt DESC, nb_label) AS vrk
+      FROM votes
+    )
+    SELECT actual AS label, count(*) AS n,
+           sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS n_correct,
+           {sql_round(
+             'sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)'
+             ' / CAST(count(*) AS DOUBLE)', 4
+           )} AS accuracy
+    FROM pick WHERE vrk = 1 GROUP BY actual ORDER BY actual
+    """,
+    "llm",
+    "ann",
+    "eval",
+)
+def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-agreement eval (k=5, cosine, self excluded): for each
+    vector take its 5 nearest neighbors, majority-vote their labels,
+    and report per-label accuracy — the standard embedding-quality
+    probe (does the space cluster by label?), complementing the
+    centroid classifier (``emb_centroid_classify``) which only tests
+    linear separability around class means.
+
+    Determinism: cosine frounded at 6 dp before ranking, neighbor rank
+    ties break by vec_id, vote ties by label — both row_numbers are
+    bit-stable across engines.
+
+    Spark shape: brute-force n² pair join at test SF as correctness
+    ground truth (same posture as ``dd_embedding_neardup``); at corpus
+    scale the pair generation swaps to the LSH/IVF/PQ candidate sets
+    (``ann_lsh_buckets`` / ``ann_ivf_topk`` / ``ann_pq_adc_topk``) —
+    the rank + vote + accuracy tail is unchanged.  Both shuffles
+    (rank partition, vote partition) key on anchor vec_id: high
+    cardinality, uniform, skew-free."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("actual"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("nb_label"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = fround(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        6,
+    )
+    pairs = a.join(b, F.col("anchor") != F.col("nb_id")).select(
+        "anchor", "actual", "nb_id", "nb_label", cosine.alias("cosine")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("anchor").orderBy(F.desc("cosine"), "nb_id")
+    )
+    votes = (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") <= KNN_K)
+        .groupBy("anchor", "actual", "nb_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vrk = F.row_number().over(
+        Window.partitionBy("anchor").orderBy(F.desc("cnt"), "nb_label")
+    )
+    pick = (
+        votes.withColumn("vrk", vrk)
+        .filter(F.col("vrk") == 1)
+        .select("anchor", "actual", F.col("nb_label").alias("pred"))
+    )
+    correct = F.sum(F.when(F.col("pred") == F.col("actual"), 1).otherwise(0))
+    return (
+        pick.groupBy(F.col("actual").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            correct.alias("n_correct"),
+            fround(
+                correct / F.count(F.lit(1)).cast("double"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
     )
