@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QueryDef]:
         events,
         ivf,
         llm,
+        lm,
         market,
         pq,
         quality,

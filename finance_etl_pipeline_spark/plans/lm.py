@@ -1,0 +1,139 @@
+"""Statistical language-model quality scoring — the CCNet/KenLM-style
+perplexity filter, re-expressed as pure relational algebra.
+
+A bigram LM with add-one smoothing is trained on the corpus's own
+deterministic 80% hash split and scores the held-out 20%: documents
+whose token sequences the model finds improbable (high perplexity) are
+the classic candidates for removal or down-weighting in pre-training
+data curation.  Unlike a KenLM binary, counts + joins + logs are fully
+distributable and engine-agnostic, which also makes the whole filter
+oracle-checkable.
+
+Scale shape: bigram extraction is a narrow map; training counts are
+map-side-combined groupBys keyed on the bigram (vocabulary²-bounded,
+NOT corpus-bounded); scoring co-partitions the eval bigrams with the
+count table on the same key; the context-count and vocab-size sides
+are vocabulary-bounded and broadcastable.  Nothing in the plan scales
+with corpus size except the two narrow scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.operators.dedup import hash60_expr, tokens_expr
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+_SQL_H60 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_SQL_BIGRAMS = rf"""
+  tokd AS (
+    SELECT doc_id, {_SQL_H60} % 100 AS h,
+           string_split_regex(lower(text), '\s+') AS t
+    FROM documents
+  ),
+  big AS (
+    SELECT doc_id, h, t[i] AS prev, t[i+1] AS cur
+    FROM (
+      SELECT doc_id, h, t,
+             unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+      FROM tokd
+    )
+  )
+"""
+
+
+@register(
+    "tx_bigram_perplexity",
+    f"""
+    WITH {_SQL_BIGRAMS},
+    train AS (SELECT prev, cur FROM big WHERE h < 80),
+    cb AS (SELECT prev, cur, count(*) AS cb FROM train GROUP BY prev, cur),
+    cp AS (SELECT prev, count(*) AS cp FROM train GROUP BY prev),
+    vocab AS (SELECT count(DISTINCT cur) AS v FROM train),
+    scored AS (
+      SELECT e.doc_id,
+             ln((coalesce(cb.cb, 0) + 1.0)
+                / (coalesce(cp.cp, 0) + (SELECT v FROM vocab))) AS logp
+      FROM big e
+      LEFT JOIN cb ON e.prev = cb.prev AND e.cur = cb.cur
+      LEFT JOIN cp ON e.prev = cp.prev
+      WHERE e.h >= 80
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             {sql_round('avg(logp)', 6)} AS avg_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logp,
+           {sql_round('exp(-avg_logp)', 4)} AS ppl
+    FROM agg ORDER BY doc_id
+    """,
+    "llm",
+    "text",
+    "quality",
+)
+def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity per document: train an add-one-
+    smoothed bigram LM on the deterministic 80% hash split, score each
+    held-out doc's bigrams, and report per-doc mean log-prob and
+    perplexity (exp of the negative mean).
+
+    Determinism: the split is content-hashed (same scheme as
+    plans/sampling.py), the mean log-prob is frounded at 6 dp BEFORE
+    the exp in both engines, and the perplexity is frounded at 4 dp —
+    so join order and partial-sum order cannot leak into the hash.
+
+    Spark shape: one narrow bigram map feeds both the training counts
+    (groupBy on the bigram key, map-side combined) and the eval side;
+    scoring is a shuffle join co-partitioned on the same bigram key
+    plus a broadcastable context-count join and a 1-row vocab cross
+    join.  Every shuffle is vocabulary-bounded, not corpus-bounded."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = tokens_expr()
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("prev"),
+                F.element_at(toks, i + 1).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    h = hash60_expr(F.col("doc_id").cast("string")) % 100
+    flat = (
+        docs.select("doc_id", h.alias("h"), F.explode(pairs).alias("bg"))
+        .select("doc_id", "h", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    )
+    train = flat.filter(F.col("h") < 80)
+    cb = train.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("cb"))
+    cp = train.groupBy("prev").agg(F.count(F.lit(1)).alias("cp"))
+    vocab = train.agg(F.countDistinct("cur").alias("v"))
+    scored = (
+        flat.filter(F.col("h") >= 80)
+        .join(cb, ["prev", "cur"], "left")
+        .join(cp, ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("cp"), F.lit(0)) + F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        fround(F.avg("logp"), 6).alias("avg_logp"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logp",
+        fround(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+    ).orderBy("doc_id")
