@@ -137,3 +137,51 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logp",
         fround(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
     ).orderBy("doc_id")
+
+
+_BPE_SCHEMA = "step int, left string, right string, merged string, pair_count bigint"
+
+
+@register(
+    "tx_bpe_merges",
+    None,  # iterative (argmax-dependent re-encode per step): not SQL-
+    # expressible as one query; exact-match-tested against a pure-
+    # Python twin in tests/test_bpe.py
+    "llm",
+    "tokenizer",
+)
+def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merge rules learned from the documents corpus
+    (operators/bpe.py).  The corpus is reduced once to a word-
+    frequency table; each merge iteration is vocabulary-bounded with
+    a deterministic (count desc, pair lexicographic) argmax."""
+    from finance_etl_pipeline_spark.operators.bpe import train_bpe
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    rules = train_bpe(docs, n_merges=10)
+    return spark.createDataFrame(rules, schema=_BPE_SCHEMA).orderBy("step")
+
+
+@register(
+    "tx_bpe_fertility",
+    None,  # depends on the learned (data-dependent) merge rules
+    "llm",
+    "tokenizer",
+)
+def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source after the 10 learned merges:
+    mean subword tokens per word — the standard tokenizer-quality
+    readout (lower = the vocabulary compresses this source better)."""
+    from finance_etl_pipeline_spark.operators.bpe import (
+        encode_fertility,
+        train_bpe,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    rules = train_bpe(docs, n_merges=10)
+    return encode_fertility(docs, rules).select(
+        "source",
+        "n_words",
+        "n_subwords",
+        fround(F.col("fertility"), 4).alias("fertility"),
+    )
