@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
 from finance_etl_pipeline_spark.plans import register
@@ -246,6 +247,102 @@ def e_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             fround(F.col("value"), 2).alias("purchase_value"),
         )
         .orderBy("click_id", "purchase_id")
+    )
+
+
+@register(
+    "e_multitouch_attribution",
+    """
+    WITH j AS (
+      SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             c.ts AS cts, p.value AS value
+      FROM events c
+      JOIN events p
+        ON p.user_id = c.user_id
+       AND p.ts >= c.ts
+       AND p.ts <= c.ts + INTERVAL 6 HOUR
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ),
+    w AS (
+      SELECT purchase_id, value,
+             count(*) OVER (PARTITION BY purchase_id) AS n,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY cts, click_id) AS rn
+      FROM j
+    )
+    SELECT CASE WHEN n = 1 THEN 'only'
+                WHEN rn = 1 THEN 'first'
+                WHEN rn = n THEN 'last'
+                ELSE 'middle' END AS touch_position,
+           count(*) AS n_touchpoints,
+           floor((sum(value / n)) * 100 + 0.5001) / 100 AS attributed_value
+    FROM w GROUP BY 1 ORDER BY touch_position
+    """,
+    "events",
+    "join",
+    "window",
+)
+def e_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across all same-user clicks in the preceding 6 hours,
+    then rolled up by touch position (first / middle / last / only) —
+    the attribution-model complement to the pairwise delay join above.
+
+    Determinism: the touchpoint order within a purchase breaks ties by
+    click_id, so position labels are bit-stable; the per-position sum
+    is frounded.
+
+    Scale: same interval join as e_click_purchase_attribution (both
+    sides shuffle on user_id); the two windows re-shuffle the matched
+    pairs on purchase_id — candidate-pair-sized, not event-sized —
+    and the final aggregate is four rows."""
+    e = table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+        ),
+    ).select("purchase_id", "click_id", "click_ts", "value")
+    n = F.count(F.lit(1)).over(Window.partitionBy("purchase_id"))
+    rn = F.row_number().over(
+        Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    )
+    w = j.select(
+        "purchase_id",
+        "value",
+        n.alias("n"),
+        rn.alias("rn"),
+    )
+    bucket = (
+        F.when(F.col("n") == 1, "only")
+        .when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("n"), "last")
+        .otherwise("middle")
+    )
+    return (
+        w.select(bucket.alias("touch_position"), "value", "n")
+        .groupBy("touch_position")
+        .agg(
+            F.count(F.lit(1)).alias("n_touchpoints"),
+            fround(F.sum(F.col("value") / F.col("n")), 2).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("touch_position")
     )
 
 
