@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
 from finance_etl_pipeline_spark.plans import register
@@ -356,3 +357,91 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(expected, 4).alias("expected"),
         fround(F.pow(F.col("obs") - expected, 2) / expected, 6).alias("chi2_term"),
     ).orderBy("event_type", "band")
+
+
+def _skew_sql(tbl: str, key: str) -> str:
+    """One branch of the prof_key_skew oracle (per-key counts →
+    rank-based exact-integer Gini + concentration shares)."""
+    return f"""
+      SELECT '{tbl}.{key}' AS keyed,
+             count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt,
+             {sql_round('CAST(max(cnt) AS DOUBLE) / sum(cnt)', 6)} AS max_share,
+             {sql_round(
+               'CAST(sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS DOUBLE)'
+               ' / sum(cnt)', 6)} AS top10_share,
+             {sql_round(
+               '2.0 * sum(ra * cnt) / (count(*) * CAST(sum(cnt) AS DOUBLE))'
+               ' - (count(*) + 1.0) / count(*)', 6)} AS gini
+      FROM (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt, k) AS ra,
+               row_number() OVER (ORDER BY cnt DESC, k) AS rd
+        FROM (SELECT {key} AS k, count(*) AS cnt FROM {tbl} GROUP BY 1)
+      )
+    """
+
+
+@register(
+    "prof_key_skew",
+    f"""
+    SELECT * FROM ({_skew_sql('events', 'user_id')}
+    UNION ALL {_skew_sql('lineitem', 'l_orderkey')})
+    ORDER BY keyed
+    """,
+    "profile",
+    "skew",
+)
+def prof_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health profiler for join/aggregation keys: per-key-count
+    concentration (max share, top-10 share) and the exact Gini
+    coefficient of the key distribution — the diagnostic you run
+    BEFORE deciding a key needs salting (operators/skew.py) or AQE
+    skew-join handling.  Gini ≈ 0: uniform keys, shuffles balance;
+    Gini → 1: a few hot keys own the table.
+
+    Determinism: Gini via the rank formula
+    2·Σ(rank·cnt)/(n·Σcnt) − (n+1)/n with rank ties broken by key —
+    every sum is exact integer arithmetic, division happens once at
+    the end, so both engines agree bit-exactly before the fround.
+
+    Scale: per-key counts are map-side-combined groupBys (key-
+    cardinality-sized, not row-count-sized); the rank windows run
+    over that reduced count table.  For billion-key tables the same
+    metrics come from a sampled or sketched count table — the shape
+    downstream of the counts is unchanged."""
+    out = None
+    for tbl, key in (("events", "user_id"), ("lineitem", "l_orderkey")):
+        cnts = (
+            table(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ranked = cnts.select(
+            "cnt",
+            F.row_number().over(Window.orderBy("cnt", "k")).alias("ra"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "k"))
+            .alias("rd"),
+        )
+        n = F.count(F.lit(1))
+        tot = F.sum("cnt")
+        m = ranked.agg(
+            n.alias("n_keys"),
+            tot.alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            fround(F.max("cnt").cast("double") / tot, 6).alias("max_share"),
+            fround(
+                F.sum(F.when(F.col("rd") <= 10, F.col("cnt")).otherwise(0))
+                .cast("double")
+                / tot,
+                6,
+            ).alias("top10_share"),
+            fround(
+                2.0 * F.sum(F.col("ra") * F.col("cnt"))
+                / (n * tot.cast("double"))
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini"),
+        ).select(F.lit(f"{tbl}.{key}").alias("keyed"), "*")
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("keyed")
