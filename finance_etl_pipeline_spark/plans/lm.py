@@ -141,6 +141,20 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SCHEMA = "step int, left string, right string, merged string, pair_count bigint"
 
+# train_bpe is deterministic in the corpus, so its rules are memoized
+# per corpus dir — tx_bpe_merges and tx_bpe_fertility share one
+# training run when the driver executes both in the same process.
+_BPE_CACHE: dict[str, list[dict]] = {}
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[dict]:
+    if sf_dir not in _BPE_CACHE:
+        from finance_etl_pipeline_spark.operators.bpe import train_bpe
+
+        docs = spread(table(spark, sf_dir, "documents"))
+        _BPE_CACHE[sf_dir] = train_bpe(docs, n_merges=10)
+    return _BPE_CACHE[sf_dir]
+
 
 @register(
     "tx_bpe_merges",
@@ -155,10 +169,7 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.py).  The corpus is reduced once to a word-
     frequency table; each merge iteration is vocabulary-bounded with
     a deterministic (count desc, pair lexicographic) argmax."""
-    from finance_etl_pipeline_spark.operators.bpe import train_bpe
-
-    docs = spread(table(spark, sf_dir, "documents"))
-    rules = train_bpe(docs, n_merges=10)
+    rules = _bpe_rules(spark, sf_dir)
     return spark.createDataFrame(rules, schema=_BPE_SCHEMA).orderBy("step")
 
 
@@ -172,13 +183,10 @@ def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source after the 10 learned merges:
     mean subword tokens per word — the standard tokenizer-quality
     readout (lower = the vocabulary compresses this source better)."""
-    from finance_etl_pipeline_spark.operators.bpe import (
-        encode_fertility,
-        train_bpe,
-    )
+    from finance_etl_pipeline_spark.operators.bpe import encode_fertility
 
     docs = spread(table(spark, sf_dir, "documents"))
-    rules = train_bpe(docs, n_merges=10)
+    rules = _bpe_rules(spark, sf_dir)
     return encode_fertility(docs, rules).select(
         "source",
         "n_words",
