@@ -291,3 +291,99 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part_id"), fround("rank", 7).alias("rank")
     ).orderBy("part_id")
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    deg AS (
+      SELECT v, count(*) AS dg
+      FROM (SELECT s AS v FROM e UNION ALL SELECT d FROM e) GROUP BY v
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.s = e1.d
+      JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
+    ),
+    w AS (SELECT sum(dg * (dg - 1)) // 2 AS wedges FROM deg)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM deg) AS n_nodes,
+           n_triangles, wedges,
+           {sql_round('3.0 * n_triangles / wedges', 6)} AS clustering_coeff
+    FROM tri, w
+    """,
+    "graph",
+    "join",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    co-purchase graph — the standard graph-cohesion statistic,
+    computed with the canonical distributed method: orient every edge
+    low→high (each triangle counted exactly once), join edges to
+    edges to enumerate wedges, then probe the closing edge.
+
+    Scale: the two joins shuffle on node keys; the wedge intermediate
+    is Σ d(v)² — the known cost of exact triangle counting, bounded
+    in practice by degree, and the reason production systems cap or
+    sample super-node degrees first (the skew profiler's Gini on the
+    edge endpoints is the gauge).  The wedge count itself comes from
+    the degree table via exact integer arithmetic, so the clustering
+    coefficient is bit-stable."""
+    lp = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("s").alias("v"))
+        .unionAll(e.select(F.col("d").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.d"))
+        .join(
+            e3,
+            (F.col("e3.s") == F.col("e1.s"))
+            & (F.col("e3.d") == F.col("e2.d")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.expr("sum(dg * (dg - 1)) div 2").alias("wedges")
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return (
+        counts.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_edges",
+            "n_nodes",
+            "n_triangles",
+            "wedges",
+            fround(
+                3.0 * F.col("n_triangles") / F.col("wedges").cast("double"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark.operators.bpe import (
@@ -102,6 +104,42 @@ def test_adjacent_pairs_guard_short_words(spark):
     }
     assert out["x"] == []
     assert [tuple(p) for p in out["xy"]] == [("x", "y")]
+
+
+def _py_greedy(syms: list[str], left: str, right: str) -> list[str]:
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=8), min_size=1, max_size=8
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b"]), st.sampled_from(["a", "b"])
+    ),
+)
+def test_apply_merge_property(spark, words, pair):
+    """The HOF fold implements greedy leftmost non-overlapping merge
+    for ANY word/pair over an adversarial 2-letter alphabet (max
+    overlap pressure: aa, abab, aaaa...)."""
+    left, right = pair
+    df = spark.createDataFrame([(w,) for w in words], "word: string")
+    got = {
+        r["word"]: r["m"]
+        for r in df.select(
+            "word",
+            apply_merge(to_symbols(F.col("word")), left, right).alias("m"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _py_greedy(list(w), left, right), (w, left, right)
 
 
 def test_fertility_bounds(spark, sf_dir):
