@@ -91,3 +91,33 @@ def test_centroid_classify_broadcasts_centroids(spark, sf_dir):
     plan = plan_of(spark, "emb_centroid_classify", sf_dir)
     assert "BroadcastHashJoin" in plan  # 640-row centroid table broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_bigram_perplexity_aggregates_partial_and_eval_no_shuffle_join(
+    spark, sf_dir
+):
+    plan = plan_of(spark, "tx_bigram_perplexity", sf_dir)
+    # training counts must be partial+final (map-side combined)
+    assert plan.count("HashAggregate") >= 4
+    # at test SF the count tables broadcast: the eval side never
+    # shuffles for the scoring joins
+    assert "BroadcastHashJoin" in plan
+    # the only nested-loop is the 1-row vocab cross join (formatted
+    # explain prints each node twice: tree line + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profiler_counts_are_partial(spark, sf_dir):
+    plan = plan_of(spark, "prof_key_skew", sf_dir)
+    # per-key counts map-side combine before the shuffle
+    assert "partial_count" in plan
+    # rank windows run on the reduced count table, not the raw scan
+    assert "Window" in plan
+
+
+def test_ngram_diversity_reads_only_needed_columns(spark, sf_dir):
+    plan = plan_of(spark, "tx_ngram_diversity", sf_dir)
+    assert "ReadSchema: struct<text:string,source:string>" in plan or (
+        "ReadSchema: struct<source:string,text:string>" in plan
+    )
