@@ -141,6 +141,61 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SCHEMA = "step int, left string, right string, merged string, pair_count bigint"
 
+_BPE_STEPS = 10
+
+
+def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
+    """Fixed-depth SQL unrolling of BPE training (same technique as the
+    k-means and PQ oracles): each step k is two CTEs — p{k} picks the
+    best pair over v{k-1} with the (count desc, pair lexicographic)
+    argmax, and v{k} re-encodes the vocabulary with a list_reduce fold
+    implementing greedy leftmost non-overlapping merge.  NB DuckDB
+    list slices are INCLUSIVE (acc[:-1] keeps the last element), hence
+    list_slice(acc, 1, len(acc)-1) to drop it."""
+    parts = [
+        r"""
+    w AS (
+      SELECT word, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) > 0 GROUP BY word
+    ),
+    v0 AS (
+      SELECT freq,
+             list_transform(generate_series(1, length(word)), i -> word[i])
+               AS syms
+      FROM w
+    )"""
+    ]
+    for k in range(1, n_steps + 1):
+        parts.append(f"""
+    p{k} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS pc
+      FROM (SELECT freq, syms,
+                   unnest(generate_series(1, greatest(len(syms) - 1, 0))) AS i
+            FROM v{k - 1})
+      GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
+    ),
+    v{k} AS (
+      SELECT freq,
+        list_reduce(
+          list_transform(syms, s -> [s]),
+          (acc, x) -> CASE WHEN acc[-1] = p{k}.l AND x[1] = p{k}.r
+                           THEN list_slice(acc, 1, len(acc) - 1)
+                                || [p{k}.l || p{k}.r]
+                           ELSE acc || x END
+        ) AS syms
+      FROM v{k - 1} CROSS JOIN p{k}
+    )""")
+    unions = "\n    UNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right", '
+        f"l || r AS merged, pc AS pair_count FROM p{k}"
+        for k in range(1, n_steps + 1)
+    )
+    return (
+        "WITH" + ",".join(parts) + f"\n    {unions}\n    ORDER BY step"
+    )
+
 # train_bpe is deterministic in the corpus, so its rules are memoized
 # per corpus dir — tx_bpe_merges and tx_bpe_fertility share one
 # training run when the driver executes both in the same process.
@@ -158,9 +213,7 @@ def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[dict]:
 
 @register(
     "tx_bpe_merges",
-    None,  # iterative (argmax-dependent re-encode per step): not SQL-
-    # expressible as one query; exact-match-tested against a pure-
-    # Python twin in tests/test_bpe.py
+    _bpe_oracle(),
     "llm",
     "tokenizer",
 )
@@ -168,7 +221,12 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 10 BPE merge rules learned from the documents corpus
     (operators/bpe.py).  The corpus is reduced once to a word-
     frequency table; each merge iteration is vocabulary-bounded with
-    a deterministic (count desc, pair lexicographic) argmax."""
+    a deterministic (count desc, pair lexicographic) argmax.
+
+    The oracle is a fixed-depth SQL unrolling (10 × argmax +
+    list_reduce greedy re-encode) — the full learned artifact is
+    cross-engine verified, not just row counts; tests/test_bpe.py
+    additionally exact-matches a pure-Python twin."""
     rules = _bpe_rules(spark, sf_dir)
     return spark.createDataFrame(rules, schema=_BPE_SCHEMA).orderBy("step")
 
