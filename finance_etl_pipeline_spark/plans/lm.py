@@ -144,14 +144,16 @@ _BPE_SCHEMA = "step int, left string, right string, merged string, pair_count bi
 _BPE_STEPS = 10
 
 
-def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
+def _bpe_chain(n_steps: int = _BPE_STEPS) -> str:
     """Fixed-depth SQL unrolling of BPE training (same technique as the
     k-means and PQ oracles): each step k is two CTEs — p{k} picks the
     best pair over v{k-1} with the (count desc, pair lexicographic)
     argmax, and v{k} re-encodes the vocabulary with a list_reduce fold
     implementing greedy leftmost non-overlapping merge.  NB DuckDB
     list slices are INCLUSIVE (acc[:-1] keeps the last element), hence
-    list_slice(acc, 1, len(acc)-1) to drop it."""
+    list_slice(acc, 1, len(acc)-1) to drop it.  ``word`` rides along
+    the whole chain so consumers can join the final encoding back to
+    word occurrences (the fertility oracle)."""
     parts = [
         r"""
     w AS (
@@ -161,7 +163,7 @@ def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
       WHERE length(word) > 0 GROUP BY word
     ),
     v0 AS (
-      SELECT freq,
+      SELECT word, freq,
              list_transform(generate_series(1, length(word)), i -> word[i])
                AS syms
       FROM w
@@ -177,7 +179,7 @@ def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
       GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
     ),
     v{k} AS (
-      SELECT freq,
+      SELECT word, freq,
         list_reduce(
           list_transform(syms, s -> [s]),
           (acc, x) -> CASE WHEN acc[-1] = p{k}.l AND x[1] = p{k}.r
@@ -187,14 +189,35 @@ def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
         ) AS syms
       FROM v{k - 1} CROSS JOIN p{k}
     )""")
+    return "WITH" + ",".join(parts)
+
+
+def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
     unions = "\n    UNION ALL ".join(
         f'SELECT {k} AS step, l AS "left", r AS "right", '
         f"l || r AS merged, pc AS pair_count FROM p{k}"
         for k in range(1, n_steps + 1)
     )
-    return (
-        "WITH" + ",".join(parts) + f"\n    {unions}\n    ORDER BY step"
-    )
+    return f"{_bpe_chain(n_steps)}\n    {unions}\n    ORDER BY step"
+
+
+def _bpe_fertility_oracle(n_steps: int = _BPE_STEPS) -> str:
+    return rf"""{_bpe_chain(n_steps)},
+    occs AS (
+      SELECT source, word
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM documents)
+      WHERE length(word) > 0
+    ),
+    enc AS (SELECT word, len(syms) AS n_sub FROM v{n_steps})
+    SELECT source,
+           count(*) AS n_words,
+           sum(n_sub) AS n_subwords,
+           {sql_round('sum(n_sub) / CAST(count(*) AS DOUBLE)', 4)}
+             AS fertility
+    FROM occs JOIN enc USING (word)
+    GROUP BY source ORDER BY source"""
 
 # train_bpe is deterministic in the corpus, so its rules are memoized
 # per corpus dir — tx_bpe_merges and tx_bpe_fertility share one
@@ -233,14 +256,16 @@ def tx_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx_bpe_fertility",
-    None,  # depends on the learned (data-dependent) merge rules
+    _bpe_fertility_oracle(),
     "llm",
     "tokenizer",
 )
 def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility per source after the 10 learned merges:
     mean subword tokens per word — the standard tokenizer-quality
-    readout (lower = the vocabulary compresses this source better)."""
+    readout (lower = the vocabulary compresses this source better).
+    The oracle re-derives the merges via the unrolled training chain
+    and joins the final word encoding back to word occurrences."""
     from finance_etl_pipeline_spark.operators.bpe import encode_fertility
 
     docs = spread(table(spark, sf_dir, "documents"))
