@@ -566,3 +566,93 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "seq_id")
     )
+
+
+@register(
+    "s_stride_interleave",
+    f"""
+    WITH per_src AS (
+      SELECT source, sum(n_chars) AS tot_chars FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, sqrt(CAST(tot_chars AS DOUBLE)) AS wt FROM per_src
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ),
+    keyed AS (
+      SELECT r.doc_id, r.source,
+             {sql_round(
+               '(r.rn - 0.5) / (w.wt / (SELECT sum(wt) FROM w))', 4
+             )} AS skey
+      FROM ranked r JOIN w ON r.source = w.source
+    ),
+    dec AS (
+      SELECT source, ntile(10) OVER (ORDER BY skey, doc_id) AS decile
+      FROM keyed
+    )
+    SELECT decile, source, count(*) AS n_docs
+    FROM dec GROUP BY 1, 2 ORDER BY decile, source
+    """,
+    "llm",
+    "curation",
+    "sampling",
+)
+def s_stride_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride-interleaved training-stream schedule: each
+    source emits documents at stride 1/weight (weight ∝ sqrt of its
+    char volume — the same alpha=0.5 temperature as the resampler), so
+    EVERY prefix of the schedule approximates the target mixture — the
+    property batch-wise training needs that a sorted-by-source corpus
+    lacks.  Emitted as the (decile × source) composition so the
+    near-uniform mixture across schedule deciles is the checked
+    artifact.
+
+    Determinism: per-source ranks are content-hash ordered; the
+    schedule key (rn − ½)/w is frounded at 4 dp (key magnitudes ~10⁴,
+    double ulp ~10⁻¹²: a safety margin of 10⁸) and ties break by
+    doc_id, so the total order — and hence every ntile boundary — is
+    bit-stable across engines.
+
+    Scale: ranking shuffles once on source; the key is a narrow map;
+    the global ntile is a single range-partitioned sort, the same cost
+    as any global ordering, and the final aggregate is
+    deciles × sources rows."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").alias("tot_chars"))
+        .select(
+            "source", F.sqrt(F.col("tot_chars").cast("double")).alias("wt")
+        )
+    )
+    sw = w.agg(F.sum("wt").alias("sw"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    ranked = docs.select("doc_id", "source", rn.alias("rn"))
+    keyed = (
+        ranked.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(sw))
+        .select(
+            "doc_id",
+            "source",
+            fround(
+                (F.col("rn") - 0.5) / (F.col("wt") / F.col("sw")), 4
+            ).alias("skey"),
+        )
+    )
+    dec = keyed.select(
+        "source",
+        F.ntile(10).over(Window.orderBy("skey", "doc_id")).alias("decile"),
+    )
+    return (
+        dec.groupBy("decile", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("decile", "source")
+    )
