@@ -387,3 +387,111 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle(hops: int = _BFS_HOPS) -> str:
+    """Unrolled BFS: d{k} relaxes d{k-1} over the (symmetrized)
+    co-purchase edges with an integer min — same fixed-depth technique
+    as the PageRank/k-means/BPE oracles, fully deterministic (no
+    floats anywhere)."""
+    parts = [
+        """
+    lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    eo AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM lp a JOIN lp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT s, d FROM eo UNION ALL SELECT d, s FROM eo),
+    seeds AS (
+      SELECT p_partkey AS node FROM part
+      WHERE p_brand = (SELECT min(p_brand) FROM part)
+    ),
+    d0 AS (SELECT node, 0 AS dist FROM seeds)"""
+    ]
+    for k in range(1, hops + 1):
+        parts.append(f"""
+    d{k} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.d AS node, d{k - 1}.dist + 1 AS dist
+        FROM e JOIN d{k - 1} ON e.s = d{k - 1}.node
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH"
+        + ",".join(parts)
+        + f"""
+    SELECT dist AS hop, count(*) AS n_parts
+    FROM d{hops} GROUP BY dist ORDER BY hop"""
+    )
+
+
+@register(
+    "graph_bfs_hops",
+    _bfs_oracle(),
+    "graph",
+    "join",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS over the co-purchase graph from a deterministic seed
+    set (all parts of the lexicographically first brand): how many
+    parts are reachable at each hop distance ≤ 3 — the reachability /
+    neighborhood-growth statistic completing the graph family
+    (PageRank, connected components, triangles).
+
+    Frontier relaxation is the standard distributed BFS: join the
+    current distance table to the edge list, take the integer min per
+    node — every value is an int, so cross-engine parity is exact by
+    construction.  Scale: each iteration shuffles (frontier × degree)
+    rows on the node key; at billion-edge scale the frontier join
+    co-partitions with a hash-partitioned edge table cached across
+    iterations (same posture as pagerank above)."""
+    lp = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, b = lp.alias("a"), lp.alias("b")
+    eo = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .distinct()
+    )
+    e = (
+        eo.unionAll(eo.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition("s")
+        .cache()
+    )
+    part = table(spark, sf_dir, "part")
+    min_brand = part.agg(F.min("p_brand").alias("mb"))
+    seeds = (
+        part.join(
+            F.broadcast(min_brand), part["p_brand"] == F.col("mb")
+        )
+        .select(F.col("p_partkey").alias("node"))
+    )
+    dist = seeds.select("node", F.lit(0).alias("dist"))
+    for _ in range(_BFS_HOPS):
+        relaxed = e.join(dist, e["s"] == dist["node"]).select(
+            F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.groupBy(F.col("dist").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("hop")
+    )
