@@ -213,3 +213,120 @@ def tx_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
         fround(F.regr_r2(F.log("f"), F.log("r")), 4).alias("zipf_r2"),
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "tx_pmi_collocations",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    toks AS (SELECT unnest(t) AS w FROM tokd),
+    uni AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+    tot AS (SELECT sum(n) AS nn FROM uni),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+            FROM tokd)
+    ),
+    bc AS (
+      SELECT w1, w2, count(*) AS nab FROM big GROUP BY w1, w2
+      HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    bt AS (SELECT sum(nab) AS bb FROM (SELECT count(*) AS nab FROM big GROUP BY w1, w2)),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.nab,
+             {sql_round(
+               'ln((CAST(bc.nab AS DOUBLE) / bb) '
+               '/ ((CAST(u1.n AS DOUBLE) / nn) * (CAST(u2.n AS DOUBLE) / nn)))',
+               6)} AS pmi
+      FROM bc
+      JOIN uni u1 ON bc.w1 = u1.w
+      JOIN uni u2 ON bc.w2 = u2.w
+      CROSS JOIN tot CROSS JOIN bt
+    ),
+    ranked AS (
+      SELECT w1, w2, nab, pmi,
+             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      FROM scored
+    )
+    SELECT w1, w2, nab, pmi FROM ranked WHERE rk <= {_PMI_TOP}
+    ORDER BY w1, w2
+    """,
+    "llm",
+    "diversity",
+    "text",
+)
+def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PMI_TOP} collocations by pointwise mutual information:
+    adjacent token pairs whose joint probability most exceeds the
+    product of their marginals (min pair count {_PMI_MIN_COUNT} to
+    suppress noise floors) — the classic phrase-mining statistic for
+    vocabulary construction and tokenizer sanity checks.
+
+    Determinism: PMI is frounded at 6 dp before ranking and the rank
+    is a total order (pmi desc, then pair), so the top-20 SET is
+    bit-stable.
+
+    Scale: unigram and bigram counts are map-side-combined groupBys
+    (vocabulary-bounded); marginal joins key on the token — at real
+    vocab the unigram side broadcasts; the two 1-row totals are
+    broadcast nested loops.  Nothing scales with corpus size past the
+    narrow token/bigram maps."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = tokens_expr()
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("nn"))
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    bc_all = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nab"))
+    bt = bc_all.agg(F.sum("nab").alias("bb"))
+    bc = bc_all.filter(F.col("nab") >= _PMI_MIN_COUNT)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    scored = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            "nab",
+            fround(
+                F.log(
+                    (F.col("nab").cast("double") / F.col("bb"))
+                    / (
+                        (F.col("n1").cast("double") / F.col("nn"))
+                        * (F.col("n2").cast("double") / F.col("nn"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("pmi"), "w1", "w2")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= _PMI_TOP)
+        .select("w1", "w2", "nab", "pmi")
+        .orderBy("w1", "w2")
+    )

@@ -653,3 +653,97 @@ def e_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "e_forecast_mase",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    p7 AS (
+      SELECT a.event_type, count(*) AS n_pairs_7d,
+             {sql_round('avg(abs(a.n - b.n))', 6)} AS mae_seasonal
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 7 DAY
+      GROUP BY a.event_type
+    ),
+    p1 AS (
+      SELECT a.event_type, count(*) AS n_pairs_1d,
+             {sql_round('avg(abs(a.n - b.n))', 6)} AS mae_naive
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 1 DAY
+      GROUP BY a.event_type
+    )
+    SELECT p7.event_type, n_pairs_7d, mae_seasonal, n_pairs_1d, mae_naive,
+           {sql_round('mae_seasonal / mae_naive', 6)} AS mase
+    FROM p7 JOIN p1 ON p7.event_type = p1.event_type
+    ORDER BY p7.event_type
+    """,
+    "events",
+    "agg",
+    "join",
+)
+def e_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation: per event type, the MAE of
+    the same-weekday-last-week forecast vs the MAE of the
+    previous-day forecast, and their ratio (MASE — mean absolute
+    scaled error; < 1 means weekly seasonality beats day-over-day
+    persistence).  The standard pre-model baseline audit for any
+    forecasting pipeline.
+
+    Gap-safe by construction: predecessors come from calendar date
+    self-joins (same pattern as bi_yoy_growth), not row-offset lags
+    that silently misalign across missing days.  Both error means are
+    integer-count sums divided once — engine-exact before the fround.
+
+    Scale: the daily aggregate reduces events to (type × day) rows;
+    everything downstream operates on that tiny grain."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def _pairs(offset_days: int, n_name: str, mae_name: str) -> DataFrame:
+        a = daily.alias("a")
+        b = daily.select(
+            F.col("event_type").alias("b_type"),
+            F.col("day").alias("b_day"),
+            F.col("n").alias("b_n"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("a.event_type") == F.col("b_type"))
+                & (
+                    F.col("a.day")
+                    == F.date_add(F.col("b_day"), offset_days)
+                ),
+            )
+            .groupBy(F.col("a.event_type").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                fround(
+                    F.avg(F.abs(F.col("a.n") - F.col("b_n"))), 6
+                ).alias(mae_name),
+            )
+        )
+
+    p7 = _pairs(7, "n_pairs_7d", "mae_seasonal")
+    p1 = _pairs(1, "n_pairs_1d", "mae_naive")
+    return (
+        p7.join(p1, "event_type")
+        .select(
+            "event_type",
+            "n_pairs_7d",
+            "mae_seasonal",
+            "n_pairs_1d",
+            "mae_naive",
+            fround(
+                F.col("mae_seasonal") / F.col("mae_naive"), 6
+            ).alias("mase"),
+        )
+        .orderBy("event_type")
+    )
