@@ -142,6 +142,24 @@ def test_apply_merge_property(spark, words, pair):
         assert got[w] == _py_greedy(list(w), left, right), (w, left, right)
 
 
+def test_encoding_roundtrip_reassembles_words(spark, sf_dir):
+    """Lossless-tokenization invariant: concatenating a word's subword
+    tokens must reproduce the word exactly, for every word in the
+    vocabulary, after all 10 merges."""
+    docs = table(spark, sf_dir, "documents")
+    rules = train_bpe(docs, n_merges=N_MERGES)
+    enc = to_symbols(F.col("word"))
+    for r in rules:
+        enc = apply_merge(enc, r["left"], r["right"])
+    bad = (
+        word_freq_table(docs)
+        .select("word", F.concat_ws("", enc).alias("rejoined"))
+        .filter(F.col("word") != F.col("rejoined"))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_fertility_bounds(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     rules = train_bpe(docs, n_merges=N_MERGES)
