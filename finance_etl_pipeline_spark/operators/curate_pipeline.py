@@ -8,6 +8,11 @@ individual operators chain into the actual pre-training pipeline.
                                     components → component-min keeper)
       → context-window chunking    (narrow explode)
       → sequence packing           (per-source window cumsum)
+      → stride-interleave schedule (per-source rank / weight — every
+                                    prefix of the stream ≈ the corpus
+                                    mixture; plans/curation.py's
+                                    s_stride_interleave is the
+                                    oracle-checked twin)
 
 Every stage returns DataFrames (nothing collected except the audit
 counts), so the whole DAG stays lazy until the caller writes the
@@ -72,8 +77,46 @@ def neardup_keepers(docs: DataFrame) -> DataFrame:
     return docs.join(F.broadcast(losers), "doc_id", "left_anti")
 
 
+def schedule_sequences(packed: DataFrame) -> DataFrame:
+    """Attach a stride-interleave schedule key to every packed
+    sequence: each source emits at stride 1/weight (weight ∝ sqrt of
+    its sequence count), so reading sequences in ``schedule_key``
+    order yields a stream whose every prefix approximates the corpus
+    mixture.  The key is frounded well above double noise and the
+    per-source rank is a total order, so the schedule is deterministic
+    across engines and partitionings."""
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    seqs = packed.select("source", "seq_id").distinct()
+    w = (
+        seqs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_seqs"))
+        .select(
+            "source", F.sqrt(F.col("n_seqs").cast("double")).alias("wt")
+        )
+    )
+    sw = w.agg(F.sum("wt").alias("sw"))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("seq_id")
+    )
+    keyed = (
+        seqs.withColumn("rn", rn)
+        .join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(sw))
+        .select(
+            "source",
+            "seq_id",
+            fround(
+                (F.col("rn") - 0.5) / (F.col("wt") / F.col("sw")), 4
+            ).alias("schedule_key"),
+        )
+    )
+    return packed.join(keyed, ["source", "seq_id"])
+
+
 def curate(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(packed, audit): packed training sequences per source, plus a
+    """(packed, audit): packed training sequences per source — each
+    carrying its stride-interleave ``schedule_key`` — plus a
     stage-by-stage survivor-count audit trail."""
     spark = docs.sparkSession
     stages: list[tuple[str, DataFrame]] = [("raw", docs)]
@@ -95,6 +138,7 @@ def curate(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .withColumn("seq_id", F.floor(F.col("tokens_before") / PACK_BUDGET))
     )
+    packed = schedule_sequences(packed)
 
     audit = spark.createDataFrame(
         [(i, name, df.count()) for i, (name, df) in enumerate(stages)],

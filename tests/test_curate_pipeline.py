@@ -59,3 +59,19 @@ def test_curate_pipeline_counts_and_cleanliness(spark, sf_dir):
     # sequences respect the per-source cumulative structure
     bad = packed.filter(F.col("tokens_before") < 0).count()
     assert bad == 0
+    # 4) every packed sequence got a schedule key, and within a source
+    # the schedule preserves seq order (stride scheduling is monotone
+    # per source)
+    assert packed.filter(F.col("schedule_key").isNull()).count() == 0
+    seqs = packed.select("source", "seq_id", "schedule_key").distinct()
+    inversions = (
+        seqs.alias("x")
+        .join(
+            seqs.alias("y"),
+            (F.col("x.source") == F.col("y.source"))
+            & (F.col("x.seq_id") < F.col("y.seq_id"))
+            & (F.col("x.schedule_key") >= F.col("y.schedule_key")),
+        )
+        .count()
+    )
+    assert inversions == 0
