@@ -558,3 +558,72 @@ def ann_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(arr, F.col("vec_id") % 50 == 0, k=5).orderBy(
         "query_id", "rank"
     )
+
+
+_CONTAIN_T = 0.8
+
+
+@register(
+    "dd_containment_pairs",
+    f"""
+    WITH sh AS ({_SQL_SH}),
+    {_JACCARD_CORE}
+    SELECT * FROM (
+      SELECT doc_a, doc_b,
+             floor((CAST(i AS DOUBLE) / sa.n) * 10000 + 0.5001) / 10000
+               AS containment_a,
+             floor((CAST(i AS DOUBLE) / sb.n) * 10000 + 0.5001) / 10000
+               AS containment_b
+      FROM inter
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    ) WHERE greatest(containment_a, containment_b) >= {_CONTAIN_T}
+    ORDER BY doc_a, doc_b
+    """,
+    "llm",
+    "dedup",
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: C(A,B) = |A∩B|/|A| per
+    direction, keeping pairs where either side is ≥ {_CONTAIN_T} —
+    the subset/quotation detector (a short doc embedded in a long one
+    scores near 1.0 on the short side while symmetric Jaccard, diluted
+    by the long doc's extra shingles, stays low and is missed by a
+    Jaccard-threshold dedup).
+
+    Same inverted-index shape and scale posture as the Jaccard ground
+    truth: brute-force here as correctness baseline; at scale the pair
+    generation comes from LSH candidates (containment-biased variants
+    band only the smaller doc's signature) with this exact verifier
+    downstream."""
+    docs = table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            fround(F.col("i").cast("double") / F.col("na"), 4).alias(
+                "containment_a"
+            ),
+            fround(F.col("i").cast("double") / F.col("nb"), 4).alias(
+                "containment_b"
+            ),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("containment_a"), F.col("containment_b"))
+        >= _CONTAIN_T
+    ).orderBy("doc_a", "doc_b")
