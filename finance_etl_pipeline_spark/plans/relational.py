@@ -1234,3 +1234,56 @@ def a_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "measure")
     )
+
+
+_BANDS = [
+    ("low", 0.0, 10_000.0),
+    ("mid", 10_000.0, 25_000.0),
+    ("high", 25_000.0, 50_000.0),
+    ("premium", 50_000.0, 75_000.0),
+    ("jumbo", 75_000.0, 1e18),
+]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "j_band_join_pricing",
+    f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
+    SELECT b.band, count(*) AS n_lines,
+           floor((sum(l.l_extendedprice)) * 100 + 0.5001) / 100 AS revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band ORDER BY b.band
+    """,
+    "join",
+    "relational",
+)
+def j_band_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi banded-dim join: each lineitem lands in a price band
+    via a range predicate against a tiny literal dim — the remaining
+    join access pattern next to equi, as-of, and interval joins.
+
+    Scale note: with a handful of bands Catalyst picks a broadcast
+    nested-loop join, which is exactly right (fact side stays
+    shuffle-free, per-row band test is codegen'd).  With many bands
+    the correct rewrite is binning to a band KEY on the fact side
+    (width_bucket-style narrow map) followed by an equi broadcast
+    join — the non-equi predicate never belongs on a shuffle join."""
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        _BANDS, "band string, lo double, hi double"
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            fround(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("band")
+    )
