@@ -747,3 +747,78 @@ def e_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "e_session_conversion",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    per AS (
+      SELECT user_id, session_no,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_sec
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           sum(has_p) AS n_converting,
+           floor((sum(has_p) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5001) / 1000000
+             AS conversion_rate,
+           floor((avg(n_events)) * 10000 + 0.5001) / 10000 AS avg_events,
+           floor((avg(dur_sec)) * 10000 + 0.5001) / 10000 AS avg_duration_sec
+    FROM per
+    """,
+    "events",
+    "window",
+    "agg",
+)
+def e_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-grain conversion KPIs: share of 30-minute-gap sessions
+    containing a purchase, plus mean session size and duration — the
+    session-level complement to the user-level funnels
+    (e_funnel_conversion / e_funnel_windowed).
+
+    Built on the same session semantics the oracle-verified
+    e_session_window established (Spark session_window == SQL
+    gaps-and-islands); duration is exact integer microseconds
+    floor-divided to seconds, so every per-session value is an int
+    and the final means are engine-exact before the fround.
+
+    Scale: one shuffle on user_id for sessionization, then a
+    session-grain aggregate — event volume touches only the map
+    side."""
+    e = table(spark, sf_dir, "events")
+    per = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("has_p"),
+            F.expr(
+                "(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000"
+            ).alias("dur_sec"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("has_p").alias("n_converting"),
+        fround(
+            F.sum("has_p") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("conversion_rate"),
+        fround(F.avg("n_events"), 4).alias("avg_events"),
+        fround(F.avg("dur_sec"), 4).alias("avg_duration_sec"),
+    )
