@@ -1287,3 +1287,40 @@ def j_band_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_PAGE_DATE, _PAGE_KEY, _PAGE_SIZE = "1994-06-01", 1_000, 50
+
+
+@register(
+    "o_keyset_pagination",
+    f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (DATE '{_PAGE_DATE}', {_PAGE_KEY})
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT {_PAGE_SIZE}
+    """,
+    "relational",
+    "sort",
+)
+def o_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination: resume after a (date, key) cursor via
+    a tuple comparison, never OFFSET — the access pattern that stays
+    O(page) at any table size, where OFFSET n forces the engine to
+    produce and discard n rows.  The tuple predicate pushes to the
+    scan as a date range filter and the ORDER+LIMIT plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    o = table(spark, sf_dir, "orders")
+    cursor = F.struct(
+        F.lit(_PAGE_DATE).cast(o.schema["o_orderdate"].dataType),
+        F.lit(_PAGE_KEY).cast("long"),
+    )
+    return (
+        o.filter(
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey")) > cursor
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
