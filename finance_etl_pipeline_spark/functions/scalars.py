@@ -42,3 +42,24 @@ def sql_round(expr: str, n: int = 2) -> str:
     """The oracle-SQL text matching ``fround`` bit-for-bit."""
     p = 10**n
     return f"floor(({expr}) * {p} + 0.5001) / {p}"
+
+
+def igrid(col: Column | str, n: int = 2) -> Column:
+    """``fround``'s grid value scaled to an exact BIGINT.
+
+    ``fround(x, n)`` is by construction an integer divided by 10^n;
+    the division back to double reintroduces a float column that a
+    downstream hasher may canonicalize differently per engine/run.
+    ``igrid`` stops before the division: the output is the integer
+    numerator itself (``floor(x*10^n + 0.5001)`` as BIGINT) — e.g.
+    n=6 → micro-units (ppm), n=2 → cents.  An integer column cannot
+    hash-diverge when values match, so queries whose contract is a
+    rounded metric emit this instead of the double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * (10**n) + 0.5001).cast("long")
+
+
+def sql_igrid(expr: str, n: int = 2) -> str:
+    """The oracle-SQL text matching ``igrid`` bit-for-bit (DuckDB's
+    ``floor`` returns DOUBLE, hence the explicit BIGINT cast)."""
+    return f"CAST(floor(({expr}) * {10 ** n} + 0.5001) AS BIGINT)"

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import (
+    fround,
+    igrid,
+    sql_igrid,
+    sql_round,
+)
 from finance_etl_pipeline_spark.operators import text as T
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
@@ -223,8 +228,8 @@ _DIM = 64
       FROM dots
     )
     SELECT actual AS label, count(*) AS n,
-           sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS n_correct,
-           {sql_round('sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS accuracy
+           CAST(sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           {sql_igrid('sum(CASE WHEN cand = actual THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS accuracy_e4
     FROM best WHERE rk = 1
     GROUP BY actual ORDER BY actual
     """,
@@ -271,7 +276,7 @@ def emb_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             correct.alias("n_correct"),
-            fround(correct / F.count(F.lit(1)).cast("double"), 4).alias("accuracy"),
+            igrid(correct / F.count(F.lit(1)).cast("double"), 4).alias("accuracy_e4"),
         )
         .orderBy("label")
     )

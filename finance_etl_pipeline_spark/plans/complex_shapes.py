@@ -164,7 +164,8 @@ def a_cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_array_map_funcs",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS event_types,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS event_types,
            CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types,
            CAST(list_contains(list(DISTINCT event_type), 'purchase') AS BOOLEAN)
              AS has_purchase
@@ -177,14 +178,17 @@ def a_cube_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregates: per-user sorted distinct event-type
-    arrays + membership — collect_set is order-nondeterministic, so
-    array_sort makes it comparable (and usable) downstream."""
+    sets + membership — collect_set is order-nondeterministic, so
+    array_sort makes it comparable (and usable) downstream.  The set
+    is emitted as a comma-joined string so the output schema is
+    scalar-only (hash-comparable row contract; arrays are kept
+    internal to the plan)."""
     e = table(spark, sf_dir, "events")
     types = F.array_sort(F.collect_set("event_type"))
     return (
         e.groupBy("user_id")
         .agg(
-            types.alias("event_types"),
+            F.array_join(types, ",").alias("event_types"),
             F.size(types).alias("n_types"),
             F.array_contains(types, "purchase").alias("has_purchase"),
         )

@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import (
+    fround,
+    igrid,
+    sql_igrid,
+    sql_round,
+)
 from finance_etl_pipeline_spark.operators import curation as C
 from finance_etl_pipeline_spark.operators.dedup import tokens_expr
 from finance_etl_pipeline_spark.plans import register
@@ -75,8 +80,8 @@ def tx_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) AS dup_chunks,
-           {sql_round('sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS dup_rate
+           CAST(sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           {sql_igrid('sum(CASE WHEN dup_cnt > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)} AS dup_rate_e4
     FROM hashed GROUP BY doc_id ORDER BY doc_id
     """,
     "llm",
@@ -102,7 +107,7 @@ def dd_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             dup.alias("dup_chunks"),
-            fround(dup / F.count(F.lit(1)).cast("double"), 4).alias("dup_rate"),
+            igrid(dup / F.count(F.lit(1)).cast("double"), 4).alias("dup_rate_e4"),
         )
         .orderBy("doc_id")
     )
@@ -122,7 +127,7 @@ _TOP2_MAX = 0.2
     WITH tokd AS ({_SQL_TOKD}),
     base AS (
       SELECT doc_id, len(t) AS word_cnt,
-             {sql_round('list_sum(list_transform(t, x -> len(x))) / CAST(len(t) AS DOUBLE)', 4)} AS mean_word_len
+             {sql_igrid('list_sum(list_transform(t, x -> len(x))) / CAST(len(t) AS DOUBLE)', 4)} AS mean_word_len_e4
       FROM tokd
     ),
     grams AS (
@@ -132,14 +137,14 @@ _TOP2_MAX = 0.2
     ),
     per_gram AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
     rep AS (
-      SELECT doc_id, {sql_round('max(c) / CAST(sum(c) AS DOUBLE)', 4)} AS top2_share
+      SELECT doc_id, {sql_igrid('max(c) / CAST(sum(c) AS DOUBLE)', 4)} AS top2_share_e4
       FROM per_gram GROUP BY doc_id
     )
-    SELECT base.doc_id AS doc_id, word_cnt, mean_word_len,
-           coalesce(top2_share, 0.0) AS top2_share,
+    SELECT base.doc_id AS doc_id, word_cnt, mean_word_len_e4,
+           coalesce(top2_share_e4, 0) AS top2_share_e4,
            CAST(word_cnt BETWEEN {_WC_MIN} AND {_WC_MAX}
-                AND mean_word_len BETWEEN {_MWL_MIN} AND {_MWL_MAX}
-                AND coalesce(top2_share, 0.0) <= {_TOP2_MAX} AS INTEGER) AS passes
+                AND mean_word_len_e4 BETWEEN {int(_MWL_MIN * 10_000)} AND {int(_MWL_MAX * 10_000)}
+                AND coalesce(top2_share_e4, 0) <= {int(_TOP2_MAX * 10_000)} AS INTEGER) AS passes
     FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
     ORDER BY base.doc_id
     """,
@@ -150,8 +155,9 @@ _TOP2_MAX = 0.2
 def tx_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style document quality gate: word-count bounds, mean
     word length bounds, and top-2-gram repetition share, combined
-    into a single pass/fail flag.  Rules are evaluated on the rounded
-    metrics so the gate decision is identical cross-engine.
+    into a single pass/fail flag.  Rules are evaluated on the
+    integer-grid metrics (×10⁴, BIGINT) so both the gate decision and
+    the emitted values are exactly identical cross-engine.
 
     Spark shape: the per-doc scalar metrics are one narrow pass; only
     the repetition signal aggregates (by (doc, gram), map-side
@@ -164,21 +170,23 @@ def tx_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = with_t.select(
         "doc_id",
         F.size("t").alias("word_cnt"),
-        fround(mwl, 4).alias("mean_word_len"),
+        igrid(mwl, 4).alias("mean_word_len_e4"),
     )
     rep = C.bigram_top_share(docs).select(
-        "doc_id", fround(F.col("top2_share"), 4).alias("top2_share")
+        "doc_id", igrid(F.col("top2_share"), 4).alias("top2_share_e4")
     )
     j = base.join(rep, "doc_id", "left").select(
         "doc_id",
         "word_cnt",
-        "mean_word_len",
-        F.coalesce("top2_share", F.lit(0.0)).alias("top2_share"),
+        "mean_word_len_e4",
+        F.coalesce("top2_share_e4", F.lit(0).cast("long")).alias("top2_share_e4"),
     )
     passes = (
         F.col("word_cnt").between(_WC_MIN, _WC_MAX)
-        & F.col("mean_word_len").between(_MWL_MIN, _MWL_MAX)
-        & (F.col("top2_share") <= _TOP2_MAX)
+        & F.col("mean_word_len_e4").between(
+            int(_MWL_MIN * 10_000), int(_MWL_MAX * 10_000)
+        )
+        & (F.col("top2_share_e4") <= int(_TOP2_MAX * 10_000))
     )
     return j.withColumn("passes", passes.cast("int")).orderBy("doc_id")
 
@@ -191,7 +199,7 @@ def tx_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
     tot AS (SELECT sum(cnt) AS total FROM counts)
-    SELECT token, cnt, {sql_round('cnt / CAST(total AS DOUBLE)', 6)} AS share
+    SELECT token, cnt, {sql_igrid('cnt / CAST(total AS DOUBLE)', 6)} AS share_e6
     FROM counts CROSS JOIN tot
     ORDER BY cnt DESC, token LIMIT 20
     """,
@@ -214,7 +222,7 @@ def hh_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "cnt",
-            fround(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+            igrid(F.col("cnt") / F.col("total").cast("double"), 6).alias("share_e6"),
         )
         .orderBy(F.desc("cnt"), "token")
         .limit(20)
@@ -235,16 +243,16 @@ _BIN_W = 50.0
     ),
     cells AS (
       SELECT bin,
-             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
-             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
       FROM binned GROUP BY bin
     ),
     tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cells)
     SELECT bin, ca, cb,
-           {sql_round(f'''((ca + 1) / CAST(ta + {_N_BINS} AS DOUBLE)
+           {sql_igrid(f'''((ca + 1) / CAST(ta + {_N_BINS} AS DOUBLE)
               - (cb + 1) / CAST(tb + {_N_BINS} AS DOUBLE))
             * ln(((ca + 1) / CAST(ta + {_N_BINS} AS DOUBLE))
-               / ((cb + 1) / CAST(tb + {_N_BINS} AS DOUBLE)))''', 6)} AS psi_term
+               / ((cb + 1) / CAST(tb + {_N_BINS} AS DOUBLE)))''', 6)} AS psi_term_e6
     FROM cells CROSS JOIN tot
     ORDER BY bin
     """,
@@ -281,7 +289,7 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin",
             "ca",
             "cb",
-            fround((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+            igrid((pa - pb) * F.log(pa / pb), 6).alias("psi_term_e6"),
         )
         .orderBy("bin")
     )
@@ -447,13 +455,13 @@ _DECON_N = 5  # n-gram length for contamination matching
     hits AS (
       SELECT e.doc_id,
              count(*) AS n_grams,
-             sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
       FROM eval_grams e LEFT JOIN train_grams t ON e.g = t.g
       GROUP BY e.doc_id
     )
     SELECT doc_id, n_grams, n_hit,
-           {sql_round('n_hit / CAST(n_grams AS DOUBLE)', 4)} AS contamination,
-           CAST({sql_round('n_hit / CAST(n_grams AS DOUBLE)', 4)} >= 0.5 AS INTEGER) AS flagged
+           {sql_igrid('n_hit / CAST(n_grams AS DOUBLE)', 4)} AS contamination_e4,
+           CAST({sql_igrid('n_hit / CAST(n_grams AS DOUBLE)', 4)} >= 5000 AS INTEGER) AS flagged
     FROM hits ORDER BY doc_id
     """,
     "llm",
@@ -491,7 +499,7 @@ def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = eval_grams.join(
         train_grams.withColumn("__hit", F.lit(1)), "g", "left"
     )
-    contamination = fround(
+    contamination = igrid(
         F.sum(F.coalesce("__hit", F.lit(0)))
         / F.count(F.lit(1)).cast("double"),
         4,
@@ -501,8 +509,8 @@ def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
-            contamination.alias("contamination"),
-            (contamination >= 0.5).cast("int").alias("flagged"),
+            contamination.alias("contamination_e4"),
+            (contamination >= 5000).cast("int").alias("flagged"),
         )
         .orderBy("doc_id")
     )
@@ -523,8 +531,8 @@ _PACK_BUDGET = 128  # tokens per packed training sequence
              ) - c.n_tokens AS tokens_before
       FROM chunks c JOIN documents d ON c.doc_id = d.doc_id
     )
-    SELECT source, tokens_before // {_PACK_BUDGET} AS seq_id,
-           count(*) AS n_chunks, sum(n_tokens) AS tokens
+    SELECT source, CAST(tokens_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS tokens
     FROM numbered
     GROUP BY source, seq_id
     ORDER BY source, seq_id

@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import (
+    fround,
+    igrid,
+    sql_igrid,
+    sql_round,
+)
 from finance_etl_pipeline_spark.operators.dedup import tokens_expr
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -107,7 +112,7 @@ def tx_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prof_corpus_mixture",
     f"""
     WITH base AS (
-      SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
       FROM documents GROUP BY lang, source
     ),
     shares AS (
@@ -118,10 +123,10 @@ def tx_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base
     )
     SELECT lang, source, n_docs, sum_chars,
-      {sql_round('p_corpus', 6)} AS share_of_corpus,
-      {sql_round('p_lang', 6)} AS share_of_lang,
-      {sql_round('sum(-p_lang * log2(p_lang)) OVER (PARTITION BY lang)', 6)}
-        AS lang_source_entropy_bits
+      {sql_igrid('p_corpus', 6)} AS share_of_corpus_e6,
+      {sql_igrid('p_lang', 6)} AS share_of_lang_e6,
+      {sql_igrid('sum(-p_lang * log2(p_lang)) OVER (PARTITION BY lang)', 6)}
+        AS lang_source_entropy_mbits
     FROM shares ORDER BY lang, source
     """,
     "llm",
@@ -155,14 +160,14 @@ def prof_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "sum_chars",
-            fround(
+            igrid(
                 F.col("n_docs").cast("double") / F.sum("n_docs").over(w_all),
                 6,
-            ).alias("share_of_corpus"),
-            fround(p_lang, 6).alias("share_of_lang"),
-            fround(
+            ).alias("share_of_corpus_e6"),
+            igrid(p_lang, 6).alias("share_of_lang_e6"),
+            igrid(
                 F.sum(-p_lang * F.log2(p_lang)).over(w_lang), 6
-            ).alias("lang_source_entropy_bits"),
+            ).alias("lang_source_entropy_mbits"),
         )
         .orderBy("lang", "source")
     )

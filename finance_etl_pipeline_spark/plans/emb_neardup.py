@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_igrid, sql_round
 from finance_etl_pipeline_spark.operators.similarity import as_double, dot, norm
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -107,11 +107,11 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM votes
     )
     SELECT actual AS label, count(*) AS n,
-           sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS n_correct,
-           {sql_round(
+           CAST(sum(CASE WHEN pred = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           {sql_igrid(
              'sum(CASE WHEN pred = actual THEN 1 ELSE 0 END)'
              ' / CAST(count(*) AS DOUBLE)', 4
-           )} AS accuracy
+           )} AS accuracy_e4
     FROM pick WHERE vrk = 1 GROUP BY actual ORDER BY actual
     """,
     "llm",
@@ -187,9 +187,9 @@ def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             correct.alias("n_correct"),
-            fround(
+            igrid(
                 correct / F.count(F.lit(1)).cast("double"), 4
-            ).alias("accuracy"),
+            ).alias("accuracy_e4"),
         )
         .orderBy("label")
     )

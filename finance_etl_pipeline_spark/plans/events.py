@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import (
+    fround,
+    igrid,
+    sql_igrid,
+    sql_round,
+)
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -774,11 +779,11 @@ def e_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sessions GROUP BY 1, 2
     )
     SELECT count(*) AS n_sessions,
-           sum(has_p) AS n_converting,
-           floor((sum(has_p) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5001) / 1000000
-             AS conversion_rate,
-           floor((avg(n_events)) * 10000 + 0.5001) / 10000 AS avg_events,
-           floor((avg(dur_sec)) * 10000 + 0.5001) / 10000 AS avg_duration_sec
+           CAST(sum(has_p) AS BIGINT) AS n_converting,
+           CAST(floor((sum(has_p) / CAST(count(*) AS DOUBLE)) * 1000000 + 0.5001)
+             AS BIGINT) AS conversion_rate_ppm,
+           CAST(floor((avg(n_events)) * 10000 + 0.5001) AS BIGINT) AS avg_events_e4,
+           CAST(floor((avg(dur_sec)) * 10000 + 0.5001) AS BIGINT) AS avg_duration_sec_e4
     FROM per
     """,
     "events",
@@ -816,9 +821,9 @@ def e_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("has_p").alias("n_converting"),
-        fround(
+        igrid(
             F.sum("has_p") / F.count(F.lit(1)).cast("double"), 6
-        ).alias("conversion_rate"),
-        fround(F.avg("n_events"), 4).alias("avg_events"),
-        fround(F.avg("dur_sec"), 4).alias("avg_duration_sec"),
+        ).alias("conversion_rate_ppm"),
+        igrid(F.avg("n_events"), 4).alias("avg_events_e4"),
+        igrid(F.avg("dur_sec"), 4).alias("avg_duration_sec_e4"),
     )

@@ -195,7 +195,7 @@ def _bpe_chain(n_steps: int = _BPE_STEPS) -> str:
 def _bpe_oracle(n_steps: int = _BPE_STEPS) -> str:
     unions = "\n    UNION ALL ".join(
         f'SELECT {k} AS step, l AS "left", r AS "right", '
-        f"l || r AS merged, pc AS pair_count FROM p{k}"
+        f"l || r AS merged, CAST(pc AS BIGINT) AS pair_count FROM p{k}"
         for k in range(1, n_steps + 1)
     )
     return f"{_bpe_chain(n_steps)}\n    {unions}\n    ORDER BY step"
@@ -213,7 +213,7 @@ def _bpe_fertility_oracle(n_steps: int = _BPE_STEPS) -> str:
     enc AS (SELECT word, len(syms) AS n_sub FROM v{n_steps})
     SELECT source,
            count(*) AS n_words,
-           sum(n_sub) AS n_subwords,
+           CAST(sum(n_sub) AS BIGINT) AS n_subwords,
            {sql_round('sum(n_sub) / CAST(count(*) AS DOUBLE)', 4)}
              AS fertility
     FROM occs JOIN enc USING (word)

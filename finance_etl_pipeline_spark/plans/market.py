@@ -313,7 +313,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e e2 ON e2.s = e1.d
       JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d
     ),
-    w AS (SELECT sum(dg * (dg - 1)) // 2 AS wedges FROM deg)
+    w AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS wedges FROM deg)
     SELECT (SELECT count(*) FROM e) AS n_edges,
            (SELECT count(*) FROM deg) AS n_nodes,
            n_triangles, wedges,

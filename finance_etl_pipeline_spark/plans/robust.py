@@ -86,8 +86,8 @@ _MAD_K = 3.5  # modified z-score threshold (Iglewicz & Hoaglin)
     )
     SELECT e.event_type AS event_type, med.med, mad.mad,
            count(*) AS n,
-           sum(CASE WHEN abs(e.value - med.med) > {_MAD_K} * mad.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(sum(CASE WHEN abs(e.value - med.med) > {_MAD_K} * mad.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e
     JOIN med ON e.event_type = med.event_type
     JOIN mad ON e.event_type = mad.event_type
@@ -238,7 +238,7 @@ _PROF_COLS = ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_ta
     " UNION ALL ".join(
         f"""
     SELECT '{c}' AS column_name, count(*) AS n,
-           sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT {c}) AS n_distinct,
            {sql_round(f'min({c})', 4)} AS min_v,
            {sql_round(f'max({c})', 4)} AS max_v,
@@ -364,7 +364,7 @@ def _skew_sql(tbl: str, key: str) -> str:
     rank-based exact-integer Gini + concentration shares)."""
     return f"""
       SELECT '{tbl}.{key}' AS keyed,
-             count(*) AS n_keys, sum(cnt) AS n_rows, max(cnt) AS max_cnt,
+             count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
              {sql_round('CAST(max(cnt) AS DOUBLE) / sum(cnt)', 6)} AS max_share,
              {sql_round(
                'CAST(sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS DOUBLE)'

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
@@ -256,14 +256,15 @@ HYBRID_TOP = 20
     ),
     fused AS (
       SELECT coalesce(b.doc_id, c.vec_id) AS doc_id,
-             b.r_text, c.r_sem,
-             floor((coalesce(1.0 / ({RRF_K} + b.r_text), 0.0)
+             CAST(coalesce(b.r_text, 0) AS BIGINT) AS r_text,
+             CAST(coalesce(c.r_sem, 0) AS BIGINT) AS r_sem,
+             CAST(floor((coalesce(1.0 / ({RRF_K} + b.r_text), 0.0)
                     + coalesce(1.0 / ({RRF_K} + c.r_sem), 0.0)) * 100000000 + 0.5001)
-               / 100000000 AS rrf
+               AS BIGINT) AS rrf_e8
       FROM brank b FULL OUTER JOIN crank c ON c.vec_id = b.doc_id
     )
-    SELECT doc_id, r_text, r_sem, rrf,
-           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+    SELECT doc_id, r_text, r_sem, rrf_e8,
+           CAST(row_number() OVER (ORDER BY rrf_e8 DESC, doc_id) AS BIGINT) AS rk
     FROM fused
     QUALIFY rk <= {HYBRID_TOP}
     ORDER BY rk
@@ -353,19 +354,23 @@ def tx_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- reciprocal-rank fusion --------------------------------------
+    # ranks absent from an arm are emitted as 0 (not NULL): a nullable
+    # int column becomes float64 in pandas, which is not hash-stable
+    # against the oracle's BIGINT; the rrf term still treats absence
+    # as contribution 0 via the pre-coalesce null.
     fused = brank.join(
         crank, brank.doc_id == crank.vec_id, "full_outer"
     ).select(
         F.coalesce(brank.doc_id, crank.vec_id).alias("doc_id"),
-        "r_text",
-        "r_sem",
-        fround(
+        F.coalesce(F.col("r_text"), F.lit(0)).cast("long").alias("r_text"),
+        F.coalesce(F.col("r_sem"), F.lit(0)).cast("long").alias("r_sem"),
+        igrid(
             F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_text")), F.lit(0.0))
             + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_sem")), F.lit(0.0)),
             8,
-        ).alias("rrf"),
+        ).alias("rrf_e8"),
     )
-    w_rk = Window.partitionBy().orderBy(F.desc("rrf"), "doc_id")
+    w_rk = Window.partitionBy().orderBy(F.desc("rrf_e8"), "doc_id")
     return (
         fused.withColumn("rk", F.row_number().over(w_rk).cast("long"))
         .filter(F.col("rk") <= HYBRID_TOP)

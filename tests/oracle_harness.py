@@ -56,6 +56,51 @@ def _normalize(rows: list[tuple], columns: list[str]) -> list[tuple]:
     return out
 
 
+def _dtype_kinds(pdf) -> dict:
+    """Column → coarse dtype kind ('int', 'float', 'bool', 'obj').
+
+    The driver's value hash is computed over the pandas frames, and
+    pandas hashing is dtype-sensitive: an int64 5 and a float64 5.0
+    hash differently even though Python compares them equal.  DuckDB
+    silently widens integer SUM() to HUGEINT, which pandas renders as
+    float64 — so an oracle `sum(int_col)` vs Spark's LongType is a
+    guaranteed driver hash-mismatch with identical values.  This check
+    catches that class locally (round-1 postmortem: all 8 driver
+    hash-failures had exactly this shape)."""
+    kinds = {}
+    for c in pdf.columns:
+        k = pdf[c].dtype.kind
+        kinds[c] = {
+            "i": "int",
+            "u": "int",
+            "f": "float",
+            "b": "bool",
+        }.get(k, "obj")
+    return kinds
+
+
+_SPARK_KIND = {
+    "byte": "int",
+    "short": "int",
+    "int": "int",
+    "integer": "int",
+    "long": "int",
+    "bigint": "int",
+    "float": "float",
+    "double": "float",
+    "boolean": "bool",
+}
+
+
+def _spark_kinds(sdf) -> dict:
+    """Spark schema → the pandas dtype kind toPandas() would produce
+    (computed from the schema, not a job, so it is Arrow-independent)."""
+    return {
+        f.name: _SPARK_KIND.get(f.dataType.typeName(), "obj")
+        for f in sdf.schema.fields
+    }
+
+
 def compare(spark, qdef, sf_dir: str) -> dict:
     """Returns {'name', 'ok', 'detail'} for one QueryDef."""
     sdf = qdef.fn(spark, sf_dir)
@@ -71,6 +116,22 @@ def compare(spark, qdef, sf_dir: str) -> dict:
     res = con.execute(qdef.oracle)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
+
+    # driver-style dtype parity on the pandas frames both engines
+    # would hand the hash (see _dtype_kinds)
+    s_kinds = _spark_kinds(sdf)
+    d_kinds = _dtype_kinds(con.execute(qdef.oracle).df().head(0))
+    kind_diff = {
+        c: (s_kinds.get(c), d_kinds.get(c))
+        for c in set(s_kinds) | set(d_kinds)
+        if s_kinds.get(c) != d_kinds.get(c)
+    }
+    if kind_diff:
+        return {
+            "name": qdef.name,
+            "ok": False,
+            "detail": f"pandas dtype kinds differ (spark, duck): {kind_diff}",
+        }
 
     if sorted(s_cols) != sorted(d_cols):
         return {
