@@ -177,3 +177,122 @@ def generate_raw(
         ["date", "entity", "sku", "movement_type", "qty", "unit_cost", "currency"],
         inv_rows,
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact fixture (seed-42 NumPy draw twin)
+# ---------------------------------------------------------------------------
+
+def generate_raw_reference_twin(
+    raw_dir: str, month: str = "2025-12", seed: int = 42
+) -> None:
+    """Raw CSVs whose VALUES are bit-identical to the reference
+    generator's output (reference src/finance_etl/sample_data.py:9-96).
+
+    ``generate_raw`` above is this repo's own fixture (std-lib RNG,
+    different draws); this twin instead replays the reference's exact
+    NumPy draw sequence so the pipeline output can be asserted against
+    the reference's COMMITTED goldens (data/bi/2025-12/*.csv) — the
+    "switch engines, keep your numbers" guarantee a migrating user
+    checks first.
+
+    Draw-order contract (any deviation desynchronizes the stream):
+    one ``seed(42)`` up front; per day 2 uniforms (EUR, TZS); per
+    sales row choice(dates) → choice(ccy, p) → uniform → choice(acct,
+    p); per expense row choice(dates) → choice(ccy, p) → uniform →
+    choice(acct); per payroll row choice(ccy, p) → 2 uniforms; per
+    inventory row choice(dates) → choice(sku) → choice(move, p) →
+    3 draws.  Floats are written via ``str(float(x))`` = shortest
+    round-trip repr, the same text pandas ``to_csv`` emits, so the
+    CSV→double parse is identical in any engine.
+    """
+    import numpy as np
+
+    days = _month_days(month)
+    iso = [d.isoformat() for d in days]
+
+    np.random.seed(seed)
+
+    fx_rows = []
+    for d in iso:
+        fx_rows.append([d, "USD", "USD", 1.0])
+        fx_rows.append([d, "EUR", "USD", float(np.random.uniform(1.05, 1.15))])
+        fx_rows.append([d, "TZS", "USD", float(np.random.uniform(0.00038, 0.00045))])
+    _write(
+        os.path.join(raw_dir, "fx_rates.csv"),
+        ["date", "from_currency", "to_currency", "rate"],
+        fx_rows,
+    )
+
+    # currency list order is draw-significant: the p-vector pairs
+    # positionally (USD .5, TZS .4, EUR .1)
+    ref_ccys = ["USD", "TZS", "EUR"]
+
+    sales_rows = []
+    for entity in ENTITIES:
+        n = int(np.random.randint(20, 40))
+        for i in range(n):
+            d = str(np.random.choice(iso))
+            ccy = str(np.random.choice(ref_ccys, p=[0.5, 0.4, 0.1]))
+            amt = float(np.random.uniform(200, 5000))
+            acct = str(np.random.choice(["40000001", "40000002"], p=[0.7, 0.3]))
+            sales_rows.append(
+                [d, entity, f"INV-{entity}-{i:04d}", acct, ccy, amt, "Synthetic sale"]
+            )
+    _write(
+        os.path.join(raw_dir, "sales.csv"),
+        ["date", "entity", "invoice_id", "account_code", "currency", "amount", "description"],
+        sales_rows,
+    )
+
+    exp_rows = []
+    for entity in ENTITIES:
+        n = int(np.random.randint(25, 55))
+        for i in range(n):
+            d = str(np.random.choice(iso))
+            ccy = str(np.random.choice(ref_ccys, p=[0.5, 0.4, 0.1]))
+            amt = float(np.random.uniform(50, 2500))
+            acct = str(np.random.choice(["62000001", "63000001", "64000001"]))
+            exp_rows.append(
+                [d, entity, f"BILL-{entity}-{i:04d}", acct, ccy, amt, "Synthetic expense"]
+            )
+    _write(
+        os.path.join(raw_dir, "expenses.csv"),
+        ["date", "entity", "bill_id", "account_code", "currency", "amount", "description"],
+        exp_rows,
+    )
+
+    pay_rows = []
+    for entity in ENTITIES:
+        for i in range(10):
+            ccy = str(np.random.choice(["USD", "TZS"], p=[0.4, 0.6]))
+            gross = float(np.random.uniform(300, 1500))
+            deductions = float(np.random.uniform(0, 150))
+            net = float(round(gross - deductions, 2))
+            pay_rows.append(
+                [month, entity, f"EMP-{entity}-{i:03d}", ccy, gross, deductions, net]
+            )
+    _write(
+        os.path.join(raw_dir, "payroll.csv"),
+        ["month", "entity", "employee_id", "currency", "gross", "deductions", "net"],
+        pay_rows,
+    )
+
+    inv_rows = []
+    for entity in ENTITIES:
+        n = int(np.random.randint(20, 40))
+        for _ in range(n):
+            d = str(np.random.choice(iso))
+            sku = str(np.random.choice(list(SKUS)))
+            move = str(
+                np.random.choice(["receipt", "issue", "adjustment"], p=[0.45, 0.45, 0.10])
+            )
+            qty = float(np.random.uniform(1, 50))
+            unit_cost = float(np.random.uniform(2, 80))
+            ccy = str(np.random.choice(ref_ccys, p=[0.5, 0.4, 0.1]))
+            inv_rows.append([d, entity, sku, move, qty, unit_cost, ccy])
+    _write(
+        os.path.join(raw_dir, "inventory_movements.csv"),
+        ["date", "entity", "sku", "movement_type", "qty", "unit_cost", "currency"],
+        inv_rows,
+    )

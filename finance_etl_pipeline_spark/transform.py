@@ -5,16 +5,29 @@ Semantics parity with reference ``src/finance_etl/transform.py``
 Catalyst prunes/pushes everything and the whole fact build is one
 shuffle-free union of narrow projections plus one broadcast join.
 
-Money rounding uses ``bround`` (HALF_EVEN) to match pandas/NumPy
-``round`` in the reference — SURVEY.md §7.6.2.  (The oracle-checked
-testdata queries use ``fround`` instead; the finance path optimizes
-for reference parity, not DuckDB parity.)
+Money rounding uses ``pandas_round2`` = rint(x*100)/100 — the EXACT
+floating-point operation sequence NumPy ``around(x, 2)`` performs
+(multiply, rint half-even, divide), which is what pandas ``.round(2)``
+does in the reference.  ``bround`` is NOT equivalent: it re-parses the
+double's shortest decimal repr into BigDecimal, so e.g. 2.675 rounds
+to 2.68 under bround but 2.67 under NumPy (2.675*100 = 267.49999…).
+Bit-level parity here is what lets the seed-42 fixture reproduce the
+reference's committed goldens (tests/test_reference_golden.py).
+(The oracle-checked testdata queries use ``fround`` instead; the
+finance path optimizes for reference parity, not DuckDB parity.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+
+
+def pandas_round2(c):
+    """NumPy-exact round to cents: rint(x*100)/100 (see module doc)."""
+    return F.rint(c * 100) / 100
 
 
 class MissingFxRatesError(ValueError):
@@ -76,7 +89,7 @@ def add_fx_amount_base(
         raise MissingFxRatesError(f"Missing FX rates for: {pairs}")
 
     return out.withColumn(
-        "amount_base", F.bround(F.col("amount") * F.col("rate"), 2)
+        "amount_base", pandas_round2(F.col("amount") * F.col("rate"))
     )
 
 
@@ -137,7 +150,7 @@ def to_fact_transactions(
             "description": F.concat_ws(" ", F.col("movement_type"), F.col("sku")),
         }
     )
-    inv_amount = F.bround(F.col("qty") * F.col("unit_cost"), 2)
+    inv_amount = pandas_round2(F.col("qty") * F.col("unit_cost"))
     inv = _project(
         inv,
         "inventory",
@@ -192,9 +205,9 @@ def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
         .na.fill(0.0, KPI_ACCOUNT_TYPES)
     )
     return (
-        wide.withColumn("gross_profit", F.bround(F.col("Revenue") + F.col("COGS"), 2))
+        wide.withColumn("gross_profit", pandas_round2(F.col("Revenue") + F.col("COGS")))
         .withColumn(
-            "operating_profit", F.bround(F.col("gross_profit") + F.col("Expense"), 2)
+            "operating_profit", pandas_round2(F.col("gross_profit") + F.col("Expense"))
         )
         .orderBy("entity", "month")
     )
@@ -204,11 +217,12 @@ def add_margins(kpi: DataFrame) -> DataFrame:
     """BI margin enrichment (reference export_bi_datasets.py:45-55).
     Division by zero → null (Spark semantics; SURVEY.md §7.6.5)."""
     rev = F.nullif(F.col("Revenue"), F.lit(0.0))
+    # reference emits margins UNROUNDED (export_bi_datasets.py:45-55:
+    # (gp / rev) * 100 with no .round) — full precision preserved here
+    # so the golden comparison is exact
     return kpi.withColumns(
         {
-            "gross_margin_pct": F.bround(F.col("gross_profit") / rev * 100, 2),
-            "operating_margin_pct": F.bround(
-                F.col("operating_profit") / rev * 100, 2
-            ),
+            "gross_margin_pct": F.col("gross_profit") / rev * 100,
+            "operating_margin_pct": F.col("operating_profit") / rev * 100,
         }
     )

@@ -1,6 +1,7 @@
-"""Golden-snapshot regression: the seed-42 2025-12 KPI output must stay
-stable across refactors (our own golden, committed in round 1 — the
-reference's goldens are unreachable without its raw inputs)."""
+"""Golden-snapshot regression: the seed-42 2025-12 KPI output of OUR
+fixture generator must stay stable across refactors.  (Parity with
+the reference repo's committed goldens is the stronger check in
+tests/test_reference_golden.py, via the NumPy draw-twin fixture.)"""
 
 from __future__ import annotations
 
