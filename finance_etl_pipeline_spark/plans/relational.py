@@ -101,9 +101,13 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # no broadcast hint on the customer side: it is fact-proportional
+    # (grows with SF), so a forced broadcast OOMs at cluster scale.
+    # AQE's size-based dynamic join selection broadcasts it while it is
+    # actually small (plan-asserted in tests/test_plan_shape.py).
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             fround(
@@ -339,13 +343,14 @@ def p_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join",
 )
 def p_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: referential-integrity violations as a broadcast left_anti join
-    (the Spark idiom for the reference's ``~isin`` mask,
-    pipeline.py:30-47)."""
+    """P7: referential-integrity violations as a left_anti join (the
+    Spark idiom for the reference's ``~isin`` mask, pipeline.py:30-47)."""
     o = table(spark, sf_dir, "orders")
     good = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0).select("c_custkey")
+    # customer-derived side: no forced broadcast (fact-proportional);
+    # AQE picks broadcast-anti while the filtered key set is small
     return (
-        o.join(F.broadcast(good), o.o_custkey == good.c_custkey, "left_anti")
+        o.join(good, o.o_custkey == good.c_custkey, "left_anti")
         .select("o_orderkey", "o_custkey")
         .orderBy("o_orderkey")
     )
@@ -473,8 +478,9 @@ def j_left_single_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference transform.py:114)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    # customer is fact-proportional — leave join strategy to AQE
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .select("o_orderkey", "c_name", "c_mktsegment")
         .orderBy("o_orderkey")
     )

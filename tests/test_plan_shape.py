@@ -121,3 +121,43 @@ def test_ngram_diversity_reads_only_needed_columns(spark, sf_dir):
     assert "ReadSchema: struct<text:string,source:string>" in plan or (
         "ReadSchema: struct<source:string,text:string>" in plan
     )
+
+
+def executed_plan_of(spark, name: str, sf_dir: str) -> str:
+    """Plan AFTER an action: explain() on an executed DataFrame shows
+    the AQE-final plan (isFinalPlan=true), i.e. the join strategy the
+    runtime actually chose — not the static estimate."""
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_no_forced_broadcast_on_fact_proportional_sides():
+    """customer-derived join sides must NOT carry a broadcast() hint:
+    customer grows with SF, and a forced broadcast that is fine at
+    sf0.1 OOMs executors at cluster scale.  AQE's size-based dynamic
+    join selection broadcasts it while it is actually small (asserted
+    in the executed-plan tests below)."""
+    import inspect
+
+    from finance_etl_pipeline_spark.plans import relational
+
+    for fn in (
+        relational.q3_top_unshipped_orders,
+        relational.p_anti_join_integrity,
+        relational.j_left_single_key,
+    ):
+        assert "F.broadcast" not in inspect.getsource(fn), fn.__name__
+
+
+def test_q3_customer_join_broadcast_chosen_at_runtime(spark, sf_dir):
+    plan = executed_plan_of(spark, "q3_top_unshipped_orders", sf_dir)
+    assert "BroadcastHashJoin" in plan  # AQE picks broadcast at test SF
+
+
+def test_anti_join_broadcast_chosen_at_runtime(spark, sf_dir):
+    plan = executed_plan_of(spark, "p_anti_join_integrity", sf_dir)
+    assert "BroadcastHashJoin" in plan
