@@ -265,9 +265,9 @@ _PMI_TOP = 20
     "text",
 )
 def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_PMI_TOP} collocations by pointwise mutual information:
+    """Top-20 collocations by pointwise mutual information:
     adjacent token pairs whose joint probability most exceeds the
-    product of their marginals (min pair count {_PMI_MIN_COUNT} to
+    product of their marginals (min pair count 5 to
     suppress noise floors) — the classic phrase-mining statistic for
     vocabulary construction and tokenizer sanity checks.
 

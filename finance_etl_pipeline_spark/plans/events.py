@@ -107,8 +107,11 @@ def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, ts, value,
+             -- >= not >: Spark session_window windows are [t, t+30m)
+             -- half-open, so a gap of EXACTLY 30 minutes starts a new
+             -- session; > here would silently merge that boundary case
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -759,8 +762,11 @@ def e_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, ts, event_type,
+             -- >= not >: Spark session_window windows are [t, t+30m)
+             -- half-open, so a gap of EXACTLY 30 minutes starts a new
+             -- session; > here would silently merge that boundary case
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL 30 MINUTE
+                       >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events

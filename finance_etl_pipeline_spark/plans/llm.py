@@ -585,7 +585,7 @@ _CONTAIN_T = 0.8
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup: C(A,B) = |A∩B|/|A| per
-    direction, keeping pairs where either side is ≥ {_CONTAIN_T} —
+    direction, keeping pairs where either side is ≥ 0.8 —
     the subset/quotation detector (a short doc embedded in a long one
     scores near 1.0 on the short side while symmetric Jaccard, diluted
     by the long doc's extra shingles, stays low and is missed by a

@@ -179,6 +179,12 @@ def _bpe_chain(n_steps: int = _BPE_STEPS) -> str:
       GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
     ),
     v{k} AS (
+      -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts
+      -- mergeable pairs before step {k}, p{k} is empty and a CROSS
+      -- JOIN would empty v{k} (and every later vN, breaking the
+      -- fertility oracle); with the left join l/r are NULL, the CASE
+      -- predicate is never true, and syms passes through unchanged —
+      -- matching the Spark trainer's early break.
       SELECT word, freq,
         list_reduce(
           list_transform(syms, s -> [s]),
@@ -187,7 +193,7 @@ def _bpe_chain(n_steps: int = _BPE_STEPS) -> str:
                                 || [p{k}.l || p{k}.r]
                            ELSE acc || x END
         ) AS syms
-      FROM v{k - 1} CROSS JOIN p{k}
+      FROM v{k - 1} LEFT JOIN p{k} ON TRUE
     )""")
     return "WITH" + ",".join(parts)
 

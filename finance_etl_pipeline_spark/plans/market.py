@@ -467,10 +467,15 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # localCheckpoint (not cache): reused across the hop loop like a
+    # cache, but its blocks are released by the ContextCleaner when
+    # this DataFrame goes out of scope — .cache() entries live in the
+    # session CacheManager until an explicit unpersist, which leaked
+    # blocks across full-battery sweeps (one leak per invocation).
     e = (
         eo.unionAll(eo.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .repartition("s")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     part = table(spark, sf_dir, "part")
     min_brand = part.agg(F.min("p_brand").alias("mb"))

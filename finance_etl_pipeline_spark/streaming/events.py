@@ -39,7 +39,15 @@ def read_events_stream(
         TimestampNTZType,
     )
 
-    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    try:
+        ts_type = spark.read.parquet(path).schema["ts"].dataType
+    except Exception:
+        # a file-source stream may legitimately start on an empty/
+        # not-yet-created directory (files arrive later); the probe
+        # read cannot infer a schema then, so fall back to the
+        # nanos-long layout the testdata events files use — the
+        # normalization below handles either probed or assumed type
+        ts_type = LongType()
     stream_schema = StructType(
         [
             StructField("event_id", LongType()),
