@@ -434,11 +434,10 @@ def prof_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_SRC = "src0"  # held-out split used as the "eval benchmark" set
 _DECON_N = 5  # n-gram length for contamination matching
 
-
-@register(
-    "tx_decontaminate",
-    f"""
-    WITH tokd AS ({_SQL_TOKD}),
+# distinct word 5-grams of every document, tagged with its source —
+# shared by the exact and the bloom-filter decontamination oracles
+_SQL_GRAMS = f"""
+    tokd AS ({_SQL_TOKD}),
     grams AS (
       SELECT d.doc_id, d.source, g.g
       FROM (SELECT t.doc_id, doc.source, t.t
@@ -449,7 +448,13 @@ _DECON_N = 5  # n-gram length for contamination matching
           i -> d.t[i] || ' ' || d.t[i+1] || ' ' || d.t[i+2] || ' ' || d.t[i+3] || ' ' || d.t[i+4]
         ))) AS g
       ) g
-    ),
+    )"""
+
+
+@register(
+    "tx_decontaminate",
+    f"""
+    WITH {_SQL_GRAMS},
     eval_grams AS (SELECT doc_id, g FROM grams WHERE source = '{_EVAL_SRC}'),
     train_grams AS (SELECT DISTINCT g FROM grams WHERE source <> '{_EVAL_SRC}'),
     hits AS (
@@ -509,6 +514,121 @@ def tx_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+            contamination.alias("contamination_e4"),
+            (contamination >= 5000).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_M = 1 << 22  # bloom positions: ~6 bits/element headroom at sf0.1
+#   (sizing rule at real scale: M ≈ 10–15 bits per expected train gram;
+#   the oracle interpolates the constant, so resizing stays cross-engine)
+_BLOOM_K = 3  # hash functions per gram
+_SQL_POS = (
+    "CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % {_BLOOM_M}"
+)
+
+
+@register(
+    "tx_decontaminate_bloom",
+    f"""
+    WITH {_SQL_GRAMS},
+    posed AS (
+      SELECT doc_id, source, g, {_SQL_POS} AS pos
+      FROM grams, range(0, {_BLOOM_K}) t(i)
+    ),
+    train_pos AS (
+      SELECT DISTINCT pos FROM posed WHERE source <> '{_EVAL_SRC}'
+    ),
+    per_gram AS (
+      SELECT e.doc_id, e.g,
+             CAST(sum(CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END) = {_BLOOM_K}
+                  AS INTEGER) AS hit
+      FROM (SELECT doc_id, g, pos FROM posed WHERE source = '{_EVAL_SRC}') e
+      LEFT JOIN train_pos t ON e.pos = t.pos
+      GROUP BY e.doc_id, e.g
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(hit) AS BIGINT) AS n_hit
+      FROM per_gram GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           {sql_igrid('n_hit / CAST(n_grams AS DOUBLE)', 4)} AS contamination_e4,
+           CAST({sql_igrid('n_hit / CAST(n_grams AS DOUBLE)', 4)} >= 5000 AS INTEGER) AS flagged
+    FROM agg ORDER BY doc_id
+    """,
+    "llm",
+    "curation",
+    "dedup",
+)
+def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB path the exact
+    variant's docstring promises.  The train side is reduced to a
+    membership structure of AT MOST 2^18 distinct positions (each
+    gram sets K=3 md5-derived positions mod M), so train-side state is
+    O(M) regardless of corpus size, where ``tx_decontaminate``'s exact
+    DISTINCT holds every train gram (billions at 100 TB).  Eval grams
+    probe by joining their K positions against the position set — a
+    co-partitioned int join ∝ |eval|·K, never ∝ |train|.
+
+    Bloom semantics are real: no false negatives (every truly
+    contaminated gram hits — pytest asserts n_hit ≥ the exact query's
+    per-doc counts), and false positives at rate ≈ (1−e^{-Kn/M})^K —
+    acceptable for decontamination, which over-removes by design.
+    Deterministic md5 position hashes make even the FP pattern
+    bit-identical cross-engine, so this approximate operator still
+    carries an exact DuckDB oracle.
+
+    At even larger scale the position SET degrades gracefully: it is
+    itself just a DataFrame keyed on int, so it shards; nothing is
+    collected to the driver and no UDF is involved."""
+    from finance_etl_pipeline_spark.operators.dedup import (
+        hash60_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles_expr(tokens_expr(), n=_DECON_N)).alias("g"),
+    )
+    positions = F.array(
+        *[
+            hash60_expr(F.concat(F.col("g"), F.lit(f"#{i}"))) % _BLOOM_M
+            for i in range(_BLOOM_K)
+        ]
+    )
+    posed = grams.select(
+        "doc_id", "source", "g", F.explode(positions).alias("pos")
+    )
+    train_pos = (
+        posed.filter(F.col("source") != _EVAL_SRC).select("pos").distinct()
+    )
+    eval_pos = posed.filter(F.col("source") == _EVAL_SRC).select(
+        "doc_id", "g", "pos"
+    )
+    per_gram = (
+        eval_pos.join(train_pos.withColumn("__in", F.lit(1)), "pos", "left")
+        .groupBy("doc_id", "g")
+        .agg(
+            (F.sum(F.coalesce("__in", F.lit(0))) == _BLOOM_K)
+            .cast("int")
+            .alias("hit")
+        )
+    )
+    contamination = igrid(
+        F.sum("hit") / F.count(F.lit(1)).cast("double"), 4
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("hit").cast("long").alias("n_hit"),
             contamination.alias("contamination_e4"),
             (contamination >= 5000).cast("int").alias("flagged"),
         )

@@ -83,3 +83,23 @@ def test_curation_operators_on_empty_input(spark):
         "n_tokens",
         "chunk_text",
     }
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom membership can only overcount: per doc, the bloom hit
+    count must be >= the exact query's (and equal for most docs at the
+    test load factor)."""
+    from finance_etl_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    exact = {
+        r["doc_id"]: r["n_hit"]
+        for r in qs["tx_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hit"]
+        for r in qs["tx_decontaminate_bloom"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(bloom)
+    for d in exact:
+        assert bloom[d] >= exact[d], (d, bloom[d], exact[d])
