@@ -114,3 +114,63 @@ def frame_sample(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    payloads: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Arrow-batched 'resize' stage over mapInPandas — the thumbnail/
+    model-input normalization step of an image pipeline.
+
+    The pixel work is stubbed (no Pillow in this container): the
+    'resized' payload is a deterministic byte subsample of the source
+    buffer whose length is ∝ target area, standing in for the actual
+    resampler.  What is REAL and tested: the Arrow batch iteration,
+    the binary-in/binary-out schema contract, null-payload safety,
+    and that the stage composes after ``decode_features`` without
+    re-reading the payload twice (single mapInPandas pass emits source
+    dims + resized bytes together).
+
+    Scale: identical posture to decode_features — memory bounded per
+    Arrow batch; keep the payload column pruned everywhere upstream.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resized length stands in for target_w*target_h*channels,
+        # capped to the source length (subsample, never upsample bytes)
+        target_len = max(1, (target_w * target_h) // 1024)
+        for pdf in it:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            resized = []
+            for p in pdf["payload"]:
+                if not p:
+                    resized.append(b"")
+                    continue
+                step = max(1, len(p) // target_len)
+                resized.append(bytes(p[::step][:target_len]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "resized": resized,
+                }
+            )
+
+    return payloads.mapInPandas(batches, RESIZE_SCHEMA)

@@ -107,11 +107,13 @@ def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, ts, value,
-             -- >= not >: Spark session_window windows are [t, t+30m)
-             -- half-open, so a gap of EXACTLY 30 minutes starts a new
-             -- session; > here would silently merge that boundary case
+             -- > (strict) matches Spark session_window's INCLUSIVE
+             -- merge boundary: an event at exactly lastEvent + 30min
+             -- still extends the session (verified empirically in
+             -- test_session_gap_exact_boundary_cross_engine — the
+             -- windows are [t, t+30m] for merging, not half-open)
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events
@@ -762,11 +764,13 @@ def e_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ordered AS (
       SELECT user_id, ts, event_type,
-             -- >= not >: Spark session_window windows are [t, t+30m)
-             -- half-open, so a gap of EXACTLY 30 minutes starts a new
-             -- session; > here would silently merge that boundary case
+             -- > (strict) matches Spark session_window's INCLUSIVE
+             -- merge boundary: an event at exactly lastEvent + 30min
+             -- still extends the session (verified empirically in
+             -- test_session_gap_exact_boundary_cross_engine — the
+             -- windows are [t, t+30m] for merging, not half-open)
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE
+                       > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS is_new
       FROM events

@@ -113,3 +113,17 @@ def test_foreachbatch_upsert_sink(spark, sf_dir, events_dir, tmp_path):
     )
     assert table.count() == n_keys
     assert table.select("event_id").distinct().count() == n_keys
+
+
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """A file-source stream may be declared before any file arrives:
+    the ts-type probe must fall back to the default schema instead of
+    crashing on 'unable to infer schema' (advisory fix)."""
+    empty = str(tmp_path / "events_empty")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    stream = read_events_stream(spark, empty)
+    assert stream.isStreaming
+    # the fallback path must still normalize ts to TIMESTAMP
+    assert dict(stream.dtypes)["ts"] == "timestamp"
