@@ -74,6 +74,84 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "emb_threshold_calibration",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cos AS (
+      SELECT floor((list_dot_product(a.v, b.v)
+                    / nullif(a.nrm * b.nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+    ),
+    binned AS (
+      SELECT CAST(floor(cosine * 20) AS INTEGER) AS bin, count(*) AS n_pairs
+      FROM cos GROUP BY 1
+    )
+    SELECT bin,
+           CAST(bin * 500 AS BIGINT) AS edge_lo_e4,
+           n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pairs_from_top
+    FROM binned ORDER BY bin
+    """,
+    "llm",
+    "similarity",
+    "profile",
+)
+def emb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration curve: histogram of pairwise
+    cosines in 0.05-wide bins with the cumulative pair count above
+    each bin — the gauge read before choosing the dedup threshold
+    (how many pairs does 0.95 vs 0.90 remove?).
+
+    Spark shape: the n² pair cosine is the same ground-truth join as
+    ``dd_embedding_neardup``; the calibration tail is a ~40-row
+    aggregate + window.  At corpus scale the pair source swaps to the
+    LSH/IVF candidate machinery and the curve becomes candidates-only
+    (the region above any plausible threshold — exactly the part the
+    decision needs)."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cosine = fround(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    binned = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(F.floor(cosine * 20).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return binned.select(
+        "bin",
+        (F.col("bin") * 500).cast("long").alias("edge_lo_e4"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs_from_top"),
+    ).orderBy("bin")
+
+
+@register(
     "emb_knn_label_accuracy",
     f"""
     WITH base AS (

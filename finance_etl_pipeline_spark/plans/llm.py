@@ -91,6 +91,71 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dd_exact_dedup_canonical",
+    """
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             upper(text) || '  ' AS text          -- case+whitespace noise
+      FROM documents WHERE doc_id < 100
+    ),
+    canon AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ctext
+      FROM doubled
+    )
+    SELECT md5(ctext) AS content_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM canon
+    GROUP BY md5(ctext)
+    HAVING count(*) > 1
+    ORDER BY content_hash
+    """,
+    "llm",
+    "dedup",
+)
+def dd_exact_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with canonicalization — what production pipelines
+    actually hash: lowercase, strip non-alphanumerics, collapse runs
+    of spaces, trim.  Catches the near-exact copies plain md5 misses
+    (case changes, trailing whitespace, punctuation-only edits) while
+    staying one hash-groupBy — same 100 TB shape as ``dd_exact_dedup``,
+    the canonicalization is a free narrow map before the shuffle.
+
+    The doubled corpus injects case+whitespace variants (upper(text)
+    plus trailing spaces), so every injected copy is caught HERE and
+    missed by the raw-hash variant — the delta the two queries
+    demonstrate.  Regex classes are dialect-portable ([^a-z0-9 ],
+    ' +'); DuckDB needs the explicit 'g' flag Spark implies."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.filter(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    ctext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        doubled.groupBy(F.md5(ctext).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
 _JACCARD_CORE = f"""
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
