@@ -118,9 +118,13 @@ def compare(spark, qdef, sf_dir: str) -> dict:
     d_rows = res.fetchall()
 
     # driver-style dtype parity on the pandas frames both engines
-    # would hand the hash (see _dtype_kinds)
+    # would hand the hash (see _dtype_kinds).  LIMIT 0 keeps the dtype
+    # mapping (HUGEINT → float64 even on an empty frame) without
+    # re-evaluating the oracle.
     s_kinds = _spark_kinds(sdf)
-    d_kinds = _dtype_kinds(con.execute(qdef.oracle).df().head(0))
+    d_kinds = _dtype_kinds(
+        con.execute(f"SELECT * FROM ({qdef.oracle}) __t LIMIT 0").df()
+    )
     kind_diff = {
         c: (s_kinds.get(c), d_kinds.get(c))
         for c in set(s_kinds) | set(d_kinds)
