@@ -63,3 +63,13 @@ def sql_igrid(expr: str, n: int = 2) -> str:
     """The oracle-SQL text matching ``igrid`` bit-for-bit (DuckDB's
     ``floor`` returns DOUBLE, hence the explicit BIGINT cast)."""
     return f"CAST(floor(({expr}) * {10 ** n} + 0.5001) AS BIGINT)"
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB twin of ``operators.dedup.hash60_expr`` — first 15 hex
+    chars of md5 as a 60-bit BIGINT.  The Spark/SQL pairing is the
+    determinism contract's most fragile invariant, so every plan
+    module builds its oracle hash text from THIS one helper; change
+    the Spark expression and this string together or nothing matches.
+    """
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"

@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from finance_etl_pipeline_spark.functions.scalars import (
     fround,
     igrid,
+    sql_hash60,
     sql_igrid,
     sql_round,
 )
@@ -525,10 +526,7 @@ _BLOOM_M = 1 << 22  # bloom positions: ~6 bits/element headroom at sf0.1
 #   (sizing rule at real scale: M ≈ 10–15 bits per expected train gram;
 #   the oracle interpolates the constant, so resizing stays cross-engine)
 _BLOOM_K = 3  # hash functions per gram
-_SQL_POS = (
-    "CAST(('0x' || substr(md5(g || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)"
-    f" % {_BLOOM_M}"
-)
+_SQL_POS = sql_hash60("g || '#' || CAST(i AS VARCHAR)") + f" % {_BLOOM_M}"
 
 
 @register(
@@ -567,7 +565,7 @@ _SQL_POS = (
 def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — the 100 TB path the exact
     variant's docstring promises.  The train side is reduced to a
-    membership structure of AT MOST 2^18 distinct positions (each
+    membership structure of AT MOST M = 2^22 distinct positions (each
     gram sets K=3 md5-derived positions mod M), so train-side state is
     O(M) regardless of corpus size, where ``tx_decontaminate``'s exact
     DISTINCT holds every train gram (billions at 100 TB).  Eval grams

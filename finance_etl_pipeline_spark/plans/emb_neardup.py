@@ -87,8 +87,11 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base a JOIN base b ON a.vec_id < b.vec_id
     ),
     binned AS (
+      -- zero-norm vectors make cosine NULL; drop them — Spark and SQL
+      -- disagree on NULL placement under ORDER BY, and a NULL bin
+      -- would silently distort every cumulative count
       SELECT CAST(floor(cosine * 20) AS INTEGER) AS bin, count(*) AS n_pairs
-      FROM cos GROUP BY 1
+      FROM cos WHERE cosine IS NOT NULL GROUP BY 1
     )
     SELECT bin,
            CAST(bin * 500 AS BIGINT) AS edge_lo_e4,
@@ -136,6 +139,7 @@ def emb_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select(F.floor(cosine * 20).cast("int").alias("bin"))
+        .filter(F.col("bin").isNotNull())
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

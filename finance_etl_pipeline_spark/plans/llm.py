@@ -17,7 +17,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_hash60
 from finance_etl_pipeline_spark.operators import dedup as D
 from finance_etl_pipeline_spark.operators import similarity as S
 from finance_etl_pipeline_spark.operators import text as T
@@ -39,7 +39,7 @@ _SQL_SH = (
     f" FROM ({_SQL_TOK})"
 )
 
-_SQL_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_SQL_H60 = sql_hash60("{x}")
 
 
 def _sql_list(words: tuple[str, ...]) -> str:

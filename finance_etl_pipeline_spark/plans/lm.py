@@ -22,12 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import fround, sql_hash60, sql_round
 from finance_etl_pipeline_spark.operators.dedup import hash60_expr, tokens_expr
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
-_SQL_H60 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+_SQL_H60 = sql_hash60("CAST(doc_id AS VARCHAR)")
 
 _SQL_BIGRAMS = rf"""
   tokd AS (

@@ -472,10 +472,14 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this DataFrame goes out of scope — .cache() entries live in the
     # session CacheManager until an explicit unpersist, which leaked
     # blocks across full-battery sweeps (one leak per invocation).
+    # eager=False so building the plan (explain/enumeration) costs no
+    # job; the checkpoint materializes on the first hop action.  On a
+    # real cluster prefer persist(DISK_ONLY): localCheckpoint blocks
+    # are non-replicated, so executor loss would kill the hop jobs.
     e = (
         eo.unionAll(eo.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .repartition("s")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     part = table(spark, sf_dir, "part")
     min_brand = part.agg(F.min("p_brand").alias("mb"))

@@ -20,11 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from finance_etl_pipeline_spark.functions.scalars import sql_hash60
 from finance_etl_pipeline_spark.operators.dedup import hash60_expr
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
-_SQL_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+_SQL_H60 = sql_hash60("{x}")
 _H_EVENT = _SQL_H60.format(x="CAST(event_id AS VARCHAR)")
 _H_DOC = _SQL_H60.format(x="CAST(doc_id AS VARCHAR)")
 

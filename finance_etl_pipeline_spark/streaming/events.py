@@ -39,9 +39,11 @@ def read_events_stream(
         TimestampNTZType,
     )
 
+    from pyspark.errors import AnalysisException
+
     try:
         ts_type = spark.read.parquet(path).schema["ts"].dataType
-    except Exception:
+    except AnalysisException:
         # a file-source stream may legitimately start on an empty/
         # not-yet-created directory (files arrive later); the probe
         # read cannot infer a schema then, so fall back to the

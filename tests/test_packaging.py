@@ -12,10 +12,14 @@ from __future__ import annotations
 
 import subprocess
 import sys
-import tomllib
+
+import pytest
 
 
 def _pyproject() -> dict:
+    # tomllib is 3.11+; pyproject declares >=3.10, so skip (not error)
+    # where the stdlib parser is absent
+    tomllib = pytest.importorskip("tomllib")
     with open("pyproject.toml", "rb") as f:
         return tomllib.load(f)
 

@@ -36,13 +36,6 @@ def test_q5_star_join_all_broadcast(spark, sf_dir):
     assert "EqualTo(r_name,ASIA)" in plan  # dim filter pushed into its scan
 
 
-def test_anti_join_is_broadcast(spark, sf_dir):
-    plan = plan_of(spark, "p_anti_join_integrity", sf_dir)
-    assert "BroadcastHashJoin LeftAnti" in plan or (
-        "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    )
-
-
 def test_projection_pruned_to_read_schema(spark, sf_dir):
     plan = plan_of(spark, "a_groupby_sum", sf_dir)
     # only the two needed columns reach the scan
