@@ -275,3 +275,121 @@ def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS anchor, a.label AS actual,
+             b.vec_id AS other, b.label AS other_label,
+             {sql_igrid(
+               'list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0)', 4
+             )} AS cos_e4
+      FROM base a JOIN base b ON a.vec_id <> b.vec_id
+    ),
+    pos AS (
+      SELECT anchor, other AS pos_id, cos_e4 AS pos_cos_e4,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY cos_e4 DESC, other) AS rk
+      FROM pairs WHERE other_label = actual
+    ),
+    neg AS (
+      SELECT anchor, other AS neg_id, cos_e4 AS neg_cos_e4,
+             row_number() OVER (PARTITION BY anchor
+                                ORDER BY cos_e4 DESC, other) AS rk
+      FROM pairs WHERE other_label <> actual
+    )
+    SELECT p.anchor AS anchor, p.pos_id, p.pos_cos_e4,
+           n.neg_id, n.neg_cos_e4,
+           p.pos_cos_e4 - n.neg_cos_e4 AS margin_e4
+    FROM pos p JOIN neg n ON p.anchor = n.anchor
+    WHERE p.rk = 1 AND n.rk = 1
+    ORDER BY anchor
+    """,
+    "llm",
+    "similarity",
+    "eval",
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: per anchor, the most-similar
+    SAME-label vector (the natural positive) and the most-similar
+    DIFFERENT-label vector (the hard negative), plus the margin
+    between them — the batch-construction step for training/fine-
+    tuning an embedding model with triplet or InfoNCE loss, and a
+    diagnostic in its own right (negative margins = anchors whose
+    nearest neighbor crosses the label boundary).
+
+    Determinism: cosines land on the e4 integer grid BEFORE ranking,
+    ties break by vec_id — both row_numbers are bit-stable.
+
+    Spark shape: ground-truth n² pair join at test SF (same posture as
+    ``emb_knn_label_accuracy``); at corpus scale the pair source swaps
+    to the ANN candidate sets and the rank/join tail — two windows and
+    an anchor-keyed join, all high-cardinality uniform keys — is
+    unchanged."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("actual"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("other"),
+        F.col("label").alias("other_label"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_e4 = igrid(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    pairs = a.join(b, F.col("anchor") != F.col("other")).select(
+        "anchor", "actual", "other", "other_label", cos_e4.alias("cos_e4")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos_e4"), "other")
+    pos = (
+        pairs.filter(F.col("other_label") == F.col("actual"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("pos_id"),
+            F.col("cos_e4").alias("pos_cos_e4"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("other_label") != F.col("actual"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("neg_id"),
+            F.col("cos_e4").alias("neg_cos_e4"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "pos_id",
+            "pos_cos_e4",
+            "neg_id",
+            "neg_cos_e4",
+            (F.col("pos_cos_e4") - F.col("neg_cos_e4")).alias("margin_e4"),
+        )
+        .orderBy("anchor")
+    )
