@@ -17,12 +17,12 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_hash60
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_hash60
 from finance_etl_pipeline_spark.operators import dedup as D
 from finance_etl_pipeline_spark.operators import similarity as S
 from finance_etl_pipeline_spark.operators import text as T
 from finance_etl_pipeline_spark.plans import register
-from finance_etl_pipeline_spark.sources.readers import table
+from finance_etl_pipeline_spark.sources.readers import spread, table
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (constants interpolated from the operator modules)
@@ -351,6 +351,72 @@ def tx_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: totals, distincts, mean token length —
     higher-order array functions, no UDF."""
     return T.token_stats(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# GPT-2-style pre-tokenizer pattern — deliberately lookahead-free so
+# Java regex (Spark) and RE2 (DuckDB) match identically
+_PRETOK_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+|'"
+_SQL_PRETOK_PAT = "'" + _PRETOK_PAT.replace("'", "''") + "'"
+
+
+@register(
+    "tx_pretokenize_count",
+    rf"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lt,
+             string_split_regex(lower(text), '\s+') AS ws
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(ws, x -> len(x) > 0)) AS BIGINT) AS n_ws_tokens,
+             CAST(len(regexp_extract_all(lt, {_SQL_PRETOK_PAT})) AS BIGINT)
+               AS n_bpe_tokens
+      FROM t
+    )
+    SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+           CASE WHEN n_ws_tokens > 0
+                THEN CAST(floor((n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE))
+                          * 10000 + 0.5001) AS BIGINT)
+                ELSE 0 END AS tokens_per_word_e4
+    FROM c ORDER BY doc_id
+    """,
+    "llm",
+    "text",
+    "tokenizer",
+)
+def tx_pretokenize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer counting: alongside the whitespace
+    token count, the number of pre-tokens under a BPE-ish regex
+    (contraction suffixes, space-prefixed word/number runs,
+    punctuation runs) — the fast token-budget estimator used before
+    actual tokenization.  The pattern is lookahead-free so Java regex
+    (Spark) and RE2 (DuckDB) match identically — probed
+    token-for-token cross-engine before wiring.
+
+    Scale: one narrow map per document, no shuffle but the final
+    sort; regexp_extract_all stays inside codegen."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    lt = F.lower(F.col("text"))
+    ws = F.split(lt, r"\s+")
+    n_ws = F.size(F.filter(ws, lambda x: F.length(x) > 0)).cast("long")
+    n_bpe = F.size(
+        F.regexp_extract_all(lt, F.lit(_PRETOK_PAT), F.lit(0))
+    ).cast("long")
+    c = docs.select(
+        "doc_id", n_ws.alias("n_ws_tokens"), n_bpe.alias("n_bpe_tokens")
+    )
+    ratio = igrid(
+        F.col("n_bpe_tokens") / F.col("n_ws_tokens").cast("double"), 4
+    )
+    return c.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.when(F.col("n_ws_tokens") > 0, ratio)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("tokens_per_word_e4"),
+    ).orderBy("doc_id")
 
 
 @register(
