@@ -561,6 +561,7 @@ _SQL_POS = sql_hash60("g || '#' || CAST(i AS VARCHAR)") + f" % {_BLOOM_M}"
     "llm",
     "curation",
     "dedup",
+    "bench",
 )
 def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — the 100 TB path the exact
