@@ -504,3 +504,76 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .orderBy("hop")
     )
+
+
+@register(
+    "e_anomaly_dow_adjusted",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             dayofweek(CAST(ts AS DATE)) AS dow, count(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT event_type, day, n_events,
+             avg(n_events) OVER dw AS mu,
+             stddev_samp(n_events) OVER dw AS sigma,
+             count(*) OVER dw AS n_prior
+      FROM daily
+      WINDOW dw AS (PARTITION BY event_type, dow ORDER BY day
+                    ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n_events,
+           CASE WHEN n_prior >= 2 AND sigma > 0
+                THEN {sql_round('(n_events - mu) / sigma', 4)} END AS zscore,
+           CASE WHEN n_prior >= 2 AND sigma > 0
+                     AND abs((n_events - mu) / sigma) > 3.0
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM w ORDER BY event_type, day
+    """,
+    "bi",
+    "window",
+    "events",
+)
+def e_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each day's event count
+    scored against the SAME WEEKDAY's trailing baseline (previous 4
+    same-dow days) instead of the raw trailing week — so a naturally
+    quiet Sunday is compared to Sundays and stops tripping the plain
+    z-score monitor (``e_anomaly_zscore``), the standard first
+    seasonality correction in ops monitoring.
+
+    Spark shape: identical cost to the unadjusted monitor — the
+    window just partitions by (event_type, dow) over the tiny daily
+    rollup."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    dw = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(-4, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.avg("n_events").over(dw).alias("mu"),
+        F.stddev_samp("n_events").over(dw).alias("sigma"),
+        F.count(F.lit(1)).over(dw).alias("n_prior"),
+    )
+    ok = (F.col("n_prior") >= 2) & (F.col("sigma") > 0)
+    # flag on the RAW z (matching the SQL's raw comparison exactly, the
+    # same contract e_anomaly_zscore uses); only the emitted zscore is
+    # grid-rounded
+    z_raw = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.when(ok, fround(z_raw, 4)).alias("zscore"),
+        F.when(ok & (F.abs(z_raw) > 3.0), 1).otherwise(0).alias("is_anomaly"),
+    ).orderBy("event_type", "day")

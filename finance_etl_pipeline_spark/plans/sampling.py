@@ -166,3 +166,55 @@ def s_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k"), "doc_id")
         .limit(50)
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "s_shard_assignment",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, source, n_chars,
+             CAST({_SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} % {_N_SHARDS}
+                  AS INTEGER) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS min_doc
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+    "sampling",
+    "llm",
+    "agg",
+)
+def s_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard assignment for tokenized training shards: each
+    document lands in one of 16 shards by content hash, and the query
+    reports per-shard balance (docs, char volume, source diversity).
+    Hash sharding is what the write path partitions by
+    (``write.partitionBy(shard)``), so this balance report is the
+    pre-flight check that no output file will be a straggler.
+
+    Determinism: the same md5-derived hash every split/sample op uses;
+    a doc's shard never changes as the corpus grows.  One map-side-
+    combined groupBy over 16 groups — nothing scales with the corpus
+    but the narrow scan."""
+    d = table(spark, sf_dir, "documents")
+    shard = (hash60_expr(F.col("doc_id").cast("string")) % _N_SHARDS).cast(
+        "int"
+    )
+    return (
+        d.select("doc_id", "source", "n_chars", shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("shard")
+    )
