@@ -758,3 +758,58 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("containment_a"), F.col("containment_b"))
         >= _CONTAIN_T
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "tx_char_class_profile",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+                AS BIGINT) AS n_alpha,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digit,
+           CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
+                AS BIGINT) AS n_space,
+           {{igrid_alpha}} AS alpha_share_e4
+    FROM documents
+    ORDER BY doc_id
+    """.replace(
+        "{igrid_alpha}",
+        "CAST(floor(((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))"
+        " / CAST(nullif(length(text), 0) AS DOUBLE)) * 10000 + 0.5001) AS BIGINT)",
+    ),
+    "llm",
+    "text",
+    "quality",
+)
+def tx_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per document: counts of alpha /
+    digit / space characters and the alpha share on the e4 grid — the
+    cheapest quality signal (binary junk, number dumps, and
+    whitespace-art score far from prose) and the usual first column of
+    a corpus quality report.
+
+    Counting is subtraction of regexp_replace'd lengths (delete the
+    class, diff the length) — pure codegen'd string ops, no explode,
+    no shuffle but the final sort; character classes are
+    dialect-portable ASCII so Java regex and RE2 agree."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    n = F.length("text")
+
+    def cnt(cls: str):
+        return (n - F.length(F.regexp_replace(F.col("text"), cls, ""))).cast(
+            "long"
+        )
+
+    share = igrid(
+        cnt("[a-zA-Z]") / F.nullif(n, F.lit(0)).cast("double"), 4
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        cnt("[a-zA-Z]").alias("n_alpha"),
+        cnt("[0-9]").alias("n_digit"),
+        cnt("[ ]").alias("n_space"),
+        share.alias("alpha_share_e4"),
+    ).orderBy("doc_id")

@@ -46,3 +46,32 @@ def test_fround_matches_duckdb_bitwise(spark):
 
     assert got2 == exp2  # bit-identical, not approximately equal
     assert got4 == exp4
+
+
+def test_igrid_matches_duckdb_bitwise(spark):
+    """igrid (the hash-proof integer-grid emitter) must agree with its
+    SQL twin value-for-value AND land exactly on fround's numerator:
+    igrid(x, n) == fround(x, n) * 10^n as an exact integer."""
+    from finance_etl_pipeline_spark.functions.scalars import igrid, sql_igrid
+
+    vals = _values()
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got2 = [r[0] for r in df.select(igrid("x", 2)).collect()]
+    got6 = [r[0] for r in df.select(igrid("x", 6)).collect()]
+    fr2 = [r[0] for r in df.select(fround("x", 2)).collect()]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want2 = [r[0] for r in con.execute(
+        f"SELECT {sql_igrid('x', 2)} FROM t").fetchall()]
+    want6 = [r[0] for r in con.execute(
+        f"SELECT {sql_igrid('x', 6)} FROM t").fetchall()]
+
+    assert got2 == want2
+    assert got6 == want6
+    # integer grid is exactly fround's numerator (no double round-trip)
+    for g, f in zip(got2, fr2):
+        assert g == round(f * 100) or abs(g - f * 100) < 1e-6, (g, f)
+    # dtype contract: all Python ints (LongType), never floats
+    assert all(isinstance(g, int) for g in got2 + got6)
