@@ -837,3 +837,71 @@ def e_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         igrid(F.avg("n_events"), 4).alias("avg_events_e4"),
         igrid(F.avg("dur_sec"), 4).alias("avg_duration_sec_e4"),
     )
+
+
+@register(
+    "e_props_schema_profile",
+    """
+    WITH keys AS (
+      SELECT event_id, unnest(json_keys(props)) AS k
+      FROM events WHERE props IS NOT NULL
+    ),
+    vals AS (
+      SELECT k, json_extract_string(e.props, '$.' || k) AS v
+      FROM keys JOIN events e USING (event_id)
+    ),
+    tot AS (SELECT count(*) AS n_events FROM events)
+    SELECT k AS key,
+           count(*) AS n_present,
+           CAST(sum(CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct_values,
+           CAST(floor((count(*) / CAST(tot.n_events AS DOUBLE)) * 10000
+                + 0.5001) AS BIGINT) AS presence_e4
+    FROM vals CROSS JOIN tot
+    GROUP BY k, tot.n_events
+    ORDER BY k
+    """,
+    "events",
+    "profile",
+    "json",
+)
+def e_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema discovery over the JSON ``props``
+    column: for every key that appears anywhere, how often it is
+    present, how often its value parses as a number, and its distinct-
+    value cardinality — the profiling pass that decides which event
+    properties get promoted to real typed columns.
+
+    Spark shape: json_object_keys + explode (narrow), value re-
+    extraction by dynamic path stays codegen'd
+    (get_json_object with a concat'd path), one groupBy keyed on the
+    key name — cardinality = distinct keys, corpus-independent."""
+    e = table(spark, sf_dir, "events")
+    nn = e.filter(F.col("props").isNotNull())
+    keys = nn.select(
+        "event_id", F.explode(F.json_object_keys("props")).alias("k")
+    )
+    vals = keys.join(nn.select("event_id", "props"), "event_id").select(
+        "k",
+        F.expr("get_json_object(props, concat('$.', k))").alias("v"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").alias("key"), "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum(
+                F.when(F.col("v").try_cast("double").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_numeric"),
+            F.count_distinct("v").cast("long").alias("n_distinct_values"),
+            igrid(
+                F.count(F.lit(1)) / F.col("n_events").cast("double"), 4
+            ).alias("presence_e4"),
+        )
+        .drop("n_events")
+        .orderBy("key")
+    )
