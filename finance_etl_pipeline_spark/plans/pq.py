@@ -33,7 +33,8 @@ QUERY_STRIDE = 50  # same query set as ann_cosine_topk / ann_ivf_topk
 TOP_K = 3
 
 
-def _pq_sql() -> str:
+def _pq_pairs_ctes() -> list[str]:
+    """Shared CTE chain: codebooks, codes, query set, ADC pair table."""
     ctes = ["base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
     assigns, cents = [], []
     for i, (start, length) in enumerate(
@@ -83,6 +84,11 @@ def _pq_sql() -> str:
       WHERE x.vec_id != q.query_id
     )"""
     )
+    return ctes
+
+
+def _pq_sql() -> str:
+    ctes = _pq_pairs_ctes()
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -91,6 +97,43 @@ def _pq_sql() -> str:
            CAST(row_number() OVER (
              PARTITION BY query_id ORDER BY adist, vec_id) AS BIGINT) AS rank
     FROM pairs
+    QUALIFY rank <= {TOP_K}
+    ORDER BY query_id, rank"""
+    )
+
+
+RERANK_C = 10  # PQ candidates fetched per query before exact rerank
+
+
+def _pq_rerank_sql() -> str:
+    ctes = _pq_pairs_ctes()
+    exact = sql_round(sql_sqdist("q.qv", "b.v"), ROUND_N)
+    ctes.append(
+        f"""cand AS (
+      SELECT query_id, vec_id
+      FROM (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adist, vec_id) AS crank
+            FROM pairs)
+      WHERE crank <= {RERANK_C}
+    )"""
+    )
+    ctes.append(
+        f"""exact AS (
+      SELECT c.query_id, c.vec_id, {exact} AS dist
+      FROM cand c
+      JOIN base b ON b.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT query_id, vec_id, dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
+    FROM exact
     QUALIFY rank <= {TOP_K}
     ORDER BY query_id, rank"""
     )
@@ -110,4 +153,57 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = PQ.train_codebooks(base, DIM)
     return PQ.adc_topk(
         base, DIM, books, F.col("vec_id") % QUERY_STRIDE == 0, TOP_K
+    )
+
+
+@register(
+    "ann_pq_rerank_topk", _pq_rerank_sql(), "llm", "similarity", "quantized"
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-and-rerank — the standard production ANN
+    pattern: PQ/ADC fetches the top-10 candidates per query from the
+    codes-only scan, then EXACT squared distance on the original
+    vectors of those 10 reranks to the final top-3.  Recall recovers
+    toward exact search while the full-precision vectors are touched
+    only for |queries| × 10 rows — at 100 TB the rerank join reads a
+    vanishing fraction of the corpus (point lookups on vec_id), and
+    the first stage still never scans a raw vector.
+
+    Determinism: both stages rank on ROUND_N-gridded distances with
+    vec_id tiebreaks; the candidate cut (crank ≤ 10) and final rank
+    are therefore bit-stable cross-engine."""
+    from finance_etl_pipeline_spark.operators.kmeans import ROUND_N as _RN
+    from finance_etl_pipeline_spark.operators.pq import sqdist
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = (
+        spread(emb)
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .cache()
+    )
+    books = PQ.train_codebooks(base, DIM)
+    pred = F.col("vec_id") % QUERY_STRIDE == 0
+    cand = PQ.adc_topk(base, DIM, books, pred, RERANK_C).select(
+        "query_id", "vec_id"
+    )
+    q = base.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    from finance_etl_pipeline_spark.functions.scalars import fround
+    from pyspark.sql.window import Window
+
+    exact = (
+        cand.join(base, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            fround(sqdist(F.col("qv"), F.col("v")), _RN).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
     )

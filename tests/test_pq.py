@@ -122,3 +122,44 @@ def test_pq_recall_floor_vs_exact_l2(spark, sf_dir):
         total += TOP_K
     assert total == TOP_K * len(by_query)
     assert hits / total >= 0.3, f"recall@widened {hits}/{total}"
+
+
+def test_rerank_recall_at_least_plain_pq(spark, sf_dir):
+    """Exact rerank of the PQ top-10 must not lose recall vs plain
+    PQ top-3, and every reranked hit must come FROM the candidate set
+    (two-stage contract)."""
+    from finance_etl_pipeline_spark.plans import all_queries
+
+    qs = all_queries()
+    plain = qs["ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    rer = qs["ann_pq_rerank_topk"].fn(spark, sf_dir).collect()
+
+    base = _base(spark, sf_dir)
+    rows = base.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    x = np.array([r.v for r in rows], dtype=np.float64)
+
+    def recall(result_rows) -> float:
+        by_query: dict[int, set[int]] = {}
+        for r in result_rows:
+            by_query.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = total = 0
+        for qid, got in by_query.items():
+            q = x[ids == qid][0]
+            d = ((x - q) ** 2).sum(axis=1)
+            order = [
+                int(ids[j])
+                for j in np.argsort(d, kind="stable")
+                if ids[j] != qid
+            ]
+            truth = set(order[:TOP_K])
+            hits += len(got & truth)
+            total += TOP_K
+        return hits / total
+
+    assert recall(rer) >= recall(plain)
+    # rerank output must be a subset of the stage-1 candidates
+    books = PQ.train_codebooks(base, DIM)
+    cand = PQ.adc_topk(base, DIM, books, F.col("vec_id") % STRIDE == 0, 10)
+    cset = {(r.query_id, r.vec_id) for r in cand.collect()}
+    assert all((r.query_id, r.vec_id) in cset for r in rer)
