@@ -127,3 +127,87 @@ def test_stream_starts_on_empty_directory(spark, tmp_path):
     assert stream.isStreaming
     # the fallback path must still normalize ts to TIMESTAMP
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_watermark_drops_late_data_across_triggers(spark, tmp_path):
+    """The watermark contract, demonstrated concretely: a row arriving
+    AFTER its window's watermark has passed is dropped from the
+    aggregate.  Two availableNow runs share one checkpoint: run 1 sets
+    the watermark; run 2 delivers a late row into an already-finalized
+    window plus a fresh row — the finalized window must emit WITHOUT
+    the late contribution."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["props"] = None
+        df = spark.createDataFrame(pdf)
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / ("stage_" + name))
+        )
+        import glob
+
+        part = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, name + ".parquet"))
+
+    def run(name):
+        stream = read_events_stream(spark, src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        emitted = []
+
+        def sink(batch_df, _epoch):
+            emitted.extend(batch_df.collect())
+
+        # foreachBatch (not memory sink): supports checkpoint recovery,
+        # which run 2 needs to resume run 1's watermark state
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["ws"]: r["n"] for r in emitted}
+
+    # run 1: two rows in the 10:00 window; a 13:00 row pushes the
+    # watermark to 12:50 at batch end
+    write_file(
+        "a",
+        [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 10:30:00", 1, "view", 1.0),
+            (3, "2024-01-01 13:00:00", 1, "view", 1.0),
+        ],
+    )
+    out1 = run("late_run1")
+
+    # run 2: a LATE row into the (now finalized) 10:00 window + a
+    # fresh 14:00 row
+    write_file(
+        "b",
+        [
+            (4, "2024-01-01 10:45:00", 1, "view", 1.0),  # late — must drop
+            (5, "2024-01-01 14:00:00", 1, "view", 1.0),
+        ],
+    )
+    out2 = run("late_run2")
+
+    import datetime
+
+    w10 = datetime.datetime(2024, 1, 1, 10, 0)
+    merged = {**out1, **out2}
+    assert merged[w10] == 2, merged  # late row 4 did NOT count
