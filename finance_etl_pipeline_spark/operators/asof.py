@@ -70,3 +70,55 @@ def asof_join_backward(
         F.col("__row.*"),
         *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join (forward, inclusive): attach the EARLIEST right
+    value at-or-after each left timestamp — the mirror of
+    :func:`asof_join_backward` (e.g. "next maintenance event after
+    this reading").  Same union+window mechanics, with the ordering
+    arranged so a right row at the exact left timestamp is eligible
+    (left sorts before right at ties) and the fill runs over the
+    FOLLOWING frame."""
+    l_tagged = left.select(
+        F.col(key).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__row"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", F.desc("__is_left"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        "__is_left",
+        "__row",
+        *[
+            F.first(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        F.col("__row.*"),
+        *[F.col(f"__f_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
