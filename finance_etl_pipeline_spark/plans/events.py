@@ -905,3 +905,106 @@ def e_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_events")
         .orderBy("key")
     )
+
+
+@register(
+    "e_concurrent_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+             , ts
+      FROM ordered
+    ),
+    iv AS (
+      SELECT user_id, session_no,
+             min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM s GROUP BY user_id, session_no
+    ),
+    ol AS (
+      SELECT a.user_id AS user_a, b.user_id AS user_b
+      FROM iv a JOIN iv b
+        ON a.user_id < b.user_id
+       AND a.s_start < b.s_end AND b.s_start < a.s_end
+    )
+    SELECT user_a, user_b, count(*) AS n_overlaps
+    FROM ol GROUP BY user_a, user_b
+    ORDER BY n_overlaps DESC, user_a, user_b
+    LIMIT 50
+    """,
+    "events",
+    "join",
+    "range",
+)
+def e_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (range) join: pairs of users whose 30-minute-
+    gap sessions overlap in time, ranked by overlap count — the
+    concurrency analysis shape (simultaneous usage, capacity, fraud
+    rings), and the canonical range join the brief calls out.
+
+    Spark shape — the SCALABLE range-join plan, not the naive
+    inequality join: each session interval is exploded into the hour
+    buckets it covers, candidate pairs come from an EQUI join on the
+    bucket (co-partitioned, prunable), are deduplicated, and only then
+    does the exact overlap predicate run on candidates.  Cost ∝
+    overlap density × bucket width, never |sessions|²; the oracle IS
+    the naive non-equi join, checkable at test SF.  Bucket width
+    trades candidate count vs duplicate factor exactly like LSH band
+    width (SCALE.md)."""
+    e = table(spark, sf_dir, "events")
+    iv = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+        )
+    )
+    bucket = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp("s_start") / 3600),
+            # end is exclusive: a session ending exactly on a bucket
+            # boundary must not claim the next bucket
+            F.floor((F.unix_timestamp("s_end") - 1) / 3600),
+        )
+    )
+    binned = iv.select("user_id", "s_start", "s_end", bucket.alias("b"))
+    a = binned.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+        "b",
+    )
+    bb = binned.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+        "b",
+    )
+    pairs = (
+        a.join(bb, ["b"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+        )
+        .select("user_a", "a_start", "user_b", "b_start")
+        # same overlapping interval pair can meet in several buckets
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), "user_a", "user_b")
+        .limit(50)
+    )
