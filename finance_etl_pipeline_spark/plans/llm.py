@@ -813,3 +813,83 @@ def tx_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("[ ]").alias("n_space"),
         share.alias("alpha_share_e4"),
     ).orderBy("doc_id")
+
+
+def _lsh_eval_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    truth = REGISTRY["dd_ngram_jaccard_pairs"].oracle
+    lsh = REGISTRY["dd_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({truth})),
+    lsh AS (SELECT doc_a, doc_b FROM ({lsh})),
+    u AS (
+      SELECT doc_a, doc_b,
+             max(CASE WHEN src = 't' THEN 1 ELSE 0 END) AS has_t,
+             max(CASE WHEN src = 'l' THEN 1 ELSE 0 END) AS has_l
+      FROM (
+        SELECT doc_a, doc_b, 't' AS src FROM truth
+        UNION ALL
+        SELECT doc_a, doc_b, 'l' AS src FROM lsh
+      ) GROUP BY doc_a, doc_b
+    )
+    SELECT CAST(sum(has_t) AS BIGINT) AS n_true,
+           CAST(sum(has_l) AS BIGINT) AS n_lsh,
+           CAST(sum(has_t * has_l) AS BIGINT) AS n_common,
+           CAST(floor((sum(has_t * has_l)
+                 / CAST(nullif(sum(has_t), 0) AS DOUBLE)) * 10000 + 0.5001)
+             AS BIGINT) AS recall_e4,
+           CAST(floor((sum(has_t * has_l)
+                 / CAST(nullif(sum(has_l), 0) AS DOUBLE)) * 10000 + 0.5001)
+             AS BIGINT) AS precision_e4
+    FROM u"""
+
+
+@register(
+    "dd_lsh_recall_eval",
+    _lsh_eval_sql(),
+    "llm",
+    "dedup",
+    "eval",
+)
+def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality scorecard: recall and precision of the banded
+    MinHash near-dup pairs against the exact-Jaccard ground truth, as
+    one auditable row — the acceptance gate run (on a sample) before
+    trusting the LSH path on a new corpus or after retuning
+    bands/hashes.  Note the verified-LSH pipeline already filters
+    candidates by exact Jaccard, so precision is 1.0 by construction
+    and recall is the quantity at stake (band-collision misses).
+
+    Spark shape: both operands are the existing oracle-verified plans;
+    the scorecard is a pair-keyed outer union + one global aggregate.
+    At 100 TB you run it on a stratified sample of documents — the
+    query shape is unchanged."""
+    t = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    l = dd_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    u = (
+        t.withColumn("src", F.lit("t"))
+        .unionByName(l.withColumn("src", F.lit("l")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("src") == "t", 1).otherwise(0)).alias("has_t"),
+            F.max(F.when(F.col("src") == "l", 1).otherwise(0)).alias("has_l"),
+        )
+    )
+    recall = igrid(
+        F.sum(F.col("has_t") * F.col("has_l"))
+        / F.nullif(F.sum("has_t"), F.lit(0)).cast("double"),
+        4,
+    )
+    precision = igrid(
+        F.sum(F.col("has_t") * F.col("has_l"))
+        / F.nullif(F.sum("has_l"), F.lit(0)).cast("double"),
+        4,
+    )
+    return u.agg(
+        F.sum("has_t").cast("long").alias("n_true"),
+        F.sum("has_l").cast("long").alias("n_lsh"),
+        F.sum(F.col("has_t") * F.col("has_l")).cast("long").alias("n_common"),
+        recall.alias("recall_e4"),
+        precision.alias("precision_e4"),
+    )
