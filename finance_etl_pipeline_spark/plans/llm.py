@@ -893,3 +893,93 @@ def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall.alias("recall_e4"),
         precision.alias("precision_e4"),
     )
+
+
+@register(
+    "ann_cosine_topk_arrow",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+      SELECT query_id, vec_id,
+             floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+      FROM q CROSS JOIN base
+      WHERE query_id != vec_id
+    )
+    SELECT query_id, vec_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    ORDER BY query_id, rank
+    """,
+    "llm",
+    "similarity",
+    "arrow",
+)
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME brute-force cosine top-5 as ``ann_cosine_topk``, with
+    the dot product computed in an Arrow-batched pandas UDF instead of
+    the JVM ``aggregate`` fold — the demonstration of the "Python
+    where you must" path (mirroring where a real encoder or scorer
+    would sit).  The batch is reshaped to a 2-D ndarray and reduced
+    with one vectorized numpy op — never per-row Python.  Summation:
+    numpy's row reduction over 64 contiguous doubles is sequential
+    left-to-right, the same order as the JVM fold and DuckDB's
+    list_dot_product, so even the raw doubles agree bit-for-bit and
+    the shared oracle stays exact.  JVM path remains the default (and
+    the bench query); this twin exists to keep the Arrow plumbing
+    honest and measured."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from finance_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        norm,
+    )
+
+    def _dot(v, q):
+        m = np.vstack(v.to_numpy())
+        qm = np.vstack(q.to_numpy())
+        return pd.Series((m * qm).sum(axis=1))
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and the UDF inferencer can't resolve locals —
+    # the explicit returnType + default SCALAR eval type is equivalent
+    dot_arrow = pandas_udf(_dot, "double")
+
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    from pyspark.sql.window import Window
+
+    cosine = fround(
+        dot_arrow(F.col("v"), F.col("qv"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(base, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
