@@ -783,3 +783,107 @@ def s_stride_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("decile", "source")
     )
+
+
+_QPSI_BINS = 10  # deciles of the reference cohort
+
+
+@register(
+    "drift_psi_quantile",
+    f"""
+    WITH split AS (
+      SELECT value, event_id % 2 AS grp FROM events
+    ),
+    bl AS (
+      -- list-param quantile: DuckDB requires constant quantile args
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ls
+      FROM split WHERE grp = 0
+    ),
+    breaks AS (
+      SELECT i, {sql_round('ls[CAST(i AS INTEGER)]', 4)} AS brk
+      FROM bl, range(1, {_QPSI_BINS}) t(i)
+    ),
+    binned AS (
+      SELECT s.grp,
+             CAST(coalesce(
+               (SELECT min(b.i) - 1 FROM breaks b WHERE s.value < b.brk),
+               {_QPSI_BINS - 1}) AS INTEGER) AS bin
+      FROM split s
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cells)
+    SELECT bin, ca, cb,
+           {sql_igrid(f'''((ca + 1) / CAST(ta + {_QPSI_BINS} AS DOUBLE)
+              - (cb + 1) / CAST(tb + {_QPSI_BINS} AS DOUBLE))
+            * ln(((ca + 1) / CAST(ta + {_QPSI_BINS} AS DOUBLE))
+               / ((cb + 1) / CAST(tb + {_QPSI_BINS} AS DOUBLE)))''', 6)} AS psi_term_e6
+    FROM cells CROSS JOIN tot
+    ORDER BY bin
+    """,
+    "llm",
+    "curation",
+    "events",
+)
+def drift_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift on QUANTILE bins: breakpoints are the reference
+    cohort's deciles, so every reference bin holds ~10% of its mass —
+    the production PSI formulation (fixed-width bins, as in
+    ``drift_psi_events``, go degenerate when the value range shifts
+    or is heavy-tailed).  Bin rule: value < decile_i → bin i-1, else
+    top bin; breakpoints are frounded at 4 dp before binning so the
+    assignment is engine-exact.
+
+    Spark shape: ONE percentile aggregate over the reference cohort
+    (breakpoints broadcast as 9 rows via a literal-free cross join),
+    binning is a narrow map (width_bucket-style CASE), and the cell
+    aggregate is map-side combined to ≤ 10 rows per partition —
+    identical cost to the fixed-width monitor at any scale."""
+    e = table(spark, sf_dir, "events")
+    split = e.select("value", (F.col("event_id") % 2).alias("grp"))
+    probs = [i / _QPSI_BINS for i in range(1, _QPSI_BINS)]
+    breaks = (
+        split.filter(F.col("grp") == 0)
+        .agg(
+            *[
+                fround(F.expr(f"percentile(value, {p})"), 4).alias(f"b{i}")
+                for i, p in enumerate(probs, start=1)
+            ]
+        )
+    )
+    # bin = count of breakpoints <= value  (equiv. of the SQL min-i rule)
+    bin_expr = sum(
+        [
+            F.when(F.col("value") >= F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(1, _QPSI_BINS)
+        ],
+        F.lit(0),
+    ).cast("int")
+    binned = split.crossJoin(F.broadcast(breaks)).select(
+        "grp", bin_expr.alias("bin")
+    )
+    cells = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = cells.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    pa = (F.col("ca") + 1) / (F.col("ta") + _QPSI_BINS).cast("double")
+    pb = (F.col("cb") + 1) / (F.col("tb") + _QPSI_BINS).cast("double")
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "ca",
+            "cb",
+            igrid((pa - pb) * F.log(pa / pb), 6).alias("psi_term_e6"),
+        )
+        .orderBy("bin")
+    )
