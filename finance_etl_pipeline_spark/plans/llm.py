@@ -983,3 +983,63 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+def _source_overlap_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    lsh = REGISTRY["dd_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({lsh})),
+    tagged AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON da.doc_id = pairs.doc_a
+      JOIN documents db ON db.doc_id = pairs.doc_b
+    )
+    SELECT source_a, source_b, count(*) AS n_dup_pairs
+    FROM tagged
+    GROUP BY source_a, source_b
+    ORDER BY n_dup_pairs DESC, source_a, source_b
+    """
+
+
+@register(
+    "prof_source_overlap",
+    _source_overlap_sql(),
+    "llm",
+    "dedup",
+    "profile",
+)
+def prof_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (the verified
+    MinHash+LSH set) rolled up to the (source, source) grain — which
+    sources copy from each other, the readout that drives licensing
+    and crawl-dedup-priority decisions.  Pair endpoints are tagged
+    with their documents' sources via two dim joins; the unordered
+    pair is canonicalized with least/greatest so A↔B lands in one
+    cell.
+
+    Spark shape: the expensive part IS the already-scale-safe LSH
+    plan; this adds two joins keyed on doc_id and a |sources|²-bounded
+    aggregate."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = dd_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
+    )
