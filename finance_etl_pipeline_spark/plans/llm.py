@@ -1043,3 +1043,79 @@ def prof_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
     )
+
+
+def _dedup_impact_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    clusters = REGISTRY["dd_dedup_clusters"].oracle
+    return f"""
+    WITH cl AS (SELECT doc_id, is_canonical FROM ({clusters})),
+    marked AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN cl.doc_id IS NOT NULL AND NOT cl.is_canonical
+                  THEN 1 ELSE 0 END AS dropped
+      FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(dropped * n_chars) AS BIGINT) AS chars_dropped,
+           CAST(floor((sum(dropped * n_chars)
+                 / CAST(nullif(sum(n_chars), 0) AS DOUBLE)) * 10000 + 0.5001)
+             AS BIGINT) AS char_drop_rate_e4
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@register(
+    "dd_dedup_impact_report",
+    _dedup_impact_sql(),
+    "llm",
+    "dedup",
+    "profile",
+)
+def dd_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact accounting: per source, how many documents (and
+    how much character mass) the near-dup keeper decision removes —
+    the before/after report every curation run publishes alongside the
+    kept corpus, and the sanity check that dedup is not silently
+    gutting one source.
+
+    Composes the verified cluster/keeper query: non-canonical cluster
+    members count as dropped, everything else (including docs in no
+    pair) is kept.  Cost = the clustering plan + one broadcastable
+    left join and a |sources|-bounded aggregate."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cl = dd_dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    dropped = (
+        F.when(
+            F.col("is_canonical").isNotNull() & ~F.col("is_canonical"), 1
+        ).otherwise(0)
+    )
+    marked = docs.join(cl, "doc_id", "left").select(
+        "source", "n_chars", dropped.alias("dropped")
+    )
+    rate = igrid(
+        F.sum(F.col("dropped") * F.col("n_chars"))
+        / F.nullif(F.sum("n_chars"), F.lit(0)).cast("double"),
+        4,
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.col("dropped") * F.col("n_chars"))
+            .cast("long")
+            .alias("chars_dropped"),
+            rate.alias("char_drop_rate_e4"),
+        )
+        .orderBy("source")
+    )
