@@ -1008,3 +1008,82 @@ def e_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_overlaps"), "user_a", "user_b")
         .limit(50)
     )
+
+
+@register(
+    "j_scd2_point_lookup",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           s.event_type AS state, s.valid_from AS state_since
+    FROM clicks c
+    LEFT JOIN seq s
+      ON s.user_id = c.user_id
+     AND s.valid_from <= c.ts
+     AND (s.valid_to IS NULL OR c.ts < s.valid_to)
+    ORDER BY c.event_id
+    """,
+    "events",
+    "join",
+    "scd",
+)
+def j_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval temporal lookup: each click enriched with the
+    user's SCD2 state (last signup/purchase interval) valid AT the
+    click's timestamp — the fact→temporal-dimension join every
+    warehouse runs against slowly-changing dims, and the lookup the
+    e_scd2_intervals docstring promises.
+
+    Spark shape: NOT the naive range join — the SCD intervals
+    partition time per user (lead-built, half-open), so containment
+    equals "latest interval starting at-or-before ts", which is
+    exactly one backward as-of join (operators/asof.py): a union +
+    one window, no inequality join, co-partitioned on user_id.
+    Zero-width intervals (two state changes at one instant) can never
+    contain a point and are dropped before the as-of so right keys
+    stay unique; the oracle is the naive range join, which agrees
+    because those intervals match nothing there either."""
+    from finance_etl_pipeline_spark.operators.asof import asof_join_backward
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    scd = (
+        e.filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+        .filter(
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") != F.col("valid_from"))
+        )
+        .withColumn("state_since", F.col("valid_from"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    looked = asof_join_backward(
+        clicks,
+        scd,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["state", "state_since"],
+    )
+    return looked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_state").alias("state"),
+        F.col("asof_state_since").alias("state_since"),
+    ).orderBy("event_id")
