@@ -1087,3 +1087,76 @@ def j_scd2_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_state").alias("state"),
         F.col("asof_state_since").alias("state_since"),
     ).orderBy("event_id")
+
+
+_LTV_HALFLIFE_DAYS = 30.0
+_LTV_LAMBDA = 0.0231049060186648  # ln(2) / 30 — decay per day
+
+
+@register(
+    "e_user_ltv_decay",
+    f"""
+    WITH anchor AS (SELECT max(ts) AS now FROM events),
+    p AS (
+      SELECT user_id, value,
+             (epoch_us(a.now) - epoch_us(ts)) / 86400000000.0 AS age_days
+      FROM events, anchor a WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           count(*) AS n_purchases,
+           {{raw_total}} AS total_value_e2,
+           {{decayed}} AS decayed_value_e2
+    FROM p GROUP BY user_id
+    ORDER BY user_id
+    """.replace(
+        "{raw_total}",
+        "CAST(floor((sum(value)) * 100 + 0.5001) AS BIGINT)",
+    ).replace(
+        "{decayed}",
+        f"CAST(floor((sum(value * exp(-{_LTV_LAMBDA} * age_days))) * 100 + 0.5001) AS BIGINT)",
+    ),
+    "events",
+    "agg",
+    "bi",
+)
+def e_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed customer value: each purchase
+    weighted by exp(−λ·age) with a 30-day half-life, anchored at the
+    corpus's max timestamp — the recency-weighted LTV that feeds churn
+    and ranking models (a raw lifetime sum treats a 2-year-old
+    purchase like yesterday's).
+
+    Determinism: age is exact integer microseconds divided once;
+    λ is one shared literal; both engines' exp agree bit-for-bit on
+    this range (empirically, same as the perplexity battery) and the
+    cent-grid absorbs summation order.  One map-side-combined groupBy
+    on user_id; the anchor is a 1-row broadcast."""
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("now"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "value",
+            (
+                (F.unix_micros("now") - F.unix_micros("ts"))
+                / F.lit(86400000000.0)
+            ).alias("age_days"),
+        )
+    )
+    return (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            igrid(F.sum("value"), 2).alias("total_value_e2"),
+            igrid(
+                F.sum(
+                    F.col("value")
+                    * F.exp(-F.lit(_LTV_LAMBDA) * F.col("age_days"))
+                ),
+                2,
+            ).alias("decayed_value_e2"),
+        )
+        .orderBy("user_id")
+    )
