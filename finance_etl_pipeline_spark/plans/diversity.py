@@ -335,3 +335,85 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "nab", "pmi")
         .orderBy("w1", "w2")
     )
+
+
+@register(
+    "tx_ngram_novelty_curve",
+    f"""
+    WITH d AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT t.doc_id,
+             t.t[i] || ' ' || t.t[i+1] || ' ' || t.t[i+2] AS g
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents) t,
+           unnest(generate_series(1, greatest(len(t.t) - 2, 0))) s(i)
+    ),
+    gd AS (
+      SELECT g, d.decile FROM grams JOIN d ON d.doc_id = grams.doc_id
+    ),
+    firsts AS (SELECT g, min(decile) AS first_decile FROM gd GROUP BY g),
+    per AS (
+      SELECT decile, count(DISTINCT g) AS n_grams FROM gd GROUP BY decile
+    ),
+    news AS (
+      SELECT first_decile AS decile, count(*) AS n_new
+      FROM firsts GROUP BY first_decile
+    )
+    SELECT per.decile AS decile, n_grams, coalesce(n_new, 0) AS n_new,
+           {sql_igrid('coalesce(n_new, 0) / CAST(n_grams AS DOUBLE)', 4)}
+             AS novelty_e4
+    FROM per LEFT JOIN news ON news.decile = per.decile
+    ORDER BY per.decile
+    """,
+    "llm",
+    "diversity",
+    "profile",
+)
+def tx_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty saturation curve: slice the corpus into 10 deciles (in
+    doc_id order — the arrival-order proxy) and report, per decile,
+    how many of its distinct word 3-grams appear for the FIRST time
+    there.  A flattening curve says additional crawl volume is
+    repeating what you already have — the diminishing-returns gauge
+    behind "do we need more of this source?".
+
+    Spark shape: gram extraction is the usual narrow map+explode;
+    first-occurrence is one min-aggregate keyed on the gram (high
+    cardinality, uniform); the curve is a 10-row join.  The global
+    ntile is a range-partitioned sort over doc ids only."""
+    from finance_etl_pipeline_spark.operators.dedup import (
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id",
+        F.ntile(10).over(Window.orderBy("doc_id")).alias("decile"),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(shingles_expr(tokens_expr(), n=3)).alias("g")
+    )
+    gd = grams.join(d, "doc_id").select("g", "decile")
+    firsts = gd.groupBy("g").agg(F.min("decile").alias("first_decile"))
+    per = gd.groupBy("decile").agg(F.count_distinct("g").alias("n_grams"))
+    news = firsts.groupBy(F.col("first_decile").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    return (
+        per.join(news, "decile", "left")
+        .select(
+            "decile",
+            "n_grams",
+            F.coalesce("n_new", F.lit(0).cast("long")).alias("n_new"),
+            igrid(
+                F.coalesce("n_new", F.lit(0).cast("long"))
+                / F.col("n_grams").cast("double"),
+                4,
+            ).alias("novelty_e4"),
+        )
+        .orderBy("decile")
+    )
