@@ -846,12 +846,18 @@ def drift_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     split = e.select("value", (F.col("event_id") % 2).alias("grp"))
     probs = [i / _QPSI_BINS for i in range(1, _QPSI_BINS)]
+    # ONE array-percentile aggregate: nine scalar percentile() calls
+    # would each buffer the full reference cohort independently
+    parr = F.expr(
+        "percentile(value, array(" + ", ".join(str(p) for p in probs) + "))"
+    )
     breaks = (
         split.filter(F.col("grp") == 0)
-        .agg(
+        .agg(parr.alias("ps"))
+        .select(
             *[
-                fround(F.expr(f"percentile(value, {p})"), 4).alias(f"b{i}")
-                for i, p in enumerate(probs, start=1)
+                fround(F.element_at("ps", i), 4).alias(f"b{i}")
+                for i in range(1, _QPSI_BINS)
             ]
         )
     )

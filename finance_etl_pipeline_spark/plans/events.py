@@ -879,10 +879,11 @@ def e_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     key name — cardinality = distinct keys, corpus-independent."""
     e = table(spark, sf_dir, "events")
     nn = e.filter(F.col("props").isNotNull())
-    keys = nn.select(
-        "event_id", F.explode(F.json_object_keys("props")).alias("k")
-    )
-    vals = keys.join(nn.select("event_id", "props"), "event_id").select(
+    # explode keeps sibling columns — no self-join needed to re-fetch
+    # props for the per-key value extraction
+    vals = nn.select(
+        "props", F.explode(F.json_object_keys("props")).alias("k")
+    ).select(
         "k",
         F.expr("get_json_object(props, concat('$.', k))").alias("v"),
     )
@@ -970,12 +971,16 @@ def e_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("s_end"),
         )
     )
+    # microsecond-exact bucketing: unix_timestamp() truncates to whole
+    # seconds, which loses sessions whose interval crosses an hour
+    # boundary only within the fractional-second tail (every testdata
+    # ts carries microseconds) — bucket on unix_micros instead
     bucket = F.explode(
         F.sequence(
-            F.floor(F.unix_timestamp("s_start") / 3600),
+            F.floor(F.unix_micros("s_start") / 3_600_000_000),
             # end is exclusive: a session ending exactly on a bucket
             # boundary must not claim the next bucket
-            F.floor((F.unix_timestamp("s_end") - 1) / 3600),
+            F.floor((F.unix_micros("s_end") - 1) / 3_600_000_000),
         )
     )
     binned = iv.select("user_id", "s_start", "s_end", bucket.alias("b"))
@@ -1104,17 +1109,12 @@ _LTV_LAMBDA = 0.0231049060186648  # ln(2) / 30 — decay per day
     )
     SELECT user_id,
            count(*) AS n_purchases,
-           {{raw_total}} AS total_value_e2,
-           {{decayed}} AS decayed_value_e2
+           {sql_igrid('sum(value)', 2)} AS total_value_e2,
+           {sql_igrid(f'sum(value * exp(-{_LTV_LAMBDA} * age_days))', 2)}
+             AS decayed_value_e2
     FROM p GROUP BY user_id
     ORDER BY user_id
-    """.replace(
-        "{raw_total}",
-        "CAST(floor((sum(value)) * 100 + 0.5001) AS BIGINT)",
-    ).replace(
-        "{decayed}",
-        f"CAST(floor((sum(value * exp(-{_LTV_LAMBDA} * age_days))) * 100 + 0.5001) AS BIGINT)",
-    ),
+    """,
     "events",
     "agg",
     "bi",

@@ -17,7 +17,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_hash60
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_hash60, sql_igrid
 from finance_etl_pipeline_spark.operators import dedup as D
 from finance_etl_pipeline_spark.operators import similarity as S
 from finance_etl_pipeline_spark.operators import text as T
@@ -771,14 +771,13 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_digit,
            CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g'))
                 AS BIGINT) AS n_space,
-           {{igrid_alpha}} AS alpha_share_e4
+           {sql_igrid(
+             "(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))"
+             " / CAST(nullif(length(text), 0) AS DOUBLE)", 4)}
+             AS alpha_share_e4
     FROM documents
     ORDER BY doc_id
-    """.replace(
-        "{igrid_alpha}",
-        "CAST(floor(((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))"
-        " / CAST(nullif(length(text), 0) AS DOUBLE)) * 10000 + 0.5001) AS BIGINT)",
-    ),
+    """,
     "llm",
     "text",
     "quality",
@@ -929,10 +928,12 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     where you must" path (mirroring where a real encoder or scorer
     would sit).  The batch is reshaped to a 2-D ndarray and reduced
     with one vectorized numpy op — never per-row Python.  Summation:
-    numpy's row reduction over 64 contiguous doubles is sequential
-    left-to-right, the same order as the JVM fold and DuckDB's
-    list_dot_product, so even the raw doubles agree bit-for-bit and
-    the shared oracle stays exact.  JVM path remains the default (and
+    numpy reduces with pairwise (blocked) summation, so raw dot
+    products may differ from the sequential JVM/DuckDB folds in the
+    last ulps — parity rests on the fround e4 grid absorbing that
+    (ulp-vs-grid margin ~1e8), the same contract every aggregate in
+    the battery relies on; do NOT reuse this pattern for ungridded
+    outputs.  JVM path remains the default (and
     the bench query); this twin exists to keep the Arrow plumbing
     honest and measured."""
     import numpy as np

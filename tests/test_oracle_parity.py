@@ -81,3 +81,51 @@ def test_session_gap_exact_boundary_cross_engine(spark, tmp_path):
     # user 100: ONE session of 3 (the exact-boundary event merges)
     assert got == [(100, 3), (200, 2)], got
     assert got == [tuple(r) for r in oracle]
+
+
+def test_concurrent_sessions_subsecond_hour_boundary(spark):
+    """Regression (review finding): bucketing on unix_timestamp()
+    truncated to whole seconds, so a session crossing an hour boundary
+    only within its fractional-second tail never claimed the last hour
+    bucket and overlaps confined there were missed.  Constructed
+    counterexample: sessions [09:30:00.2, 10:00:00.2) and
+    [10:00:00.1, 10:30:00.1) overlap for 0.1s past the 10:00 boundary."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 1, "2024-01-01 09:30:00.200000", "view", 1.0),
+        (2, 2, "2024-01-01 10:00:00.100000", "view", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string, value double"
+    ).select(
+        "event_id", "user_id", F.to_timestamp("ts_s").alias("ts"),
+        "event_type", "value",
+    )
+    iv = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("s_start"),
+                F.col("w.end").alias("s_end"))
+    )
+    bucket = F.explode(
+        F.sequence(
+            F.floor(F.unix_micros("s_start") / 3_600_000_000),
+            F.floor((F.unix_micros("s_end") - 1) / 3_600_000_000),
+        )
+    )
+    binned = iv.select("user_id", "s_start", "s_end", bucket.alias("b"))
+    a = binned.select(F.col("user_id").alias("ua"), F.col("s_start").alias("as_"),
+                      F.col("s_end").alias("ae"), "b")
+    b = binned.select(F.col("user_id").alias("ub"), F.col("s_start").alias("bs"),
+                      F.col("s_end").alias("be"), "b")
+    got = (
+        a.join(b, ["b"])
+        .filter(F.col("ua") < F.col("ub"))
+        .filter((F.col("as_") < F.col("be")) & (F.col("bs") < F.col("ae")))
+        .select("ua", "ub")
+        .distinct()
+        .collect()
+    )
+    assert [(r["ua"], r["ub"]) for r in got] == [(1, 2)]

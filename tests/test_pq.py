@@ -159,7 +159,11 @@ def test_rerank_recall_at_least_plain_pq(spark, sf_dir):
 
     assert recall(rer) >= recall(plain)
     # rerank output must be a subset of the stage-1 candidates
+    from finance_etl_pipeline_spark.plans.pq import RERANK_C
+
     books = PQ.train_codebooks(base, DIM)
-    cand = PQ.adc_topk(base, DIM, books, F.col("vec_id") % STRIDE == 0, 10)
+    cand = PQ.adc_topk(
+        base, DIM, books, F.col("vec_id") % STRIDE == 0, RERANK_C
+    )
     cset = {(r.query_id, r.vec_id) for r in cand.collect()}
     assert all((r.query_id, r.vec_id) in cset for r in rer)
