@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -193,4 +193,57 @@ def f_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains(types, "purchase").alias("has_purchase"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "a_grouping_sets_revenue",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           CAST(grouping(r.r_name) * 2 + grouping(n.n_name) AS INTEGER)
+             AS gid,
+           count(*) AS n_customers,
+           CAST(floor((sum(c.c_acctbal)) * 100 + 0.5001) AS BIGINT)
+             AS acctbal_e2
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+    ORDER BY gid, region, nation
+    """,
+    "agg",
+    "scalar",
+)
+def a_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the multi-grain report in ONE pass:
+    (region, nation) detail, region subtotals, and the grand total,
+    disambiguated by grouping() flags (the cube/rollup generalization
+    for hand-picked grains; coalesce('ALL') labels subtotal rows).
+    Uses the native DataFrame.groupingSets operator (Spark 4) so
+    Catalyst expands the grains with one Expand node over a single
+    scan instead of N unioned aggregates."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    j = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    gid = (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("int")
+    return (
+        j.groupingSets(
+            [[F.col("r_name"), F.col("n_name")], [F.col("r_name")], []],
+            F.col("r_name"),
+            F.col("n_name"),
+        )
+        .agg(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_customers"),
+            igrid(F.sum("c_acctbal"), 2).alias("acctbal_e2"),
+        )
+        .select("region", "nation", "gid", "n_customers", "acctbal_e2")
+        .orderBy("gid", "region", "nation")
     )
