@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
         emb_neardup,
         etl_extras,
         events,
+        importance,
         ivf,
         llm,
         lm,

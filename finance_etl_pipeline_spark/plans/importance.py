@@ -1,0 +1,391 @@
+"""Data-selection and eval operators for training-corpus curation:
+DSIR-style importance weighting, hashed linear quality-classifier
+inference, retrieval-quality (MRR@10) eval, and crawl-boilerplate
+prefix dedup.
+
+These extend the LLM-pipeline battery (plans/llm.py, plans/curation.py)
+with the *selection* stage of a pre-training pipeline: after dedup and
+quality gating, which surviving documents do we actually train on, and
+how good is the retrieval index we built over them?  No reference-repo
+counterpart (the reference has no text surface); the method shapes are
+from the public literature — DSIR (Xie et al. 2023, hashed n-gram
+importance resampling) and fastText-style linear text classifiers
+(Joulin et al. 2016, hashed bag-of-words + linear layer).
+
+Determinism contract: every feature is a content hash (the shared
+md5→60-bit scheme of operators/dedup.py) reduced to a bounded bucket
+space, classifier weights are integer-arithmetic-derived constants, and
+every float metric is emitted on the igrid integer grid — so each
+query is exactly reproducible in the DuckDB oracle.
+
+Scale posture (100 TB): all four queries reduce to bounded-cardinality
+aggregates.  The DSIR feature table is ≤ B=8192 rows (broadcast), the
+classifier weight space is 64 buckets folded into a scalar expression,
+MRR evaluates a fixed query sample (broadcast) against the corpus, and
+prefix dedup shuffles one 8-byte hash per document.  Nothing is
+proportional to n² and no shuffle carries more than |tokens| narrow
+rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import (
+    igrid,
+    sql_hash60,
+    sql_igrid,
+)
+from finance_etl_pipeline_spark.operators import similarity as S
+from finance_etl_pipeline_spark.operators.dedup import hash60_expr, tokens_expr
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+_SQL_H60 = sql_hash60("{x}")
+
+# DSIR hashed-feature space: buckets for the unigram importance model.
+_DSIR_B = 8192
+_DSIR_TARGET_LANG = "en"
+
+# Linear classifier: 64 hashed buckets; weight(b) derives from integer
+# arithmetic (Knuth multiplicative constant) so both engines compute
+# the identical double: ((b * 2654435761) % 1001 - 500) / 1000.0.
+_CLF_B = 64
+_CLF_MULT = 2654435761
+_CLF_BIAS = 0.05
+
+_SQL_TOK = (
+    r"SELECT doc_id, lang, source, "
+    r"unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents"
+)
+
+
+@register(
+    "s_dsir_importance",
+    f"""
+    WITH tokd AS ({_SQL_TOK}),
+    feats AS (
+      SELECT doc_id, lang, source,
+             {_SQL_H60.format(x='tok')} % {_DSIR_B} AS b
+      FROM tokd WHERE tok <> ''
+    ),
+    tcnt AS (SELECT b, count(*) AS ct FROM feats
+             WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+    tt AS (SELECT count(*) AS nt FROM feats
+           WHERE lang = '{_DSIR_TARGET_LANG}'),
+    rcnt AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+    rt AS (SELECT count(*) AS nr FROM feats),
+    ratio AS (
+      SELECT r.b,
+             ln((COALESCE(t.ct, 0) + 1.0) / (tt.nt + {_DSIR_B}.0))
+           - ln((r.cr + 1.0) / (rt.nr + {_DSIR_B}.0)) AS lw
+      FROM rcnt r LEFT JOIN tcnt t USING (b), tt, rt
+    ),
+    docw AS (
+      SELECT f.doc_id, f.source, avg(lw) AS w
+      FROM feats f JOIN ratio USING (b)
+      GROUP BY f.doc_id, f.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like,
+           {sql_igrid('avg(w)', 6)} AS avg_logweight_e6
+    FROM docw GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "sampling",
+    "selection",
+)
+def s_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023): estimate
+    target (lang='en') vs raw hashed-unigram distributions with
+    add-one smoothing over 8192 buckets, score each document by its
+    mean log importance ratio, and report per-source how many
+    documents look target-like (w > 0) plus the mean log-weight.
+
+    This is the data-*selection* primitive: resampling the raw corpus
+    with probability ∝ exp(w) recovers the target distribution; the
+    hash-ranked keep-set of ``s_mixture_resample`` composes with these
+    weights directly.
+
+    Scale: the ratio table is ≤ 8192 rows — broadcast onto the token
+    stream (narrow map); the only data-proportional shuffle is the
+    per-doc mean (|tokens| rows of 8-byte buckets).  Emitted on the
+    igrid micro-unit grid, so the output schema is all-integer."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", "source",
+        F.explode(tokens_expr()).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feats = toks.select(
+        "doc_id", "lang", "source",
+        (hash60_expr(F.col("tok")) % _DSIR_B).alias("b"),
+    )
+    target = feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    tcnt = target.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tt = target.agg(F.count(F.lit(1)).alias("nt"))
+    rcnt = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    rt = feats.agg(F.count(F.lit(1)).alias("nr"))
+    ratio = (
+        rcnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + float(_DSIR_B))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_DSIR_B)))
+            ).alias("lw"),
+        )
+    )
+    docw = (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.avg("lw").alias("w"))
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_target_like"),
+            igrid(F.avg("w"), 6).alias("avg_logweight_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "tx_linear_classifier",
+    f"""
+    WITH tokd AS ({_SQL_TOK}),
+    feats AS (
+      SELECT doc_id, source,
+             {_SQL_H60.format(x='tok')} % {_CLF_B} AS b
+      FROM tokd WHERE tok <> ''
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             avg(((b * {_CLF_MULT}) % 1001 - 500) / 1000.0) + {_CLF_BIAS}
+               AS score
+      FROM feats GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           {sql_igrid('avg(1.0 / (1.0 + exp(-score)))', 6)} AS avg_prob_e6
+    FROM scored GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "text",
+    "selection",
+)
+def tx_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference (Joulin et
+    al. 2016): hash tokens into 64 buckets, average a fixed per-bucket
+    weight vector, add a bias, squash with a sigmoid — the exact
+    inference shape of the quality classifiers used to filter web
+    crawls (weights here are deterministic integer-derived constants
+    standing in for trained parameters; swapping in real weights is a
+    literal-table change).
+
+    Per source: document count, positive predictions (score > 0 ⇔
+    sigmoid ≥ 0.5), and the mean predicted probability on the
+    micro-unit grid.
+
+    Scale: inference is one narrow map over tokens + a per-doc mean —
+    no weight table to broadcast at all (the weight is a scalar
+    expression of the bucket id), so the classifier runs at scan
+    speed on any corpus size."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens_expr()).alias("tok")
+    ).filter(F.col("tok") != "")
+    b = hash60_expr(F.col("tok")) % _CLF_B
+    w = ((b * _CLF_MULT) % 1001 - 500) / F.lit(1000.0)
+    scored = (
+        toks.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg((F.avg("w") + _CLF_BIAS).alias("score"))
+    )
+    prob = 1.0 / (1.0 + F.exp(-F.col("score")))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+            igrid(F.avg(prob), 6).alias("avg_prob_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "emb_retrieval_mrr",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+      FROM base WHERE vec_id % 50 = 0
+    ),
+    pairs AS (
+      SELECT query_id, qlabel, vec_id, label,
+             floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0))
+                   * 10000 + 0.5001) / 10000 AS cosine
+      FROM q CROSS JOIN base WHERE query_id != vec_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs QUALIFY rank <= 10
+    ),
+    perq AS (
+      SELECT query_id, qlabel,
+             min(CASE WHEN label = qlabel THEN rank END) AS first_rel
+      FROM ranked GROUP BY query_id, qlabel
+    )
+    SELECT CAST(qlabel AS BIGINT) AS query_label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit_at10,
+           {sql_igrid(
+               'avg(CASE WHEN first_rel IS NOT NULL '
+               'THEN 1.0 / first_rel ELSE 0.0 END)', 6)} AS mrr_e6
+    FROM perq GROUP BY qlabel ORDER BY query_label
+    """,
+    "llm",
+    "similarity",
+    "eval",
+)
+def emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: MRR@10 and hit@10 of exact cosine
+    retrieval, using the stored label as the relevance oracle (a
+    retrieved neighbor is relevant iff it shares the query's label) —
+    the standard eval loop run over an embedding index before
+    committing to it for RAG or semantic dedup.
+
+    Builds on the same quantize-before-rank contract as
+    ``ann_cosine_topk`` (cosine frounded at 4 dp, ties by vec_id) so
+    the rank — and therefore MRR — is deterministic cross-engine.
+
+    Scale: the query sample (vec_id % 50 = 0) and its top-10 result
+    set are tiny and broadcast; the corpus is scanned once by the
+    brute-force baseline (swap in ``ann_ivf_topk``/``ann_pq_adc_topk``
+    candidates for the 100 TB path — the eval join is unchanged)."""
+    emb = table(spark, sf_dir, "embeddings")
+    labels = spread(emb).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    top = S.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=10)
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    # top is |queries|×10 rows — broadcast it onto the label table,
+    # never the other way round (labels are corpus-proportional).
+    j = labels.join(
+        F.broadcast(top.join(F.broadcast(qlab), "query_id")), "vec_id"
+    )
+    perq = j.groupBy("query_id", "qlabel").agg(
+        F.min(
+            F.when(F.col("label") == F.col("qlabel"), F.col("rank"))
+        ).alias("first_rel")
+    )
+    rr = F.when(
+        F.col("first_rel").isNotNull(), 1.0 / F.col("first_rel")
+    ).otherwise(0.0)
+    return (
+        perq.groupBy(F.col("qlabel").alias("query_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(F.when(F.col("first_rel").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit_at10"),
+            igrid(F.avg(rr), 6).alias("mrr_e6"),
+        )
+        .orderBy("query_label")
+    )
+
+
+@register(
+    "dd_prefix_dup",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, source,
+             {_SQL_H60.format(x="array_to_string(t[1:10], ' ')")} AS h
+      FROM tokd
+    ),
+    grp AS (SELECT h FROM pref GROUP BY h HAVING count(*) >= 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_prefix,
+           {sql_igrid(
+               'CAST(sum(CASE WHEN g.h IS NOT NULL THEN 1 ELSE 0 END) '
+               'AS DOUBLE) / count(*)', 6)} AS shared_ppm
+    FROM pref LEFT JOIN grp g USING (h)
+    GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "dedup",
+)
+def dd_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-prefix duplicate detector: hash each document's first
+    10 tokens and count documents sharing a prefix — the cheap screen
+    for crawl boilerplate (navigation headers, license banners,
+    templated intros) that full-document near-dup misses because the
+    body diverges after the shared head.
+
+    Complements ``dd_chunk_dup_rate`` (repeated chunks anywhere) with
+    position-anchored semantics at a fraction of the cost: ONE 8-byte
+    hash per document total, versus one per chunk.
+
+    Scale: narrow map to (doc, hash60) then a count per hash — the
+    shuffle is |docs| rows of 8 bytes; group sizes are dup-group
+    sizes, never n."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    prefix = F.concat_ws(" ", F.slice(tokens_expr(), 1, 10))
+    pref = docs.select(
+        "doc_id", "source", hash60_expr(prefix).alias("h")
+    )
+    grp = (
+        pref.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = pref.join(grp.withColumn("dup", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_shared_prefix"),
+            igrid(
+                F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_ppm"),
+        )
+        .orderBy("source")
+    )
