@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from finance_etl_pipeline_spark.functions.scalars import (
     igrid,
@@ -70,22 +71,26 @@ _SQL_TOK = (
              {_SQL_H60.format(x='tok')} % {_DSIR_B} AS b
       FROM tokd WHERE tok <> ''
     ),
-    tcnt AS (SELECT b, count(*) AS ct FROM feats
-             WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
-    tt AS (SELECT count(*) AS nt FROM feats
-           WHERE lang = '{_DSIR_TARGET_LANG}'),
-    rcnt AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
-    rt AS (SELECT count(*) AS nr FROM feats),
+    bcnt AS (
+      SELECT b, count(*) AS cr,
+             sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+               AS ct
+      FROM feats GROUP BY b
+    ),
     ratio AS (
-      SELECT r.b,
-             ln((COALESCE(t.ct, 0) + 1.0) / (tt.nt + {_DSIR_B}.0))
-           - ln((r.cr + 1.0) / (rt.nr + {_DSIR_B}.0)) AS lw
-      FROM rcnt r LEFT JOIN tcnt t USING (b), tt, rt
+      SELECT b,
+             ln((ct + 1.0) / (sum(ct) OVER () + {_DSIR_B}.0))
+           - ln((cr + 1.0) / (sum(cr) OVER () + {_DSIR_B}.0)) AS lw
+      FROM bcnt
+    ),
+    docb AS (
+      SELECT doc_id, source, b, count(*) AS cnt
+      FROM feats GROUP BY doc_id, source, b
     ),
     docw AS (
-      SELECT f.doc_id, f.source, avg(lw) AS w
-      FROM feats f JOIN ratio USING (b)
-      GROUP BY f.doc_id, f.source
+      SELECT d.doc_id, d.source, sum(d.cnt * lw) / sum(d.cnt) AS w
+      FROM docb d JOIN ratio USING (b)
+      GROUP BY d.doc_id, d.source
     )
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
@@ -110,10 +115,11 @@ def s_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-ranked keep-set of ``s_mixture_resample`` composes with these
     weights directly.
 
-    Scale: the ratio table is ≤ 8192 rows — broadcast onto the token
-    stream (narrow map); the only data-proportional shuffle is the
-    per-doc mean (|tokens| rows of 8-byte buckets).  Emitted on the
-    igrid micro-unit grid, so the output schema is all-integer."""
+    Scale: two passes over the token stream — a stats pass whose
+    map-side combine collapses to ≤ 8192 bucket groups before the
+    exchange, and a scoring pass shuffling per-(doc, bucket) counts;
+    the ratio table (≤ 8192 rows) is broadcast.  Emitted on the igrid
+    micro-unit grid, so the output schema is all-integer."""
     docs = spread(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "lang", "source",
@@ -123,30 +129,42 @@ def s_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         (hash60_expr(F.col("tok")) % _DSIR_B).alias("b"),
     )
-    target = feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
-    tcnt = target.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    tt = target.agg(F.count(F.lit(1)).alias("nt"))
-    rcnt = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    rt = feats.agg(F.count(F.lit(1)).alias("nr"))
-    ratio = (
-        rcnt.join(tcnt, "b", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(rt))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("nt") + float(_DSIR_B))
-                )
-                - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_DSIR_B)))
-            ).alias("lw"),
-        )
+    # Scan 1 (stats): ONE groupBy(b) computes raw and target counts
+    # together (map-side combine collapses the token stream to ≤ B
+    # groups per partition); the totals derive from the 8192-row
+    # bucket table, not another corpus scan.  Scan 2 (scoring):
+    # per-(doc, bucket) counts joined against the broadcast ratio
+    # table.  Two passes over the token stream total — the naive
+    # per-aggregate formulation took four.
+    bcnt = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+    )
+    # totals via a global window over the 8192-row bucket table — a
+    # separate scalar-aggregate branch would re-scan the corpus.
+    wall = Window.partitionBy()
+    ratio = bcnt.select(
+        "b",
+        (
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.sum("ct").over(wall) + float(_DSIR_B))
+            )
+            - F.log(
+                (F.col("cr") + 1.0)
+                / (F.sum("cr").over(wall) + float(_DSIR_B))
+            )
+        ).alias("lw"),
+    )
+    docb = feats.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     docw = (
-        feats.join(F.broadcast(ratio), "b")
+        docb.join(F.broadcast(ratio), "b")
         .groupBy("doc_id", "source")
-        .agg(F.avg("lw").alias("w"))
+        .agg((F.sum(F.col("cnt") * F.col("lw")) / F.sum("cnt")).alias("w"))
     )
     return (
         docw.groupBy("source")
