@@ -1160,3 +1160,103 @@ def e_user_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "e_survival_km",
+    f"""
+    WITH users AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+               AS dur,
+             max(ts) AS last_ts
+      FROM events GROUP BY user_id
+    ),
+    marked AS (
+      SELECT dur,
+             CASE WHEN last_ts < max(last_ts) OVER () - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM users
+    ),
+    grid AS (
+      SELECT dur, count(*) AS n_at, sum(churned) AS n_events
+      FROM marked GROUP BY dur
+    ),
+    km AS (
+      SELECT dur, n_events,
+             sum(n_at) OVER (ORDER BY dur DESC) AS n_risk
+      FROM grid
+    )
+    SELECT dur AS dur_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           {sql_igrid(
+               'exp(sum(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / n_risk,'
+               ' 1e-300))) OVER (ORDER BY dur))', 6)} AS survival_e6
+    FROM km ORDER BY dur_day
+    """,
+    "events",
+    "eval",
+)
+def e_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve with right-censoring: a user's
+    lifetime is the day span between their first and last event;
+    users whose last event falls within 7 days of the corpus end are
+    censored (still active — they leave the risk set without counting
+    as churn).  S(t) = prod over d ≤ t of (1 − events_d / at-risk_d), the
+    standard product-limit estimator, computed as exp of a cumulative
+    log-sum so both engines fold it identically (with a 1e-300 floor
+    so a fully-churning day yields S = 0, not an engine-specific
+    ln(0)).
+
+    Scale: one groupBy(user) pass over events, then all windows run on
+    the per-duration grid (≤ observation-window days, ~30 rows) — the
+    curve is corpus-size-independent after the first aggregate."""
+    e = table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.datediff(
+            F.max("ts").cast("date"), F.min("ts").cast("date")
+        ).alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    wall = Window.partitionBy()
+    marked = users.select(
+        "dur",
+        F.when(
+            F.col("last_ts")
+            < F.max("last_ts").over(wall) - F.expr("INTERVAL 7 DAYS"),
+            1,
+        )
+        .otherwise(0)
+        .alias("churned"),
+    )
+    grid = marked.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("churned").alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = grid.select(
+        "dur",
+        "n_events",
+        F.sum("n_at").over(w_desc).alias("n_risk"),
+    )
+    w_asc = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    logterm = F.log(
+        F.greatest(
+            F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk"),
+            F.lit(1e-300),
+        )
+    )
+    return (
+        km.select(
+            F.col("dur").cast("long").alias("dur_day"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("n_events").cast("long").alias("n_events"),
+            igrid(F.exp(F.sum(logterm).over(w_asc)), 6).alias("survival_e6"),
+        )
+        .orderBy("dur_day")
+    )

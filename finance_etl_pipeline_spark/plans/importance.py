@@ -179,21 +179,43 @@ def s_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tx_linear_classifier",
-    f"""
-    WITH tokd AS ({_SQL_TOK}),
+# Shared classifier-inference SQL: per-doc linear score over hashed
+# buckets (used by tx_linear_classifier and tx_classifier_calibration).
+_SQL_SCORED = f"""
+    tokd AS ({_SQL_TOK}),
     feats AS (
-      SELECT doc_id, source,
+      SELECT doc_id, lang, source,
              {_SQL_H60.format(x='tok')} % {_CLF_B} AS b
       FROM tokd WHERE tok <> ''
     ),
     scored AS (
-      SELECT doc_id, source,
+      SELECT doc_id, lang, source,
              avg(((b * {_CLF_MULT}) % 1001 - 500) / 1000.0) + {_CLF_BIAS}
                AS score
-      FROM feats GROUP BY doc_id, source
+      FROM feats GROUP BY doc_id, lang, source
     )
+"""
+
+
+def _clf_scored(docs: DataFrame) -> DataFrame:
+    """Per-doc linear classifier score — the Spark twin of
+    ``_SQL_SCORED`` (hashed buckets → mean weight → + bias)."""
+    toks = docs.select(
+        "doc_id", "lang", "source", F.explode(tokens_expr()).alias("tok")
+    ).filter(F.col("tok") != "")
+    b = hash60_expr(F.col("tok")) % _CLF_B
+    w = ((b * _CLF_MULT) % 1001 - 500) / F.lit(1000.0)
+    return (
+        toks.select("doc_id", "lang", "source", w.alias("w"))
+        .groupBy("doc_id", "lang", "source")
+        .agg((F.avg("w") + _CLF_BIAS).alias("score"))
+    )
+
+
+@register(
+    "tx_linear_classifier",
+    f"""
+    WITH {_SQL_SCORED}
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -222,17 +244,7 @@ def tx_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no weight table to broadcast at all (the weight is a scalar
     expression of the bucket id), so the classifier runs at scan
     speed on any corpus size."""
-    docs = spread(table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id", "source", F.explode(tokens_expr()).alias("tok")
-    ).filter(F.col("tok") != "")
-    b = hash60_expr(F.col("tok")) % _CLF_B
-    w = ((b * _CLF_MULT) % 1001 - 500) / F.lit(1000.0)
-    scored = (
-        toks.select("doc_id", "source", w.alias("w"))
-        .groupBy("doc_id", "source")
-        .agg((F.avg("w") + _CLF_BIAS).alias("score"))
-    )
+    scored = _clf_scored(spread(table(spark, sf_dir, "documents")))
     prob = 1.0 / (1.0 + F.exp(-F.col("score")))
     return (
         scored.groupBy("source")
@@ -406,4 +418,67 @@ def dd_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_ppm"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "tx_classifier_calibration",
+    f"""
+    WITH {_SQL_SCORED},
+    probs AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-score)) AS prob,
+             CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END
+               AS is_pos
+      FROM scored
+    ),
+    binned AS (
+      SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bin, prob, is_pos
+      FROM probs
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {sql_igrid('avg(prob)', 6)} AS mean_prob_e6,
+           {sql_igrid('avg(CAST(is_pos AS DOUBLE))', 6)} AS pos_rate_e6
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+    "llm",
+    "text",
+    "eval",
+)
+def tx_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram: bucket the linear classifier's
+    predicted probability into deciles and compare each bin's mean
+    prediction with its observed positive rate (ground truth: the
+    declared lang equals the target language) — the calibration audit
+    run before using classifier scores as sampling weights, where a
+    miscalibrated model silently skews the corpus mixture.
+
+    Scale: reuses the scan-speed scoring pass of
+    ``tx_linear_classifier``; the diagram itself is a 10-row
+    aggregate.  All outputs on the integer micro-unit grid."""
+    scored = _clf_scored(spread(table(spark, sf_dir, "documents")))
+    prob = 1.0 / (1.0 + F.exp(-F.col("score")))
+    probs = scored.select(
+        prob.alias("prob"),
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        .otherwise(0)
+        .alias("is_pos"),
+    )
+    binned = probs.select(
+        F.least(F.floor(F.col("prob") * 10).cast("long"), F.lit(9).cast("long"))
+        .alias("bin"),
+        "prob",
+        "is_pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            igrid(F.avg("prob"), 6).alias("mean_prob_e6"),
+            igrid(F.avg(F.col("is_pos").cast("double")), 6).alias(
+                "pos_rate_e6"
+            ),
+        )
+        .orderBy("bin")
     )

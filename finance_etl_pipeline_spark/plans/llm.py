@@ -1120,3 +1120,81 @@ def dd_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dd_incremental_neardup",
+    f"""
+    WITH sh AS ({_SQL_SH}),
+    hashes AS (SELECT doc_id, {_SQL_H60.format(x='s')} % {_P} AS hmod FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             min(({D.hash_a('i')} * hmod + {D.hash_b('i')}) % {_P}) AS mh
+      FROM hashes, range(0, {D.NUM_HASHES}) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.NUM_HASHES // D.NUM_BANDS} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      WHERE (a.doc_id % 10 = 0) != (b.doc_id % 10 = 0)
+    ),
+    {_JACCARD_CORE}
+    SELECT CASE WHEN v.doc_a % 10 = 0 THEN v.doc_a ELSE v.doc_b END
+             AS incoming_doc,
+           CASE WHEN v.doc_a % 10 = 0 THEN v.doc_b ELSE v.doc_a END
+             AS corpus_doc,
+           jaccard
+    FROM (
+      SELECT inter.doc_a, inter.doc_b,
+             floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001)
+               / 10000 AS jaccard
+      FROM inter
+      JOIN cand ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
+      JOIN sizes sa ON inter.doc_a = sa.doc_id
+      JOIN sizes sb ON inter.doc_b = sb.doc_id
+    ) v WHERE jaccard >= 0.7
+    ORDER BY incoming_doc, corpus_doc
+    """,
+    "llm",
+    "dedup",
+)
+def dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup: the production shape of
+    LSH dedup — a new ingest slice is checked against the existing
+    corpus, NOT all-pairs over everything.  The incoming batch is
+    modeled as ``doc_id % 10 = 0`` (ids are assigned at ingest, so an
+    id-range slice is the arriving delta); candidates keep only
+    cross pairs (one incoming, one corpus side), so candidate volume
+    is ∝ |batch| × dup-density, independent of corpus size.
+
+    At 100 TB this is the steady-state path: corpus band signatures
+    are precomputed and persisted; each day's batch computes its own
+    signatures, bucket-joins against the stored bands, and verifies
+    only the cross candidates.  This query recomputes both sides from
+    scratch (no stored state in the test fixture) but the plan's join
+    and verify shapes are exactly the steady-state ones."""
+    docs = table(spark, sf_dir, "documents")
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    mh = D.minhash_signatures_hashed(sh_hashed)
+    bands = D.band_signatures(mh)
+    cand = D.candidate_pairs(bands).filter(
+        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    )
+    verified = D.jaccard_verify_hashed(sh_hashed, cand, 0.7)
+    inc_a = F.col("doc_a") % 10 == 0
+    return (
+        verified.select(
+            F.when(inc_a, F.col("doc_a")).otherwise(F.col("doc_b"))
+            .alias("incoming_doc"),
+            F.when(inc_a, F.col("doc_b")).otherwise(F.col("doc_a"))
+            .alias("corpus_doc"),
+            "jaccard",
+        )
+        .orderBy("incoming_doc", "corpus_doc")
+    )
