@@ -1198,3 +1198,54 @@ def dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("incoming_doc", "corpus_doc")
     )
+
+
+@register(
+    "mm_frame_sample",
+    """
+    WITH payloads AS (
+      SELECT doc_id, encode(text) AS payload,
+             CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                  ELSE 'audio/wav' END AS media_type
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, media_type,
+             CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+             greatest(CAST(floor(octet_length(payload) / 64.0) AS INTEGER), 1)
+               AS n_frames
+      FROM payloads
+    )
+    SELECT doc_id, media_type,
+           CAST(unnest(generate_series(0, n_frames - 1)) AS BIGINT)
+             AS frame_no,
+           n_bytes
+    FROM sized
+    ORDER BY doc_id, frame_no
+    """,
+    "llm",
+    "multimodal",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage of the video/audio path: one row per
+    sampled offset of the opaque binary payload (every 64 bytes
+    stands in for every Nth video frame / audio chunk).  Unlike the
+    decode stage this is pure DataFrame algebra (sequence + explode,
+    no Python), so it carries a full value oracle — the multimodal
+    plumbing's only Python hop stays the Arrow-batched decode stub.
+
+    Scale: explode of a computed index range — narrow, no shuffle;
+    output rows ∝ total payload bytes / stride."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        frame_sample,
+        with_binary_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    frames = frame_sample(with_binary_payload(docs), every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        "media_type",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        "n_bytes",
+    ).orderBy("doc_id", "frame_no")

@@ -154,3 +154,37 @@ def test_q3_customer_join_broadcast_chosen_at_runtime(spark, sf_dir):
 def test_anti_join_broadcast_chosen_at_runtime(spark, sf_dir):
     plan = executed_plan_of(spark, "p_anti_join_integrity", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_two_corpus_scans_and_broadcast_ratio(spark, sf_dir):
+    """s_dsir_importance promises exactly two passes over documents
+    (fused bucket stats + per-doc scoring) with the ratio table
+    broadcast — a third scan means the totals branch regressed."""
+    import re
+
+    plan = plan_of(spark, "s_dsir_importance", sf_dir)
+    # formatted mode prints each node twice (tree + details): count
+    # unique numbered scan nodes
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_frame_sample_is_narrow(spark, sf_dir):
+    """mm_frame_sample is explode-only: besides spread()'s round-robin
+    scan-parallelism Exchange and the final presentation sort, nothing
+    may shuffle — no aggregate/join Exchange can appear."""
+    import re
+
+    plan = plan_of(spark, "mm_frame_sample", sf_dir)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    assert "hashpartitioning" not in plan  # no agg/join shuffle
+
+
+def test_incremental_neardup_filters_candidates_before_verify(spark, sf_dir):
+    """dd_incremental_neardup must keep the Jaccard verification
+    broadcast-shaped (candidates ∝ batch dup density) — a SortMergeJoin
+    on the shingle index would mean verification regressed to
+    corpus-proportional pairs."""
+    plan = plan_of(spark, "dd_incremental_neardup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
