@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
         llm,
         lm,
         market,
+        mmr,
         pq,
         quality,
         quantized,

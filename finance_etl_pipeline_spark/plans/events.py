@@ -1260,3 +1260,140 @@ def e_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_day")
     )
+
+
+@register(
+    "e_dau_wau_mau",
+    f"""
+    WITH presence AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM presence),
+    dau AS (SELECT day, count(*) AS dau FROM presence GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT p.user_id) AS wau
+      FROM days d JOIN presence p
+        ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    ),
+    mau AS (
+      SELECT d.day, count(DISTINCT p.user_id) AS mau
+      FROM days d JOIN presence p
+        ON p.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(mau AS BIGINT) AS mau,
+           {sql_igrid('CAST(dau AS DOUBLE) / mau', 6)} AS stickiness_e6
+    FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    ORDER BY day
+    """,
+    "events",
+    "agg",
+)
+def e_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement triad: daily / trailing-7-day / trailing-30-day
+    active users per calendar day, plus the DAU/MAU stickiness ratio —
+    the growth-dashboard staple.  Exact distinct counts (not HLL — see
+    ``a_hll_incremental_uniques`` for the sketch path at extreme
+    cardinality).
+
+    Scale: the event stream collapses FIRST to one row per (day, user)
+    — everything after runs on presence rows (|users| × |days|), and
+    the trailing windows are a bounded range join (≤ 7× / ≤ 30×
+    presence), never a scan of raw events per day."""
+    e = table(spark, sf_dir, "events")
+    presence = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = presence.select("day").distinct()
+    dau = presence.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    p = presence.select(
+        F.col("day").alias("pday"), F.col("user_id")
+    )
+    wau = (
+        days.join(
+            p,
+            (F.col("pday") <= F.col("day"))
+            & (F.col("pday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    mau = (
+        days.join(
+            p,
+            (F.col("pday") <= F.col("day"))
+            & (F.col("pday") >= F.date_sub(F.col("day"), 29)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            igrid(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness_e6"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "e_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    ),
+    ranked AS (
+      SELECT path, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, path) AS rk
+      FROM paths GROUP BY path
+    )
+    SELECT path, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+    "events",
+    "window",
+)
+def e_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys: sliding event-type trigrams
+    per user (lead windows over the per-user timeline, ties broken by
+    event_id) ranked by frequency — the path-analysis / Sankey feed
+    that generalizes ``e_transition_matrix`` beyond first order.
+
+    Scale: one window pass per user partition (the natural event-log
+    distribution), then a count over ≤ |event_types|³ path strings —
+    the rank runs on a bounded table."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.col("path"))
+    return (
+        counted.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select("path", F.col("n").cast("long"), F.col("rk").cast("long"))
+        .orderBy("rk")
+    )
