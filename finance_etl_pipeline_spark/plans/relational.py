@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -35,13 +35,17 @@ from finance_etl_pipeline_spark.sources.readers import table
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           floor((sum(l_quantity)) * 100 + 0.5001) / 100                                    AS sum_qty,
-           floor((sum(l_extendedprice)) * 100 + 0.5001) / 100                               AS sum_base_price,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5001) / 100            AS sum_disc_price,
-           floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5001) / 100 AS sum_charge,
-           floor((avg(l_quantity)) * 10000 + 0.5001) / 10000                                    AS avg_qty,
-           floor((avg(l_extendedprice)) * 10000 + 0.5001) / 10000                               AS avg_price,
-           floor((avg(l_discount)) * 10000 + 0.5001) / 10000                                    AS avg_disc,
+           CAST(sum(l_quantity) AS BIGINT)                                                  AS sum_qty,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT)       AS sum_base_price_e2,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5001) AS BIGINT)) AS BIGINT)
+                                                                                            AS sum_disc_price_e4,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000 + 0.5001) AS BIGINT)) AS BIGINT)
+                                                                                            AS sum_charge_e6,
+           CAST(floor(sum(l_quantity) / count(*) * 10000 + 0.5001) AS BIGINT)               AS avg_qty_e4,
+           CAST(floor(sum(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) / count(*) / 100 * 10000 + 0.5001) AS BIGINT)
+                                                                                            AS avg_price_e4,
+           CAST(floor(sum(CAST(floor(l_discount * 100 + 0.5001) AS BIGINT)) / count(*) / 100 * 10000 + 0.5001) AS BIGINT)
+                                                                                            AS avg_disc_e4,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -52,21 +56,35 @@ from finance_etl_pipeline_spark.sources.readers import table
     "bench",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: scan→filter→group→multi-agg→sort (A1, P3, O1)."""
+    """TPC-H Q1 shape: scan→filter→group→multi-agg→sort (A1, P3, O1).
+
+    Output typing contract: money aggregates are emitted as EXACT
+    integer grid units (cents / e4 / e6) — each row's amount is
+    gridded to its exact decimal resolution (source money is 2 dp,
+    disc 2 dp, tax 2 dp) BEFORE the sum, so the aggregate is pure
+    BIGINT arithmetic: bit-identical across engines, partition
+    orders, and hash canonicalizations.  At extreme scale the same
+    grids would be summed as DECIMAL(38,0) to rule out int64
+    overflow; BIGINT holds comfortably through sf100."""
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
+    sum_price_e2 = F.sum(igrid("l_extendedprice", 2))
+    sum_disc_e2 = F.sum(igrid("l_discount", 2))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            fround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            fround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            fround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            fround(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            sum_price_e2.alias("sum_base_price_e2"),
+            F.sum(igrid(disc_price, 4)).alias("sum_disc_price_e4"),
+            F.sum(igrid(disc_price * (1 + F.col("l_tax")), 6)).alias(
+                "sum_charge_e6"
+            ),
+            igrid(F.sum("l_quantity") / cnt, 4).alias("avg_qty_e4"),
+            igrid(sum_price_e2 / cnt / 100, 4).alias("avg_price_e4"),
+            igrid(sum_disc_e2 / cnt / 100, 4).alias("avg_disc_e4"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -76,7 +94,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped_orders",
     """
     SELECT l.l_orderkey,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e4,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -85,7 +103,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
       AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY revenue_e4 DESC, l_orderkey
     LIMIT 10
     """,
     "join",
@@ -110,12 +128,12 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            fround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue_e4")
         )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), "l_orderkey")
+        .select("l_orderkey", "revenue_e4", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue_e4"), "l_orderkey")
         .limit(10)
     )
 
@@ -124,7 +142,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -134,7 +152,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n.n_name
-    ORDER BY revenue DESC, n_name
+    ORDER BY revenue_e4 DESC, n_name
     """,
     "join",
     "agg",
@@ -157,18 +175,18 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            fround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue_e4")
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        .orderBy(F.desc("revenue_e4"), "n_name")
     )
 
 
 @register(
     "q6_forecast_revenue",
     """
-    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5001) / 100 AS revenue
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -190,7 +208,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            F.sum(
+                igrid(F.col("l_extendedprice") * F.col("l_discount"), 4)
+            ).alias("revenue_e4")
+        )
     )
 
 
@@ -198,8 +220,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c.c_custkey, c.c_name,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue,
-           floor((c.c_acctbal) * 100 + 0.5001) / 100 AS c_acctbal, n.n_name
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(floor(c.c_acctbal * 100 + 0.5001) AS BIGINT) AS acctbal_e2, n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -208,7 +230,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       AND o.o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY revenue_e4 DESC, c_custkey
     LIMIT 20
     """,
     "join",
@@ -230,18 +252,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            fround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue_e4")
         )
         .select(
             "c_custkey",
             "c_name",
-            "revenue",
-            fround("c_acctbal", 2).alias("c_acctbal"),
+            "revenue_e4",
+            igrid("c_acctbal", 2).alias("acctbal_e2"),
             "n_name",
         )
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .orderBy(F.desc("revenue_e4"), "c_custkey")
         .limit(20)
     )
 
@@ -257,7 +279,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey AS order_id,
            o_custkey  AS customer_id,
            'orders'   AS source,
-           floor((o_totalprice) * 100 + 0.5001) / 100 AS total_price
+           CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS total_price_e2
     FROM orders
     """,
     "project",
@@ -270,7 +292,7 @@ def p_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
         F.lit("orders").alias("source"),
-        fround("o_totalprice", 2).alias("total_price"),
+        igrid("o_totalprice", 2).alias("total_price_e2"),
     )
 
 
@@ -394,8 +416,8 @@ def p_filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p_conditional_update",
     """
     SELECT l_orderkey, l_linenumber,
-           floor((CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
-                      ELSE l_extendedprice END) * 100 + 0.5001) / 100 AS signed_price
+           CAST(floor((CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+                      ELSE l_extendedprice END) * 100 + 0.5001) AS BIGINT) AS signed_price_e2
     FROM lineitem
     """,
     "project",
@@ -407,12 +429,12 @@ def p_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        fround(
+        igrid(
             F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice")).otherwise(
                 F.col("l_extendedprice")
             ),
             2,
-        ).alias("signed_price"),
+        ).alias("signed_price_e2"),
     )
 
 
@@ -426,11 +448,11 @@ def p_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily_rate AS (
         SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
-               floor((avg(o_totalprice)) * 10000 + 0.5001) / 10000 AS avg_price
+               CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) / count(*) / 100 * 10000 + 0.5001) AS BIGINT) AS avg_price_e4
         FROM orders GROUP BY 1, 2
     )
     SELECT o.o_orderkey,
-           floor((coalesce(d.avg_price, 1.0)) * 10000 + 0.5001) / 10000 AS rate
+           coalesce(d.avg_price_e4, 10000) AS rate_e4
     FROM orders o
     LEFT JOIN daily_rate d
       ON strftime(o.o_orderdate, '%Y-%m') = d.month
@@ -449,7 +471,11 @@ def j_left_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
             "o_orderpriority",
         )
-        .agg(fround(F.avg("o_totalprice"), 4).alias("avg_price"))
+        .agg(
+            igrid(
+                F.sum(igrid("o_totalprice", 2)) / F.count(F.lit(1)) / 100, 4
+            ).alias("avg_price_e4")
+        )
     )
     joined = o.join(
         F.broadcast(rate),
@@ -459,7 +485,7 @@ def j_left_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "o_orderkey",
-        fround(F.coalesce(rate.avg_price, F.lit(1.0)), 4).alias("rate"),
+        F.coalesce(rate.avg_price_e4, F.lit(10000)).alias("rate_e4"),
     ).orderBy("o_orderkey")
 
 
@@ -573,7 +599,8 @@ def j_static_case_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_groupby_sum",
     """
-    SELECT l_returnflag, floor((sum(l_extendedprice)) * 100 + 0.5001) / 100 AS total_price
+    SELECT l_returnflag,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_price_e2
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -586,7 +613,7 @@ def a_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(fround(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(F.sum(igrid("l_extendedprice", 2)).alias("total_price_e2"))
         .orderBy("l_returnflag")
     )
 
@@ -595,8 +622,8 @@ def a_groupby_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_pivot_wide",
     """
     SELECT l_returnflag,
-           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice ELSE 0 END)) * 100 + 0.5001) / 100 AS F,
-           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice ELSE 0 END)) * 100 + 0.5001) / 100 AS O
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT) ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT) ELSE 0 END) AS BIGINT) AS O
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -607,13 +634,15 @@ def a_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: pivot to wide with explicit pivot values + fill 0
     (reference transform.py:118-124 — explicit values keep the plan
     deterministic and skip the extra distinct-values job)."""
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "price_e2", igrid("l_extendedprice", 2)
+    )
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .sum("l_extendedprice")
-        .na.fill(0.0)
-        .select("l_returnflag", fround("F", 2).alias("F"), fround("O", 2).alias("O"))
+        .sum("price_e2")
+        .na.fill(0)
+        .select("l_returnflag", "F", "O")
         .orderBy("l_returnflag")
     )
 
@@ -675,7 +704,8 @@ def a_duplicate_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_max_abs_identity",
     """
-    SELECT floor((max(abs(o_totalprice - o_totalprice))) * 100 + 0.5001) / 100 AS max_abs_diff
+    SELECT CAST(max(abs(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)
+                        - CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT))) AS BIGINT) AS max_abs_diff_e2
     FROM orders
     """,
     "agg",
@@ -686,10 +716,9 @@ def a_max_abs_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the testdata has no gross/net split so the identity is trivial —
     the operator shape is what is verified)."""
     o = table(spark, sf_dir, "orders")
+    cents = igrid("o_totalprice", 2)
     return o.agg(
-        fround(
-            F.max(F.abs(F.col("o_totalprice") - F.col("o_totalprice"))), 2
-        ).alias("max_abs_diff")
+        F.max(F.abs(cents - cents)).cast("long").alias("max_abs_diff_e2")
     )
 
 
@@ -699,8 +728,8 @@ def a_max_abs_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            min(o_orderdate) AS first_order,
            max(o_orderdate) AS last_order,
-           floor((min(o_totalprice)) * 100 + 0.5001) / 100 AS min_price,
-           floor((max(o_totalprice)) * 100 + 0.5001) / 100 AS max_price
+           CAST(min(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS min_price_e2,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS max_price_e2
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -716,8 +745,8 @@ def a_group_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("o_orderdate").alias("first_order"),
             F.max("o_orderdate").alias("last_order"),
-            fround(F.min("o_totalprice"), 2).alias("min_price"),
-            fround(F.max("o_totalprice"), 2).alias("max_price"),
+            F.min(igrid("o_totalprice", 2)).alias("min_price_e2"),
+            F.max(igrid("o_totalprice", 2)).alias("max_price_e2"),
         )
         .orderBy("o_orderstatus")
     )
@@ -726,10 +755,11 @@ def a_group_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a_topn_by_aggregate",
     """
-    SELECT c_custkey, floor((sum(o_totalprice)) * 100 + 0.5001) / 100 AS total_spend
+    SELECT c_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_spend_e2
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
-    ORDER BY total_spend DESC, c_custkey
+    ORDER BY total_spend_e2 DESC, c_custkey
     LIMIT 8
     """,
     "agg",
@@ -742,8 +772,8 @@ def a_topn_by_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey")
-        .agg(fround(F.sum("o_totalprice"), 2).alias("total_spend"))
-        .orderBy(F.desc("total_spend"), "c_custkey")
+        .agg(F.sum(igrid("o_totalprice", 2)).alias("total_spend_e2"))
+        .orderBy(F.desc("total_spend_e2"), "c_custkey")
         .limit(8)
     )
 
@@ -787,10 +817,10 @@ def a_exists_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           floor((avg(value)) * 10000 + 0.5001) / 10000 AS avg_value,
-           floor((stddev_samp(value)) * 10000 + 0.5001) / 10000 AS sd_value,
-           floor((min(value)) * 100 + 0.5001) / 100 AS min_value,
-           floor((max(value)) * 100 + 0.5001) / 100 AS max_value,
+           CAST(floor(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) / count(value) / 100 * 10000 + 0.5001) AS BIGINT) AS avg_value_e4,
+           CAST(floor(stddev_samp(value) * 10000 + 0.5001) AS BIGINT) AS sd_value_e4,
+           CAST(min(CAST(floor(value * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS min_value_e2,
+           CAST(max(CAST(floor(value * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS max_value_e2,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY event_type
@@ -806,10 +836,12 @@ def a_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            fround(F.avg("value"), 4).alias("avg_value"),
-            fround(F.stddev_samp("value"), 4).alias("sd_value"),
-            fround(F.min("value"), 2).alias("min_value"),
-            fround(F.max("value"), 2).alias("max_value"),
+            igrid(
+                F.sum(igrid("value", 2)) / F.count("value") / 100, 4
+            ).alias("avg_value_e4"),
+            igrid(F.stddev_samp("value"), 4).alias("sd_value_e4"),
+            F.min(igrid("value", 2)).alias("min_value_e2"),
+            F.max(igrid("value", 2)).alias("max_value_e2"),
             F.countDistinct("user_id").alias("n_users"),
         )
         .orderBy("event_type")
@@ -821,7 +853,7 @@ def a_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           floor((sum(l_extendedprice)) * 100 + 0.5001) / 100 AS total_price
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_price_e2
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -833,11 +865,11 @@ def a_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(fround(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(F.sum(igrid("l_extendedprice", 2)).alias("total_price_e2"))
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "total_price",
+            "total_price_e2",
         )
         .orderBy("returnflag", "linestatus")
     )
@@ -847,8 +879,8 @@ def a_grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_percentiles",
     """
     SELECT l_returnflag,
-           floor((median(l_extendedprice)) * 10000 + 0.5001) / 10000 AS p50,
-           floor((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5001) / 10000 AS p95
+           CAST(floor(median(l_extendedprice) * 10000 + 0.5001) AS BIGINT) AS p50_e4,
+           CAST(floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5001) AS BIGINT) AS p95_e4
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -863,8 +895,8 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            fround(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-            fround(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+            igrid(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_e4"),
+            igrid(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_e4"),
         )
         .orderBy("l_returnflag")
     )
@@ -932,8 +964,9 @@ def w_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_lag_delta",
     """
     SELECT user_id, event_id,
-           floor((value - lag(value) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id)) * 100 + 0.5001) / 100 AS delta
+           CAST(floor(value * 100 + 0.5001) AS BIGINT)
+             - lag(CAST(floor(value * 100 + 0.5001) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_e2
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -943,10 +976,11 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beyond-reference: lag() delta per user ordered by time."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = igrid("value", 2)
     return e.select(
         "user_id",
         "event_id",
-        fround(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+        (cents - F.lag(cents).over(w)).alias("delta_e2"),
     ).orderBy("user_id", "event_id")
 
 
@@ -954,9 +988,10 @@ def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_moving_sum",
     """
     SELECT user_id, event_id,
-           floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100 + 0.5001) / 100
-             AS moving_sum
+           CAST(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS moving_sum_e2
     FROM events
     ORDER BY user_id, event_id
     """,
@@ -973,7 +1008,7 @@ def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        fround(F.sum("value").over(w), 2).alias("moving_sum"),
+        F.sum(igrid("value", 2)).over(w).alias("moving_sum_e2"),
     ).orderBy("user_id", "event_id")
 
 
@@ -985,7 +1020,8 @@ def w_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "o_multicol_sort_limit",
     """
-    SELECT o_orderdate, o_custkey, o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+    SELECT o_orderdate, o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS total_price_e2
     FROM orders
     ORDER BY o_orderdate, o_custkey, o_orderkey
     LIMIT 200
@@ -1001,7 +1037,7 @@ def o_multicol_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate",
             "o_custkey",
             "o_orderkey",
-            fround("o_totalprice", 2).alias("o_totalprice"),
+            igrid("o_totalprice", 2).alias("total_price_e2"),
         )
         .orderBy("o_orderdate", "o_custkey", "o_orderkey")
         .limit(200)
@@ -1016,7 +1052,7 @@ def o_multicol_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "u_union_by_name",
     """
-    SELECT id, kind, floor((amount) * 100 + 0.5001) / 100 AS amount FROM (
+    SELECT id, kind, CAST(floor(amount * 100 + 0.5001) AS BIGINT) AS amount_e2 FROM (
       SELECT o_orderkey AS id, 'order' AS kind, o_totalprice AS amount FROM orders
       UNION ALL
       SELECT l_orderkey * 10 + l_linenumber AS id, 'lineitem' AS kind,
@@ -1042,7 +1078,7 @@ def u_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.unionByName(li)
-        .select("id", "kind", fround("amount", 2).alias("amount"))
+        .select("id", "kind", igrid("amount", 2).alias("amount_e2"))
         .orderBy("kind", "id")
     )
 
@@ -1166,8 +1202,8 @@ def u_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_mktsegment,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           floor((percent_rank() OVER w) * 1000000 + 0.5001) / 1000000 AS pct_rank,
-           floor((cume_dist() OVER w) * 1000000 + 0.5001) / 1000000 AS cdist
+           CAST(floor((percent_rank() OVER w) * 1000000 + 0.5001) AS BIGINT) AS pct_rank_e6,
+           CAST(floor((cume_dist() OVER w) * 1000000 + 0.5001) AS BIGINT) AS cdist_e6
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     ORDER BY c_mktsegment, c_custkey
@@ -1189,8 +1225,8 @@ def w_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.ntile(4).over(w).alias("quartile"),
-        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        fround(F.cume_dist().over(w), 6).alias("cdist"),
+        igrid(F.percent_rank().over(w), 6).alias("pct_rank_e6"),
+        igrid(F.cume_dist().over(w), 6).alias("cdist_e6"),
     ).orderBy("c_mktsegment", "c_custkey")
 
 
@@ -1199,15 +1235,14 @@ def w_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH wide AS (
       SELECT l_returnflag,
-             sum(l_quantity) AS qty,
-             sum(l_extendedprice) AS price,
-             sum(l_discount) AS disc
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS price,
+             CAST(sum(CAST(floor(l_discount * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS disc
       FROM lineitem GROUP BY l_returnflag
     )
-    SELECT l_returnflag, measure,
-           floor((total) * 100 + 0.5001) / 100 AS total
+    SELECT l_returnflag, measure, total_e2
     FROM (
-      SELECT l_returnflag, 'qty' AS measure, qty AS total FROM wide
+      SELECT l_returnflag, 'qty' AS measure, qty AS total_e2 FROM wide
       UNION ALL
       SELECT l_returnflag, 'price', price FROM wide
       UNION ALL
@@ -1225,19 +1260,15 @@ def a_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL).  Long form is what generic BI/metric sinks ingest."""
     li = table(spark, sf_dir, "lineitem")
     wide = li.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").alias("qty"),
-        F.sum("l_extendedprice").alias("price"),
-        F.sum("l_discount").alias("disc"),
+        F.sum(igrid("l_quantity", 2)).alias("qty"),
+        F.sum(igrid("l_extendedprice", 2)).alias("price"),
+        F.sum(igrid("l_discount", 2)).alias("disc"),
     )
     return (
         wide.unpivot(
-            ["l_returnflag"], ["qty", "price", "disc"], "measure", "total"
+            ["l_returnflag"], ["qty", "price", "disc"], "measure", "total_e2"
         )
-        .select(
-            "l_returnflag",
-            "measure",
-            fround(F.col("total"), 2).alias("total"),
-        )
+        .select("l_returnflag", "measure", "total_e2")
         .orderBy("l_returnflag", "measure")
     )
 
@@ -1257,7 +1288,7 @@ _BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
     f"""
     WITH bands(band, lo, hi) AS (VALUES {_BANDS_SQL})
     SELECT b.band, count(*) AS n_lines,
-           floor((sum(l.l_extendedprice)) * 100 + 0.5001) / 100 AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e2
     FROM lineitem l JOIN bands b
       ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
     GROUP BY b.band ORDER BY b.band
@@ -1289,7 +1320,7 @@ def j_band_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            fround(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.sum(igrid("l_extendedprice", 2)).alias("revenue_e2"),
         )
         .orderBy("band")
     )
