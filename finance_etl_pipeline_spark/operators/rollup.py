@@ -7,8 +7,11 @@ src/finance_etl/pipeline.py) recomputes everything per run; at 100 TB
 the recompute is the bottleneck, so the engine stores mergeable
 partials instead of finished numbers:
 
-- partial state per (bucket, key): ``n`` (count) and ``total`` (sum)
-  — closed under addition, so ANY of these operations is just a
+- partial state per (bucket, key): ``n`` (count) and ``total_e2``
+  (sum of exact cent units — money is 2 dp, so the per-row grid is
+  exact and the partial is pure BIGINT arithmetic: merges are not
+  just lossless but bit-deterministic under any partition order) —
+  closed under addition, so ANY of these operations is just a
   group-by-sum over states:
     * ingesting a new chunk of raw events (append + merge);
     * re-rolling a fine grain into a coarser one (hour → day →
@@ -36,7 +39,9 @@ def rollup_partials(
     value_col: str = "value",
 ) -> DataFrame:
     """Aggregate raw events to partial states at ``grain``:
-    (bucket, key, n, total)."""
+    (bucket, key, n, total_e2)."""
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+
     if grain not in _GRAINS:
         raise ValueError(f"grain must be one of {_GRAINS}, got {grain!r}")
     return (
@@ -46,7 +51,7 @@ def rollup_partials(
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(value_col).alias("total"),
+            F.sum(igrid(value_col, 2)).alias("total_e2"),
         )
     )
 
@@ -58,7 +63,7 @@ def merge_partials(existing: DataFrame, new: DataFrame) -> DataFrame:
     return (
         existing.unionByName(new)
         .groupBy("bucket", "key")
-        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .agg(F.sum("n").alias("n"), F.sum("total_e2").alias("total_e2"))
     )
 
 
@@ -72,18 +77,19 @@ def reroll(partials: DataFrame, grain: str) -> DataFrame:
         partials.groupBy(
             F.date_trunc(grain, F.col("bucket")).alias("bucket"), "key"
         )
-        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+        .agg(F.sum("n").alias("n"), F.sum("total_e2").alias("total_e2"))
     )
 
 
-def finish(partials: DataFrame, ndigits: int = 2) -> DataFrame:
-    """Derive finished metrics from states: count, total, avg."""
-    from finance_etl_pipeline_spark.functions.scalars import fround
+def finish(partials: DataFrame) -> DataFrame:
+    """Derive finished metrics from states: count, exact cent total,
+    avg gridded to e4 (computed from the exact integer state)."""
+    from finance_etl_pipeline_spark.functions.scalars import igrid
 
     return partials.select(
         "bucket",
         "key",
         F.col("n").alias("n_events"),
-        fround(F.col("total"), ndigits).alias("total_value"),
-        fround(F.col("total") / F.col("n"), ndigits + 2).alias("avg_value"),
+        F.col("total_e2").alias("total_value_e2"),
+        igrid(F.col("total_e2") / F.col("n") / 100, 4).alias("avg_value_e4"),
     )

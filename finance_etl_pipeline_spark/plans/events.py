@@ -17,12 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import (
-    fround,
-    igrid,
-    sql_igrid,
-    sql_round,
-)
+from finance_etl_pipeline_spark.functions.scalars import igrid, sql_igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -33,7 +28,7 @@ from finance_etl_pipeline_spark.sources.readers import table
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           floor((sum(value)) * 100 + 0.5001) / 100 AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_value_e2
     FROM events
     GROUP BY 1, 2
     ORDER BY window_start, event_type
@@ -49,13 +44,13 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            fround(F.sum("value"), 2).alias("total_value"),
+            F.sum(igrid("value", 2)).alias("total_value_e2"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_e2",
         )
         .orderBy("window_start", "event_type")
     )
@@ -78,7 +73,7 @@ def e_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            count(*) AS n_events,
-           floor((sum(value)) * 100 + 0.5001) / 100 AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_value_e2
     FROM assigned
     GROUP BY window_start
     ORDER BY window_start
@@ -95,9 +90,11 @@ def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            fround(F.sum("value"), 2).alias("total_value"),
+            F.sum(igrid("value", 2)).alias("total_value_e2"),
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value_e2"
+        )
         .orderBy("window_start")
     )
 
@@ -128,7 +125,7 @@ def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events,
-           floor((sum(value)) * 100 + 0.5001) / 100 AS total_value
+           CAST(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_value_e2
     FROM sessions
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start
@@ -145,14 +142,14 @@ def e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            fround(F.sum("value"), 2).alias("total_value"),
+            F.sum(igrid("value", 2)).alias("total_value_e2"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "total_value",
+            "total_value_e2",
         )
         .orderBy("user_id", "session_start")
     )
@@ -167,8 +164,8 @@ def e_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT day, event_type, n,
-           floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) * 100) * 10000 + 0.5001) / 10000
-             AS pct_of_day
+           CAST(floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY day) * 100) * 10000 + 0.5001) AS BIGINT)
+             AS pct_of_day_e4
     FROM daily
     ORDER BY day, event_type
     """,
@@ -191,8 +188,8 @@ def e_type_share_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "event_type",
         "n",
-        fround(F.col("n").cast("double") / F.sum("n").over(w) * 100, 4).alias(
-            "pct_of_day"
+        igrid(F.col("n").cast("double") / F.sum("n").over(w) * 100, 4).alias(
+            "pct_of_day_e4"
         ),
     ).orderBy("day", "event_type")
 
@@ -202,7 +199,7 @@ def e_type_share_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
            (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delay_sec,
-           floor((p.value) * 100 + 0.5001) / 100 AS purchase_value
+           CAST(floor(p.value * 100 + 0.5001) AS BIGINT) AS purchase_value_e2
     FROM events c
     JOIN events p
       ON p.user_id = c.user_id
@@ -254,7 +251,7 @@ def e_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
             ).alias("delay_sec"),
-            fround(F.col("value"), 2).alias("purchase_value"),
+            igrid(F.col("value"), 2).alias("purchase_value_e2"),
         )
         .orderBy("click_id", "purchase_id")
     )
@@ -285,7 +282,7 @@ def e_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN rn = n THEN 'last'
                 ELSE 'middle' END AS touch_position,
            count(*) AS n_touchpoints,
-           floor((sum(value / n)) * 100 + 0.5001) / 100 AS attributed_value
+           CAST(sum(CAST(floor(value / n * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS attributed_value_e4
     FROM w GROUP BY 1 ORDER BY touch_position
     """,
     "events",
@@ -348,8 +345,8 @@ def e_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("touch_position")
         .agg(
             F.count(F.lit(1)).alias("n_touchpoints"),
-            fround(F.sum(F.col("value") / F.col("n")), 2).alias(
-                "attributed_value"
+            F.sum(igrid(F.col("value") / F.col("n"), 4)).alias(
+                "attributed_value_e4"
             ),
         )
         .orderBy("touch_position")
@@ -362,8 +359,8 @@ def e_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
            event_type AS key,
            count(*) AS n_events,
-           floor((sum(value)) * 100 + 0.5001) / 100 AS total_value,
-           floor((sum(value) / count(*)) * 10000 + 0.5001) / 10000 AS avg_value
+           CAST(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS total_value_e2,
+           CAST(floor(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) / count(*) / 100 * 10000 + 0.5001) AS BIGINT) AS avg_value_e4
     FROM events
     GROUP BY 1, 2
     ORDER BY bucket, key
@@ -393,10 +390,10 @@ def e_rollup_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w_trailing_range_window",
     """
     SELECT event_id, user_id,
-           floor((sum(value) OVER (
+           CAST(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY epoch(ts)
              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
-           )) * 100 + 0.5001) / 100 AS trailing_7d_value
+           ) AS BIGINT) AS trailing_7d_value_e2
     FROM events
     WHERE event_type = 'purchase'
     ORDER BY event_id
@@ -428,7 +425,7 @@ def w_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        fround(F.sum("value").over(w), 2).alias("trailing_7d_value"),
+        F.sum(igrid("value", 2)).over(w).alias("trailing_7d_value_e2"),
     ).orderBy("event_id")
 
 
@@ -445,7 +442,7 @@ def w_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     obs AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
-             floor(avg(value) * 10000 + 0.5001) / 10000 AS v
+             CAST(floor(sum(CAST(floor(value * 100 + 0.5001) AS BIGINT)) / count(*) / 100 * 10000 + 0.5001) AS BIGINT) AS v
       FROM events
       WHERE value > 200 AND event_type IN ('click', 'purchase')
       GROUP BY event_type, CAST(ts AS DATE)
@@ -470,16 +467,16 @@ def w_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_next AS (PARTITION BY event_type ORDER BY day
                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
-    SELECT event_type, day, v AS v_raw,
+    SELECT event_type, day, v AS v_raw_e4,
            CASE
              WHEN v IS NOT NULL THEN v
              WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
-               floor((prev_v + (next_v - prev_v)
+               CAST(floor(prev_v + (next_v - prev_v)
                       * date_diff('day', prev_d, day)
-                      / nullif(date_diff('day', prev_d, next_d), 0))
-                     * 10000 + 0.5001) / 10000
+                      / nullif(date_diff('day', prev_d, next_d), 0)
+                      + 0.5001) AS BIGINT)
              ELSE NULL
-           END AS v_filled
+           END AS v_filled_e4
     FROM ctx
     ORDER BY event_type, day
     """,
@@ -526,7 +523,11 @@ def e_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("event_type").isin("click", "purchase")
         )
         .groupBy("event_type", F.col("ts").cast("date").alias("day"))
-        .agg(fround(F.avg("value"), 4).alias("v"))
+        .agg(
+            igrid(
+                F.sum(igrid("value", 2)) / F.count(F.lit(1)) / 100, 4
+            ).alias("v")
+        )
     )
     g = grid.join(obs, ["event_type", "day"], "left")
     w_prev = (
@@ -558,15 +559,15 @@ def e_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(
             F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
-            fround(interp, 4),
+            F.floor(interp + 0.5001).cast("long"),
         )
-        .otherwise(F.lit(None).cast("double"))
+        .otherwise(F.lit(None).cast("long"))
     )
     return ctx.select(
         "event_type",
         "day",
-        F.col("v").alias("v_raw"),
-        filled.alias("v_filled"),
+        F.col("v").alias("v_raw_e4"),
+        filled.alias("v_filled_e4"),
     ).orderBy("event_type", "day")
 
 
@@ -626,12 +627,12 @@ def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_type, count(*) AS n_gaps,
-           {{p50}} AS p50_gap_s, {{p90}} AS p90_gap_s
+           {{p50}} AS p50_gap_s_e2, {{p90}} AS p90_gap_s_e2
     FROM seq WHERE gap_s IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """.format(
-        p50=sql_round("quantile_cont(gap_s, 0.5)", 2),
-        p90=sql_round("quantile_cont(gap_s, 0.9)", 2),
+        p50=sql_igrid("quantile_cont(gap_s, 0.5)", 2),
+        p90=sql_igrid("quantile_cont(gap_s, 0.9)", 2),
     ),
     "events",
     "window",
@@ -658,8 +659,8 @@ def e_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
-            fround(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
-            fround(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s"),
+            igrid(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s_e2"),
+            igrid(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s_e2"),
         )
         .orderBy("event_type")
     )
@@ -675,20 +676,20 @@ def e_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     p7 AS (
       SELECT a.event_type, count(*) AS n_pairs_7d,
-             {sql_round('avg(abs(a.n - b.n))', 6)} AS mae_seasonal
+             {sql_igrid('sum(abs(a.n - b.n)) / count(*)', 6)} AS mae_seasonal_e6
       FROM daily a JOIN daily b
         ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 7 DAY
       GROUP BY a.event_type
     ),
     p1 AS (
       SELECT a.event_type, count(*) AS n_pairs_1d,
-             {sql_round('avg(abs(a.n - b.n))', 6)} AS mae_naive
+             {sql_igrid('sum(abs(a.n - b.n)) / count(*)', 6)} AS mae_naive_e6
       FROM daily a JOIN daily b
         ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 1 DAY
       GROUP BY a.event_type
     )
-    SELECT p7.event_type, n_pairs_7d, mae_seasonal, n_pairs_1d, mae_naive,
-           {sql_round('mae_seasonal / mae_naive', 6)} AS mase
+    SELECT p7.event_type, n_pairs_7d, mae_seasonal_e6, n_pairs_1d, mae_naive_e6,
+           {sql_igrid('CAST(mae_seasonal_e6 AS DOUBLE) / mae_naive_e6', 6)} AS mase_e6
     FROM p7 JOIN p1 ON p7.event_type = p1.event_type
     ORDER BY p7.event_type
     """,
@@ -735,25 +736,29 @@ def e_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("a.event_type").alias("event_type"))
             .agg(
                 F.count(F.lit(1)).alias(n_name),
-                fround(
-                    F.avg(F.abs(F.col("a.n") - F.col("b_n"))), 6
+                igrid(
+                    F.sum(F.abs(F.col("a.n") - F.col("b_n")))
+                    / F.count(F.lit(1)),
+                    6,
                 ).alias(mae_name),
             )
         )
 
-    p7 = _pairs(7, "n_pairs_7d", "mae_seasonal")
-    p1 = _pairs(1, "n_pairs_1d", "mae_naive")
+    p7 = _pairs(7, "n_pairs_7d", "mae_seasonal_e6")
+    p1 = _pairs(1, "n_pairs_1d", "mae_naive_e6")
     return (
         p7.join(p1, "event_type")
         .select(
             "event_type",
             "n_pairs_7d",
-            "mae_seasonal",
+            "mae_seasonal_e6",
             "n_pairs_1d",
-            "mae_naive",
-            fround(
-                F.col("mae_seasonal") / F.col("mae_naive"), 6
-            ).alias("mase"),
+            "mae_naive_e6",
+            igrid(
+                F.col("mae_seasonal_e6").cast("double")
+                / F.col("mae_naive_e6"),
+                6,
+            ).alias("mase_e6"),
         )
         .orderBy("event_type")
     )

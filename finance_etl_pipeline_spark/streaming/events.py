@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark import schemas
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 
 
 def read_events_stream(
@@ -80,13 +80,13 @@ def tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            fround(F.sum("value"), 2).alias("total_value"),
+            F.sum(igrid("value", 2)).alias("total_value_e2"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_e2",
         )
     )
 
@@ -100,14 +100,14 @@ def session_aggregates(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            fround(F.sum("value"), 2).alias("total_value"),
+            F.sum(igrid("value", 2)).alias("total_value_e2"),
         )
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
             "n_events",
-            "total_value",
+            "total_value_e2",
         )
     )
 
@@ -147,7 +147,7 @@ def click_purchase_stream_join(
         F.expr(
             "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
         ).alias("delay_sec"),
-        fround(F.col("value"), 2).alias("purchase_value"),
+        igrid(F.col("value"), 2).alias("purchase_value_e2"),
     )
 
 

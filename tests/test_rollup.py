@@ -16,7 +16,7 @@ from finance_etl_pipeline_spark.sources.readers import table
 
 def _as_map(df):
     return {
-        (r.bucket, r.key): (r.n, round(r.total, 6)) for r in df.collect()
+        (r.bucket, r.key): (r.n, r.total_e2) for r in df.collect()
     }
 
 
@@ -43,7 +43,9 @@ def test_finish_derives_avg_from_states(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     out = finish(rollup_partials(e, "day"))
     row = out.filter(F.col("n_events") > 0).first()
-    assert abs(row.avg_value - row.total_value / row.n_events) < 1e-2
+    # avg_value_e4 derives exactly from the integer state
+    expected = row.total_value_e2 / row.n_events / 100
+    assert abs(row.avg_value_e4 / 10000 - expected) < 1e-3
 
 
 def test_bad_grain_rejected(spark, sf_dir):

@@ -29,8 +29,8 @@ def test_streaming_tumbling_matches_batch(spark, sf_dir, events_dir):
     got = drain_to_memory(tumbling_counts(stream), "t_tumbling", spark)
     batch = all_queries()["e_tumbling_window"].fn(spark, sf_dir)
     key = lambda r: (r.window_start, r.event_type)  # noqa: E731
-    got_rows = {key(r): (r.n_events, r.total_value) for r in got.collect()}
-    batch_rows = {key(r): (r.n_events, r.total_value) for r in batch.collect()}
+    got_rows = {key(r): (r.n_events, r.total_value_e2) for r in got.collect()}
+    batch_rows = {key(r): (r.n_events, r.total_value_e2) for r in batch.collect()}
     assert got_rows == batch_rows
 
 
@@ -46,10 +46,10 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_dir):
     batch = all_queries()["e_click_purchase_attribution"].fn(spark, sf_dir)
     key = lambda r: (r.click_id, r.purchase_id)  # noqa: E731
     got_rows = {
-        key(r): (r.user_id, r.delay_sec, r.purchase_value) for r in got.collect()
+        key(r): (r.user_id, r.delay_sec, r.purchase_value_e2) for r in got.collect()
     }
     batch_rows = {
-        key(r): (r.user_id, r.delay_sec, r.purchase_value)
+        key(r): (r.user_id, r.delay_sec, r.purchase_value_e2)
         for r in batch.collect()
     }
     assert got_rows == batch_rows
