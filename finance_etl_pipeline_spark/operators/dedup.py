@@ -159,7 +159,7 @@ def jaccard_verify_hashed(
     density, so both broadcasts stay tiny; if a pathological corpus
     outgrew them, dropping the hints degrades to hash joins still
     proportional to candidates."""
-    from finance_etl_pipeline_spark.functions.scalars import fround
+    from finance_etl_pipeline_spark.functions.scalars import igrid
 
     cand_docs = (
         candidates.select(F.col("doc_a").alias(id_col))
@@ -178,8 +178,8 @@ def jaccard_verify_hashed(
     inter = F.size(F.array_intersect("sa", "sb"))
     j = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
-        both.select("doc_a", "doc_b", fround(j, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        both.select("doc_a", "doc_b", igrid(j, 4).alias("jaccard_e4"))
+        .filter(F.col("jaccard_e4") >= int(round(threshold * 10000)))
     )
 
 
@@ -233,7 +233,7 @@ def jaccard_pairs(
     as they are generated.  Filtering after the aggregation instead
     (the naive translation of the SQL) makes LSH as expensive as
     brute force — measured 21 s → 2 s at sf0.1."""
-    from finance_etl_pipeline_spark.functions.scalars import fround
+    from finance_etl_pipeline_spark.functions.scalars import igrid
 
     pair_sh = sh
     if candidates is not None:
@@ -256,8 +256,8 @@ def jaccard_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", fround(j, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", igrid(j, 4).alias("jaccard_e4"))
+        .filter(F.col("jaccard_e4") >= int(round(threshold * 10000)))
     )
 
 

@@ -11,8 +11,10 @@
 Floats are cast to double *before* any arithmetic: float32 partial
 sums would diverge between engines; double dot products on the same
 inputs are bit-identical (both engines fold sequentially).
-Similarities are quantized with ``fround`` before ranking so rank
-order is deterministic cross-engine (ties broken by vec_id).
+Similarities are quantized to an exact e4 integer grid (``igrid``)
+before ranking so rank order is deterministic cross-engine (ties
+broken by vec_id) and the emitted column is hash-canonicalization-
+proof (BIGINT, never a double).
 
 At cluster scale the corpus side stays partitioned; the query set is
 broadcast.  IVF-style coarse quantization would replace the random
@@ -24,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 
 NUM_PLANES = 16
 
@@ -65,7 +67,7 @@ def cosine_topk(
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    sim = fround(
+    sim = igrid(
         dot(F.col("qv"), F.col("v"))
         / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         4,
@@ -74,13 +76,18 @@ def cosine_topk(
         F.broadcast(q)
         .crossJoin(base)
         .filter(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", sim.alias("cosine"))
+        .select("query_id", "vec_id", sim.alias("cosine_e4"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col("vec_id")
+        F.desc("cosine_e4"), F.col("vec_id")
     )
     return (
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cosine_e4",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

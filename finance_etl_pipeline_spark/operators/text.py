@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.operators.dedup import (
     hash60_expr,
     shingles_expr,
@@ -52,7 +52,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
-        fround(total_len.cast("double") / F.size(t), 4).alias("mean_token_len"),
+        igrid(total_len.cast("double") / F.size(t), 4).alias("mean_token_len_e4"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
@@ -92,10 +92,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     score = 0.4 * length_score + 0.3 * stop_ratio + 0.3 * shape_score
     return docs.select(
         "doc_id",
-        fround(length_score, 4).alias("length_score"),
-        fround(stop_ratio, 4).alias("stopword_ratio"),
-        fround(shape_score, 4).alias("shape_score"),
-        fround(score, 4).alias("quality_score"),
+        igrid(length_score, 4).alias("length_score_e4"),
+        igrid(stop_ratio, 4).alias("stopword_ratio_e4"),
+        igrid(shape_score, 4).alias("shape_score_e4"),
+        igrid(score, 4).alias("quality_score_e4"),
     )
 
 

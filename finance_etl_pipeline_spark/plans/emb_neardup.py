@@ -34,9 +34,9 @@ KNN_K = 5
     )
     SELECT * FROM (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             floor((list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+             CAST(floor((list_dot_product(a.v, b.v) / nullif(a.nrm * b.nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
       FROM base a JOIN base b ON a.vec_id < b.vec_id
-    ) WHERE cosine >= {THRESHOLD}
+    ) WHERE cosine_e4 >= {int(THRESHOLD * 10000)}
     ORDER BY vec_a, vec_b
     """,
     "llm",
@@ -61,14 +61,14 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cosine = fround(
+    cosine = igrid(
         dot(F.col("va"), F.col("vb")) / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         4,
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= THRESHOLD)
+        .select("vec_a", "vec_b", cosine.alias("cosine_e4"))
+        .filter(F.col("cosine_e4") >= int(THRESHOLD * 10000))
         .orderBy("vec_a", "vec_b")
     )
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid
 from finance_etl_pipeline_spark.operators.similarity import as_double, dot, norm
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -49,15 +49,15 @@ _IVF_SQL = f"""
     q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0),
     pairs AS (
       SELECT DISTINCT q.query_id, b.vec_id,
-             floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+             CAST(floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
       FROM q
       JOIN qcells qc ON qc.query_id = q.query_id
       JOIN assign a ON a.cell_id = qc.cell_id
       JOIN base b ON b.vec_id = a.vec_id
       WHERE b.vec_id != q.query_id
     )
-    SELECT query_id, vec_id, cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    SELECT query_id, vec_id, cosine_e4,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_e4 DESC, vec_id) AS BIGINT) AS rank
     FROM pairs
     QUALIFY rank <= 3
     ORDER BY query_id, rank
@@ -106,7 +106,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_members = assign.join(base, "vec_id").select(
         "cell_id", "vec_id", "v", "nrm"
     )
-    cosine = fround(
+    cosine = igrid(
         dot(F.col("qv"), F.col("v")) / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         4,
     )
@@ -114,10 +114,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q.join(qcells, "query_id"))
         .join(cell_members, "cell_id")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .select("query_id", "vec_id", cosine.alias("cosine_e4"))
         .distinct()
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"), F.col("vec_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= 3)

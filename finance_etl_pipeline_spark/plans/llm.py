@@ -173,11 +173,11 @@ _JACCARD_CORE = f"""
     {_JACCARD_CORE}
     SELECT * FROM (
       SELECT doc_a, doc_b,
-             floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) / 10000 AS jaccard
+             CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) AS BIGINT) AS jaccard_e4
       FROM inter
       JOIN sizes sa ON inter.doc_a = sa.doc_id
       JOIN sizes sb ON inter.doc_b = sb.doc_id
-    ) WHERE jaccard >= 0.7
+    ) WHERE jaccard_e4 >= 7000
     ORDER BY doc_a, doc_b
     """,
     "llm",
@@ -217,12 +217,12 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_JACCARD_CORE}
     SELECT * FROM (
       SELECT inter.doc_a, inter.doc_b,
-             floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) / 10000 AS jaccard
+             CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) AS BIGINT) AS jaccard_e4
       FROM inter
       JOIN cand ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
       JOIN sizes sa ON inter.doc_a = sa.doc_id
       JOIN sizes sb ON inter.doc_b = sb.doc_id
-    ) WHERE jaccard >= 0.7
+    ) WHERE jaccard_e4 >= 7000
     ORDER BY doc_a, doc_b
     """,
     "llm",
@@ -338,8 +338,8 @@ def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(t) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-           floor((CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE)
-                  / len(t)) * 10000 + 0.5001) / 10000 AS mean_token_len,
+           CAST(floor((CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE)
+                  / len(t)) * 10000 + 0.5001) AS BIGINT) AS mean_token_len_e4,
            CAST(len(text) AS BIGINT) AS n_chars_actual
     FROM ({_SQL_TOK})
     ORDER BY doc_id
@@ -460,10 +460,10 @@ def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           floor((length_score) * 10000 + 0.5001) / 10000 AS length_score,
-           floor((stop_ratio) * 10000 + 0.5001) / 10000 AS stopword_ratio,
-           floor((shape_score) * 10000 + 0.5001) / 10000 AS shape_score,
-           floor((0.4 * length_score + 0.3 * stop_ratio + 0.3 * shape_score) * 10000 + 0.5001) / 10000 AS quality_score
+           CAST(floor(length_score * 10000 + 0.5001) AS BIGINT) AS length_score_e4,
+           CAST(floor(stop_ratio * 10000 + 0.5001) AS BIGINT) AS stopword_ratio_e4,
+           CAST(floor(shape_score * 10000 + 0.5001) AS BIGINT) AS shape_score_e4,
+           CAST(floor((0.4 * length_score + 0.3 * stop_ratio + 0.3 * shape_score) * 10000 + 0.5001) AS BIGINT) AS quality_score_e4
     FROM m
     ORDER BY doc_id
     """,
@@ -511,12 +511,12 @@ EMB_DIMS = 64
     ),
     pairs AS (
       SELECT query_id, vec_id,
-             floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+             CAST(floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
       FROM q CROSS JOIN base
       WHERE query_id != vec_id
     )
-    SELECT query_id, vec_id, cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    SELECT query_id, vec_id, cosine_e4,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_e4 DESC, vec_id) AS BIGINT) AS rank
     FROM pairs
     QUALIFY rank <= 5
     ORDER BY query_id, rank
@@ -701,14 +701,14 @@ _CONTAIN_T = 0.8
     {_JACCARD_CORE}
     SELECT * FROM (
       SELECT doc_a, doc_b,
-             floor((CAST(i AS DOUBLE) / sa.n) * 10000 + 0.5001) / 10000
-               AS containment_a,
-             floor((CAST(i AS DOUBLE) / sb.n) * 10000 + 0.5001) / 10000
-               AS containment_b
+             CAST(floor((CAST(i AS DOUBLE) / sa.n) * 10000 + 0.5001) AS BIGINT)
+               AS containment_a_e4,
+             CAST(floor((CAST(i AS DOUBLE) / sb.n) * 10000 + 0.5001) AS BIGINT)
+               AS containment_b_e4
       FROM inter
       JOIN sizes sa ON inter.doc_a = sa.doc_id
       JOIN sizes sb ON inter.doc_b = sb.doc_id
-    ) WHERE greatest(containment_a, containment_b) >= {_CONTAIN_T}
+    ) WHERE greatest(containment_a_e4, containment_b_e4) >= {int(_CONTAIN_T * 10000)}
     ORDER BY doc_a, doc_b
     """,
     "llm",
@@ -746,17 +746,17 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            fround(F.col("i").cast("double") / F.col("na"), 4).alias(
-                "containment_a"
+            igrid(F.col("i").cast("double") / F.col("na"), 4).alias(
+                "containment_a_e4"
             ),
-            fround(F.col("i").cast("double") / F.col("nb"), 4).alias(
-                "containment_b"
+            igrid(F.col("i").cast("double") / F.col("nb"), 4).alias(
+                "containment_b_e4"
             ),
         )
     )
     return out.filter(
-        F.greatest(F.col("containment_a"), F.col("containment_b"))
-        >= _CONTAIN_T
+        F.greatest(F.col("containment_a_e4"), F.col("containment_b_e4"))
+        >= int(_CONTAIN_T * 10000)
     ).orderBy("doc_a", "doc_b")
 
 
@@ -907,12 +907,12 @@ def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
       SELECT query_id, vec_id,
-             floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0)) * 10000 + 0.5001) / 10000 AS cosine
+             CAST(floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
       FROM q CROSS JOIN base
       WHERE query_id != vec_id
     )
-    SELECT query_id, vec_id, cosine,
-           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+    SELECT query_id, vec_id, cosine_e4,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine_e4 DESC, vec_id) AS BIGINT) AS rank
     FROM pairs
     QUALIFY rank <= 5
     ORDER BY query_id, rank
@@ -968,7 +968,7 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    cosine = fround(
+    cosine = igrid(
         dot_arrow(F.col("v"), F.col("qv"))
         / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
         4,
@@ -976,9 +976,9 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         F.broadcast(q)
         .join(base, F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", cosine.alias("cosine"))
+        .select("query_id", "vec_id", cosine.alias("cosine_e4"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e4"), "vec_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
@@ -1149,16 +1149,16 @@ def dd_dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS incoming_doc,
            CASE WHEN v.doc_a % 10 = 0 THEN v.doc_b ELSE v.doc_a END
              AS corpus_doc,
-           jaccard
+           jaccard_e4
     FROM (
       SELECT inter.doc_a, inter.doc_b,
-             floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001)
-               / 10000 AS jaccard
+             CAST(floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001)
+               AS BIGINT) AS jaccard_e4
       FROM inter
       JOIN cand ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
       JOIN sizes sa ON inter.doc_a = sa.doc_id
       JOIN sizes sb ON inter.doc_b = sb.doc_id
-    ) v WHERE jaccard >= 0.7
+    ) v WHERE jaccard_e4 >= 7000
     ORDER BY incoming_doc, corpus_doc
     """,
     "llm",
@@ -1194,7 +1194,7 @@ def dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("incoming_doc"),
             F.when(inc_a, F.col("doc_b")).otherwise(F.col("doc_a"))
             .alias("corpus_doc"),
-            "jaccard",
+            "jaccard_e4",
         )
         .orderBy("incoming_doc", "corpus_doc")
     )

@@ -141,7 +141,14 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     rel = S.cosine_topk(
         spread(emb), F.col("vec_id") % 50 == 0, k=_N_CAND
-    ).select("query_id", "vec_id", F.col("cosine").alias("rel"))
+    ).select(
+        "query_id",
+        "vec_id",
+        # back to the gridded double (m / 10^4) — identical to the
+        # oracle's floor(..)/10000, so the MMR affine combination
+        # operates on bit-equal inputs in both engines
+        (F.col("cosine_e4") / F.lit(10000.0)).alias("rel"),
+    )
     base = spread(emb).select(
         "vec_id",
         S.as_double(F.col("embedding")).alias("v"),

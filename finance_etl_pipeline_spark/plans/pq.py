@@ -93,7 +93,8 @@ def _pq_sql() -> str:
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT query_id, vec_id, adist,
+    SELECT query_id, vec_id,
+           CAST(floor(adist * 1000000 + 0.5001) AS BIGINT) AS adist_e6,
            CAST(row_number() OVER (
              PARTITION BY query_id ORDER BY adist, vec_id) AS BIGINT) AS rank
     FROM pairs
@@ -130,7 +131,8 @@ def _pq_rerank_sql() -> str:
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT query_id, vec_id, dist,
+    SELECT query_id, vec_id,
+           CAST(floor(dist * 1000000 + 0.5001) AS BIGINT) AS dist_e6,
            CAST(row_number() OVER (
              PARTITION BY query_id ORDER BY dist, vec_id) AS BIGINT) AS rank
     FROM exact
@@ -151,8 +153,15 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     books = PQ.train_codebooks(base, DIM)
-    return PQ.adc_topk(
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+
+    out = PQ.adc_topk(
         base, DIM, books, F.col("vec_id") % QUERY_STRIDE == 0, TOP_K
+    )
+    # emit the already-gridded distance as its exact e6 integer —
+    # scalar-only, hash-canonicalization-proof output schema
+    return out.select(
+        "query_id", "vec_id", igrid("adist", 6).alias("adist_e6"), "rank"
     )
 
 
@@ -202,8 +211,13 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+
     return (
         exact.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "vec_id", igrid("dist", 6).alias("dist_e6"), "rank"
+        )
         .orderBy("query_id", "rank")
     )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.operators.similarity import as_double
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -78,15 +78,15 @@ _Q_SQL = f"""
     ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id,
-             floor((CAST(list_dot_product(a.q, b.q) AS DOUBLE)
-                    / nullif(a.qn * b.qn, 0.0)) * 10000 + 0.5001) / 10000
-               AS cosine_q
+             CAST(floor((CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+                    / nullif(a.qn * b.qn, 0.0)) * 10000 + 0.5001) AS BIGINT)
+               AS cosine_q_e4
       FROM normed a JOIN normed b ON b.vec_id != a.vec_id
       WHERE a.vec_id % {QUERY_STRIDE} = 0
     )
-    SELECT query_id, vec_id, cosine_q,
+    SELECT query_id, vec_id, cosine_q_e4,
            CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine_q DESC, vec_id) AS BIGINT) AS rank
+                                   ORDER BY cosine_q_e4 DESC, vec_id) AS BIGINT) AS rank
     FROM pairs
     QUALIFY rank <= {TOP_K}
     ORDER BY query_id, rank
@@ -114,7 +114,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qq"),
         F.col("qn").alias("qqn"),
     )
-    cos = fround(
+    cos = igrid(
         idot(F.col("qq"), F.col("q")).cast("double")
         / F.nullif(F.col("qqn") * F.col("qn"), F.lit(0.0)),
         4,
@@ -122,9 +122,9 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         F.broadcast(q)
         .join(normed, F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cos.alias("cosine_q"))
+        .select("query_id", "vec_id", cos.alias("cosine_q_e4"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), "vec_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q_e4"), "vec_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import igrid, sql_igrid
 from finance_etl_pipeline_spark.operators import kmeans as KM
 from finance_etl_pipeline_spark.operators.similarity import as_double, dot
 from finance_etl_pipeline_spark.plans import register
@@ -67,7 +67,8 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_kmeans_clusters",
     _kmeans_ctes()
     + f"""
-    SELECT vec_id, cluster, dist
+    SELECT vec_id, cluster,
+           CAST(floor(dist * 1000000 + 0.5001) AS BIGINT) AS dist_e6
     FROM a{KM.ITERATIONS} ORDER BY vec_id""",
     "llm",
     "similarity",
@@ -79,8 +80,10 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Assignment never shuffles (literal-centroid array_min, map-only);
     each of the {ITERATIONS} updates shuffles only k×d partial means
     — see operators/kmeans.py for the 100 TB rationale."""
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+
     return _final_assignment(spark, sf_dir).select(
-        "vec_id", "cluster", "dist"
+        "vec_id", "cluster", igrid("dist", 6).alias("dist_e6")
     ).orderBy("vec_id")
 
 
@@ -93,15 +96,15 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT * FROM (
       SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
-             {sql_round(
+             {sql_igrid(
                  "list_dot_product(a.v, b.v) / nullif(na.n * nb.n, 0.0)", 4
-             )} AS cosine
+             )} AS cosine_e4
       FROM a{KM.ITERATIONS} a
       JOIN a{KM.ITERATIONS} b
         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
       JOIN nrm na ON a.vec_id = na.vec_id
       JOIN nrm nb ON b.vec_id = nb.vec_id
-    ) WHERE cosine >= {COSINE_THRESHOLD}
+    ) WHERE cosine_e4 >= {int(COSINE_THRESHOLD * 10000)}
     ORDER BY vec_a, vec_b""",
     "llm",
     "dedup",
@@ -128,7 +131,7 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    cosine = fround(
+    cosine = igrid(
         dot(F.col("va"), F.col("vb"))
         / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
         4,
@@ -139,7 +142,7 @@ def dd_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster") == F.col("cluster_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
-        .select("cluster", "vec_a", "vec_b", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .select("cluster", "vec_a", "vec_b", cosine.alias("cosine_e4"))
+        .filter(F.col("cosine_e4") >= int(COSINE_THRESHOLD * 10000))
         .orderBy("vec_a", "vec_b")
     )
