@@ -105,11 +105,11 @@ def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
 
     reg = all_queries()
     sem = {
-        (r.vec_a, r.vec_b, r.cosine)
+        (r.vec_a, r.vec_b, r.cosine_e4)
         for r in reg["dd_semantic_dedup"].fn(spark, sf_dir).collect()
     }
     exact = {
-        (r.vec_a, r.vec_b, r.cosine)
+        (r.vec_a, r.vec_b, r.cosine_e4)
         for r in reg["dd_embedding_neardup"].fn(spark, sf_dir).collect()
     }
     assert sem <= exact
