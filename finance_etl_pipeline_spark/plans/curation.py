@@ -402,7 +402,7 @@ def tx_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
     tot AS (SELECT sum(cnt) AS total FROM cells)
-    SELECT bucket, cnt, {sql_round('cnt / CAST(total AS DOUBLE)', 6)} AS share
+    SELECT bucket, cnt, {sql_igrid('cnt / CAST(total AS DOUBLE)', 6)} AS share_e6
     FROM cells CROSS JOIN tot ORDER BY bucket
     """,
     "llm",
@@ -426,7 +426,7 @@ def prof_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "bucket",
             "cnt",
-            fround(F.col("cnt") / F.col("total").cast("double"), 6).alias("share"),
+            igrid(F.col("cnt") / F.col("total").cast("double"), 6).alias("share_e6"),
         )
         .orderBy("bucket")
     )

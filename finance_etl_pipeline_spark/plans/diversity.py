@@ -53,8 +53,8 @@ _SQL_TOKD = (
     SELECT source,
            count(*) AS total_grams,
            count(DISTINCT g) AS distinct_grams,
-           {sql_round('CAST(count(DISTINCT g) AS DOUBLE) / count(*)', 6)}
-             AS diversity
+           {sql_igrid('CAST(count(DISTINCT g) AS DOUBLE) / count(*)', 6)}
+             AS diversity_e6
     FROM grams GROUP BY source ORDER BY source
     """,
     "llm",
@@ -100,9 +100,9 @@ def tx_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("cnt").alias("total_grams"),
             F.count(F.lit(1)).alias("distinct_grams"),
-            fround(
+            igrid(
                 F.count(F.lit(1)).cast("double") / F.sum("cnt"), 6
-            ).alias("diversity"),
+            ).alias("diversity_e6"),
         )
         .orderBy("source")
     )
@@ -184,8 +184,8 @@ def prof_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     top AS (SELECT * FROM ranked WHERE r <= 1000)
     SELECT count(*) AS n_tokens_fit,
-           {sql_round('regr_slope(ln(f), ln(r))', 4)} AS zipf_slope,
-           {sql_round('regr_r2(ln(f), ln(r))', 4)} AS zipf_r2
+           {sql_igrid('regr_slope(ln(f), ln(r))', 4)} AS zipf_slope_e4,
+           {sql_igrid('regr_r2(ln(f), ln(r))', 4)} AS zipf_r2_e4
     FROM top
     """,
     "llm",
@@ -215,8 +215,8 @@ def tx_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_tokens_fit"),
-        fround(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope"),
-        fround(F.regr_r2(F.log("f"), F.log("r")), 4).alias("zipf_r2"),
+        igrid(F.regr_slope(F.log("f"), F.log("r")), 4).alias("zipf_slope_e4"),
+        igrid(F.regr_r2(F.log("f"), F.log("r")), 4).alias("zipf_r2_e4"),
     )
 
 
@@ -243,21 +243,21 @@ _PMI_TOP = 20
     bt AS (SELECT sum(nab) AS bb FROM (SELECT count(*) AS nab FROM big GROUP BY w1, w2)),
     scored AS (
       SELECT bc.w1, bc.w2, bc.nab,
-             {sql_round(
+             {sql_igrid(
                'ln((CAST(bc.nab AS DOUBLE) / bb) '
                '/ ((CAST(u1.n AS DOUBLE) / nn) * (CAST(u2.n AS DOUBLE) / nn)))',
-               6)} AS pmi
+               6)} AS pmi_e6
       FROM bc
       JOIN uni u1 ON bc.w1 = u1.w
       JOIN uni u2 ON bc.w2 = u2.w
       CROSS JOIN tot CROSS JOIN bt
     ),
     ranked AS (
-      SELECT w1, w2, nab, pmi,
-             row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk
+      SELECT w1, w2, nab, pmi_e6,
+             row_number() OVER (ORDER BY pmi_e6 DESC, w1, w2) AS rk
       FROM scored
     )
-    SELECT w1, w2, nab, pmi FROM ranked WHERE rk <= {_PMI_TOP}
+    SELECT w1, w2, nab, pmi_e6 FROM ranked WHERE rk <= {_PMI_TOP}
     ORDER BY w1, w2
     """,
     "llm",
@@ -314,7 +314,7 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1",
             "w2",
             "nab",
-            fround(
+            igrid(
                 F.log(
                     (F.col("nab").cast("double") / F.col("bb"))
                     / (
@@ -323,16 +323,16 @@ def tx_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ),
                 6,
-            ).alias("pmi"),
+            ).alias("pmi_e6"),
         )
     )
     rk = F.row_number().over(
-        Window.orderBy(F.desc("pmi"), "w1", "w2")
+        Window.orderBy(F.desc("pmi_e6"), "w1", "w2")
     )
     return (
         scored.withColumn("rk", rk)
         .filter(F.col("rk") <= _PMI_TOP)
-        .select("w1", "w2", "nab", "pmi")
+        .select("w1", "w2", "nab", "pmi_e6")
         .orderBy("w1", "w2")
     )
 

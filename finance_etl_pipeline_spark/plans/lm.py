@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_hash60, sql_round
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_hash60, sql_igrid, sql_round
 from finance_etl_pipeline_spark.operators.dedup import hash60_expr, tokens_expr
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -68,8 +68,9 @@ _SQL_BIGRAMS = rf"""
              {sql_round('avg(logp)', 6)} AS avg_logp
       FROM scored GROUP BY doc_id
     )
-    SELECT doc_id, n_bigrams, avg_logp,
-           {sql_round('exp(-avg_logp)', 4)} AS ppl
+    SELECT doc_id, n_bigrams,
+           {sql_igrid('avg_logp', 6)} AS avg_logp_e6,
+           {sql_igrid('exp(-avg_logp)', 4)} AS ppl_e4
     FROM agg ORDER BY doc_id
     """,
     "llm",
@@ -134,8 +135,8 @@ def tx_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id",
         "n_bigrams",
-        "avg_logp",
-        fround(F.exp(-F.col("avg_logp")), 4).alias("ppl"),
+        igrid("avg_logp", 6).alias("avg_logp_e6"),
+        igrid(F.exp(-F.col("avg_logp")), 4).alias("ppl_e4"),
     ).orderBy("doc_id")
 
 
@@ -220,8 +221,8 @@ def _bpe_fertility_oracle(n_steps: int = _BPE_STEPS) -> str:
     SELECT source,
            count(*) AS n_words,
            CAST(sum(n_sub) AS BIGINT) AS n_subwords,
-           {sql_round('sum(n_sub) / CAST(count(*) AS DOUBLE)', 4)}
-             AS fertility
+           {sql_igrid('sum(n_sub) / CAST(count(*) AS DOUBLE)', 4)}
+             AS fertility_e4
     FROM occs JOIN enc USING (word)
     GROUP BY source ORDER BY source"""
 
@@ -280,5 +281,5 @@ def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_words",
         "n_subwords",
-        fround(F.col("fertility"), 4).alias("fertility"),
+        igrid(F.col("fertility"), 4).alias("fertility_e4"),
     )

@@ -64,13 +64,13 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
-             floor((tf.tf * ln(n.n_docs / df.df)) * 1000000 + 0.5001) / 1000000
-               AS tfidf
+             CAST(floor((tf.tf * ln(n.n_docs / df.df)) * 1000000 + 0.5001) AS BIGINT)
+               AS tfidf_e6
       FROM tf JOIN df ON df.tok = tf.tok CROSS JOIN n
     )
-    SELECT doc_id, term, tf, df, tfidf,
+    SELECT doc_id, term, tf, df, tfidf_e6,
            CAST(row_number() OVER (PARTITION BY doc_id
-                                   ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+                                   ORDER BY tfidf_e6 DESC, term) AS BIGINT) AS rk
     FROM scored
     QUALIFY rk <= 3
     ORDER BY doc_id, rk
@@ -96,12 +96,12 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok").alias("term"),
             "tf",
             "df",
-            fround(
+            igrid(
                 F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
-            ).alias("tfidf"),
+            ).alias("tfidf_e6"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_e6"), "term")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
@@ -140,11 +140,11 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT doc_id,
-             floor((sum(c)) * 10000 + 0.5001) / 10000 AS bm25
+             CAST(floor(sum(c) * 10000 + 0.5001) AS BIGINT) AS bm25_e4
       FROM contrib GROUP BY doc_id
     )
-    SELECT doc_id, bm25,
-           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+    SELECT doc_id, bm25_e4,
+           CAST(row_number() OVER (ORDER BY bm25_e4 DESC, doc_id) AS BIGINT) AS rk
     FROM scored
     QUALIFY rk <= 20
     ORDER BY rk
@@ -187,8 +187,10 @@ def tx_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * tf_part).alias("c"))
     )
-    scored = contrib.groupBy("doc_id").agg(fround(F.sum("c"), 4).alias("bm25"))
-    w = Window.partitionBy().orderBy(F.desc("bm25"), "doc_id")
+    scored = contrib.groupBy("doc_id").agg(
+        igrid(F.sum("c"), 4).alias("bm25_e4")
+    )
+    w = Window.partitionBy().orderBy(F.desc("bm25_e4"), "doc_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 20)
