@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_igrid, sql_round
 from finance_etl_pipeline_spark.operators import graph as G
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
@@ -38,10 +38,10 @@ from finance_etl_pipeline_spark.sources.readers import table
     bt AS (SELECT p_brand, count(*) AS brand_orders FROM ob GROUP BY 1),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)
     SELECT brand_a, brand_b, pair_orders,
-           {sql_round(
+           {sql_igrid(
                'pair_orders * CAST(n.n_orders AS DOUBLE)'
                ' / (ba.brand_orders * CAST(bb.brand_orders AS DOUBLE))', 4
-           )} AS lift
+           )} AS lift_e4
     FROM pairs
     JOIN bt ba ON pairs.brand_a = ba.p_brand
     JOIN bt bb ON pairs.brand_b = bb.p_brand
@@ -100,12 +100,12 @@ def bi_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "pair_orders",
-            fround(
+            igrid(
                 F.col("pair_orders")
                 * F.col("n_orders").cast("double")
                 / (F.col("orders_a") * F.col("orders_b").cast("double")),
                 4,
-            ).alias("lift"),
+            ).alias("lift_e4"),
         )
         .orderBy("brand_a", "brand_b")
     )
@@ -116,15 +116,15 @@ def bi_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH monthly AS (
       SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
-             sum(o_totalprice) AS revenue
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e2
       FROM orders GROUP BY 1, 2
     )
     SELECT cur.yr, cur.mon,
-           {sql_round('cur.revenue', 2)} AS revenue,
-           {sql_round('prev.revenue', 2)} AS revenue_prev_year,
-           CASE WHEN prev.revenue IS NOT NULL AND prev.revenue > 0
-                THEN {sql_round('(cur.revenue / prev.revenue - 1) * 100', 4)}
-           END AS yoy_pct
+           cur.revenue_e2 AS revenue_e2,
+           prev.revenue_e2 AS revenue_prev_year_e2,
+           CASE WHEN prev.revenue_e2 IS NOT NULL AND prev.revenue_e2 > 0
+                THEN {sql_igrid('(CAST(cur.revenue_e2 AS DOUBLE) / prev.revenue_e2 - 1) * 100', 4)}
+           END AS yoy_pct_e4
     FROM monthly cur
     LEFT JOIN monthly prev ON prev.yr = cur.yr - 1 AND prev.mon = cur.mon
     ORDER BY cur.yr, cur.mon
@@ -143,11 +143,19 @@ def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mon"),
-    ).agg(F.sum("o_totalprice").alias("revenue"))
+    ).agg(F.sum(igrid("o_totalprice", 2)).alias("revenue_e2"))
     cur, prev = monthly.alias("cur"), monthly.alias("prev")
     yoy = F.when(
-        F.col("prev.revenue").isNotNull() & (F.col("prev.revenue") > 0),
-        fround((F.col("cur.revenue") / F.col("prev.revenue") - 1) * 100, 4),
+        F.col("prev.revenue_e2").isNotNull() & (F.col("prev.revenue_e2") > 0),
+        igrid(
+            (
+                F.col("cur.revenue_e2").cast("double")
+                / F.col("prev.revenue_e2")
+                - 1
+            )
+            * 100,
+            4,
+        ),
     )
     return (
         cur.join(
@@ -159,9 +167,9 @@ def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("cur.yr").alias("yr"),
             F.col("cur.mon").alias("mon"),
-            fround(F.col("cur.revenue"), 2).alias("revenue"),
-            fround(F.col("prev.revenue"), 2).alias("revenue_prev_year"),
-            yoy.alias("yoy_pct"),
+            F.col("cur.revenue_e2").alias("revenue_e2"),
+            F.col("prev.revenue_e2").alias("revenue_prev_year_e2"),
+            yoy.alias("yoy_pct_e4"),
         )
         .orderBy("yr", "mon")
     )
@@ -185,7 +193,7 @@ def bi_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, n_events,
            CASE WHEN n_prior >= 3 AND sigma > 0
-                THEN {sql_round('(n_events - mu) / sigma', 4)} END AS zscore,
+                THEN {sql_igrid('(n_events - mu) / sigma', 4)} END AS zscore_e4,
            CASE WHEN n_prior >= 3 AND sigma > 0
                      AND abs((n_events - mu) / sigma) > 3.0
                 THEN 1 ELSE 0 END AS is_anomaly
@@ -222,7 +230,7 @@ def e_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n_events",
-        F.when(scoreable, fround(z, 4)).alias("zscore"),
+        F.when(scoreable, igrid(z, 4)).alias("zscore_e4"),
         F.when(scoreable & (F.abs(z) > 3.0), 1).otherwise(0).alias("is_anomaly"),
     ).orderBy("event_type", "day")
 
@@ -264,7 +272,7 @@ def _pagerank_oracle() -> str:
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
-    SELECT node AS part_id, {sql_round('rank', 7)} AS rank
+    SELECT node AS part_id, {sql_igrid('rank', 7)} AS rank_e7
     FROM r{n_it} ORDER BY part_id"""
     )
 
@@ -289,7 +297,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = G.copurchase_edges(table(spark, sf_dir, "lineitem"))
     ranks = G.pagerank(edges)
     return ranks.select(
-        F.col("node").alias("part_id"), fround("rank", 7).alias("rank")
+        F.col("node").alias("part_id"), igrid("rank", 7).alias("rank_e7")
     ).orderBy("part_id")
 
 
@@ -317,7 +325,7 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT count(*) FROM e) AS n_edges,
            (SELECT count(*) FROM deg) AS n_nodes,
            n_triangles, wedges,
-           {sql_round('3.0 * n_triangles / wedges', 6)} AS clustering_coeff
+           {sql_igrid('3.0 * n_triangles / wedges', 6)} AS clustering_coeff_e6
     FROM tri, w
     """,
     "graph",
@@ -382,9 +390,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nodes",
             "n_triangles",
             "wedges",
-            fround(
+            igrid(
                 3.0 * F.col("n_triangles") / F.col("wedges").cast("double"), 6
-            ).alias("clustering_coeff"),
+            ).alias("clustering_coeff_e6"),
         )
     )
 
@@ -525,7 +533,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, day, n_events,
            CASE WHEN n_prior >= 2 AND sigma > 0
-                THEN {sql_round('(n_events - mu) / sigma', 4)} END AS zscore,
+                THEN {sql_igrid('(n_events - mu) / sigma', 4)} END AS zscore_e4,
            CASE WHEN n_prior >= 2 AND sigma > 0
                      AND abs((n_events - mu) / sigma) > 3.0
                 THEN 1 ELSE 0 END AS is_anomaly
@@ -574,6 +582,6 @@ def e_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         "n_events",
-        F.when(ok, fround(z_raw, 4)).alias("zscore"),
+        F.when(ok, igrid(z_raw, 4)).alias("zscore_e4"),
         F.when(ok & (F.abs(z_raw) > 3.0), 1).otherwise(0).alias("is_anomaly"),
     ).orderBy("event_type", "day")

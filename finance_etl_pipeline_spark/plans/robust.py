@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_igrid, sql_round
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -36,9 +36,11 @@ from finance_etl_pipeline_spark.sources.readers import table
              {sql_round('quantile_cont(value, 0.99)', 4)} AS p99
       FROM events GROUP BY event_type
     )
-    SELECT e.event_type AS event_type, caps.p01, caps.p99,
-           {sql_round('avg(e.value)', 2)} AS avg_raw,
-           {sql_round('avg(least(greatest(e.value, caps.p01), caps.p99))', 2)} AS avg_winsorized
+    SELECT e.event_type AS event_type,
+           {sql_igrid('caps.p01', 4)} AS p01_e4,
+           {sql_igrid('caps.p99', 4)} AS p99_e4,
+           {sql_igrid('avg(e.value)', 2)} AS avg_raw_e2,
+           {sql_igrid('avg(least(greatest(e.value, caps.p01), caps.p99))', 2)} AS avg_winsorized_e2
     FROM events e JOIN caps ON e.event_type = caps.event_type
     GROUP BY e.event_type, caps.p01, caps.p99
     ORDER BY e.event_type
@@ -61,8 +63,15 @@ def f_winsorize_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(F.broadcast(caps), "event_type")
         .groupBy("event_type", "p01", "p99")
         .agg(
-            fround(F.avg("value"), 2).alias("avg_raw"),
-            fround(F.avg(capped), 2).alias("avg_winsorized"),
+            igrid(F.avg("value"), 2).alias("avg_raw_e2"),
+            igrid(F.avg(capped), 2).alias("avg_winsorized_e2"),
+        )
+        .select(
+            "event_type",
+            igrid("p01", 4).alias("p01_e4"),
+            igrid("p99", 4).alias("p99_e4"),
+            "avg_raw_e2",
+            "avg_winsorized_e2",
         )
         .orderBy("event_type")
     )
@@ -84,7 +93,9 @@ _MAD_K = 3.5  # modified z-score threshold (Iglewicz & Hoaglin)
       FROM events e JOIN med ON e.event_type = med.event_type
       GROUP BY e.event_type
     )
-    SELECT e.event_type AS event_type, med.med, mad.mad,
+    SELECT e.event_type AS event_type,
+           {sql_igrid('med.med', 4)} AS med_e4,
+           {sql_igrid('mad.mad', 4)} AS mad_e4,
            count(*) AS n,
            CAST(sum(CASE WHEN abs(e.value - med.med) > {_MAD_K} * mad.mad
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
@@ -123,6 +134,13 @@ def f_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
         )
+        .select(
+            "event_type",
+            igrid("med", 4).alias("med_e4"),
+            igrid("mad", 4).alias("mad_e4"),
+            "n",
+            "n_outliers",
+        )
         .orderBy("event_type")
     )
 
@@ -140,9 +158,9 @@ def f_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
     tot AS (SELECT sum(n) AS total FROM obs)
     SELECT digit, n,
-           {sql_round('n / CAST(total AS DOUBLE)', 6)} AS share,
-           {sql_round('log10(1.0 + 1.0 / digit)', 6)} AS benford_expected,
-           {sql_round('abs(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / digit))', 6)} AS abs_dev
+           {sql_igrid('n / CAST(total AS DOUBLE)', 6)} AS share_e6,
+           {sql_igrid('log10(1.0 + 1.0 / digit)', 6)} AS benford_expected_e6,
+           {sql_igrid('abs(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / digit))', 6)} AS abs_dev_e6
     FROM obs CROSS JOIN tot ORDER BY digit
     """,
     "robust",
@@ -173,9 +191,9 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n",
-            fround(share, 6).alias("share"),
-            fround(expected, 6).alias("benford_expected"),
-            fround(F.abs(share - expected), 6).alias("abs_dev"),
+            igrid(share, 6).alias("share_e6"),
+            igrid(expected, 6).alias("benford_expected_e6"),
+            igrid(F.abs(share - expected), 6).alias("abs_dev_e6"),
         )
         .orderBy("digit")
     )
@@ -240,9 +258,9 @@ _PROF_COLS = ("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_ta
     SELECT '{c}' AS column_name, count(*) AS n,
            CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT {c}) AS n_distinct,
-           {sql_round(f'min({c})', 4)} AS min_v,
-           {sql_round(f'max({c})', 4)} AS max_v,
-           {sql_round(f'avg({c})', 4)} AS avg_v
+           {sql_igrid(f'min({c})', 4)} AS min_v_e4,
+           {sql_igrid(f'max({c})', 4)} AS max_v_e4,
+           {sql_igrid(f'avg({c})', 4)} AS avg_v_e4
     FROM lineitem
     """
         for c in _PROF_COLS
@@ -270,9 +288,9 @@ def prof_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__dist"),
-            fround(F.min(c).cast("double"), 4).alias(f"{c}__min"),
-            fround(F.max(c).cast("double"), 4).alias(f"{c}__max"),
-            fround(F.avg(c), 4).alias(f"{c}__avg"),
+            igrid(F.min(c).cast("double"), 4).alias(f"{c}__min"),
+            igrid(F.max(c).cast("double"), 4).alias(f"{c}__max"),
+            igrid(F.avg(c), 4).alias(f"{c}__avg"),
         ]
     wide = li.agg(*aggs)
     stack_args = ", ".join(
@@ -281,7 +299,7 @@ def prof_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.selectExpr(
         f"stack({len(_PROF_COLS)}, {stack_args}) AS "
-        "(column_name, n, n_nulls, n_distinct, min_v, max_v, avg_v)"
+        "(column_name, n, n_nulls, n_distinct, min_v_e4, max_v_e4, avg_v_e4)"
     ).orderBy("column_name")
 
 
@@ -310,9 +328,9 @@ def prof_table_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN (SELECT sum(obs) AS grand FROM cells) g
     )
     SELECT event_type, band, obs,
-           {sql_round('row_tot * col_tot / CAST(grand AS DOUBLE)', 4)} AS expected,
-           {sql_round('''pow(obs - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
-              / (row_tot * col_tot / CAST(grand AS DOUBLE))''', 6)} AS chi2_term
+           {sql_igrid('row_tot * col_tot / CAST(grand AS DOUBLE)', 4)} AS expected_e4,
+           {sql_igrid('''pow(obs - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
+              / (row_tot * col_tot / CAST(grand AS DOUBLE))''', 6)} AS chi2_term_e6
     FROM margins
     ORDER BY event_type, band
     """,
@@ -354,8 +372,10 @@ def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "band",
         "obs",
-        fround(expected, 4).alias("expected"),
-        fround(F.pow(F.col("obs") - expected, 2) / expected, 6).alias("chi2_term"),
+        igrid(expected, 4).alias("expected_e4"),
+        igrid(F.pow(F.col("obs") - expected, 2) / expected, 6).alias(
+            "chi2_term_e6"
+        ),
     ).orderBy("event_type", "band")
 
 
@@ -365,13 +385,13 @@ def _skew_sql(tbl: str, key: str) -> str:
     return f"""
       SELECT '{tbl}.{key}' AS keyed,
              count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
-             {sql_round('CAST(max(cnt) AS DOUBLE) / sum(cnt)', 6)} AS max_share,
-             {sql_round(
+             {sql_igrid('CAST(max(cnt) AS DOUBLE) / sum(cnt)', 6)} AS max_share_e6,
+             {sql_igrid(
                'CAST(sum(CASE WHEN rd <= 10 THEN cnt ELSE 0 END) AS DOUBLE)'
-               ' / sum(cnt)', 6)} AS top10_share,
-             {sql_round(
+               ' / sum(cnt)', 6)} AS top10_share_e6,
+             {sql_igrid(
                '2.0 * sum(ra * cnt) / (count(*) * CAST(sum(cnt) AS DOUBLE))'
-               ' - (count(*) + 1.0) / count(*)', 6)} AS gini
+               ' - (count(*) + 1.0) / count(*)', 6)} AS gini_e6
       FROM (
         SELECT cnt,
                row_number() OVER (ORDER BY cnt, k) AS ra,
@@ -429,19 +449,19 @@ def prof_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("n_keys"),
             tot.alias("n_rows"),
             F.max("cnt").alias("max_cnt"),
-            fround(F.max("cnt").cast("double") / tot, 6).alias("max_share"),
-            fround(
+            igrid(F.max("cnt").cast("double") / tot, 6).alias("max_share_e6"),
+            igrid(
                 F.sum(F.when(F.col("rd") <= 10, F.col("cnt")).otherwise(0))
                 .cast("double")
                 / tot,
                 6,
-            ).alias("top10_share"),
-            fround(
+            ).alias("top10_share_e6"),
+            igrid(
                 2.0 * F.sum(F.col("ra") * F.col("cnt"))
                 / (n * tot.cast("double"))
                 - (n + 1.0) / n,
                 6,
-            ).alias("gini"),
+            ).alias("gini_e6"),
         ).select(F.lit(f"{tbl}.{key}").alias("keyed"), "*")
         out = m if out is None else out.unionByName(m)
     return out.orderBy("keyed")
