@@ -18,8 +18,8 @@ from finance_etl_pipeline_spark.sources.readers import table
     """
     SELECT user_id,
            count(*) AS n,
-           floor((regr_slope(value, epoch(ts))) * 1000000000000 + 0.5001) / 1000000000000 AS slope,
-           floor((corr(value, epoch(ts))) * 1000000 + 0.5001) / 1000000 AS time_corr
+           CAST(floor(regr_slope(value, epoch(ts)) * 1000000000000 + 0.5001) AS BIGINT) AS slope_e12,
+           CAST(floor(corr(value, epoch(ts)) * 1000000 + 0.5001) AS BIGINT) AS time_corr_e6
     FROM events
     GROUP BY user_id
     ORDER BY user_id
@@ -32,7 +32,7 @@ def a_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark `cast(ts as double)` == DuckDB `epoch(ts)` (epoch seconds
     with fractional microseconds). Slopes are ~1e-5 (value units per
     second), so they quantize at 1e-12; corr at 1e-6."""
-    from finance_etl_pipeline_spark.functions.scalars import fround
+    from finance_etl_pipeline_spark.functions.scalars import igrid
 
     e = table(spark, sf_dir, "events")
     ts_sec = F.col("ts").cast("double")
@@ -40,8 +40,10 @@ def a_regression_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            fround(F.expr("regr_slope(value, cast(ts as double))"), 12).alias("slope"),
-            fround(F.corr("value", ts_sec), 6).alias("time_corr"),
+            igrid(
+                F.expr("regr_slope(value, cast(ts as double))"), 12
+            ).alias("slope_e12"),
+            igrid(F.corr("value", ts_sec), 6).alias("time_corr_e6"),
         )
         .orderBy("user_id")
     )
@@ -88,14 +90,14 @@ _SST = "(syy - sy * sy / n)"
 
 
 def _ols_outputs() -> dict[str, str]:
-    from finance_etl_pipeline_spark.functions.scalars import sql_round
+    from finance_etl_pipeline_spark.functions.scalars import sql_igrid
 
     return {
         "n_obs": "CAST(n AS BIGINT)",
-        "beta_intercept": sql_round(f"{_DET0} / {_DET}", 4),
-        "beta_quantity": sql_round(f"{_DET1} / {_DET}", 4),
-        "beta_discount": sql_round(f"{_DET2} / {_DET}", 4),
-        "r2": sql_round(f"1.0 - {_SSE} / {_SST}", 6),
+        "beta_intercept_e4": sql_igrid(f"{_DET0} / {_DET}", 4),
+        "beta_quantity_e4": sql_igrid(f"{_DET1} / {_DET}", 4),
+        "beta_discount_e4": sql_igrid(f"{_DET2} / {_DET}", 4),
+        "r2_e6": sql_igrid(f"1.0 - {_SSE} / {_SST}", 6),
     }
 
 

@@ -134,13 +134,13 @@ def s_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH keyed AS (
       SELECT doc_id, n_chars,
-             floor(pow(({_H_DOC} % 1000000 + 1) / 1000000.0,
-                       1.0 / n_chars) * 1e10 + 0.5001) / 1e10 AS k
+             CAST(floor(pow(({_H_DOC} % 1000000 + 1) / 1000000.0,
+                       1.0 / n_chars) * 1e10 + 0.5001) AS BIGINT) AS k_e10
       FROM documents
     )
-    SELECT doc_id, n_chars, k
+    SELECT doc_id, n_chars, k_e10
     FROM keyed
-    ORDER BY k DESC, doc_id
+    ORDER BY k_e10 DESC, doc_id
     LIMIT 50
     """,
     "sampling",
@@ -154,16 +154,14 @@ def s_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the key is rounded at 10 dp (doc_id tie-break) so cross-engine
     pow() ULPs cannot reorder the cut.  One narrow map + a TakeOrdered
     top-k — no shuffle of the corpus at any scale."""
-    from finance_etl_pipeline_spark.functions.scalars import fround
+    from finance_etl_pipeline_spark.functions.scalars import igrid
 
     docs = table(spark, sf_dir, "documents")
     u = (hash60_expr(F.col("doc_id").cast("string")) % 1000000 + 1) / 1000000.0
-    k = fround(
-        F.pow(u, 1.0 / F.col("n_chars")), 10
-    )
+    k = igrid(F.pow(u, 1.0 / F.col("n_chars")), 10)
     return (
-        docs.select("doc_id", "n_chars", k.alias("k"))
-        .orderBy(F.desc("k"), "doc_id")
+        docs.select("doc_id", "n_chars", k.alias("k_e10"))
+        .orderBy(F.desc("k_e10"), "doc_id")
         .limit(50)
     )
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -106,12 +106,12 @@ def f_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
-           floor((-l_extendedprice) * 100 + 0.5001) / 100                       AS negated,
-           floor((l_quantity * l_extendedprice) * 100 + 0.5001) / 100           AS product,
-           floor((abs(l_discount - l_tax)) * 10000 + 0.5001) / 10000                AS abs_diff,
-           floor((l_extendedprice * (1 - l_discount)
-                 / nullif(l_quantity, 0)) * 10000 + 0.5001) / 10000                AS unit_net,
-           floor((coalesce(l_discount, 0.0) - coalesce(l_tax, 0.0)) * 10000 + 0.5001) / 10000 AS disc_minus_tax
+           CAST(floor((-l_extendedprice) * 100 + 0.5001) AS BIGINT)            AS negated_e2,
+           CAST(floor(l_quantity * l_extendedprice * 100 + 0.5001) AS BIGINT)   AS product_e2,
+           CAST(floor(abs(l_discount - l_tax) * 10000 + 0.5001) AS BIGINT)      AS abs_diff_e4,
+           CAST(floor(l_extendedprice * (1 - l_discount)
+                 / nullif(l_quantity, 0) * 10000 + 0.5001) AS BIGINT)           AS unit_net_e4,
+           CAST(floor((coalesce(l_discount, 0.0) - coalesce(l_tax, 0.0)) * 10000 + 0.5001) AS BIGINT) AS disc_minus_tax_e4
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
     """,
@@ -126,18 +126,22 @@ def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        fround(-F.col("l_extendedprice"), 2).alias("negated"),
-        fround(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias("product"),
-        fround(F.abs(F.col("l_discount") - F.col("l_tax")), 4).alias("abs_diff"),
-        fround(
+        igrid(-F.col("l_extendedprice"), 2).alias("negated_e2"),
+        igrid(F.col("l_quantity") * F.col("l_extendedprice"), 2).alias(
+            "product_e2"
+        ),
+        igrid(F.abs(F.col("l_discount") - F.col("l_tax")), 4).alias(
+            "abs_diff_e4"
+        ),
+        igrid(
             F.col("l_extendedprice")
             * (1 - F.col("l_discount"))
             / F.nullif(F.col("l_quantity"), F.lit(0.0)),
             4,
-        ).alias("unit_net"),
-        fround(
+        ).alias("unit_net_e4"),
+        igrid(
             F.coalesce("l_discount", F.lit(0.0)) - F.coalesce("l_tax", F.lit(0.0)), 4
-        ).alias("disc_minus_tax"),
+        ).alias("disc_minus_tax_e4"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 
@@ -145,8 +149,8 @@ def f_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_margin_pct",
     """
     SELECT c_mktsegment,
-           floor((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
-                 / nullif(sum(o_totalprice), 0) * 100) * 10000 + 0.5001) / 10000 AS finished_pct
+           CAST(floor(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) END)
+                 / nullif(sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)), 0) * 100 * 10000 + 0.5001) AS BIGINT) AS finished_pct_e4
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -164,12 +168,16 @@ def f_margin_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            fround(
-                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))
-                / F.nullif(F.sum("o_totalprice"), F.lit(0.0))
+            igrid(
+                F.sum(
+                    F.when(
+                        F.col("o_orderstatus") == "F", igrid("o_totalprice", 2)
+                    )
+                )
+                / F.nullif(F.sum(igrid("o_totalprice", 2)), F.lit(0))
                 * 100,
                 4,
-            ).alias("finished_pct")
+            ).alias("finished_pct_e4")
         )
         .orderBy("c_mktsegment")
     )
@@ -179,8 +187,8 @@ def f_margin_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_try_cast_coerce",
     """
     SELECT event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_num,
-           TRY_CAST(event_type AS DOUBLE)                        AS bad_num,
+           CAST(floor(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) * 1000000 + 0.5001) AS BIGINT) AS k_num_e6,
+           CAST(floor(TRY_CAST(event_type AS DOUBLE) * 1000000 + 0.5001) AS BIGINT) AS bad_num_e6,
            TRY_CAST(substr(CAST(ts AS VARCHAR), 1, 10) AS DATE)  AS ts_date
     FROM events
     ORDER BY event_id
@@ -196,8 +204,10 @@ def f_try_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").try_cast("double").alias("k_num"),
-        F.col("event_type").try_cast("double").alias("bad_num"),
+        igrid(
+            F.get_json_object("props", "$.k").try_cast("double"), 6
+        ).alias("k_num_e6"),
+        igrid(F.col("event_type").try_cast("double"), 6).alias("bad_num_e6"),
         F.substring(F.col("ts").cast("string"), 1, 10).try_cast("date").alias("ts_date"),
     ).orderBy("event_id")
 
@@ -280,7 +290,7 @@ def f_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(value IS NULL AS BOOLEAN)     AS value_is_null,
            CAST(props IS NOT NULL AS BOOLEAN) AS props_present,
-           coalesce(value, 0.0)               AS value_filled
+           CAST(floor(coalesce(value, 0.0) * 100 + 0.5001) AS BIGINT) AS value_filled_e2
     FROM events
     ORDER BY event_id
     """,
@@ -294,5 +304,5 @@ def f_null_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.col("value").isNull().alias("value_is_null"),
         F.col("props").isNotNull().alias("props_present"),
-        F.coalesce("value", F.lit(0.0)).alias("value_filled"),
+        igrid(F.coalesce("value", F.lit(0.0)), 2).alias("value_filled_e2"),
     ).orderBy("event_id")

@@ -34,10 +34,10 @@ def test_ols_matches_numpy_lstsq(spark, sf_dir):
     r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
 
     assert got.n_obs == len(pdf)
-    assert abs(got.beta_intercept - beta[0]) < 1e-3
-    assert abs(got.beta_quantity - beta[1]) < 1e-3
-    assert abs(got.beta_discount - beta[2]) < 1e-3
-    assert abs(got.r2 - r2) < 1e-5
+    assert abs(got.beta_intercept_e4 / 1e4 - beta[0]) < 1e-3
+    assert abs(got.beta_quantity_e4 / 1e4 - beta[1]) < 1e-3
+    assert abs(got.beta_discount_e4 / 1e4 - beta[2]) < 1e-3
+    assert abs(got.r2_e6 / 1e6 - r2) < 1e-5
     # extendedprice is dominated by per-part price variation, so the
     # quantity/discount fit is weak — but r2 must still be a valid ratio
-    assert 0.0 <= got.r2 < 1.0
+    assert 0.0 <= got.r2_e6 / 1e6 < 1.0
