@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -20,11 +20,11 @@ from finance_etl_pipeline_spark.sources.readers import table
     "j_full_outer",
     """
     WITH o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
-         hi AS (SELECT c_custkey, floor((c_acctbal) * 100 + 0.5001) / 100 AS acctbal
+         hi AS (SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5001) AS BIGINT) AS acctbal_e2
                 FROM customer WHERE c_acctbal > 7000)
     SELECT coalesce(o.o_custkey, hi.c_custkey) AS custkey,
            coalesce(o.n_orders, 0) AS n_orders,
-           hi.acctbal
+           hi.acctbal_e2
     FROM o FULL OUTER JOIN hi ON o.o_custkey = hi.c_custkey
     ORDER BY custkey
     """,
@@ -41,14 +41,14 @@ def j_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = (
         table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 7000)
-        .select("c_custkey", fround(F.col("c_acctbal"), 2).alias("acctbal"))
+        .select("c_custkey", igrid(F.col("c_acctbal"), 2).alias("acctbal_e2"))
     )
     return (
         o.join(hi, o.o_custkey == hi.c_custkey, "full_outer")
         .select(
             F.coalesce(o.o_custkey, hi.c_custkey).alias("custkey"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
-            "acctbal",
+            "acctbal_e2",
         )
         .orderBy("custkey")
     )
@@ -79,7 +79,7 @@ def j_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sub_correlated_exists",
     """
-    SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS total_price_e2
     FROM orders o
     WHERE EXISTS (
       SELECT 1 FROM lineitem l
@@ -99,7 +99,7 @@ def sub_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     li.createOrReplaceTempView("v_lineitem")
     return spark.sql(
         """
-        SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS total_price_e2
         FROM v_orders o
         WHERE EXISTS (
           SELECT 1 FROM v_lineitem l
@@ -113,7 +113,7 @@ def sub_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sub_scalar_avg",
     """
-    SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+    SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS total_price_e2
     FROM orders
     WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
     ORDER BY o_orderkey
@@ -127,7 +127,7 @@ def sub_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.createOrReplaceTempView("v_orders2")
     return spark.sql(
         """
-        SELECT o_orderkey, floor((o_totalprice) * 100 + 0.5001) / 100 AS o_totalprice
+        SELECT o_orderkey, CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS total_price_e2
         FROM v_orders2
         WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM v_orders2)
         ORDER BY o_orderkey

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -16,7 +16,7 @@ from finance_etl_pipeline_spark.sources.readers import table
     """
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5001) / 100 AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS revenue_e4
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -59,9 +59,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            fround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            ).alias("revenue_e4")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -72,17 +72,17 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH per_supp AS (
       SELECT s.s_suppkey, n.n_name,
-             sum(l.l_extendedprice * l.l_quantity) AS val
+             sum(CAST(floor(l.l_extendedprice * l.l_quantity * 100 + 0.5001) AS BIGINT)) AS val_e2
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
       GROUP BY s.s_suppkey, n.n_name
     )
     SELECT s_suppkey, n_name,
-           floor((val) * 100 + 0.5001) / 100 AS supplier_value,
-           floor((val / sum(val) OVER () * 100) * 10000 + 0.5001) / 10000 AS pct_of_total
+           CAST(val_e2 AS BIGINT) AS supplier_value_e2,
+           CAST(floor(CAST(val_e2 AS DOUBLE) / sum(val_e2) OVER () * 100 * 10000 + 0.5001) AS BIGINT) AS pct_of_total_e4
     FROM per_supp
-    ORDER BY supplier_value DESC, s_suppkey
+    ORDER BY supplier_value_e2 DESC, s_suppkey
     """,
     "join",
     "agg",
@@ -101,12 +101,18 @@ def q11_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_suppkey", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+        .agg(
+            F.sum(
+                igrid(F.col("l_extendedprice") * F.col("l_quantity"), 2)
+            ).alias("val_e2")
+        )
     )
     w = Window.partitionBy()
     return per_supp.select(
         "s_suppkey",
         "n_name",
-        fround(F.col("val"), 2).alias("supplier_value"),
-        fround(F.col("val") / F.sum("val").over(w) * 100, 4).alias("pct_of_total"),
-    ).orderBy(F.desc("supplier_value"), "s_suppkey")
+        F.col("val_e2").alias("supplier_value_e2"),
+        igrid(
+            F.col("val_e2").cast("double") / F.sum("val_e2").over(w) * 100, 4
+        ).alias("pct_of_total_e4"),
+    ).orderBy(F.desc("supplier_value_e2"), "s_suppkey")

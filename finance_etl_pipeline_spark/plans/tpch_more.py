@@ -89,11 +89,11 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_share",
     """
-    SELECT floor((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                              THEN l_extendedprice * (1 - l_discount)
+    SELECT CAST(floor(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5001) AS BIGINT)
                               ELSE 0 END)
-                  / sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5001) / 10000
-             AS promo_revenue_pct
+                  / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5001) AS BIGINT)) * 10000 + 0.5001) AS BIGINT)
+             AS promo_revenue_pct_e4
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -104,18 +104,20 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: broadcast dim join + ratio of conditional sums."""
-    from finance_etl_pipeline_spark.functions.scalars import fround
+    from finance_etl_pipeline_spark.functions.scalars import igrid
 
     li = table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    rev_e4 = igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev_e4).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            fround(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+            igrid(100.0 * F.sum(promo) / F.sum(rev_e4), 4).alias(
+                "promo_revenue_pct_e4"
+            )
         )
     )
