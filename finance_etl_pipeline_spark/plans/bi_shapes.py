@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, sql_round
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_round
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -141,23 +141,24 @@ def bi_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dq_order_reconciliation",
     f"""
     WITH line_sums AS (
-      SELECT l_orderkey, {sql_round('sum(l_extendedprice)', 2)} AS line_total
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS line_e2
       FROM lineitem GROUP BY l_orderkey
     ),
     joined AS (
       SELECT o.o_orderkey,
-             {sql_round('o.o_totalprice', 2)} AS header_total,
-             coalesce(ls.line_total, 0.0) AS line_total
+             CAST(floor(o.o_totalprice * 100 + 0.5001) AS BIGINT) AS header_e2,
+             coalesce(ls.line_e2, 0) AS line_e2
       FROM orders o LEFT JOIN line_sums ls ON o.o_orderkey = ls.l_orderkey
     )
     SELECT CASE
-             WHEN line_total = 0.0 THEN 'no_lines'
-             WHEN abs(header_total - line_total) <= 0.01 THEN 'reconciled'
-             WHEN abs(header_total - line_total) / header_total <= 0.05 THEN 'small_drift'
+             WHEN line_e2 = 0 THEN 'no_lines'
+             WHEN abs(header_e2 - line_e2) <= 1 THEN 'reconciled'
+             WHEN CAST(abs(header_e2 - line_e2) AS DOUBLE) / header_e2 <= 0.05 THEN 'small_drift'
              ELSE 'mismatch'
            END AS status,
            count(*) AS n_orders,
-           {sql_round('sum(abs(header_total - line_total))', 2)} AS abs_delta_total
+           CAST(sum(abs(header_e2 - line_e2)) AS BIGINT) AS abs_delta_total_e2
     FROM joined GROUP BY status ORDER BY status
     """,
     "bi",
@@ -175,20 +176,22 @@ def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     line_sums = li.groupBy("l_orderkey").agg(
-        fround(F.sum("l_extendedprice"), 2).alias("line_total")
+        F.sum(igrid("l_extendedprice", 2)).alias("line_e2")
     )
     joined = o.select(
-        "o_orderkey", fround(F.col("o_totalprice"), 2).alias("header_total")
+        "o_orderkey", igrid("o_totalprice", 2).alias("header_e2")
     ).join(
         line_sums.withColumnRenamed("l_orderkey", "o_orderkey"),
         "o_orderkey",
         "left",
-    ).withColumn("line_total", F.coalesce("line_total", F.lit(0.0)))
-    delta = F.abs(F.col("header_total") - F.col("line_total"))
+    ).withColumn("line_e2", F.coalesce("line_e2", F.lit(0)))
+    delta = F.abs(F.col("header_e2") - F.col("line_e2"))
     status = (
-        F.when(F.col("line_total") == 0.0, "no_lines")
-        .when(delta <= 0.01, "reconciled")
-        .when(delta / F.col("header_total") <= 0.05, "small_drift")
+        F.when(F.col("line_e2") == 0, "no_lines")
+        .when(delta <= 1, "reconciled")
+        .when(
+            delta.cast("double") / F.col("header_e2") <= 0.05, "small_drift"
+        )
         .otherwise("mismatch")
     )
     return (
@@ -196,7 +199,7 @@ def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            fround(F.sum("d"), 2).alias("abs_delta_total"),
+            F.sum("d").cast("long").alias("abs_delta_total_e2"),
         )
         .orderBy("status")
     )

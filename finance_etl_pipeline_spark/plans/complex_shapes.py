@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround, igrid
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -55,7 +55,7 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING sum(l_quantity) > 150
     )
     SELECT c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
-           floor((sum(l.l_quantity)) * 100 + 0.5001) / 100 AS total_qty
+           CAST(sum(l.l_quantity) AS BIGINT) AS total_qty
     FROM orders o
     SEMI JOIN big b ON o.o_orderkey = b.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -84,7 +84,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
-        .agg(fround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -104,7 +104,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT substr(c_name, 10, 1) AS name_digit,
            count(*) AS numcust,
-           floor((sum(c_acctbal)) * 100 + 0.5001) / 100 AS totacctbal
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5001) AS BIGINT)) AS BIGINT) AS totacctbal_e2
     FROM customer
     WHERE c_acctbal > (SELECT ab FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -126,7 +126,7 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring("c_name", 10, 1).alias("name_digit"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            fround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.sum(igrid("c_acctbal", 2)).alias("totacctbal_e2"),
         )
         .orderBy("name_digit")
     )

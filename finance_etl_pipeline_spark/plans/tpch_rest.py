@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import fround
+from finance_etl_pipeline_spark.functions.scalars import igrid
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -49,7 +49,7 @@ def _asia_supplier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q2_min_cost_supplier",
     """
     SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
-           floor((l.l_extendedprice / l.l_quantity) * 10000 + 0.5001) / 10000 AS unit_cost
+           CAST(floor(l.l_extendedprice / l.l_quantity * 10000 + 0.5001) AS BIGINT) AS unit_cost_e4
     FROM part p, lineitem l, supplier s, nation n, region r
     WHERE l.l_partkey = p.p_partkey AND s.s_suppkey = l.l_suppkey
       AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
@@ -88,7 +88,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "n_name",
-            fround(F.col("unit_cost"), 4).alias("unit_cost"),
+            igrid(F.col("unit_cost"), 4).alias("unit_cost_e4"),
         )
         .distinct()
         .orderBy("p_partkey", "s_suppkey")
@@ -99,11 +99,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     """
     SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           floor((sum(CASE WHEN n2.n_name = 'NATION_3'
-                           THEN l.l_extendedprice * (1 - l.l_discount)
+           CAST(floor(sum(CASE WHEN n2.n_name = 'NATION_3'
+                           THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5001) AS BIGINT)
                            ELSE 0 END)
-                  / sum(l.l_extendedprice * (1 - l.l_discount))) * 1000000 + 0.5001)
-             / 1000000 AS mkt_share
+                  / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5001) AS BIGINT)) * 1000000 + 0.5001)
+             AS BIGINT) AS mkt_share_e6
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -141,7 +141,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
@@ -152,13 +152,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            fround(
+            igrid(
                 F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0)
                 )
                 / F.sum(vol),
                 6,
-            ).alias("mkt_share")
+            ).alias("mkt_share_e6")
         )
         .orderBy("o_year")
     )
@@ -168,9 +168,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount)
-                      - p.p_retailprice * l.l_quantity * 0.01)) * 100 + 0.5001) / 100
-             AS sum_profit
+           CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                      - p.p_retailprice * l.l_quantity * 0.01) * 10000 + 0.5001) AS BIGINT)) AS BIGINT)
+             AS sum_profit_e4
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -204,7 +204,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(fround(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.sum(igrid(profit, 4)).alias("sum_profit_e4"))
         .orderBy("nation", F.desc("o_year"))
     )
 
@@ -214,16 +214,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5001) AS BIGINT)) AS BIGINT) AS total_revenue_e4
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name,
-           floor((r.total_revenue) * 100 + 0.5001) / 100 AS total_revenue
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
     ORDER BY s_suppkey
     """,
     "agg",
@@ -240,21 +239,17 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue_raw"
-        )
+        F.sum(
+            igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        ).alias("total_revenue_e4")
     )
     top = revenue.withColumn(
-        "max_rev", F.max("total_revenue_raw").over(Window.partitionBy())
-    ).filter(F.col("total_revenue_raw") == F.col("max_rev"))
+        "max_rev", F.max("total_revenue_e4").over(Window.partitionBy())
+    ).filter(F.col("total_revenue_e4") == F.col("max_rev"))
     s = table(spark, sf_dir, "supplier")
     return (
         s.join(top, s.s_suppkey == top.supplier_no)
-        .select(
-            "s_suppkey",
-            "s_name",
-            fround(F.col("total_revenue_raw"), 2).alias("total_revenue"),
-        )
+        .select("s_suppkey", "s_name", "total_revenue_e4")
         .orderBy("s_suppkey")
     )
 
@@ -301,7 +296,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_qty_revenue",
     """
-    SELECT floor((sum(l.l_extendedprice) / 7.0) * 100 + 0.5001) / 100 AS avg_yearly
+    SELECT CAST(floor(sum(CAST(floor(l.l_extendedprice * 100 + 0.5001) AS BIGINT)) / 100 / 7.0 * 100 + 0.5001) AS BIGINT) AS avg_yearly_e2
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23' AND p.p_type = 'PROMO'
       AND l.l_quantity < (
@@ -331,7 +326,11 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .agg(fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            igrid(
+                F.sum(igrid("l_extendedprice", 2)) / 100 / 7.0, 2
+            ).alias("avg_yearly_e2")
+        )
     )
 
 
