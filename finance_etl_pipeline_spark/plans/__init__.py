@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
         emb_neardup,
         etl_extras,
         events,
+        governance,
         importance,
         ivf,
         llm,
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, QueryDef]:
         sampling,
         scalars,
         semdedup,
+        spans,
         subqueries,
         supplier_shapes,
         text_rank,

@@ -417,3 +417,72 @@ def tx_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+_VOCAB_K = 1000  # fixed tokenizer-style vocabulary size
+
+
+@register(
+    "tx_vocab_coverage",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    toks AS (SELECT source, unnest(t) AS tok FROM tokd),
+    freq AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY f DESC, tok) AS r FROM freq
+      ) WHERE r <= {_VOCAB_K}
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           {{oov}} AS oov_rate_e6
+    FROM toks LEFT JOIN vocab v USING (tok)
+    GROUP BY source ORDER BY source
+    """.format(
+        oov=sql_igrid(
+            "sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)"
+            " / CAST(count(*) AS DOUBLE)",
+            6,
+        )
+    ),
+    "llm",
+    "diversity",
+    "tokenizer",
+)
+def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV rate per source: freeze the corpus's
+    top-1000 tokens as a fixed vocabulary (ties broken
+    lexicographically, as a tokenizer build would) and report each
+    source's out-of-vocabulary token share — the coverage audit run
+    before committing a tokenizer to a new data mix (a high-OOV
+    source inflates fertility and UNK rates downstream).
+
+    Scale: the frequency table is vocabulary-sized (map-side combined
+    groupBy); the top-K cut is a TakeOrdered; the vocab is broadcast
+    back onto the token stream, so the scan side never shuffles —
+    per-source totals are the only (tiny) aggregate."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(tokens_expr()).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    vocab = (
+        freq.orderBy(F.desc("f"), "tok")
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    tagged = toks.join(F.broadcast(vocab), "tok", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            igrid(oov / F.count(F.lit(1)).cast("double"), 6).alias(
+                "oov_rate_e6"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1402,3 +1402,128 @@ def e_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("path", F.col("n").cast("long"), F.col("rk").cast("long"))
         .orderBy("rk")
     )
+
+
+@register(
+    "e_user_lifecycle",
+    f"""
+    WITH presence AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    maxw AS (SELECT max(wk) AS max_wk FROM presence),
+    seq AS (
+      SELECT user_id, wk,
+             lag(wk)  OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk,
+             min(wk)  OVER (PARTITION BY user_id) AS first_wk
+      FROM presence
+    ),
+    active AS (
+      SELECT wk,
+             CAST(sum(CASE WHEN wk = first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN wk != first_wk
+                            AND prev_wk = wk - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN wk != first_wk
+                            AND (prev_wk IS NULL OR prev_wk < wk - INTERVAL 7 DAY)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM seq GROUP BY wk
+    ),
+    churn AS (
+      SELECT CAST(s.wk + INTERVAL 7 DAY AS DATE) AS wk, count(*) AS n_churned
+      FROM seq s CROSS JOIN maxw
+      WHERE (s.next_wk IS NULL OR s.next_wk > s.wk + INTERVAL 7 DAY)
+        AND CAST(s.wk + INTERVAL 7 DAY AS DATE) <= maxw.max_wk
+      GROUP BY 1
+    )
+    SELECT a.wk, a.n_new, a.n_retained, a.n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned,
+           CASE WHEN coalesce(c.n_churned, 0) > 0
+                THEN {sql_igrid('CAST(a.n_new + a.n_resurrected AS DOUBLE) / c.n_churned', 4)}
+           END AS quick_ratio_e4
+    FROM active a LEFT JOIN churn c ON a.wk = c.wk
+    ORDER BY a.wk
+    """,
+    "events",
+    "window",
+    "agg",
+)
+def e_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active user classified as
+    new (first-ever week), retained (also active the prior week), or
+    resurrected (returning after a gap); churned counts users active
+    the prior week who did not return (attributed to the week they
+    went missing, clipped at the dataset's final observed week so the
+    open end never fabricates churn).  The quick ratio
+    (new + resurrected) / churned is the canonical growth-health
+    readout.
+
+    Scale: the event stream collapses FIRST to one (user, week)
+    presence row; the lag/lead/min windows run per user on that
+    reduced table (natural user_id distribution, no skew), and the
+    final tables are |weeks| rows."""
+    e = table(spark, sf_dir, "events")
+    presence = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    uw = Window.partitionBy("user_id").orderBy("wk")
+    seq = presence.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(uw).alias("prev_wk"),
+        F.lead("wk").over(uw).alias("next_wk"),
+        F.min("wk").over(Window.partitionBy("user_id")).alias("first_wk"),
+    )
+    is_new = F.col("wk") == F.col("first_wk")
+    active = seq.groupBy("wk").agg(
+        F.sum(F.when(is_new, 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(
+                (~is_new) & (F.col("prev_wk") == F.date_add(F.col("wk"), -7)),
+                1,
+            ).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                (~is_new)
+                & (
+                    F.col("prev_wk").isNull()
+                    | (F.col("prev_wk") < F.date_add(F.col("wk"), -7))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    maxw = presence.agg(F.max("wk").alias("max_wk"))
+    churn = (
+        seq.crossJoin(F.broadcast(maxw))
+        .filter(
+            (
+                F.col("next_wk").isNull()
+                | (F.col("next_wk") > F.date_add(F.col("wk"), 7))
+            )
+            & (F.date_add(F.col("wk"), 7) <= F.col("max_wk"))
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    qr = F.when(
+        F.coalesce("n_churned", F.lit(0)) > 0,
+        igrid(
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / F.col("n_churned"),
+            4,
+        ),
+    )
+    return (
+        active.join(churn, "wk", "left")
+        .select(
+            "wk",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0).cast("long")).alias("n_churned"),
+            qr.alias("quick_ratio_e4"),
+        )
+        .orderBy("wk")
+    )

@@ -20,10 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import sql_hash60
+from finance_etl_pipeline_spark.functions.scalars import igrid, sql_hash60, sql_igrid
 from finance_etl_pipeline_spark.operators.dedup import hash60_expr
 from finance_etl_pipeline_spark.plans import register
-from finance_etl_pipeline_spark.sources.readers import table
+from finance_etl_pipeline_spark.sources.readers import spread, table
 
 _SQL_H60 = sql_hash60("{x}")
 _H_EVENT = _SQL_H60.format(x="CAST(event_id AS VARCHAR)")
@@ -215,4 +215,84 @@ def s_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
         .orderBy("shard")
+    )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent for source re-weighting
+
+
+@register(
+    "s_temperature_mixture",
+    f"""
+    WITH tokd AS (
+      SELECT source, len(string_split_regex(lower(text), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM tokd GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(pow(n_tokens, {_MIX_ALPHA})) AS z,
+             sum(n_tokens) AS all_tokens
+      FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           {{w}} AS weight_e6,
+           {{boost}} AS sampling_boost_e4
+    FROM per_src CROSS JOIN tot
+    ORDER BY source
+    """.format(
+        w=sql_igrid(f"pow(n_tokens, {_MIX_ALPHA}) / z", 6),
+        boost=sql_igrid(
+            f"pow(n_tokens, {_MIX_ALPHA}) / z"
+            " / (CAST(n_tokens AS DOUBLE) / all_tokens)",
+            4,
+        ),
+    ),
+    "llm",
+    "sampling",
+    "mixture",
+)
+def s_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights (multilingual-LM
+    style): sampling weight ∝ tokens^0.7, normalized — the standard
+    up-weighting of small sources / down-weighting of dominant ones
+    before building a training mix.  ``sampling_boost`` is the
+    weight relative to the natural (proportional) rate: > 1 means the
+    source is over-sampled, the number that sets per-source repeat
+    factors in the shuffle plan (s_mixture_resample executes such a
+    plan; this query derives its inputs from a temperature policy).
+
+    Scale: one narrow token-count map, a |sources|-row aggregate, and
+    a broadcast 1-row normalizer.  pow() on exact integer token
+    counts is a single IEEE operation — identical cross-engine."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    per_src = (
+        docs.select(
+            "source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum(F.pow("n_tokens", F.lit(_MIX_ALPHA))).alias("z"),
+        F.sum("n_tokens").alias("all_tokens"),
+    )
+    w = F.pow("n_tokens", F.lit(_MIX_ALPHA)) / F.col("z")
+    natural = F.col("n_tokens").cast("double") / F.col("all_tokens")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            igrid(w, 6).alias("weight_e6"),
+            igrid(w / natural, 4).alias("sampling_boost_e4"),
+        )
+        .orderBy("source")
     )

@@ -1,0 +1,190 @@
+"""Repeated-span (substring-level) deduplication profiling.
+
+Document-level dedup (exact md5, MinHash, SimHash) misses the most
+damaging duplication mode in web-scale training corpora: long VERBATIM
+SPANS repeated across otherwise-distinct documents (boilerplate,
+licence blocks, quoted passages).  Lee et al. 2022 ("Deduplicating
+Training Data Makes Language Models Better") remove repeated
+substrings above a length threshold with a suffix array; the
+distributed re-expression here is rolling fixed-width token windows:
+
+- every position i of every document contributes the hash of the
+  8-token window starting at i (stride 1, positions kept — unlike
+  MinHash shingles these are NOT distinct: coverage needs positions);
+- a window hash seen in ≥ 2 distinct documents marks a cross-document
+  repeated span at that position;
+- per document, the marked positions are merged gaps-and-islands
+  style (two marked positions overlap while they are < 8 apart) into
+  maximal covered intervals, whose union length is the number of
+  duplicated TOKENS — the fraction Lee et al. would cut.
+
+Spark shape (100 TB posture): the window table is one narrow
+map+posexplode over documents (rows ∝ corpus tokens, no shuffle);
+cross-doc duplication is a groupBy(hash) with a distinct-doc count
+(map-side combined, high-cardinality key — no skew); the join back is
+co-keyed on the same hash; everything after (island merge, coverage)
+runs only on DUPLICATED positions — proportional to duplication
+density, not corpus size.  The 60-bit md5 window hash makes a
+cross-pair collision vanishing (same argument as the MinHash index).
+
+Reference basis: extends /root/reference's dedup surface (absent
+there) per the LLM-pipeline mandate; same banded-index posture as
+operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import sql_hash60, sql_igrid
+from finance_etl_pipeline_spark.operators.dedup import hash60_expr, tokens_expr
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import spread, table
+
+SPAN_W = 8  # tokens per rolling window
+
+
+def _windows_sql() -> str:
+    """(doc_id, pos, h): every rolling SPAN_W-token window, 1-based."""
+    cat = " || ' ' || ".join(f"t[i+{k}]" for k in range(SPAN_W))
+    return f"""
+    tokd AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i AS pos, {sql_hash60(f"({cat})")} AS h
+      FROM tokd, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0))) AS i
+      )
+    )"""
+
+
+@register(
+    "dd_repeated_spans",
+    f"""
+    WITH {_windows_sql()},
+    hd AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h
+      ) WHERE nd >= 2
+    ),
+    dup AS (SELECT DISTINCT w.doc_id, w.pos FROM win w JOIN hd USING (h)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos > lag(pos) OVER w + {SPAN_W - 1}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM brk
+    ),
+    cov AS (
+      SELECT doc_id, grp,
+             max(pos) + {SPAN_W} - min(pos) AS covered,
+             count(*) AS n_dup_windows
+      FROM isl GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(sum(covered) AS BIGINT) AS dup_tokens,
+             CAST(sum(n_dup_windows) AS BIGINT) AS n_dup_windows,
+             count(*) AS n_spans
+      FROM cov GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           d.n_spans, d.n_dup_windows, d.dup_tokens,
+           {sql_igrid('CAST(d.dup_tokens AS DOUBLE) / len(t.t)', 6)}
+             AS dup_fraction_e6
+    FROM per_doc d JOIN tokd t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    "llm",
+    "dedup",
+    "spans",
+)
+def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span profile — see module docstring.
+    Emits, per document that shares at least one 8-token span with
+    another document: the number of maximal repeated spans, the
+    marked window positions, and the duplicated-token count/fraction
+    (interval-union coverage, not double-counted overlaps)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    toks = tokens_expr()
+    idx = F.sequence(F.lit(1), F.size(toks) - (SPAN_W - 1))
+    windows = F.when(
+        F.size(toks) >= SPAN_W,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(SPAN_W)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tokd = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"), windows.alias("ws")
+    )
+    win = tokd.select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("ws").alias("p0", "w"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("p0") + 1).alias("pos"),
+        hash60_expr(F.col("w")).alias("h"),
+    )
+    hd = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup = (
+        win.join(hd, "h", "left_semi")
+        .select("doc_id", "n_tokens", "pos")
+        .distinct()
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    brk = dup.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_ord) + (SPAN_W - 1)),
+            1,
+        ).otherwise(0),
+    )
+    isl = brk.withColumn(
+        "grp",
+        F.sum("is_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cov = isl.groupBy("doc_id", "n_tokens", "grp").agg(
+        (F.max("pos") + SPAN_W - F.min("pos")).alias("covered"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    )
+    per_doc = cov.groupBy("doc_id", "n_tokens").agg(
+        F.sum("covered").cast("long").alias("dup_tokens"),
+        F.sum("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_spans",
+        "n_dup_windows",
+        "dup_tokens",
+        F.floor(
+            F.col("dup_tokens").cast("double") / F.col("n_tokens") * 1000000
+            + 0.5001
+        )
+        .cast("long")
+        .alias("dup_fraction_e6"),
+    ).orderBy("doc_id")
