@@ -188,3 +188,31 @@ def test_incremental_neardup_filters_candidates_before_verify(spark, sf_dir):
     plan = plan_of(spark, "dd_incremental_neardup", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_no_cartesian_semi_join_back(spark, sf_dir):
+    """dd_repeated_spans must restrict positions with a semi join on
+    the duplicated-hash set — a CartesianProduct or a pairwise doc
+    join would mean the span index regressed to all-pairs."""
+    plan = plan_of(spark, "dd_repeated_spans", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """tx_vocab_coverage joins the 1000-row vocabulary back onto the
+    corpus-sized token stream — that join must be broadcast so the
+    token side never shuffles for it."""
+    plan = plan_of(spark, "tx_vocab_coverage", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scan_is_single_scan_narrow(spark, sf_dir):
+    """tx_pii_scan is a per-row regex map + one per-source aggregate:
+    exactly one documents scan, no join of any kind."""
+    import re
+
+    plan = plan_of(spark, "tx_pii_scan", sf_dir)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
