@@ -526,16 +526,27 @@ _BLOOM_M = 1 << 22  # bloom positions: ~6 bits/element headroom at sf0.1
 #   (sizing rule at real scale: M ≈ 10–15 bits per expected train gram;
 #   the oracle interpolates the constant, so resizing stays cross-engine)
 _BLOOM_K = 3  # hash functions per gram
-_SQL_POS = sql_hash60("g || '#' || CAST(i AS VARCHAR)") + f" % {_BLOOM_M}"
+# Kirsch–Mitzenmacher double hashing: ONE md5 per gram, the K
+# positions derived arithmetically as (h1 + i·h2) mod M with h1 the
+# low 22 bits and h2 an odd stride from the next 21 — same bloom
+# guarantees (Kirsch & Mitzenmacher 2006), 3× fewer md5 evaluations
+# (measured: the md5 over 5-gram strings dominated the stage).
+_SQL_POS = (
+    f"((h % {_BLOOM_M}) + i * (2 * ((h >> 22) % {_BLOOM_M // 2}) + 1))"
+    f" % {_BLOOM_M}"
+)
 
 
 @register(
     "tx_decontaminate_bloom",
     f"""
     WITH {_SQL_GRAMS},
+    hashed AS (
+      SELECT doc_id, source, g, {sql_hash60('g')} AS h FROM grams
+    ),
     posed AS (
       SELECT doc_id, source, g, {_SQL_POS} AS pos
-      FROM grams, range(0, {_BLOOM_K}) t(i)
+      FROM hashed, range(0, {_BLOOM_K}) t(i)
     ),
     train_pos AS (
       SELECT DISTINCT pos FROM posed WHERE source <> '{_EVAL_SRC}'
@@ -596,13 +607,13 @@ def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(shingles_expr(tokens_expr(), n=_DECON_N)).alias("g"),
     )
+    hashed = grams.withColumn("h", hash60_expr(F.col("g")))
+    h1 = F.col("h") % _BLOOM_M
+    stride = F.shiftright("h", 22) % (_BLOOM_M // 2) * 2 + 1
     positions = F.array(
-        *[
-            hash60_expr(F.concat(F.col("g"), F.lit(f"#{i}"))) % _BLOOM_M
-            for i in range(_BLOOM_K)
-        ]
+        *[(h1 + i * stride) % _BLOOM_M for i in range(_BLOOM_K)]
     )
-    posed = grams.select(
+    posed = hashed.select(
         "doc_id", "source", "g", F.explode(positions).alias("pos")
     )
     train_pos = (

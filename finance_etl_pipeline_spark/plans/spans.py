@@ -116,29 +116,38 @@ def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked window positions, and the duplicated-token count/fraction
     (interval-union coverage, not double-counted overlaps)."""
     docs = spread(table(spark, sf_dir, "documents"))
-    toks = tokens_expr()
-    idx = F.sequence(F.lit(1), F.size(toks) - (SPAN_W - 1))
+    # materialize the token array ONCE per row before the window
+    # lambda — inlining tokens_expr() inside transform() re-splits the
+    # text for every element_at (no CSE through lambda scopes):
+    # measured 28.8 s → ~1 s for the window explode at sf0.1
+    base = docs.select("doc_id", tokens_expr().alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - (SPAN_W - 1))
     windows = F.when(
-        F.size(toks) >= SPAN_W,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(SPAN_W)]
-            ),
-        ),
+        F.size(t) >= SPAN_W,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SPAN_W))),
     ).otherwise(F.array().cast("array<string>"))
-    tokd = docs.select(
-        "doc_id", F.size(toks).alias("n_tokens"), windows.alias("ws")
+    tokd = base.select(
+        "doc_id", F.size(t).alias("n_tokens"), windows.alias("ws")
     )
-    win = tokd.select(
-        "doc_id",
-        "n_tokens",
-        F.posexplode("ws").alias("p0", "w"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("p0") + 1).alias("pos"),
-        hash60_expr(F.col("w")).alias("h"),
+    # the window index feeds BOTH DAG branches (duplicated-hash set +
+    # position join-back); eager localCheckpoint materializes the
+    # md5 explode once — same rationale, measurements, and cluster
+    # caveat (prefer persist(DISK_ONLY)) as dd_minhash_lsh_pairs'
+    # shingle index
+    win = (
+        tokd.select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode("ws").alias("p0", "w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("p0") + 1).alias("pos"),
+            hash60_expr(F.col("w")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
     hd = (
         win.groupBy("h")
