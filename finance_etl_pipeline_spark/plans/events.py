@@ -1527,3 +1527,75 @@ def e_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wk")
     )
+
+
+@register(
+    "e_seasonal_decompose",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    trend AS (
+      SELECT day, n,
+             sum(n) OVER w AS s7,
+             count(*) OVER w AS w7
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    ratios AS (
+      SELECT isodow(day) AS dow,
+             {sql_igrid('n * 7.0 / s7', 6)} AS ratio_e6
+      FROM trend WHERE w7 = 7
+    )
+    SELECT CAST(dow AS INTEGER) AS dow,
+           count(*) AS n_days,
+           {sql_igrid('sum(ratio_e6) / count(*) / 1000000.0', 6)}
+             AS seasonal_index_e6
+    FROM ratios GROUP BY dow ORDER BY dow
+    """,
+    "events",
+    "window",
+    "timeseries",
+)
+def e_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition, the day-of-week component:
+    daily event counts de-trended by a centered 7-day moving average
+    (full windows only — edges carry no trend estimate), then the
+    detrended ratios averaged per ISO weekday into a seasonal index
+    (1.0 = neutral; >1 = the weekday runs hot).  The additive
+    residual/trend split every ops-forecasting pipeline starts from
+    (e_anomaly_dow_adjusted consumes exactly this structure).
+
+    Determinism: each day's ratio is gridded to e6 BEFORE the per-dow
+    average, which then divides an exact integer sum — no float
+    accumulation order anywhere in the output path.
+
+    Scale: events collapse to |days| rows first; the moving-average
+    window is a single ordered pass over that tiny series."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trend = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("w7"),
+    )
+    ratios = trend.filter(F.col("w7") == 7).select(
+        (F.weekday("day") + 1).alias("dow"),
+        igrid(F.col("n") * 7.0 / F.col("s7"), 6).alias("ratio_e6"),
+    )
+    return (
+        ratios.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            igrid(
+                F.sum("ratio_e6") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("seasonal_index_e6"),
+        )
+        .select(F.col("dow").cast("int").alias("dow"), "n_days", "seasonal_index_e6")
+        .orderBy("dow")
+    )

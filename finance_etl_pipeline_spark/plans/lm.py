@@ -283,3 +283,82 @@ def tx_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_subwords",
         igrid(F.col("fertility"), 4).alias("fertility_e4"),
     )
+
+
+def _ppl_buckets_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    ppl = REGISTRY["tx_bigram_perplexity"].oracle
+    return f"""
+    WITH ppl AS (SELECT doc_id, ppl_e4 FROM ({ppl})),
+    bucketed AS (
+      SELECT d.source, p.ppl_e4,
+             ntile(3) OVER (ORDER BY p.ppl_e4, p.doc_id) AS tercile
+      FROM ppl p JOIN documents d ON d.doc_id = p.doc_id
+    )
+    SELECT source,
+           CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(min(ppl_e4) AS BIGINT) AS min_ppl_e4,
+           CAST(max(ppl_e4) AS BIGINT) AS max_ppl_e4
+    FROM bucketed
+    GROUP BY source, bucket ORDER BY source, bucket
+    """
+
+
+@register(
+    "tx_ppl_buckets",
+    _ppl_buckets_sql(),
+    "llm",
+    "quality",
+    "curation",
+)
+def tx_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): held-out
+    documents split into head / middle / tail terciles by LM
+    perplexity (lower = more fluent under the reference model), then
+    cross-tabulated by source — the readout used to keep head+middle
+    and drop or down-weight tail when building a training mix.
+
+    The reference model is the corpus's own add-one bigram LM
+    (``tx_bigram_perplexity`` — this query composes its registered
+    plan on both engines, so the bucketing inherits its verified
+    determinism).  Tercile edges come from a global ntile ordered by
+    (ppl, doc_id) — a total order, so bucket membership is bit-stable.
+
+    Scale: perplexity scoring is the expensive stage and is already
+    vocabulary-bounded; the ntile runs on |held-out docs| rows.  At
+    100 TB the single-partition ntile swaps for percentile_approx
+    edges computed once and broadcast — the groupBy tail is
+    unchanged."""
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    ppl = REGISTRY["tx_bigram_perplexity"].fn(spark, sf_dir).select(
+        "doc_id", "ppl_e4"
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql.window import Window
+
+    bucketed = (
+        ppl.join(docs, "doc_id")
+        .withColumn(
+            "tercile",
+            F.ntile(3).over(Window.orderBy("ppl_e4", "doc_id")),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("tercile") == 1, "head")
+            .when(F.col("tercile") == 2, "middle")
+            .otherwise("tail"),
+        )
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("ppl_e4").alias("min_ppl_e4"),
+            F.max("ppl_e4").alias("max_ppl_e4"),
+        )
+        .orderBy("source", "bucket")
+    )
