@@ -1361,3 +1361,50 @@ def o_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(_PAGE_SIZE)
     )
+
+
+@register(
+    "a_mode_per_group",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT o_orderstatus, o_orderpriority, n,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM counts
+    )
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, n AS n_orders
+    FROM ranked WHERE rk = 1
+    ORDER BY o_orderstatus
+    """,
+    "agg",
+    "window",
+)
+def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: the most frequent order priority
+    per order status.  Deliberately NOT Spark's mode() aggregate —
+    both engines' built-in mode pick an ARBITRARY value on frequency
+    ties, so the contract here is the explicit count-then-argmax with
+    a total order (count desc, value asc): same shuffle count as
+    mode() (the counts groupBy is the only wide stage; the window
+    runs on |groups × values| rows) and bit-stable cross-engine."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -197,3 +197,130 @@ def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_fraction_e6"),
     ).orderBy("doc_id")
+
+
+def _mh_estimate_sql() -> str:
+    from finance_etl_pipeline_spark.operators import dedup as D
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    exact = REGISTRY["dd_ngram_jaccard_pairs"].oracle
+    # DuckDB twin of the minhash signature + band CTEs (identical
+    # constants to operators/dedup.py — same text dd_minhash uses)
+    _P = D.MERSENNE_P
+    sh = """SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(t)-2, 0)),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+             FROM documents)"""
+    return f"""
+    WITH sh AS ({sh}),
+    hashes AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_P} AS hmod
+      FROM sh
+    ),
+    mh AS (
+      SELECT doc_id, i,
+             min(({D.hash_a('i')} * hmod + {D.hash_b('i')}) % {_P}) AS mh
+      FROM hashes, range(0, {D.NUM_HASHES}) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.NUM_HASHES // D.NUM_BANDS} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    agree AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sig_match
+      FROM cand c
+      JOIN mh ma ON ma.doc_id = c.doc_a
+      JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    exact AS (SELECT doc_a, doc_b, jaccard_e4 FROM ({exact}))
+    SELECT a.doc_a, a.doc_b, a.n_sig_match,
+           CAST(floor(a.n_sig_match / {D.NUM_HASHES}.0 * 10000 + 0.5001) AS BIGINT)
+             AS est_jaccard_e4,
+           e.jaccard_e4 AS exact_jaccard_e4,
+           CAST(floor(a.n_sig_match / {D.NUM_HASHES}.0 * 10000 + 0.5001) AS BIGINT)
+             - coalesce(e.jaccard_e4, 0) AS err_e4
+    FROM agree a LEFT JOIN exact e
+      ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b
+    ORDER BY a.doc_a, a.doc_b
+    """
+
+
+@register(
+    "dd_minhash_estimate_calibration",
+    _mh_estimate_sql(),
+    "llm",
+    "dedup",
+    "eval",
+)
+def dd_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATOR calibration: for every LSH candidate
+    pair, the fraction of the 16 minhash values that agree (the
+    classical unbiased Jaccard estimate) side by side with the exact
+    shingle-set Jaccard (null → the pair is a band-collision false
+    candidate below the 0.7 threshold) and the signed error.  This is
+    the per-pair view behind dd_lsh_recall_eval's aggregate scorecard
+    — the diagnostic for choosing NUM_HASHES/bands on a new corpus.
+
+    Scale: candidate-bounded everywhere — signature agreement joins
+    16-value signatures for candidate docs only; the exact side is
+    the already-candidate-restricted verifier.  Nothing is pairwise
+    beyond the LSH buckets."""
+    from finance_etl_pipeline_spark.operators import dedup as D
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    docs = table(spark, sf_dir, "documents")
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    mh_wide = D.minhash_signatures_hashed(sh_hashed)
+    bands = D.band_signatures(mh_wide)
+    cand = D.candidate_pairs(bands)
+    n_match = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(D.NUM_HASHES)
+    )
+    ma = mh_wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(D.NUM_HASHES)],
+    )
+    mb = mh_wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(D.NUM_HASHES)],
+    )
+    agree = (
+        cand.join(F.broadcast(ma), "doc_a")
+        .join(F.broadcast(mb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.cast("long").alias("n_sig_match"),
+        )
+    )
+    est = F.floor(
+        F.col("n_sig_match") / float(D.NUM_HASHES) * 10000 + 0.5001
+    ).cast("long")
+    exact = D.jaccard_verify_hashed(sh_hashed, cand, 0.7).select(
+        "doc_a", "doc_b", F.col("jaccard_e4").alias("exact_jaccard_e4")
+    )
+    return (
+        agree.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_sig_match",
+            est.alias("est_jaccard_e4"),
+            "exact_jaccard_e4",
+            (est - F.coalesce("exact_jaccard_e4", F.lit(0))).alias("err_e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
