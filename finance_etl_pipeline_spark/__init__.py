@@ -20,4 +20,4 @@ Layout
 - ``pipeline``   run_month orchestration (reference pipeline parity)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

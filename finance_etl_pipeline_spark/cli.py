@@ -54,6 +54,18 @@ def main(argv: list[str] | None = None) -> int:
         help="print the formatted physical plan instead of rows",
     )
 
+    dash_p = sub.add_parser(
+        "dashboard",
+        help="render the monthly-close HTML dashboard from a curated dir "
+        "(reference scripts/build_dashboard.py; inline-SVG charts, no "
+        "plotting dependency)",
+    )
+    dash_p.add_argument("--curated-dir", required=True)
+    dash_p.add_argument("--month", required=True, help="YYYY-MM")
+    dash_p.add_argument(
+        "--out", default=None, help="default: reports/<month>/dashboard.html"
+    )
+
     sql_p = sub.add_parser(
         "sql",
         help="run ad-hoc Spark SQL with every testdata table "
@@ -114,6 +126,38 @@ def main(argv: list[str] | None = None) -> int:
             df.explain(mode="formatted")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "dashboard":
+        import os
+
+        from finance_etl_pipeline_spark.dashboard import render_dashboard
+        from finance_etl_pipeline_spark.session import get_spark
+
+        spark = get_spark(app_name="dashboard")
+        cur = args.curated_dir
+        kpi = spark.read.parquet(os.path.join(cur, "kpi_monthly"))
+        fact = spark.read.parquet(os.path.join(cur, "fact_transactions"))
+        dim = spark.read.parquet(os.path.join(cur, "dim_accounts"))
+
+        def _opt(name):
+            p = os.path.join(cur, name)
+            try:
+                return spark.read.parquet(p)
+            except Exception:
+                return None
+
+        out = args.out or os.path.join("reports", args.month, "dashboard.html")
+        final = render_dashboard(
+            kpi,
+            fact,
+            dim,
+            _opt("dq_summary"),
+            _opt("dq_exceptions"),
+            args.month,
+            out,
+        )
+        print(final)
         return 0
 
     if args.command == "generate":

@@ -23,7 +23,7 @@ def _run(*args):
 def test_version():
     r = _run("version")
     assert r.returncode == 0
-    assert r.stdout.strip() == "0.1.0"
+    assert r.stdout.strip() == "0.2.0"
 
 
 def test_help_lists_commands():
@@ -79,3 +79,20 @@ def test_sql_subcommand_explain():
     r = _run("sql", "--explain", "SELECT count(*) AS n FROM lineitem")
     assert r.returncode == 0
     assert "Physical Plan" in r.stdout
+
+
+def test_dashboard_subcommand_renders_html(tmp_path):
+    raw, ref, cur = str(tmp_path / "raw"), str(tmp_path / "ref"), str(tmp_path / "cur")
+    out = str(tmp_path / "dash.html")
+    r = _run("generate", "--out-dir", raw, "--month", "2025-12",
+             "--reference-dir", ref)
+    assert r.returncode == 0, r.stderr
+    r = _run("run", "--month", "2025-12", "--raw-dir", raw,
+             "--curated-dir", cur, "--reference-dir", ref)
+    assert r.returncode == 0, r.stderr
+    r = _run("dashboard", "--curated-dir", cur, "--month", "2025-12",
+             "--out", out)
+    assert r.returncode == 0, r.stderr
+    html = open(out, encoding="utf-8").read()
+    assert "Finance Monthly Close Dashboard" in html
+    assert "<svg" in html

@@ -45,3 +45,24 @@ def test_kpi_month_table_has_margins(spark, curated):
     table = dashboard.kpi_month_table(curated["kpi"], MONTH)
     assert "gross_margin_pct" in table.columns
     assert table.count() == 2
+
+
+def test_render_dashboard_html(spark, curated, tmp_path):
+    out = dashboard.render_dashboard(
+        kpi=curated["kpi"],
+        fact=curated["fact"],
+        dim_accounts=curated["dim"],
+        dq_summary=None,
+        dq_exceptions=None,
+        month=MONTH,
+        out_path=str(tmp_path / "dash" / "dashboard.html"),
+    )
+    html = open(out, encoding="utf-8").read()
+    assert "<!doctype html>" in html
+    assert "Finance Monthly Close Dashboard" in html
+    # real charts rendered: one line chart per KPI series + expense bars
+    assert html.count("<svg") >= 3
+    assert "Revenue by Entity" in html
+    assert "Top Expense Accounts" in html
+    # KPI table carries the margin-enriched columns
+    assert "gross_margin_pct" in html
