@@ -904,3 +904,77 @@ def drift_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_PAD_BUCKET = 32  # tokens per length-bucket step
+
+
+@register(
+    "tx_padding_efficiency",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    stats AS (SELECT max(n_toks) AS max_toks FROM tokd),
+    bucketed AS (
+      SELECT n_toks,
+             CAST(ceil(n_toks / {_PAD_BUCKET}.0) * {_PAD_BUCKET} AS BIGINT)
+               AS bucket_len,
+             max_toks
+      FROM tokd CROSS JOIN stats
+    )
+    SELECT bucket_len,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS real_tokens,
+           CAST(sum(bucket_len - n_toks) AS BIGINT) AS pad_tokens,
+           {sql_igrid('sum(bucket_len - n_toks) / CAST(sum(bucket_len) AS DOUBLE)', 6)}
+             AS pad_share_e6,
+           CAST(sum(max_toks - n_toks) AS BIGINT) AS naive_pad_tokens
+    FROM bucketed
+    GROUP BY bucket_len ORDER BY bucket_len
+    """,
+    "llm",
+    "curation",
+    "batching",
+)
+def tx_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency: documents grouped into
+    32-token length buckets, with the padding each bucket pays
+    (bucket_len − n_toks per doc) next to the padding NAIVE global
+    batching would pay (pad to the corpus max) — the report that
+    justifies bucketed batch construction for training/serving (the
+    complementary strategy to tx_pack_sequences' concatenation
+    packing; bucketing preserves document boundaries, packing does
+    not).
+
+    Scale: one narrow token-count map, a broadcast 1-row max, and a
+    |buckets|-row aggregate."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    tokd = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).alias("n_toks"),
+    )
+    stats = tokd.agg(F.max("n_toks").alias("max_toks"))
+    bucket_len = (
+        F.ceil(F.col("n_toks") / float(_PAD_BUCKET)) * _PAD_BUCKET
+    ).cast("long")
+    bucketed = tokd.crossJoin(F.broadcast(stats)).select(
+        "n_toks", bucket_len.alias("bucket_len"), "max_toks"
+    )
+    pad = F.sum(F.col("bucket_len") - F.col("n_toks"))
+    return (
+        bucketed.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("real_tokens"),
+            pad.cast("long").alias("pad_tokens"),
+            igrid(
+                pad / F.sum("bucket_len").cast("double"), 6
+            ).alias("pad_share_e6"),
+            F.sum(F.col("max_toks") - F.col("n_toks"))
+            .cast("long")
+            .alias("naive_pad_tokens"),
+        )
+        .orderBy("bucket_len")
+    )

@@ -393,3 +393,53 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor")
     )
+
+
+@register(
+    "emb_norm_profile",
+    f"""
+    WITH base AS (
+      SELECT label,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           {sql_igrid('min(nrm)', 6)} AS min_norm_e6,
+           {sql_igrid('quantile_cont(nrm, 0.5)', 6)} AS p50_norm_e6,
+           {sql_igrid('quantile_cont(nrm, 0.95)', 6)} AS p95_norm_e6,
+           {sql_igrid('max(nrm)', 6)} AS max_norm_e6
+    FROM base GROUP BY label ORDER BY label
+    """,
+    "llm",
+    "similarity",
+    "profile",
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm health profile per label: vector counts,
+    zero-norm degenerates (which silently null out every cosine they
+    touch), and the norm distribution (min/median/p95/max) — the
+    first screen run on a new embedding table before trusting ANN or
+    dedup over it (collapsed or exploding norms signal a broken
+    encoder or unnormalized mixture of checkpoints).
+
+    Scale: one narrow dot-product map and a |labels|-row aggregate;
+    exact percentiles swap for approx at extreme label cardinality."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    nrm = norm(as_double(F.col("embedding")))
+    base = emb.select(F.col("label").cast("int").alias("label"), nrm.alias("nrm"))
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
+            igrid(F.min("nrm"), 6).alias("min_norm_e6"),
+            igrid(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm_e6"),
+            igrid(F.expr("percentile(nrm, 0.95)"), 6).alias("p95_norm_e6"),
+            igrid(F.max("nrm"), 6).alias("max_norm_e6"),
+        )
+        .orderBy("label")
+    )

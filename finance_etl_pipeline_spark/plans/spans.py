@@ -324,3 +324,57 @@ def dd_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _cluster_hist_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    clusters = REGISTRY["dd_dedup_clusters"].oracle
+    return f"""
+    WITH c AS (SELECT cluster_id FROM ({clusters})),
+    sizes AS (SELECT cluster_id, count(*) AS sz FROM c GROUP BY cluster_id)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_droppable
+    FROM sizes GROUP BY sz ORDER BY sz
+    """
+
+
+@register(
+    "dd_cluster_size_histogram",
+    _cluster_hist_sql(),
+    "llm",
+    "dedup",
+    "profile",
+)
+def dd_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution: how many connected
+    components of each size the corpus carries and how many documents
+    a keep-one-per-cluster policy would drop (size − 1 per cluster) —
+    the capacity-planning readout before executing a dedup pass (a
+    heavy tail of giant clusters means boilerplate, not true
+    near-dups, and argues for span-level dedup instead).
+
+    Spark: composes the verified connected-components labeling
+    (`dd_dedup_clusters`) with two tiny aggregates over |clustered
+    docs| rows."""
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    labels = REGISTRY["dd_dedup_clusters"].fn(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_droppable"),
+        )
+        .select(
+            F.col("sz").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_droppable",
+        )
+        .orderBy("cluster_size")
+    )
