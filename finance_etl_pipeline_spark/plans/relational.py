@@ -1408,3 +1408,43 @@ def a_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "a_weighted_avg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)) AS BIGINT)
+             AS wsum_price_e2,
+           CAST(floor(sum(CAST(l_quantity AS BIGINT)
+                          * CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT))
+                      / sum(CAST(l_quantity AS BIGINT)) / 100 * 10000 + 0.5001) AS BIGINT)
+             AS wavg_price_e4
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg",
+)
+def a_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted
+    mean Σ(w·x)/Σw as pure integer arithmetic: quantities are
+    integral, prices exact cents, so both the weighted sum and the
+    weight total are exact BIGINTs and the final average divides two
+    exact integers once.  One map-side-combined groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("long")
+    cents = igrid("l_extendedprice", 2)
+    wsum = F.sum(w * cents)
+    wtot = F.sum(w)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            wtot.cast("long").alias("total_qty"),
+            wsum.cast("long").alias("wsum_price_e2"),
+            igrid(wsum / wtot / 100, 4).alias("wavg_price_e4"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -296,3 +296,53 @@ def s_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_KFOLDS = 5
+
+
+@register(
+    "s_kfold_assignment",
+    f"""
+    WITH folded AS (
+      SELECT doc_id, source, n_chars,
+             CAST({{h}} % {_KFOLDS} AS INTEGER) AS fold
+      FROM documents
+    )
+    SELECT fold,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM folded GROUP BY fold ORDER BY fold
+    """.format(h=sql_hash60("CAST(doc_id AS VARCHAR) || '#fold'")),
+    "sampling",
+    "ml",
+)
+def s_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) by
+    content hash, with per-fold balance stats — the split that stays
+    STABLE as the corpus grows (a new document never moves an old one
+    between folds, unlike row_number % k under changing order), and
+    identical on any engine or partitioning.  The '#fold' salt
+    decorrelates this hash from the shard / train-test hashes so the
+    splits are independent.
+
+    Scale: one narrow hash map + a k-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    fold = (
+        hash60_expr(F.concat(F.col("doc_id").cast("string"), F.lit("#fold")))
+        % _KFOLDS
+    ).cast("int")
+    return (
+        d.select("doc_id", "source", "n_chars", fold.alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("fold")
+    )
