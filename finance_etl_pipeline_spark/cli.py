@@ -54,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
         help="print the formatted physical plan instead of rows",
     )
 
+    cur_p = sub.add_parser(
+        "curate",
+        help="run the training-data curation DAG (gate -> dedup -> "
+        "chunk -> pack) over a documents parquet and write packed "
+        "sequences + the audit trail",
+    )
+    cur_p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cur_p.add_argument("--out-dir", required=True)
+
     dash_p = sub.add_parser(
         "dashboard",
         help="render the monthly-close HTML dashboard from a curated dir "
@@ -126,6 +135,26 @@ def main(argv: list[str] | None = None) -> int:
             df.explain(mode="formatted")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "curate":
+        import os
+
+        from finance_etl_pipeline_spark.operators.curate_pipeline import curate
+        from finance_etl_pipeline_spark.session import get_spark
+        from finance_etl_pipeline_spark.sources.readers import table
+
+        spark = get_spark(app_name="curate")
+        docs = table(spark, args.sf_dir, "documents")
+        packed, audit = curate(docs)
+        packed_path = os.path.join(args.out_dir, "packed_sequences")
+        audit_path = os.path.join(args.out_dir, "curation_audit")
+        packed.write.mode("overwrite").parquet(packed_path)
+        audit.write.mode("overwrite").parquet(audit_path)
+        for r in spark.read.parquet(audit_path).orderBy("stage_idx").collect():
+            print(f"{r.stage}: {r.n_docs} docs")
+        print(f"packed_sequences: {packed_path}")
+        print(f"curation_audit: {audit_path}")
         return 0
 
     if args.command == "dashboard":

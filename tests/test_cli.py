@@ -96,3 +96,13 @@ def test_dashboard_subcommand_renders_html(tmp_path):
     html = open(out, encoding="utf-8").read()
     assert "Finance Monthly Close Dashboard" in html
     assert "<svg" in html
+
+
+def test_curate_subcommand_writes_packed_and_audit(tmp_path):
+    out = str(tmp_path / "curated")
+    r = _run("curate", "--sf-dir", "/root/testdata/sf0.001",
+             "--out-dir", out)
+    assert r.returncode == 0, r.stderr
+    assert "raw:" in r.stdout and "packed_sequences:" in r.stdout
+    assert os.path.isdir(os.path.join(out, "packed_sequences"))
+    assert os.path.isdir(os.path.join(out, "curation_audit"))
