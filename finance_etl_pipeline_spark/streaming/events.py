@@ -210,3 +210,25 @@ def enrich_with_user_profile(
             "above_2x_profile"
         ),
     )
+
+
+def sliding_totals(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of plans/events.py::e_sliding_window — each
+    event lands in window_length/slide overlapping windows; state per
+    key is bounded by the watermark exactly as in the tumbling twin."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(igrid("value", 2)).alias("total_value_e2"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "total_value_e2"
+        )
+    )

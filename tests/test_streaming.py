@@ -211,3 +211,19 @@ def test_watermark_drops_late_data_across_triggers(spark, tmp_path):
     w10 = datetime.datetime(2024, 1, 1, 10, 0)
     merged = {**out1, **out2}
     assert merged[w10] == 2, merged  # late row 4 did NOT count
+
+
+def test_streaming_sliding_matches_batch(spark, sf_dir, events_dir):
+    from finance_etl_pipeline_spark.streaming.events import sliding_totals
+
+    stream = read_events_stream(spark, events_dir)
+    got = drain_to_memory(sliding_totals(stream), "t_sliding", spark)
+    batch = all_queries()["e_sliding_window"].fn(spark, sf_dir)
+    got_rows = {
+        r.window_start: (r.n_events, r.total_value_e2) for r in got.collect()
+    }
+    batch_rows = {
+        r.window_start: (r.n_events, r.total_value_e2)
+        for r in batch.collect()
+    }
+    assert got_rows == batch_rows
