@@ -482,3 +482,79 @@ def tx_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "tx_classifier_auc",
+    f"""
+    WITH {_SQL_SCORED},
+    g AS (
+      SELECT doc_id,
+             CAST(floor(score * 1000000000 + 0.5001) AS BIGINT) AS s,
+             CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END
+               AS is_pos
+      FROM scored
+    ),
+    r AS (
+      SELECT is_pos, row_number() OVER (ORDER BY s, doc_id) AS rk FROM g
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN is_pos = 1 THEN rk ELSE 0 END) AS BIGINT)
+               AS rsum,
+             CAST(sum(is_pos) AS BIGINT) AS p,
+             CAST(sum(1 - is_pos) AS BIGINT) AS n
+      FROM r
+    )
+    SELECT p AS n_pos, n AS n_neg,
+           {sql_igrid('(rsum - p * (p + 1) / 2.0) / (CAST(p AS DOUBLE) * n)', 6)}
+             AS auc_e6
+    FROM agg
+    """,
+    "llm",
+    "text",
+    "eval",
+)
+def tx_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the linear quality classifier via the Mann–Whitney
+    rank-sum identity AUC = (Σ rank⁺ − P(P+1)/2) / (P·N) — the
+    threshold-free companion to ``tx_classifier_calibration``'s
+    reliability diagram (ground truth: declared lang equals the DSIR
+    target).  Scores are gridded to e9 BEFORE ranking and ties break
+    on doc_id, so the rank assignment — and therefore the AUC — is a
+    pure function of exact integers in both engines.
+
+    Scale: scoring is the scan-speed classifier pass; the global rank
+    is a single-partition window over |docs| (score, id) pairs — at
+    extreme scale it swaps for the standard two-pass histogram AUC
+    (bin scores, cumulative negatives per bin), same downstream
+    algebra."""
+    scored = _clf_scored(spread(table(spark, sf_dir, "documents")))
+    from pyspark.sql.window import Window
+
+    g = scored.select(
+        "doc_id",
+        igrid(F.col("score"), 9).alias("s"),
+        F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0).alias(
+            "is_pos"
+        ),
+    )
+    r = g.select(
+        "is_pos",
+        F.row_number().over(Window.orderBy("s", "doc_id")).alias("rk"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("is_pos") == 1, F.col("rk")).otherwise(0))
+        .cast("long")
+        .alias("rsum"),
+        F.sum("is_pos").cast("long").alias("p"),
+        F.sum(1 - F.col("is_pos")).cast("long").alias("n"),
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        igrid(
+            (F.col("rsum") - F.col("p") * (F.col("p") + 1) / 2.0)
+            / (F.col("p").cast("double") * F.col("n")),
+            6,
+        ).alias("auc_e6"),
+    )
