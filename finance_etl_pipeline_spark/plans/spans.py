@@ -378,3 +378,114 @@ def dd_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def _simhash_hist_sql() -> str:
+    # identical fingerprint/band CTE chain as dd_simhash_neardup —
+    # same constants, unfiltered candidate distances
+    from finance_etl_pipeline_spark.functions.scalars import sql_hash60
+
+    h60 = sql_hash60("tok")
+    return f"""
+    WITH tokd AS (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {h60} AS h FROM tokd),
+    bits AS (
+      SELECT doc_id, i AS b,
+             sum(((h >> CAST(i AS INTEGER)) & 1) * 2 - 1) AS sgn
+      FROM th, range(0, 32) t(i)
+      GROUP BY doc_id, i
+    ),
+    sim AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN sgn > 0
+                      THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    ),
+    sbands AS (
+      SELECT doc_id, k, (simhash >> CAST(k * 8 AS INTEGER)) & 255 AS bv
+      FROM sim, range(0, 4) t(k)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sbands a JOIN sbands b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    dist AS (
+      SELECT CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+      FROM cand
+      JOIN sim sa ON doc_a = sa.doc_id
+      JOIN sim sb ON doc_b = sb.doc_id
+    )
+    SELECT hamming, count(*) AS n_pairs,
+           CAST(sum(count(*)) OVER (ORDER BY hamming
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_pairs
+    FROM dist GROUP BY hamming ORDER BY hamming
+    """
+
+
+@register(
+    "dd_simhash_hamming_histogram",
+    _simhash_hist_sql(),
+    "llm",
+    "dedup",
+    "profile",
+)
+def dd_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold calibration: the Hamming-distance histogram
+    over ALL banded candidate pairs (no ≤6 cut) with cumulative pair
+    counts — read off how many pairs each candidate threshold would
+    accept before committing to one, exactly as
+    ``emb_threshold_calibration`` calibrates the cosine cut and
+    ``dd_minhash_estimate_calibration`` audits the Jaccard estimator.
+    A bimodal histogram (near-dup mass at low Hamming, background
+    mass near 16) confirms the 32-bit fingerprint separates the
+    corpus; a flat one says the threshold is a coin flip.
+
+    Scale: candidate-bounded (the 4×8-bit band join), then a ≤33-row
+    aggregate."""
+    from finance_etl_pipeline_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    sim = D.simhash_table(docs)
+    sbands = sim.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        "simhash",
+    ).select(
+        "doc_id",
+        "k",
+        F.expr("shiftright(simhash, cast(k * 8 as int)) & 255").alias("bv"),
+    )
+    a = sbands.select(F.col("doc_id").alias("doc_a"), "k", "bv")
+    b = sbands.select(F.col("doc_id").alias("doc_b"), "k", "bv")
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"))
+    dist = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+            .cast("int")
+            .alias("hamming")
+        )
+    )
+    hist = dist.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "hamming",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+    ).orderBy("hamming")
