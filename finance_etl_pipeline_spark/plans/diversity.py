@@ -486,3 +486,57 @@ def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tx_token_entropy",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    toks AS (SELECT doc_id, unnest(t) AS tok FROM tokd),
+    cnts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    tot AS (SELECT doc_id, sum(c) AS n FROM cnts GROUP BY doc_id)
+    SELECT cnts.doc_id AS doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           {sql_igrid(
+               '-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))) / ln(2)',
+               6,
+           )} AS entropy_bits_e6
+    FROM cnts JOIN tot ON cnts.doc_id = tot.doc_id
+    GROUP BY cnts.doc_id
+    ORDER BY doc_id
+    """,
+    "llm",
+    "diversity",
+    "text",
+)
+def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (bits): the
+    information-density screen that separates natural prose
+    (high entropy) from templated or looping text (low entropy) —
+    the continuous complement to the Gopher top-2-gram repetition
+    rule and the corpus-level Zipf fit.
+
+    Scale: per-(doc, token) counts are a map-side-combined groupBy on
+    a high-cardinality key; the entropy reduction is per doc_id — the
+    natural distribution key, no skew."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    cnts = (
+        docs.select("doc_id", F.explode(tokens_expr()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        cnts.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            igrid(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6).alias(
+                "entropy_bits_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )
