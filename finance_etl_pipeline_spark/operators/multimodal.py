@@ -174,3 +174,56 @@ def resize_images(
             )
 
     return payloads.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_WINDOW = 64  # payload bytes per analysis frame
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_frame_energy(payloads: DataFrame) -> DataFrame:
+    """Windowed byte-energy over the opaque payload — the audio
+    feature-extraction stage (RMS-per-frame shape) as an
+    Arrow-batched ``mapInPandas``.  Unlike the decode stub this does
+    REAL arithmetic on the binary (numpy frombuffer → reshape →
+    per-window sums), so the stage is fully value-verifiable: the
+    payload is the document's UTF-8 bytes, and the oracle recomputes
+    each window's energy from ASCII codes.  Frames are full
+    AUDIO_WINDOW-byte windows; a trailing partial window is dropped
+    (both engines).
+
+    Scale: stateless per-row batches — Arrow moves each partition's
+    payloads into numpy once; output rows ∝ total bytes / window."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            frames: list[int] = []
+            energies: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_full = len(arr) // AUDIO_WINDOW
+                if n_full == 0:
+                    continue
+                sums = (
+                    arr[: n_full * AUDIO_WINDOW]
+                    .reshape(n_full, AUDIO_WINDOW)
+                    .sum(axis=1, dtype=np.int64)
+                )
+                ids.extend([int(doc_id)] * n_full)
+                frames.extend(range(n_full))
+                energies.extend(int(s) for s in sums)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": frames, "energy": energies}
+            )
+
+    return payloads.mapInPandas(batches, ENERGY_SCHEMA)

@@ -1599,3 +1599,49 @@ def e_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dow").cast("int").alias("dow"), "n_days", "seasonal_index_e6")
         .orderBy("dow")
     )
+
+
+@register(
+    "e_cumulative_unique_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT day, CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_unique_users
+    FROM daily_new ORDER BY day
+    """,
+    "events",
+    "window",
+    "agg",
+)
+def e_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative unique-user acquisition curve: per day, first-time
+    users and the running total of everyone ever seen — the top line
+    of any growth chart.  Computed via first-seen dates (one groupBy
+    per user, then a |days|-row cumulative window), NEVER a
+    count(DISTINCT) per day over expanding windows — the latter
+    rescans the event prefix per day and is quadratic at scale, while
+    first-seen is one linear pass (same trick a_hll_incremental_uniques
+    uses for the sketched variant)."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily_new.select(
+        "day",
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_unique_users"),
+    ).orderBy("day")

@@ -1249,3 +1249,42 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("long").alias("frame_no"),
         "n_bytes",
     ).orderBy("doc_id", "frame_no")
+
+
+@register(
+    "mm_audio_energy",
+    """
+    WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    framed AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, CAST(n // 64 AS INTEGER) - 1))
+               AS frame_no
+      FROM p WHERE n >= 64
+    )
+    SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> ascii(substring(text, frame_no * 64 + i, 1)))) AS BIGINT)
+             AS energy
+    FROM framed
+    ORDER BY doc_id, frame_no
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed energy over the binary payload via an
+    Arrow-batched mapInPandas (operators/multimodal.py::
+    audio_frame_energy) — the multimodal path's first VALUE-VERIFIED
+    Python stage: the payload is the document's UTF-8 bytes (ASCII
+    corpus), so the DuckDB oracle recomputes every 64-byte window sum
+    from character codes and the hash check covers the real numpy
+    arithmetic, not just row counts."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        audio_frame_energy,
+        with_binary_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    payloads = with_binary_payload(docs)
+    return audio_frame_energy(payloads).orderBy("doc_id", "frame_no")
