@@ -2,7 +2,9 @@
 dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
 search (brute-force cosine top-k + LSH hyperplane buckets), and text
 analysis — every SQL-expressible op oracle-verified; the multimodal
-plumbing is rows-only (Pandas-UDF stage, see operators/multimodal.py).
+path's decode stage stays a rows-only Pandas-UDF stub (see
+operators/multimodal.py) while its frame-sampling and byte-energy
+stages carry full value oracles (mm_frame_sample, mm_audio_energy).
 
 The SQL oracles mirror the Spark expressions constant-for-constant
 (MinHash permutation coefficients, lexicons, the LSH hyperplane sign
