@@ -1645,3 +1645,78 @@ def e_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         F.sum("n_new").over(w).cast("long").alias("cum_unique_users"),
     ).orderBy("day")
+
+
+@register(
+    "e_markov_prediction_accuracy",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type AS prev,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (SELECT prev, nxt FROM seq WHERE nxt IS NOT NULL),
+    counts AS (SELECT prev, nxt, count(*) AS n FROM pairs GROUP BY prev, nxt),
+    pred AS (
+      SELECT prev, nxt AS predicted FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev
+                                  ORDER BY n DESC, nxt) AS rk
+        FROM counts
+      ) WHERE rk = 1
+    )
+    SELECT p.prev AS prev_event,
+           max(pr.predicted) AS predicted_next,
+           count(*) AS n_transitions,
+           CAST(sum(CASE WHEN p.nxt = pr.predicted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           {sql_igrid(
+               'sum(CASE WHEN p.nxt = pr.predicted THEN 1 ELSE 0 END)'
+               ' / CAST(count(*) AS DOUBLE)', 6)} AS accuracy_e6
+    FROM pairs p JOIN pred pr ON p.prev = pr.prev
+    GROUP BY p.prev ORDER BY prev_event
+    """,
+    "events",
+    "window",
+    "eval",
+)
+def e_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction accuracy: for each
+    event type, the modal next type (ties break lexicographically —
+    deterministic) and the fraction of transitions that prediction
+    gets right — the baseline every sequence model must beat, and the
+    eval loop over ``e_transition_matrix``'s structure.
+
+    Scale: the per-user lead window runs on the natural user_id
+    distribution; everything after is |event_types|²-bounded, and the
+    scoring join broadcasts the ≤|types| prediction table."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = seq.groupBy("prev", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("prev").orderBy(F.desc("n"), "nxt")
+    pred = (
+        counts.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    correct = F.sum(
+        F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0)
+    )
+    return (
+        seq.join(F.broadcast(pred), "prev")
+        .groupBy(F.col("prev").alias("prev_event"))
+        .agg(
+            F.max("predicted").alias("predicted_next"),
+            F.count(F.lit(1)).alias("n_transitions"),
+            correct.cast("long").alias("n_correct"),
+            igrid(
+                correct / F.count(F.lit(1)).cast("double"), 6
+            ).alias("accuracy_e6"),
+        )
+        .orderBy("prev_event")
+    )
