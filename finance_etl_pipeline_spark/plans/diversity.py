@@ -540,3 +540,125 @@ def tx_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tx_js_divergence_sources",
+    f"""
+    WITH tokd AS ({_SQL_TOKD}),
+    toks AS (SELECT source, unnest(t) AS tok FROM tokd),
+    cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY source),
+    p AS (
+      SELECT cnt.source, tok, c / CAST(n AS DOUBLE) AS p
+      FROM cnt JOIN tot ON cnt.source = tot.source
+    ),
+    spairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM cnt) a
+      JOIN (SELECT DISTINCT source FROM cnt) b ON a.source < b.source
+    ),
+    la AS (
+      SELECT sp.source_a, sp.source_b, p.tok, p.p AS pa
+      FROM spairs sp JOIN p ON p.source = sp.source_a
+    ),
+    lb AS (
+      SELECT sp.source_a, sp.source_b, p.tok, p.p AS pb
+      FROM spairs sp JOIN p ON p.source = sp.source_b
+    ),
+    merged AS (
+      SELECT coalesce(la.source_a, lb.source_a) AS source_a,
+             coalesce(la.source_b, lb.source_b) AS source_b,
+             coalesce(la.pa, 0.0) AS pa,
+             coalesce(lb.pb, 0.0) AS pb
+      FROM la FULL OUTER JOIN lb
+        ON la.source_a = lb.source_a AND la.source_b = lb.source_b
+       AND la.tok = lb.tok
+    )
+    SELECT source_a, source_b,
+           {sql_igrid(
+               '''sum(
+                    CASE WHEN pa > 0
+                         THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+                  + CASE WHEN pb > 0
+                         THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END
+                  ) / ln(2)''', 6)} AS jsd_bits_e6
+    FROM merged
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    "llm",
+    "diversity",
+    "mixture",
+)
+def tx_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (bits) between the sources'
+    unigram distributions — the bounded, symmetric corpus-similarity
+    measure behind mixture design: near-0 pairs are redundant sources
+    (dedup across them matters more than balancing), higher pairs
+    contribute genuinely different text.  Tokens present in only one
+    side of a pair contribute their full one-sided terms (pair-scoped
+    FULL OUTER on the token key), so disjoint vocabularies reach the
+    ln2-bit maximum.
+
+    Determinism: per-term values are identical cross-engine
+    (exact-integer ratios through identical log arithmetic) and the
+    e6 grid absorbs partial-sum ordering ulps.
+
+    Scale: vocabulary-bounded — per-source distributions are
+    |sources|×|vocab| rows, the pair expansion multiplies by
+    |sources| (broadcast pair table), and the output is |sources|²
+    rows."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    cnt = (
+        docs.select("source", F.explode(tokens_expr()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    p = cnt.join(tot, "source").select(
+        "source", "tok", (F.col("c") / F.col("n").cast("double")).alias("p")
+    )
+    srcs = cnt.select("source").distinct()
+    spairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    la = spairs.join(
+        p, p.source == F.col("source_a")
+    ).select("source_a", "source_b", "tok", F.col("p").alias("pa"))
+    lb = spairs.join(
+        p, p.source == F.col("source_b")
+    ).select("source_a", "source_b", "tok", F.col("p").alias("pb"))
+    merged = (
+        la.withColumnRenamed("source_a", "a1")
+        .withColumnRenamed("source_b", "b1")
+        .withColumnRenamed("tok", "t1")
+        .join(
+            lb,
+            (F.col("a1") == lb.source_a)
+            & (F.col("b1") == lb.source_b)
+            & (F.col("t1") == lb.tok),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("a1", "source_a").alias("source_a"),
+            F.coalesce("b1", "source_b").alias("source_b"),
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(0.0) + F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(0.0)
+    return (
+        merged.groupBy("source_a", "source_b")
+        .agg(igrid(F.sum(term) / F.log(F.lit(2.0)), 6).alias("jsd_bits_e6"))
+        .orderBy("source_a", "source_b")
+    )

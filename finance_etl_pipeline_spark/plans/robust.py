@@ -465,3 +465,62 @@ def prof_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{tbl}.{key}").alias("keyed"), "*")
         out = m if out is None else out.unionByName(m)
     return out.orderBy("keyed")
+
+
+_KEY_CANDIDATES = (
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("customer", "c_custkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+)
+
+
+@register(
+    "dq_uniqueness_profile",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{t}.{k}' AS candidate_key,
+           count(*) AS n_rows,
+           count(DISTINCT {k}) AS n_distinct,
+           CAST(count(*) = count(DISTINCT {k}) AS INTEGER) AS is_unique
+    FROM {t}
+    """
+        for t, k in _KEY_CANDIDATES
+    )
+    + " ORDER BY candidate_key",
+    "robust",
+    "quality",
+    "profile",
+)
+def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness profile across the lake: row count vs
+    distinct count per declared key candidate with a pass flag — the
+    key-discovery / constraint-audit step a catalog runs before
+    trusting joins or MERGE keys (l_orderkey is deliberately
+    NON-unique: lineitem's true key is the composite with
+    l_linenumber, which `a_duplicate_key_check` audits).
+
+    Scale: one count-distinct aggregate per table — each is a
+    map-side-combined shuffle on the key; at billion-key scale swap
+    approx_count_distinct (exactness only matters for the flag, which
+    a second exact pass can confirm on flagged keys)."""
+    out = None
+    for t, k in _KEY_CANDIDATES:
+        df = (
+            table(spark, sf_dir, t)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(k).alias("n_distinct"),
+            )
+            .select(
+                F.lit(f"{t}.{k}").alias("candidate_key"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") == F.col("n_distinct"))
+                .cast("int")
+                .alias("is_unique"),
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("candidate_key")
