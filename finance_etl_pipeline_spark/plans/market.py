@@ -585,3 +585,89 @@ def e_anomaly_dow_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, igrid(z_raw, 4)).alias("zscore_e4"),
         F.when(ok & (F.abs(z_raw) > 3.0), 1).otherwise(0).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "bi_price_volume_mix",
+    f"""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             count(*) AS vol,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) AS BIGINT)
+               AS rev_e2
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT ym, vol, rev_e2,
+             lag(ym)  OVER (ORDER BY ym) AS prev_ym,
+             lag(vol) OVER (ORDER BY ym) AS prev_vol,
+             lag(rev_e2) OVER (ORDER BY ym) AS prev_rev_e2
+      FROM monthly
+    )
+    SELECT CAST(ym AS INTEGER) AS ym, CAST(vol AS BIGINT) AS vol, rev_e2,
+           rev_e2 - prev_rev_e2 AS delta_rev_e2,
+           {sql_igrid(
+               '(vol - prev_vol) * (CAST(prev_rev_e2 AS DOUBLE) / prev_vol) / 100',
+               2)} AS volume_effect_e2,
+           {sql_igrid(
+               '''vol * (CAST(rev_e2 AS DOUBLE) / vol
+                         - CAST(prev_rev_e2 AS DOUBLE) / prev_vol) / 100''',
+               2)} AS price_effect_e2
+    FROM seq
+    WHERE prev_ym IS NOT NULL
+      AND (ym = prev_ym + 1 OR (ym % 100 = 1 AND prev_ym = ym - 89))
+    ORDER BY ym
+    """,
+    "bi",
+    "finance",
+    "window",
+)
+def bi_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge: month-over-month revenue change decomposed
+    into a volume effect (Δorders × prior average order value) and a
+    price effect (current orders × Δaverage order value) — the
+    standard finance variance-analysis waterfall, exactly additive:
+    volume_effect + price_effect = Δrevenue (up to the cent grid).
+    Only consecutive calendar months compare (Dec→Jan handled via the
+    yyyymm arithmetic); gap months emit no row rather than a bogus
+    bridge.
+
+    Scale: one monthly aggregate (map-side combined), then |months|
+    rows through a lag window."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("vol"),
+        F.sum(igrid("o_totalprice", 2)).alias("rev_e2"),
+    )
+    w = Window.orderBy("ym")
+    seq = monthly.select(
+        "ym",
+        "vol",
+        "rev_e2",
+        F.lag("ym").over(w).alias("prev_ym"),
+        F.lag("vol").over(w).alias("prev_vol"),
+        F.lag("rev_e2").over(w).alias("prev_rev_e2"),
+    )
+    prev_aov = F.col("prev_rev_e2").cast("double") / F.col("prev_vol")
+    cur_aov = F.col("rev_e2").cast("double") / F.col("vol")
+    consecutive = (F.col("ym") == F.col("prev_ym") + 1) | (
+        (F.col("ym") % 100 == 1) & (F.col("prev_ym") == F.col("ym") - 89)
+    )
+    return (
+        seq.filter(F.col("prev_ym").isNotNull() & consecutive)
+        .select(
+            F.col("ym").cast("int").alias("ym"),
+            F.col("vol").cast("long").alias("vol"),
+            "rev_e2",
+            (F.col("rev_e2") - F.col("prev_rev_e2")).alias("delta_rev_e2"),
+            igrid(
+                (F.col("vol") - F.col("prev_vol")) * prev_aov / 100, 2
+            ).alias("volume_effect_e2"),
+            igrid(F.col("vol") * (cur_aov - prev_aov) / 100, 2).alias(
+                "price_effect_e2"
+            ),
+        )
+        .orderBy("ym")
+    )
