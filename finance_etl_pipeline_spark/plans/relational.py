@@ -1448,3 +1448,27 @@ def a_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register("a_percentiles_approx", None, "agg", "approx")
+def a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path a_percentiles' docstring promises:
+    percentile_approx (Greenwald–Khanna sketch, accuracy 10000 ⇒ rank
+    error ≤ 1/10000) — mergeable per-partition state instead of the
+    exact percentile's full sort, the right trade at 100 TB.  No SQL
+    oracle: the GK sketch is Spark-defined, so the driver records the
+    rows-only check and tests/test_approx_percentile.py bounds the
+    error against the exact oracle-verified query instead."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            igrid(
+                F.expr("percentile_approx(l_extendedprice, 0.5, 10000)"), 4
+            ).alias("p50_e4"),
+            igrid(
+                F.expr("percentile_approx(l_extendedprice, 0.95, 10000)"), 4
+            ).alias("p95_e4"),
+        )
+        .orderBy("l_returnflag")
+    )
