@@ -142,3 +142,54 @@ def r_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         *[F.expr(e).alias(a) for a, e in _ols_outputs().items()]
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs():
+    cols = _CORR_COLS
+    return [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+
+
+@register(
+    "a_corr_matrix",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(floor(corr({a}, {b}) * 1000000 + 0.5001) AS BIGINT) AS corr_e6
+    FROM lineitem
+    """
+        for a, b in _corr_pairs()
+    )
+    + " ORDER BY col_a, col_b",
+    "agg",
+    "stats",
+)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's
+    numeric columns — the feature-screening pass before any model
+    touches the data.  Spark computes ALL six pairs in ONE aggregate
+    over ONE scan (the oracle states it portably as a per-pair
+    UNION); at 100 TB that single-pass shape is the difference
+    between one shuffle of partial moments and six table scans.
+    Correlations land on the e6 integer grid."""
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        *[
+            igrid(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in _corr_pairs()
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', {a}__{b}" for a, b in _corr_pairs()
+    )
+    return wide.selectExpr(
+        f"stack({len(_corr_pairs())}, {stack_args}) AS (col_a, col_b, corr_e6)"
+    ).orderBy("col_a", "col_b")

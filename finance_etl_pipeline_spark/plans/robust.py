@@ -524,3 +524,58 @@ def dq_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = df if out is None else out.unionByName(df)
     return out.orderBy("candidate_key")
+
+
+_FRESHNESS_TABLES = (
+    ("orders", "o_orderdate"),
+    ("lineitem", "l_shipdate"),
+    ("events", "ts"),
+)
+
+
+@register(
+    "dq_freshness",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{t}' AS dataset,
+           CAST(min({c}) AS TIMESTAMP) AS earliest,
+           CAST(max({c}) AS TIMESTAMP) AS latest,
+           CAST(date_diff('day', CAST(min({c}) AS TIMESTAMP),
+                          CAST(max({c}) AS TIMESTAMP)) AS BIGINT) AS span_days
+    FROM {t}
+    """
+        for t, c in _FRESHNESS_TABLES
+    )
+    + " ORDER BY dataset",
+    "robust",
+    "quality",
+    "profile",
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness profile — the third leg of the DQ triad next to
+    completeness (prof_table_summary nulls) and uniqueness
+    (dq_uniqueness_profile): each time-bearing dataset's earliest and
+    latest timestamps and its day span, the inputs to any staleness
+    SLO (production compares `latest` against the wall clock; the
+    fixture has no 'now', so the span is the emitted check).
+
+    Scale: min/max aggregates per table — one map-side-combined pass
+    each; on partitioned lakes the same numbers come from partition
+    metadata without any scan."""
+    out = None
+    for t, c in _FRESHNESS_TABLES:
+        df = table(spark, sf_dir, t).agg(
+            F.min(c).cast("timestamp").alias("earliest"),
+            F.max(c).cast("timestamp").alias("latest"),
+        ).select(
+            F.lit(t).alias("dataset"),
+            "earliest",
+            "latest",
+            F.datediff(
+                F.col("latest").cast("date"), F.col("earliest").cast("date")
+            )
+            .cast("long")
+            .alias("span_days"),
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("dataset")
