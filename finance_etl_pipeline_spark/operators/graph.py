@@ -81,3 +81,61 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+HITS_ITERATIONS = 5
+
+
+def hits_bipartite(
+    edges: DataFrame, iterations: int = HITS_ITERATIONS
+) -> DataFrame:
+    """HITS on a bipartite ``(hub, auth)`` edge set (Kleinberg 1999):
+    authority(a) = Σ hub scores of its hubs; hub(h) = Σ authority
+    scores of its auths; both sides SUM-normalized each iteration
+    (keeps the recurrence a pure join-aggregate chain — the L2 norm
+    of the classic formulation only changes scores by a global
+    factor, not the ranking).  Fixed iteration count, no early exit —
+    deterministic and SQL-unrollable like operators/graph.pagerank.
+
+    Returns ``(auth, score)`` after ``iterations`` rounds from a
+    uniform hub start.  Each iteration is two co-partitioned
+    join-aggregates on the edge keys; the score vectors are
+    |hubs| / |auths| rows."""
+    # uniform start: the absolute level cancels at the first
+    # normalization, so hs=1.0 avoids a driver-side count
+    edges = edges.repartition("hub").cache()
+    h = edges.select("hub").distinct().select(
+        "hub", F.lit(1.0).alias("hs")
+    )
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(h, "hub")
+            .groupBy("auth")
+            .agg(F.sum("hs").alias("as_raw"))
+        )
+        a_tot = a_raw.agg(F.sum("as_raw").alias("tot"))
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "auth", (F.col("as_raw") / F.col("tot")).alias("asc")
+        )
+        h_raw = (
+            edges.join(a, "auth")
+            .groupBy("hub")
+            .agg(F.sum("asc").alias("hs_raw"))
+        )
+        h_tot = h_raw.agg(F.sum("hs_raw").alias("tot"))
+        # truncate lineage each round: the nested scalar-aggregate
+        # crossJoins otherwise grow the plan past what Catalyst can
+        # re-optimize per action (same pattern as
+        # operators/dedup.connected_components)
+        h = (
+            h_raw.crossJoin(F.broadcast(h_tot))
+            .select("hub", (F.col("hs_raw") / F.col("tot")).alias("hs"))
+            .localCheckpoint(eager=False)
+        )
+    a_raw = (
+        edges.join(h, "hub").groupBy("auth").agg(F.sum("hs").alias("as_raw"))
+    )
+    a_tot = a_raw.agg(F.sum("as_raw").alias("tot"))
+    return a_raw.crossJoin(F.broadcast(a_tot)).select(
+        "auth", (F.col("as_raw") / F.col("tot")).alias("score")
+    )

@@ -671,3 +671,94 @@ def bi_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ym")
     )
+
+
+def _hits_oracle() -> str:
+    """Fixed-depth unrolling of bipartite HITS (order hubs → part
+    authorities), mirroring operators/graph.py::hits_bipartite."""
+    n_it = G.HITS_ITERATIONS
+    ctes = [
+        """edges AS (SELECT DISTINCT l_orderkey AS hub, l_partkey AS auth
+               FROM lineitem),
+    h0 AS (SELECT DISTINCT hub, 1.0 AS hs FROM edges)"""
+    ]
+    prev_h = "h0"
+    for k in range(1, n_it + 1):
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT e.auth, sum(h.hs) AS as_raw
+      FROM edges e JOIN {prev_h} h ON e.hub = h.hub GROUP BY e.auth
+    ),
+    a{k} AS MATERIALIZED (
+      SELECT auth, as_raw / (SELECT sum(as_raw) FROM ar{k}) AS asc
+      FROM ar{k}
+    ),
+    hr{k} AS MATERIALIZED (
+      SELECT e.hub, sum(a.asc) AS hs_raw
+      FROM edges e JOIN a{k} a ON e.auth = a.auth GROUP BY e.hub
+    ),
+    h{k} AS MATERIALIZED (
+      SELECT hub, hs_raw / (SELECT sum(hs_raw) FROM hr{k}) AS hs
+      FROM hr{k}
+    )"""
+        )
+        prev_h = f"h{k}"
+    ctes.append(
+        f"""arf AS MATERIALIZED (
+      SELECT e.auth, sum(h.hs) AS as_raw
+      FROM edges e JOIN {prev_h} h ON e.hub = h.hub GROUP BY e.auth
+    ),
+    af AS (
+      SELECT auth, as_raw / (SELECT sum(as_raw) FROM arf) AS score
+      FROM arf
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT auth AS part_id,
+           CAST(floor(score * 10000000 + 0.5001) AS BIGINT) AS authority_e7,
+           CAST(row_number() OVER (
+             ORDER BY floor(score * 10000000 + 0.5001) DESC, auth)
+             AS BIGINT) AS rk
+    FROM af
+    QUALIFY rk <= 20
+    ORDER BY rk"""
+    )
+
+
+@register(
+    "graph_hits_authorities",
+    _hits_oracle(),
+    "graph",
+    "iterative",
+)
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities over the bipartite order→part graph: which
+    parts the 'biggest-basket' orders concentrate on — the
+    mutually-reinforcing centrality that complements PageRank's
+    random-walk view (an authority scores high because high-scoring
+    hub ORDERS carry it, not merely because many orders do).  Five
+    sum-normalized iterations, unrolled into SQL CTEs like the
+    PageRank oracle, ranked on the e7 integer grid with id
+    tie-breaks.
+
+    Scale: each iteration is two join-aggregates co-partitioned on
+    the edge keys; score vectors are |orders| / |parts| rows — the
+    edge table never re-shuffles once partitioned."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("hub"), F.col("l_partkey").alias("auth")
+    ).distinct()
+    scores = G.hits_bipartite(edges)
+    e7 = F.floor(F.col("score") * 10000000 + 0.5001).cast("long")
+    ranked = scores.select(
+        F.col("auth").alias("part_id"), e7.alias("authority_e7")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("authority_e7"), "part_id")
+        ).cast("long"),
+    )
+    return ranked.filter(F.col("rk") <= 20).orderBy("rk")

@@ -489,3 +489,73 @@ def dd_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
     ).orderBy("hamming")
+
+
+@register(
+    "dd_top_boilerplate_spans",
+    f"""
+    WITH tokd AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             array_to_string(t[i:i + {SPAN_W - 1}], ' ') AS w
+      FROM tokd, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0))) AS i
+      )
+    ),
+    agg AS (
+      SELECT w, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+      FROM win GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, n_docs, n_occurrences,
+             row_number() OVER (ORDER BY n_docs DESC, w) AS rk
+      FROM agg WHERE n_docs >= 2
+    )
+    SELECT rk, w AS span_text, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+    "llm",
+    "dedup",
+    "spans",
+)
+def dd_top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INTERPRETABLE face of repeated-span dedup: the top-20
+    8-token spans by cross-document spread, with their text — the
+    report a curation owner reads to decide whether repeated content
+    is licence boilerplate (strip it), quotation (keep it), or true
+    duplication (dedup it).  ``dd_repeated_spans`` quantifies the
+    damage per document; this names the culprits.
+
+    Scale: same narrow window map; the aggregate keys on the window
+    string (high cardinality, map-side combined) and only spans seen
+    in ≥ 2 docs reach the top-k rank (TakeOrdered-sized)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokens_expr().alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - (SPAN_W - 1))
+    windows = F.when(
+        F.size(t) >= SPAN_W,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SPAN_W))),
+    ).otherwise(F.array().cast("array<string>"))
+    win = base.select("doc_id", F.explode(windows).alias("w"))
+    agg = win.groupBy("w").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("n_docs"), "w"))
+    return (
+        agg.filter(F.col("n_docs") >= 2)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") <= 20)
+        .select(
+            "rk",
+            F.col("w").alias("span_text"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .orderBy("rk")
+    )
