@@ -1720,3 +1720,114 @@ def e_markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_event")
     )
+
+
+@register(
+    "e_changepoint_cusum",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT sum(n) AS tot, count(*) AS days FROM daily),
+    dev AS (
+      SELECT day, n,
+             sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+               - (row_number() OVER (ORDER BY day))
+                 * (CAST(tot AS DOUBLE) / days) AS cusum
+      FROM daily CROSS JOIN stats
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           {sql_igrid('cusum', 2)} AS cusum_e2,
+           CAST(abs({sql_igrid('cusum', 2)}) = (SELECT max(abs({sql_igrid('cusum', 2)}))
+                FROM dev) AS INTEGER) AS is_changepoint
+    FROM dev ORDER BY day
+    """,
+    "events",
+    "window",
+    "timeseries",
+)
+def e_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen over the daily event-count series:
+    the running sum of deviations from the global mean; the day where
+    |CUSUM| peaks is the classic single-changepoint estimate (Page
+    1954 / binary-segmentation step 1).  Emitted per day so the full
+    curve is auditable, with the argmax day flagged.
+
+    Determinism: deviations divide exact integer totals; the flag
+    compares e2-gridded values so the argmax is grid-exact in both
+    engines.
+
+    Scale: events collapse to |days| rows first; one ordered pass."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("days")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rn = F.row_number().over(Window.orderBy("day"))
+    dev = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        (
+            F.sum("n").over(w)
+            - rn * (F.col("tot").cast("double") / F.col("days"))
+        ).alias("cusum"),
+    )
+    cusum_e2 = igrid(F.col("cusum"), 2)
+    mx = dev.agg(
+        F.max(F.abs(igrid(F.col("cusum"), 2))).alias("mx")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mx))
+        .select(
+            "day",
+            F.col("n").cast("long").alias("n"),
+            cusum_e2.alias("cusum_e2"),
+            (F.abs(cusum_e2) == F.col("mx")).cast("int").alias(
+                "is_changepoint"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "w_rolling_median",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT day, CAST(n AS BIGINT) AS n,
+           {sql_igrid('''quantile_cont(n, 0.5) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)''', 2)}
+             AS rolling_median_e2
+    FROM daily ORDER BY day
+    """,
+    "events",
+    "window",
+    "robust",
+)
+def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day rolling MEDIAN of the daily event count — the
+    robust smoother (one outlier day cannot move it, unlike the
+    moving average trend in e_seasonal_decompose).  Exact percentile
+    as a framed window aggregate in both engines; edges shrink the
+    frame symmetrically rather than emitting nulls."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    return daily.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        igrid(F.expr("percentile(n, 0.5)").over(w), 2).alias(
+            "rolling_median_e2"
+        ),
+    ).orderBy("day")
