@@ -193,3 +193,75 @@ def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_corr_pairs())}, {stack_args}) AS (col_a, col_b, corr_e6)"
     ).orderBy("col_a", "col_b")
+
+
+@register(
+    "a_higher_moments",
+    f"""
+    WITH sums AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(value) AS s1,
+             sum(value * value) AS s2,
+             sum(value * value * value) AS s3,
+             sum(value * value * value * value) AS s4
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n,
+             s1 / n AS m1,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM sums
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(floor(m1 * 10000 + 0.5001) AS BIGINT) AS mean_e4,
+           CAST(floor(m3 / pow(m2, 1.5) * 1000000 + 0.5001) AS BIGINT) AS skewness_e6,
+           CAST(floor((m4 / (m2 * m2) - 3) * 1000000 + 0.5001) AS BIGINT) AS excess_kurtosis_e6
+    FROM mom ORDER BY event_type
+    """,
+    "agg",
+    "stats",
+)
+def a_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per series, computed
+    from raw power sums (Σx..Σx⁴) through ONE explicit moment
+    expression tree — deliberately NOT the built-in skewness()/
+    kurtosis() aggregates, whose bias corrections differ between
+    engines (Spark emits population moments, DuckDB sample-corrected
+    ones); stating the algebra once makes the contract portable and
+    auditable.  One map-side-combined aggregate pass."""
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * (F.col("s2") / F.col("n")) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            igrid(m1, 4).alias("mean_e4"),
+            igrid(m3 / F.pow(m2, 1.5), 6).alias("skewness_e6"),
+            igrid(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis_e6"),
+        )
+        .orderBy("event_type")
+    )
