@@ -1831,3 +1831,81 @@ def w_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_median_e2"
         ),
     ).orderBy("day")
+
+
+@register(
+    "e_bot_detection",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             epoch_us(ts) // 1000000
+               - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)) // 1000000
+               AS gap_s
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types,
+             count(DISTINCT CAST(ts AS DATE)) AS n_days,
+             {sql_igrid('stddev_samp(gap_s)', 2)} AS gap_sd_e2,
+             {sql_igrid('count(*) / CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE)', 2)}
+               AS events_per_day_e2
+      FROM seq GROUP BY user_id
+    )
+    SELECT user_id, n_events, CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_days AS BIGINT) AS n_days,
+           gap_sd_e2, events_per_day_e2,
+           CAST(n_events >= 50
+                AND (events_per_day_e2 >= 2000
+                     OR (gap_sd_e2 IS NOT NULL AND gap_sd_e2 <= 100)
+                     OR n_types = 1) AS INTEGER) AS is_bot_suspect
+    FROM per_user
+    ORDER BY user_id
+    """,
+    "events",
+    "quality",
+    "agg",
+)
+def e_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic bot/abuse screen per user: volume (events/active
+    day), inter-event regularity (a near-zero gap stddev means
+    machine-timed requests), and behavioral diversity (single-type
+    streams), combined into a suspect flag — the traffic-quality gate
+    run before events feed training or billing.  All rule inputs are
+    integer-gridded, so the FLAG itself is grid-exact cross-engine.
+
+    Scale: one lag window on the natural user_id distribution, one
+    per-user aggregate — no cross-user shuffle beyond the groupBy."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.expr("unix_micros(ts) div 1000000")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        (ts_sec - F.lag(ts_sec).over(w)).alias("gap_s"),
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct(F.col("ts").cast("date")).cast("long").alias("n_days"),
+        igrid(F.stddev_samp("gap_s"), 2).alias("gap_sd_e2"),
+        igrid(
+            F.count(F.lit(1))
+            / F.countDistinct(F.col("ts").cast("date")).cast("double"),
+            2,
+        ).alias("events_per_day_e2"),
+    )
+    flag = (
+        (F.col("n_events") >= 50)
+        & (
+            (F.col("events_per_day_e2") >= 2000)
+            | (F.col("gap_sd_e2").isNotNull() & (F.col("gap_sd_e2") <= 100))
+            | (F.col("n_types") == 1)
+        )
+    )
+    return per_user.withColumn(
+        "is_bot_suspect", flag.cast("int")
+    ).orderBy("user_id")

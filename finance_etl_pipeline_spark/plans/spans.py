@@ -559,3 +559,68 @@ def dd_top_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+def _keeper_policy_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    clusters = REGISTRY["dd_dedup_clusters"].oracle
+    return f"""
+    WITH c AS (SELECT doc_id, cluster_id FROM ({clusters})),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, d.source,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY CASE WHEN d.source = 'src0' THEN 0 ELSE 1 END,
+                        d.n_chars DESC, c.doc_id
+             ) AS rk
+      FROM c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, source,
+           CAST(rk = 1 AS INTEGER) AS is_keeper
+    FROM ranked ORDER BY cluster_id, doc_id
+    """
+
+
+@register(
+    "dd_keeper_policy",
+    _keeper_policy_sql(),
+    "llm",
+    "dedup",
+)
+def dd_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven dedup survivorship: within each near-dup cluster
+    keep the best document by an explicit priority (trusted source
+    'src0' first, then longest, then lowest id) — the production
+    alternative to dd_dedup_clusters' min-id keeper, which is
+    deterministic but content-blind.  The policy is ONE window
+    ordering, so swapping business rules never touches the clustering.
+
+    Scale: ranks run per cluster_id over only the clustered docs —
+    duplication-density-bounded, not corpus-bounded."""
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    labels = REGISTRY["dd_dedup_clusters"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    j = labels.join(docs, "doc_id")
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.when(F.col("source") == "src0", 0).otherwise(1),
+            F.desc("n_chars"),
+            "doc_id",
+        )
+    )
+    return (
+        j.withColumn("rk", rk)
+        .select(
+            "doc_id",
+            "cluster_id",
+            "source",
+            (F.col("rk") == 1).cast("int").alias("is_keeper"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
