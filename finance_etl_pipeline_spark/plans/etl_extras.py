@@ -71,3 +71,55 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
         ).alias("revenue_e4")
     )
+
+
+@register(
+    "gen_date_dim",
+    """
+    SELECT CAST(d AS DATE) AS date_key,
+           CAST(year(d) AS INTEGER) AS year,
+           CAST(quarter(d) AS INTEGER) AS quarter,
+           CAST(month(d) AS INTEGER) AS month,
+           CAST(isodow(d) AS INTEGER) AS iso_dow,
+           CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_weekend,
+           strftime(d, '%Y-%m') AS month_key,
+           CAST(date_trunc('week', d) AS DATE) AS week_start
+    FROM (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                    INTERVAL 1 DAY)) AS d
+    )
+    ORDER BY date_key
+    """,
+    "generator",
+    "scalar",
+)
+def gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generator: a one-year date spine with the
+    standard warehouse attributes (year/quarter/month, ISO weekday,
+    weekend flag, month key, week start) — generated in-plan from
+    sequence(), no source table at all; the dim every star schema
+    joins for fiscal rollups (star.py's dims are data-derived, this
+    one is synthetic-complete: no missing dates even where no facts
+    exist).
+
+    Scale: generated, not scanned — 365 rows from a literal range;
+    broadcastable everywhere."""
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-12-31").cast("date"),
+            )
+        ).alias("d")
+    )
+    return spine.select(
+        F.col("d").alias("date_key"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        (F.weekday("d") + 1).cast("int").alias("iso_dow"),
+        (F.weekday("d") + 1 >= 6).cast("int").alias("is_weekend"),
+        F.date_format("d", "yyyy-MM").alias("month_key"),
+        F.date_trunc("week", "d").cast("date").alias("week_start"),
+    ).orderBy("date_key")

@@ -624,3 +624,115 @@ def dd_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def _lsh_sweep_sql() -> str:
+    from finance_etl_pipeline_spark.operators import dedup as D
+
+    _P = D.MERSENNE_P
+    sh = """SELECT doc_id, unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(t)-2, 0)),
+         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+       FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+             FROM documents)"""
+    branches = []
+    for rows in (2, 4, 8):
+        branches.append(f"""
+    SELECT {rows} AS rows_per_band,
+           {D.NUM_HASHES // rows} AS n_bands,
+           count(*) AS n_candidate_pairs
+    FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM (SELECT doc_id, i // {rows} AS band,
+                   md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+            FROM mh GROUP BY doc_id, band) a
+      JOIN (SELECT doc_id, i // {rows} AS band,
+                   md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+            FROM mh GROUP BY doc_id, band) b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )""")
+    return f"""
+    WITH sh AS ({sh}),
+    hashes AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_P} AS hmod
+      FROM sh
+    ),
+    mh AS MATERIALIZED (
+      SELECT doc_id, i,
+             min(({D.hash_a('i')} * hmod + {D.hash_b('i')}) % {_P}) AS mh
+      FROM hashes, range(0, {D.NUM_HASHES}) t(i)
+      GROUP BY doc_id, i
+    )
+    {' UNION ALL '.join(branches)}
+    ORDER BY rows_per_band
+    """
+
+
+@register(
+    "dd_lsh_band_sweep",
+    _lsh_sweep_sql(),
+    "llm",
+    "dedup",
+    "eval",
+)
+def dd_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH parameter sweep over the SAME 16 minhash values: candidate
+    pair volume at 2/4/8 rows per band (8/4/2 bands) — the measured
+    S-curve trade: fewer rows per band ⇒ more bands ⇒ higher recall
+    AND more candidates to verify.  Run once per new corpus, this
+    picks the operating point before committing dd_minhash_lsh_pairs'
+    configuration (its 4×4 default sits in this sweep).
+
+    Scale: the signature table is computed ONCE (16 ints per doc,
+    localCheckpointed) and re-banded three ways; each band join is
+    the usual bucket join, candidates ∝ dup density per config."""
+    from finance_etl_pipeline_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    mh_wide = D.minhash_signatures_hashed(sh_hashed)
+    # long form (doc_id, i, mh) for re-banding
+    mh = mh_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"mh{i}").alias("mh")
+                    )
+                    for i in range(D.NUM_HASHES)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.i", "x.mh").localCheckpoint(eager=True)
+    out = None
+    for rows in (2, 4, 8):
+        bands = (
+            mh.withColumn("band", F.floor(F.col("i") / rows))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",", F.array_sort(
+                            F.collect_list(F.struct("i", "mh"))
+                        ).getField("mh").cast("array<string>")
+                    )
+                ).alias("sig")
+            )
+        )
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        cand = (
+            a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        row = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs")).select(
+            F.lit(rows).alias("rows_per_band"),
+            F.lit(D.NUM_HASHES // rows).alias("n_bands"),
+            "n_candidate_pairs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rows_per_band")
