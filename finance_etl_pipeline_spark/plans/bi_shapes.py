@@ -203,3 +203,69 @@ def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "dq_duplicate_payment_screen",
+    """
+    WITH keyed AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS amount_e2,
+             o_orderkey
+      FROM orders
+    ),
+    grouped AS (
+      SELECT o_custkey, order_date, amount_e2,
+             count(*) AS n_orders,
+             min(o_orderkey) AS first_orderkey,
+             max(o_orderkey) AS last_orderkey
+      FROM keyed
+      GROUP BY o_custkey, order_date, amount_e2
+      HAVING count(*) > 1
+    )
+    SELECT o_custkey, order_date, amount_e2,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           first_orderkey, last_orderkey
+    FROM grouped
+    ORDER BY o_custkey, order_date, amount_e2
+    """,
+    "bi",
+    "quality",
+    "finance",
+)
+def dq_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: same customer, same day, same amount
+    (to the cent) across DIFFERENT order keys — the forensic double-
+    posting check every AP audit runs (next to the Benford digit test
+    and the header/lines reconciliation).  Amounts are compared as
+    exact cent integers, so float noise can neither split a true
+    duplicate nor merge near-misses.
+
+    Scale: one groupBy on the composite (customer, day, cents) key —
+    high cardinality, map-side combined; output ∝ violations."""
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        igrid("o_totalprice", 2).alias("amount_e2"),
+        "o_orderkey",
+    )
+    return (
+        keyed.groupBy("o_custkey", "order_date", "amount_e2")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .filter(F.col("n_orders") > 1)
+        .select(
+            "o_custkey",
+            "order_date",
+            "amount_e2",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "first_orderkey",
+            "last_orderkey",
+        )
+        .orderBy("o_custkey", "order_date", "amount_e2")
+    )

@@ -1909,3 +1909,101 @@ def e_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.withColumn(
         "is_bot_suspect", flag.cast("int")
     ).orderBy("user_id")
+
+
+@register(
+    "e_ab_test_analysis",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '#ab'), 1, 15)) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY arm
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+             max(CASE WHEN arm = 'A' THEN conv END) AS ca,
+             max(CASE WHEN arm = 'B' THEN n END) AS nb,
+             max(CASE WHEN arm = 'B' THEN conv END) AS cb
+      FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, ca AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, cb AS conv_b,
+           CAST(floor(CAST(ca AS DOUBLE) / na * 1000000 + 0.5001) AS BIGINT) AS rate_a_e6,
+           CAST(floor(CAST(cb AS DOUBLE) / nb * 1000000 + 0.5001) AS BIGINT) AS rate_b_e6,
+           CAST(floor(
+             (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb))
+             * 10000 + 0.5001) AS BIGINT) AS zstat_e4,
+           CAST(abs((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb))) > 1.96 AS INTEGER)
+             AS significant_95
+    FROM wide
+    """,
+    "events",
+    "eval",
+    "agg",
+)
+def e_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a hash-assigned A/B split: users land
+    in arms by content hash (the '#ab' salt decorrelates from every
+    other split), conversion is any purchase, and the pooled z
+    statistic + 95% significance flag come out as grid integers —
+    the experimentation readout, with the split itself reproducible
+    across engines and reruns (the property product experimentation
+    platforms get from bucketing hashes).
+
+    Scale: one per-user aggregate (user_id-keyed), a 2-row arm table,
+    one scalar expression."""
+    e = table(spark, sf_dir, "events")
+    from finance_etl_pipeline_spark.operators.dedup import hash60_expr
+
+    arm = F.when(
+        hash60_expr(F.concat(F.col("user_id").cast("string"), F.lit("#ab")))
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("conv"))).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = (ra - rb) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return wide.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        igrid(ra, 6).alias("rate_a_e6"),
+        igrid(rb, 6).alias("rate_b_e6"),
+        igrid(z, 4).alias("zstat_e4"),
+        (F.abs(z) > 1.96).cast("int").alias("significant_95"),
+    )
