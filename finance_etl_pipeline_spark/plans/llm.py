@@ -1290,3 +1290,16 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(table(spark, sf_dir, "documents"))
     payloads = with_binary_payload(docs)
     return audio_frame_energy(payloads).orderBy("doc_id", "frame_no")
+
+
+@register("tx_compression_ratio", None, "llm", "text", "quality", "arrow")
+def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility per document (operators/text.py::
+    compression_ratio) — the entropy proxy next to tx_token_entropy:
+    repetitive/templated documents compress far below prose.
+    Rows-only (no SQL zlib); tests/test_compression_ratio.py pins the
+    properties: ratio bounds, determinism across reruns, and that a
+    deliberately repetitive document compresses harder than the
+    corpus median."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    return T.compression_ratio(docs).orderBy("doc_id")
