@@ -2007,3 +2007,68 @@ def e_ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         igrid(z, 4).alias("zstat_e4"),
         (F.abs(z) > 1.96).cast("int").alias("significant_95"),
     )
+
+
+@register(
+    "e_bounce_rate_daily",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             CAST(min(ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(floor(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 1000000 + 0.5001) AS BIGINT)
+             AS bounce_rate_e6
+    FROM per_session GROUP BY day ORDER BY day
+    """,
+    "events",
+    "window",
+    "agg",
+)
+def e_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing
+    exactly one event, attributed to the session's start day — the
+    engagement-quality counterpart of the session volume metrics
+    (same session definition as e_session_window, so the two
+    reconcile).  Session assembly reuses the verified
+    gaps-and-islands construction; the daily rollup is |days| rows."""
+    e = table(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("date").alias("day"), "n_events"
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        sessions.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            igrid(
+                bounce / F.count(F.lit(1)).cast("double"), 6
+            ).alias("bounce_rate_e6"),
+        )
+        .orderBy("day")
+    )

@@ -762,3 +762,71 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     return ranked.filter(F.col("rk") <= 20).orderBy("rk")
+
+
+@register(
+    "bi_lorenz_revenue_deciles",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) AS rev_e2
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_e2, ntile(10) OVER (ORDER BY rev_e2, o_custkey) AS decile
+      FROM per_cust
+    )
+    SELECT decile,
+           count(*) AS n_customers,
+           CAST(sum(rev_e2) AS BIGINT) AS decile_rev_e2,
+           CAST(floor(sum(sum(rev_e2)) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / (SELECT CAST(sum(rev_e2) AS DOUBLE) FROM per_cust)
+               * 1000000 + 0.5001) AS BIGINT) AS cum_share_e6
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    "bi",
+    "window",
+    "agg",
+)
+def bi_lorenz_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration: customers
+    ranked into spend deciles (poorest first), each decile's revenue
+    and the cumulative share — the 10-point curve behind
+    prof_key_skew's single Gini number, and the standard
+    'top-10%-of-customers' concentration chart.  Exact cent sums;
+    ntile ties break on the customer key.
+
+    Scale: per-customer sums are one map-side-combined groupBy; the
+    global ntile runs on |customers| rows (swap percentile_approx
+    decile edges at extreme cardinality)."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(igrid("o_totalprice", 2)).alias("rev_e2")
+    )
+    ranked = per_cust.select(
+        "rev_e2",
+        F.ntile(10).over(Window.orderBy("rev_e2", "o_custkey")).alias(
+            "decile"
+        ),
+    )
+    tot = per_cust.agg(F.sum("rev_e2").cast("double").alias("tot"))
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_e2").cast("long").alias("decile_rev_e2"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_dec.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_rev_e2",
+            igrid(
+                F.sum("decile_rev_e2").over(wcum) / F.col("tot"), 6
+            ).alias("cum_share_e6"),
+        )
+        .orderBy("decile")
+    )
