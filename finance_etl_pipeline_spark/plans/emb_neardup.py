@@ -443,3 +443,127 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "emb_class_separation",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(floor((list_dot_product(a.v, b.v)
+                         / nullif(a.nrm * b.nrm, 0.0)) * 10000 + 0.5001)
+               AS BIGINT) AS cos_e4
+      FROM base a JOIN base b ON a.vec_id < b.vec_id
+    ),
+    per_label AS (
+      SELECT label_a AS label,
+             sum(CASE WHEN label_a = label_b THEN cos_e4 ELSE 0 END) AS intra_sum,
+             sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS intra_n,
+             sum(CASE WHEN label_a <> label_b THEN cos_e4 ELSE 0 END) AS inter_sum,
+             sum(CASE WHEN label_a <> label_b THEN 1 ELSE 0 END) AS inter_n
+      FROM (
+        SELECT label_a, label_b, cos_e4 FROM pairs
+        UNION ALL
+        SELECT label_b, label_a, cos_e4 FROM pairs WHERE label_a <> label_b
+      )
+      GROUP BY label_a
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(intra_n AS BIGINT) AS n_intra_pairs,
+           CAST(inter_n AS BIGINT) AS n_inter_pairs,
+           {sql_igrid('intra_sum / CAST(nullif(intra_n, 0) AS DOUBLE) / 10000', 6)}
+             AS mean_intra_cos_e6,
+           {sql_igrid('inter_sum / CAST(nullif(inter_n, 0) AS DOUBLE) / 10000', 6)}
+             AS mean_inter_cos_e6,
+           {sql_igrid(
+               '''intra_sum / CAST(nullif(intra_n, 0) AS DOUBLE) / 10000
+                  - inter_sum / CAST(nullif(inter_n, 0) AS DOUBLE) / 10000''',
+               6)} AS separation_e6
+    FROM per_label ORDER BY label
+    """,
+    "llm",
+    "similarity",
+    "eval",
+)
+def emb_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separability (silhouette-lite): per
+    label, the mean pairwise cosine WITHIN the class vs the mean
+    cosine TO other classes and their difference — positive
+    separation means the space clusters by label, the go/no-go
+    number before using these embeddings for classification or
+    semantic dedup (complements emb_knn_label_accuracy's rank-based
+    view with a magnitude-based one).
+
+    Per-pair cosines are e4-gridded BEFORE the sums, so every mean
+    divides exact integers.
+
+    Spark shape: brute-force pairs at test SF as correctness ground
+    truth (same posture as dd_embedding_neardup); at corpus scale the
+    intra/inter means come from class centroids + per-class moments —
+    one pass, no pairs."""
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    a = base.select(
+        F.col("vec_id").alias("ida"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("idb"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_e4 = igrid(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select("label_a", "label_b", cos_e4.alias("cos_e4"))
+    )
+    both = pairs.unionByName(
+        pairs.filter(F.col("label_a") != F.col("label_b")).select(
+            F.col("label_b").alias("label_a"),
+            F.col("label_a").alias("label_b"),
+            "cos_e4",
+        )
+    )
+    intra = F.sum(
+        F.when(F.col("label_a") == F.col("label_b"), F.col("cos_e4")).otherwise(0)
+    )
+    intra_n = F.sum(
+        F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+    )
+    inter = F.sum(
+        F.when(F.col("label_a") != F.col("label_b"), F.col("cos_e4")).otherwise(0)
+    )
+    inter_n = F.sum(
+        F.when(F.col("label_a") != F.col("label_b"), 1).otherwise(0)
+    )
+    mean_intra = intra / F.nullif(intra_n, F.lit(0)).cast("double") / 10000
+    mean_inter = inter / F.nullif(inter_n, F.lit(0)).cast("double") / 10000
+    return (
+        both.groupBy(F.col("label_a").alias("label"))
+        .agg(
+            intra_n.cast("long").alias("n_intra_pairs"),
+            inter_n.cast("long").alias("n_inter_pairs"),
+            igrid(mean_intra, 6).alias("mean_intra_cos_e6"),
+            igrid(mean_inter, 6).alias("mean_inter_cos_e6"),
+            igrid(mean_intra - mean_inter, 6).alias("separation_e6"),
+        )
+        .orderBy("label")
+    )
