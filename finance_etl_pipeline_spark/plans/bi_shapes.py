@@ -269,3 +269,67 @@ def dq_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "order_date", "amount_e2")
     )
+
+
+_AGING_ASOF = "1998-08-02"  # dataset's last order date serves as 'today'
+
+
+@register(
+    "bi_order_aging",
+    f"""
+    WITH open_orders AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT) AS amount_e2,
+             date_diff('day', CAST(o_orderdate AS DATE), DATE '{_AGING_ASOF}')
+               AS age_days
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 365 THEN '0-365'
+                WHEN age_days <= 730 THEN '366-730'
+                WHEN age_days <= 1095 THEN '731-1095'
+                ELSE '1095+' END AS age_bucket,
+           count(*) AS n_orders,
+           CAST(sum(amount_e2) AS BIGINT) AS total_e2,
+           CAST(min(age_days) AS BIGINT) AS min_age_days,
+           CAST(max(age_days) AS BIGINT) AS max_age_days
+    FROM open_orders
+    GROUP BY age_bucket ORDER BY age_bucket
+    """,
+    "bi",
+    "finance",
+    "agg",
+)
+def bi_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders still in status 'O' bucketed
+    by age at the dataset's as-of date, with cent-exact exposure per
+    bucket — the receivables-aging shape every finance close produces
+    (the as-of date is pinned to the data's horizon so the report is
+    reproducible; production binds it to the close date).
+
+    Scale: a status filter pushed to the scan, a narrow age map, a
+    4-bucket aggregate."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(
+        F.lit(_AGING_ASOF).cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 365, "0-365")
+        .when(age <= 730, "366-730")
+        .when(age <= 1095, "731-1095")
+        .otherwise("1095+")
+    )
+    return (
+        o.select(
+            bucket.alias("age_bucket"),
+            igrid("o_totalprice", 2).alias("amount_e2"),
+            age.alias("age_days"),
+        )
+        .groupBy("age_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("amount_e2").cast("long").alias("total_e2"),
+            F.min("age_days").cast("long").alias("min_age_days"),
+            F.max("age_days").cast("long").alias("max_age_days"),
+        )
+        .orderBy("age_bucket")
+    )
