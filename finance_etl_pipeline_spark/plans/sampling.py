@@ -298,6 +298,10 @@ def s_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from finance_etl_pipeline_spark.operators.text import STOPWORDS as _STOPWORDS
+
+_SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
 _KFOLDS = 5
 
 
@@ -345,4 +349,85 @@ def s_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("fold")
+    )
+
+
+@register(
+    "s_curriculum_order",
+    f"""
+    WITH t AS (SELECT doc_id, source,
+                      string_split_regex(lower(text), '\\s+') AS toks,
+                      length(text) AS n_chars
+               FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) AS length_score,
+             CAST(len(list_filter(toks, x -> list_contains({['the', 'a', 'of', 'and', 'in']}, x))) AS DOUBLE)
+               / nullif(CAST(len(toks) AS DOUBLE), 0.0) AS stop_ratio,
+             least((CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE)
+                    / nullif(CAST(len(toks) AS DOUBLE), 0.0)) / 8.0, 1.0) AS shape_score
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             CAST(floor((0.4 * length_score + 0.3 * stop_ratio + 0.3 * shape_score)
+                        * 10000 + 0.5001) AS BIGINT) AS q_e4
+      FROM m
+    ),
+    ordered AS (
+      SELECT doc_id, source, q_e4,
+             row_number() OVER (ORDER BY q_e4 DESC, doc_id) AS position,
+             ntile(10) OVER (ORDER BY q_e4 DESC, doc_id) AS phase
+      FROM scored
+    )
+    SELECT phase,
+           count(*) AS n_docs,
+           CAST(min(position) AS BIGINT) AS first_position,
+           CAST(min(q_e4) AS BIGINT) AS min_q_e4,
+           CAST(max(q_e4) AS BIGINT) AS max_q_e4,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM ordered GROUP BY phase ORDER BY phase
+    """.format(stop="['the', 'a', 'of', 'and', 'in']"),
+    "sampling",
+    "llm",
+    "curation",
+)
+def s_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum schedule: documents ordered highest-quality
+    first (the composite quality score of ``tx_quality_score``, on
+    its integer grid, ties by id) and cut into 10 training phases —
+    the cleanest-data-first curriculum used when a model's early
+    steps are most sensitive to noise.  Per phase: size, schedule
+    offset, quality range, and source diversity (a phase drawing
+    from one source signals quality-vs-mixture tension).
+
+    Scale: scoring is the scan-speed narrow map; the global ordering
+    is |docs| rows through one window (percentile_approx phase edges
+    at extreme scale — same swap as the ppl buckets)."""
+    from finance_etl_pipeline_spark.operators.text import quality_score
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    scored = quality_score(docs).select(
+        "doc_id", F.col("quality_score_e4").alias("q_e4")
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("q_e4"), "doc_id")
+    ordered = scored.select(
+        "doc_id",
+        "source",
+        "q_e4",
+        F.row_number().over(w).alias("position"),
+        F.ntile(10).over(w).alias("phase"),
+    )
+    return (
+        ordered.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("position").cast("long").alias("first_position"),
+            F.min("q_e4").cast("long").alias("min_q_e4"),
+            F.max("q_e4").cast("long").alias("max_q_e4"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .orderBy("phase")
     )

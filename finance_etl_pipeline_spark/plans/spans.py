@@ -736,3 +736,71 @@ def dd_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rows_per_band")
+
+
+@register(
+    "dd_cross_source_spans",
+    f"""
+    WITH tokd AS (
+      SELECT d.doc_id, d.source, string_split_regex(lower(d.text), '\\s+') AS t
+      FROM documents d
+    ),
+    win AS (
+      SELECT doc_id, source,
+             {sql_hash60(f"array_to_string(t[i:i + {SPAN_W - 1}], ' ')")} AS h
+      FROM tokd, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(t) - {SPAN_W - 1}, 0))) AS i
+      )
+    ),
+    leaked AS (
+      SELECT h FROM (
+        SELECT h, count(DISTINCT source) AS ns FROM win GROUP BY h
+      ) WHERE ns >= 2
+    ),
+    tagged AS (
+      SELECT DISTINCT w.source, w.h FROM win w JOIN leaked USING (h)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_leaked_spans
+    FROM tagged GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "dedup",
+    "spans",
+)
+def dd_cross_source_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE span leakage: 8-token spans appearing in ≥ 2
+    distinct sources, counted per source — the contamination-shaped
+    view of repeated content (a span shared across crawls/feeds is
+    syndicated or boilerplate, and a train/eval split along source
+    lines silently leaks it; cf. tx_decontaminate, which checks
+    explicit eval n-grams).  ``dd_repeated_spans`` asks "how much of
+    each DOC is repeated"; this asks "which SOURCES share verbatim
+    content".
+
+    Scale: the same token-window index, one groupBy on the window
+    hash with a distinct-source count, and a semi join back —
+    leakage-density-bounded after the index."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", "source", tokens_expr().alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - (SPAN_W - 1))
+    windows = F.when(
+        F.size(t) >= SPAN_W,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SPAN_W))),
+    ).otherwise(F.array().cast("array<string>"))
+    win = base.select(
+        "doc_id", "source", F.explode(windows).alias("w")
+    ).select("doc_id", "source", hash60_expr(F.col("w")).alias("h"))
+    leaked = (
+        win.groupBy("h")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") >= 2)
+        .select("h")
+    )
+    tagged = win.join(leaked, "h", "left_semi").select("source", "h").distinct()
+    return (
+        tagged.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_spans"))
+        .orderBy("source")
+    )
