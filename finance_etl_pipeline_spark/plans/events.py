@@ -2072,3 +2072,96 @@ def e_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "e_cohort_ltv_curve",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT e.user_id, f.cohort_wk,
+             CAST(date_diff('week',
+                  CAST(f.cohort_wk AS TIMESTAMP),
+                  date_trunc('week', e.ts)) AS INTEGER) AS age_wk,
+             CAST(floor(e.value * 100 + 0.5001) AS BIGINT) AS rev_e2
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    sizes AS (SELECT cohort_wk, count(*) AS cohort_users FROM firsts GROUP BY cohort_wk),
+    cell AS (
+      SELECT cohort_wk, age_wk, sum(rev_e2) AS wk_rev_e2
+      FROM purchases GROUP BY cohort_wk, age_wk
+    )
+    SELECT c.cohort_wk, c.age_wk,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(sum(c.wk_rev_e2) OVER (PARTITION BY c.cohort_wk ORDER BY c.age_wk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev_e2,
+           CAST(floor(sum(c.wk_rev_e2) OVER (PARTITION BY c.cohort_wk ORDER BY c.age_wk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / CAST(s.cohort_users AS DOUBLE) + 0.5001) AS BIGINT)
+             AS cum_ltv_per_user_e2
+    FROM cell c JOIN sizes s ON c.cohort_wk = s.cohort_wk
+    ORDER BY c.cohort_wk, c.age_wk
+    """,
+    "events",
+    "window",
+    "bi",
+)
+def e_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative LTV curve per signup cohort: purchase revenue
+    accumulated by cohort age (weeks since the user's first-ever
+    week), normalized per cohort user — the payback-period chart that
+    answers 'how many weeks until a cohort earns X', complementing
+    the retention matrix (users) with value.  Exact cent units end to
+    end; the per-user division happens once on exact integers.
+
+    Scale: first-week per user (one groupBy), purchases tagged by a
+    broadcastable cohort map, (cohort × age) cells, then a cumulative
+    window over |cohorts × ages| rows."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_wk")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_wk",
+            (
+                F.datediff(
+                    F.date_trunc("week", "ts").cast("date"), F.col("cohort_wk")
+                )
+                / 7
+            ).cast("int").alias("age_wk"),
+            igrid("value", 2).alias("rev_e2"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cell = purchases.groupBy("cohort_wk", "age_wk").agg(
+        F.sum("rev_e2").alias("wk_rev_e2")
+    )
+    wc = (
+        Window.partitionBy("cohort_wk")
+        .orderBy("age_wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("wk_rev_e2").over(wc)
+    return (
+        cell.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "age_wk",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            cum.cast("long").alias("cum_rev_e2"),
+            F.floor(cum / F.col("cohort_users").cast("double") + 0.5001)
+            .cast("long")
+            .alias("cum_ltv_per_user_e2"),
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )
