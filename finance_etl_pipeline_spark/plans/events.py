@@ -2165,3 +2165,36 @@ def e_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "age_wk")
     )
+
+
+@register(
+    "e_activity_heatmap",
+    """
+    SELECT CAST(isodow(ts) AS INTEGER) AS iso_dow,
+           CAST(hour(ts) AS INTEGER) AS hour,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY iso_dow, hour
+    """,
+    "events",
+    "agg",
+)
+def e_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (events and distinct users per
+    cell) — the 7×24 capacity-planning grid behind shift staffing and
+    maintenance-window choices.  One map-side-combined aggregate over
+    a bounded 168-cell key space."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("iso_dow", "hour")
+    )

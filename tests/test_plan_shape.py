@@ -216,3 +216,20 @@ def test_pii_scan_is_single_scan_narrow(spark, sf_dir):
     plan = plan_of(spark, "tx_pii_scan", sf_dir)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_cross_source_spans_semi_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "dd_cross_source_spans", sf_dir)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_band_sweep_single_signature_computation(spark, sf_dir):
+    """The sweep re-bands ONE checkpointed signature table; a parquet
+    re-scan per configuration would mean the reuse regressed."""
+    import re
+
+    plan = plan_of(spark, "dd_lsh_band_sweep", sf_dir)
+    # after the two eager checkpoints the three branches read cached
+    # scans — at most the original documents scan appears once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
