@@ -178,16 +178,18 @@ def referential_exceptions(
     row_id: Column,
     severity: str | None = "ERROR",
 ) -> DataFrame:
-    """Q5: rows whose FK has no match in the dim — broadcast left_anti
-    join (the Spark idiom for the reference's ``~isin`` set mask,
-    pipeline.py:30-47; at scale the dim broadcasts, the fact side
-    never shuffles). Broken FK integrity defaults to ERROR severity
+    """Q5: rows whose FK has no match in the dim — left_anti join
+    (the Spark idiom for the reference's ``~isin`` set mask,
+    pipeline.py:30-47).  Hint-free: the dim is caller-supplied and may
+    grow with SF (part/customer-sized), so a forced broadcast would OOM
+    executors at cluster scale — AQE broadcasts the distinct key set
+    while it is actually small. Broken FK integrity defaults to ERROR severity
     regardless of the check's name — the severity *rules* only match
     names containing 'referential', and a silent WARN here would let
     the gate pass on corrupt joins."""
     dim_keys = dim.select(F.col(pk_col).alias("__pk")).distinct()
     return (
-        df.join(F.broadcast(dim_keys), df[fk_col] == F.col("__pk"), "left_anti")
+        df.join(dim_keys, df[fk_col] == F.col("__pk"), "left_anti")
         .select(
             F.lit(dataset).alias("dataset"),
             row_id.alias("row_id"),

@@ -56,7 +56,8 @@ def bi_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket affinity: for every brand pair, the lift
     P(a,b)/(P(a)P(b)) over orders — association mining's first cut.
 
-    Shape: broadcast the part dim onto lineitem, distinct to
+    Shape: join the part dim onto lineitem (hint-free — part grows
+    with SF, AQE broadcasts it while small), distinct to
     order×brand (kills quantity noise), self-join on the order key.
     The self-join is keyed on high-cardinality l_orderkey with ≤13
     lines/order, so pair blowup is a bounded constant factor and
@@ -65,7 +66,7 @@ def bi_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])  # part ∝ SF: AQE decides
         .select("l_orderkey", "p_brand")
         .distinct()
     )

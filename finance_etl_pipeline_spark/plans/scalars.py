@@ -165,7 +165,7 @@ def f_margin_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)  # customer grows with SF: no hint, AQE decides
         .groupBy("c_mktsegment")
         .agg(
             igrid(

@@ -273,10 +273,13 @@ def dd_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     the per-pair view behind dd_lsh_recall_eval's aggregate scorecard
     — the diagnostic for choosing NUM_HASHES/bands on a new corpus.
 
-    Scale: candidate-bounded everywhere — signature agreement joins
-    16-value signatures for candidate docs only; the exact side is
-    the already-candidate-restricted verifier.  Nothing is pairwise
-    beyond the LSH buckets."""
+    Scale: candidate-bounded everywhere — the signature table is
+    semi-join-restricted to the docs that appear in at least one
+    candidate pair BEFORE the agreement join (the same trick
+    operators/dedup.py jaccard_verify_hashed uses on the shingle
+    index), so the broadcast side is ∝ candidate count, never the
+    full corpus; the exact side is the already-candidate-restricted
+    verifier.  Nothing is pairwise beyond the LSH buckets."""
     from finance_etl_pipeline_spark.operators import dedup as D
     from finance_etl_pipeline_spark.plans import REGISTRY
 
@@ -289,11 +292,19 @@ def dd_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFra
         F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
         for i in range(D.NUM_HASHES)
     )
-    ma = mh_wide.select(
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # candidate-restricted signatures: the broadcast side is ∝ the
+    # number of candidate docs (dup density), never the full corpus
+    mh_cand = mh_wide.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ma = mh_cand.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(D.NUM_HASHES)],
     )
-    mb = mh_wide.select(
+    mb = mh_cand.select(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(D.NUM_HASHES)],
     )

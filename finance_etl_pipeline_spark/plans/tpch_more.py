@@ -103,7 +103,8 @@ def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bench",
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + ratio of conditional sums."""
+    """TPC-H Q14 shape: dim join (hint-free — part grows with SF, AQE
+    broadcasts it while small) + ratio of conditional sums."""
     from finance_etl_pipeline_spark.functions.scalars import igrid
 
     li = table(spark, sf_dir, "lineitem").filter(
@@ -114,7 +115,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_e4 = igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     promo = F.when(F.col("p_type").like("PROMO%"), rev_e4).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part ∝ SF: AQE decides
         .agg(
             igrid(100.0 * F.sum(promo) / F.sum(rev_e4), 4).alias(
                 "promo_revenue_pct_e4"

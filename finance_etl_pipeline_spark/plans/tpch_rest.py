@@ -38,7 +38,7 @@ def _asia_supplier_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)  # supplier ∝ SF: AQE decides
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .withColumn("unit_cost", F.col("l_extendedprice") / F.col("l_quantity"))
@@ -76,7 +76,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").between(10, 14) & (F.col("p_type") == "STANDARD")
     )
     base = _asia_supplier_lineitem(spark, sf_dir).join(
-        F.broadcast(p), F.col("l_partkey") == p.p_partkey
+        p, F.col("l_partkey") == p.p_partkey  # part ∝ SF: AQE decides
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -124,8 +124,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of regional market volume —
     conditional-sum / sum ratio over a 7-table join with nation in two
-    roles.  All dims broadcast; the only shuffles are the two fact
-    joins and the final tiny group-by-year."""
+    roles.  Bounded dims (nation×2, region) broadcast; SF-growing sides
+    (part, supplier, customer, orders) are hint-free — AQE broadcasts
+    them while they are actually small and falls back to shuffle joins
+    at cluster scale."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     o = table(spark, sf_dir, "orders").filter(
@@ -143,12 +145,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     vol = igrid(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part/supplier ∝ SF: AQE decides
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cr_key") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -197,8 +199,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.01)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part/supplier ∝ SF: AQE decides
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -274,7 +276,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct suppliers per part attribute group,
     excluding a supplier denylist (negative balance proxies the
     "customer complaints" comment filter — testdata has no comments).
-    The NOT IN becomes a broadcast left-anti join."""
+    The NOT IN becomes a left-anti join (hint-free: the denylist is
+    supplier-derived, so it grows with SF; AQE broadcasts it while
+    small)."""
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#3")
         & ~F.col("p_type").startswith("MEDIUM")
@@ -285,8 +289,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")  # supplier-derived ∝ SF
+        .join(p, F.col("l_partkey") == p.p_partkey)  # part ∝ SF: AQE decides
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -323,7 +327,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "PROMO")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part ∝ SF: AQE decides
         .join(per_part, F.col("l_partkey") == F.col("pp_key"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .agg(
@@ -368,7 +372,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     qualifying = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)  # part ∝ SF: AQE decides
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 400)
@@ -438,7 +442,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.join(o, l1.l_orderkey == o.o_orderkey)
         .join(per_order, l1.l_orderkey == F.col("po_key"))
         .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)  # supplier ∝ SF: AQE decides
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("s_name")
