@@ -227,3 +227,172 @@ def audio_frame_energy(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, ENERGY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Value-verified image decode: uncompressed 24-bit BMP, pure numpy
+# ---------------------------------------------------------------------------
+#
+# The container has no Pillow, but BMP (BI_RGB, 24bpp) is simple enough
+# to encode AND decode with numpy alone — which upgrades the image path
+# from contract-tested to VALUE-verified (round-2 verdict item 4, same
+# pattern as mm_audio_energy): pixels are a deterministic arithmetic
+# function of (doc_id, x, y), so a DuckDB oracle recomputes every
+# channel statistic without touching bytes, while the Spark path round-
+# trips real BMP files through a real header-parsing decoder.  A wrong
+# stride, a missed bottom-up row flip, or swapped BGR ordering breaks
+# the position-weighted sums.
+
+BMP_HEADER_SIZE = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image size: width 4..8 (exercises all four
+    row-padding cases: 3w mod 4 = 0,3,2,1,0), height 3..6."""
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def _pixel_channels(doc_id: int, w: int, h: int):
+    """(h, w) uint8 arrays for R, G, B — the formulas the DuckDB oracle
+    mirrors in SQL. Distinct coefficients per channel catch channel
+    swaps; x- and y-dependence catches stride/flip errors."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64)[:, None]
+    x = np.arange(w, dtype=np.int64)[None, :]
+    r = (5 * doc_id + 11 * x + y) % 256
+    g = (3 * doc_id + x + 7 * y) % 256
+    b = (doc_id + 2 * x + 3 * y) % 256
+    return (
+        r.astype(np.uint8) + np.zeros((h, w), np.uint8),
+        g.astype(np.uint8) + np.zeros((h, w), np.uint8),
+        b.astype(np.uint8) + np.zeros((h, w), np.uint8),
+    )
+
+
+def encode_bmp(doc_id: int) -> bytes:
+    """A real, openable 24-bit uncompressed BMP file: 54-byte header,
+    BGR pixel order, rows bottom-up, each row zero-padded to a 4-byte
+    boundary."""
+    import numpy as np
+
+    w, h = _bmp_dims(doc_id)
+    r, g, b = _pixel_channels(doc_id, w, h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    interleaved = np.stack([b, g, r], axis=2).reshape(h, row_bytes)  # BGR
+    rows[:, :row_bytes] = interleaved
+    pixel_data = rows[::-1].tobytes()  # bottom-up storage
+    size = BMP_HEADER_SIZE + len(pixel_data)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + BMP_HEADER_SIZE.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    assert len(header) == BMP_HEADER_SIZE
+    return header + pixel_data
+
+
+def decode_bmp(payload: bytes):
+    """Parse a 24bpp BI_RGB BMP into (h, w, 3) RGB uint8 — pure numpy,
+    no image library.  Validates magic/bpp/compression, honors the
+    header's pixel-data offset and the 4-byte row stride, flips the
+    bottom-up row order, and reorders BGR → RGB."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_offset
+    ).reshape(h, stride)
+    bgr = rows[::-1, : w * 3].reshape(h, w, 3)  # un-flip bottom-up
+    return bgr[:, :, ::-1]  # BGR -> RGB
+
+
+BMP_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("wsum_r", LongType()),
+        StructField("wxsum_b", LongType()),
+    ]
+)
+
+
+def with_bmp_payload(docs: DataFrame) -> DataFrame:
+    """Arrow-batched synth stage: one real BMP file per doc_id (in
+    production this column is raw image bytes read from the lake)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [encode_bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def bmp_decode_stats(payloads: DataFrame) -> DataFrame:
+    """REAL image decode + per-channel statistics, Arrow-batched.
+    wsum_r (y-weighted red) breaks if the bottom-up flip is missing;
+    wxsum_b (x-weighted blue) breaks on stride/BGR errors."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "wsum_r", "wxsum_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w, _ = rgb.shape
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                out["sum_b"].append(int(rgb[:, :, 2].sum()))
+                out["wsum_r"].append(int((ys * rgb[:, :, 0]).sum()))
+                out["wxsum_b"].append(int((xs * rgb[:, :, 2]).sum()))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, BMP_STATS_SCHEMA)

@@ -1292,6 +1292,59 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(payloads).orderBy("doc_id", "frame_no")
 
 
+@register(
+    "mm_bmp_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS w,
+             CAST(3 + doc_id % 4 AS INTEGER) AS h
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+    px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+    SELECT doc_id,
+           w AS width,
+           h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum((5 * doc_id + 11 * x + y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((3 * doc_id + x + 7 * y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id + 2 * x + 3 * y) % 256) AS BIGINT) AS sum_b,
+           CAST(sum(y * ((5 * doc_id + 11 * x + y) % 256)) AS BIGINT) AS wsum_r,
+           CAST(sum(x * ((doc_id + 2 * x + 3 * y) % 256)) AS BIGINT) AS wxsum_b
+    FROM px
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-verified image decode (round-2 verdict item 4): each doc
+    gets a real, openable 24-bit uncompressed BMP file whose pixels are
+    a deterministic function of (doc_id, x, y); the Spark path decodes
+    those bytes with a pure-numpy header-parsing BMP reader
+    (operators/multimodal.py::decode_bmp — real stride handling,
+    bottom-up row flip, BGR→RGB) and aggregates per-channel statistics,
+    while the oracle recomputes the same statistics arithmetically
+    without touching bytes.  Position-weighted sums (y-weighted red,
+    x-weighted blue) make a missed row flip, a wrong stride, or a
+    swapped channel order a hash mismatch, not a silent pass.
+
+    Scale: two chained Arrow mapInPandas stages (encode is the stand-in
+    for reading lake bytes; decode is the real workload); memory is
+    bounded per Arrow batch and the payload never shuffles — stats
+    leave the stage as 9 scalar columns per image."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        bmp_decode_stats,
+        with_bmp_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return bmp_decode_stats(with_bmp_payload(docs)).orderBy("doc_id")
+
+
 @register("tx_compression_ratio", None, "llm", "text", "quality", "arrow")
 def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per document (operators/text.py::

@@ -90,3 +90,101 @@ def test_resize_null_payload_safe(spark):
     )
     rows = resize_images(df).collect()
     assert [bytes(r["resized"]) for r in rows] == [b"", b"", b""]
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy BMP decode (value-verified image path)
+# ---------------------------------------------------------------------------
+
+
+def test_decode_bmp_against_handwritten_file():
+    """Decoder correctness independent of our own encoder: a 2x2
+    24-bit BMP written out byte-by-byte.  Rows are stored bottom-up
+    and BGR, with 2 padding bytes per row (2*3=6 -> stride 8):
+      file row 0 = IMAGE BOTTOM row: (0,0,255) blue, (0,255,0) green
+      file row 1 = IMAGE TOP row:    (255,0,0) red,  (255,255,255) white
+    """
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.multimodal import decode_bmp
+
+    pixel_data = bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0]  # bottom row: blue px, green px, pad
+        + [0, 0, 255, 255, 255, 255, 0, 0]  # top row: red px, white px, pad
+    )
+    header = (
+        b"BM"
+        + (54 + len(pixel_data)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    rgb = decode_bmp(header + pixel_data)
+    expected = np.array(
+        [
+            [[255, 0, 0], [255, 255, 255]],  # image top: red, white
+            [[0, 0, 255], [0, 255, 0]],  # image bottom: blue, green
+        ],
+        dtype=np.uint8,
+    )
+    assert (rgb == expected).all()
+
+
+def test_encode_decode_bmp_roundtrip_all_padding_cases():
+    """doc_ids 0..19 cover every (width, height) combination, i.e.
+    every row-padding remainder (3w mod 4 in {0,1,2,3})."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        _bmp_dims,
+        _pixel_channels,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for doc_id in range(20):
+        rgb = decode_bmp(encode_bmp(doc_id))
+        w, h = _bmp_dims(doc_id)
+        assert rgb.shape == (h, w, 3)
+        r, g, b = _pixel_channels(doc_id, w, h)
+        assert (rgb[:, :, 0] == r).all()
+        assert (rgb[:, :, 1] == g).all()
+        assert (rgb[:, :, 2] == b).all()
+
+
+def test_decode_bmp_rejects_non_bmp_and_compressed():
+    from finance_etl_pipeline_spark.operators.multimodal import decode_bmp
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG whatever")
+    bad = bytearray(
+        __import__(
+            "finance_etl_pipeline_spark.operators.multimodal",
+            fromlist=["encode_bmp"],
+        ).encode_bmp(1)
+    )
+    bad[30] = 1  # compression = BI_RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_stats_stage_schema(spark, sf_dir):
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        BMP_STATS_SCHEMA,
+        bmp_decode_stats,
+        with_bmp_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    stats = bmp_decode_stats(with_bmp_payload(docs))
+    assert stats.schema == BMP_STATS_SCHEMA
+    rows = stats.collect()
+    assert len(rows) == 10
+    assert all(r.n_pixels == r.width * r.height for r in rows)
