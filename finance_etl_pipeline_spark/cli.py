@@ -31,6 +31,12 @@ def main(argv: list[str] | None = None) -> int:
     run_p.add_argument(
         "--fail-on", default="ERROR", choices=["ERROR", "WARN", "NEVER"]
     )
+    run_p.add_argument(
+        "--money-mode",
+        default="double",
+        choices=["double", "decimal"],
+        help="decimal = exact DecimalType money arithmetic (SURVEY §7.6.9)",
+    )
 
     gen_p = sub.add_parser("generate", help="generate synthetic raw CSVs")
     gen_p.add_argument("--out-dir", required=True)
@@ -210,6 +216,7 @@ def main(argv: list[str] | None = None) -> int:
             args.curated_dir,
             args.reference_dir,
             fail_on=args.fail_on,
+            money_mode=args.money_mode,
         )
     except DataQualityGateError as e:
         print(f"FAIL: {e}", file=sys.stderr)

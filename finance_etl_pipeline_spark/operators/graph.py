@@ -47,7 +47,7 @@ def pagerank(
     n_nodes = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             trans.join(ranks, trans["src"] == ranks["node"])
             .groupBy(trans["dst"].alias("node"))
@@ -57,6 +57,15 @@ def pagerank(
             "node",
             (F.lit(teleport) + F.lit(damping) * F.col("inflow")).alias("rank"),
         )
+        # truncate lineage every 3 rounds: an N-iteration loop otherwise
+        # hands Catalyst an N-deep plan to re-optimize at the single
+        # terminal action (plan time grows superlinearly), and at
+        # billion-edge scale the untruncated DAG re-executes on any
+        # task retry.  The rank vector is |nodes| rows — cheap to pin.
+        # (On a cluster prefer checkpoint()/persist(DISK_ONLY): this is
+        # the caveat SCALE.md records for every iterative operator.)
+        if (i + 1) % 3 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -63,11 +63,15 @@ def run_month(
     reference_dir: str,
     settings: Settings | None = None,
     fail_on: str = "ERROR",
+    money_mode: str = "double",
 ) -> MonthResult:
     settings = settings or Settings()
     fail_on = (fail_on or "ERROR").upper().strip()
     if fail_on not in {"ERROR", "WARN", "NEVER"}:
         raise ValueError(f"invalid fail_on: {fail_on}")
+    money_mode = (money_mode or "double").lower().strip()
+    if money_mode not in transform.MONEY_MODES:
+        raise ValueError(f"invalid money_mode: {money_mode}")
 
     # --- reference data: chart of accounts → dim_accounts ---------------
     coa = read_csv(
@@ -148,7 +152,8 @@ def run_month(
     # --- fact + KPI -----------------------------------------------------
     fx = transform.fx_to_base(raw["fx_rates"], settings.base_currency)
     fact = transform.to_fact_transactions(
-        sales, expenses, payroll, inventory, fx, settings.base_currency
+        sales, expenses, payroll, inventory, fx, settings.base_currency,
+        money_mode=money_mode,
     )
     # run-level metrics ride the write via observe() — collected from
     # the SAME pass that materializes the fact table, no extra scan
@@ -161,7 +166,7 @@ def run_month(
         F.sum("amount_base").alias("fact_amount_base_total"),
     )
     fact = fact.cache()  # feeds both the write and the KPI build
-    kpi = transform.kpi_monthly(fact, dim_accounts)
+    kpi = transform.kpi_monthly(fact, dim_accounts, money_mode=money_mode)
 
     paths = {
         "fact_transactions": os.path.join(curated_dir, "fact_transactions"),
@@ -199,6 +204,7 @@ def run_months(
     reference_dir: str,
     settings: Settings | None = None,
     fail_on: str = "ERROR",
+    money_mode: str = "double",
 ) -> dict[str, MonthResult]:
     """Multi-month orchestration with month-partitioned curated output.
 
@@ -215,7 +221,8 @@ def run_months(
         for month in months:
             month_dir = os.path.join(curated_dir, "by_month_staging", month)
             res = run_month(
-                spark, month, raw_dir, month_dir, reference_dir, settings, fail_on
+                spark, month, raw_dir, month_dir, reference_dir, settings,
+                fail_on, money_mode,
             )
             fact = spark.read.parquet(res.paths["fact_transactions"]).withColumn(
                 "month", F.date_format("date", "yyyy-MM")

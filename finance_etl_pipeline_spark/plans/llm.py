@@ -613,12 +613,30 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_dedup_clusters",
     f"""
     WITH RECURSIVE sh AS ({_SQL_SH}),
+    hashes AS (SELECT doc_id, {_SQL_H60.format(x='s')} % {_P} AS hmod FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             min(({D.hash_a('i')} * hmod + {D.hash_b('i')}) % {_P}) AS mh
+      FROM hashes, range(0, {D.NUM_HASHES}) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {D.NUM_HASHES // D.NUM_BANDS} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
     {_JACCARD_CORE},
     jpairs AS (
       SELECT doc_a, doc_b FROM (
-        SELECT doc_a, doc_b,
+        SELECT inter.doc_a, inter.doc_b,
                floor((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 10000 + 0.5001) / 10000 AS jaccard
         FROM inter
+        JOIN cand ON inter.doc_a = cand.doc_a AND inter.doc_b = cand.doc_b
         JOIN sizes sa ON inter.doc_a = sa.doc_id
         JOIN sizes sb ON inter.doc_b = sb.doc_id
       ) WHERE jaccard >= 0.7
@@ -642,19 +660,31 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "llm",
     "dedup",
+    "bench",
 )
 def dd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → canonical keeper: the
     step that turns pairwise similarity into an actionable dedup
-    decision (keep cluster minimum, drop the rest).  Spark runs
-    iterative min-label propagation (operators/dedup.py::
-    connected_components — fixpoint = component min, engine-
-    independent); the oracle states the same thing as a recursive-CTE
-    transitive closure.  Only docs that appear in some near-dup pair
-    are emitted."""
+    decision (keep cluster minimum, drop the rest).  Pairs come from
+    the LSH-verified pipeline (band-bucket candidates, exact-Jaccard
+    verify ≥ 0.7) — the SAME production path curate_pipeline runs, so
+    benching this query measures the 100 TB dedup flow end to end
+    rather than the brute-force all-pairs baseline
+    (dd_ngram_jaccard_pairs keeps that ground-truth role, deliberately
+    unbenched).  Spark runs iterative min-label propagation
+    (operators/dedup.py::connected_components — fixpoint = component
+    min, engine-independent); the oracle states the identical pair
+    definition (mirroring dd_minhash_lsh_pairs' SQL) followed by a
+    recursive-CTE transitive closure.  Only docs that appear in some
+    near-dup pair are emitted."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_table(docs)
-    pairs = D.jaccard_pairs(sh, None, 0.7).select("doc_a", "doc_b")
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    mh = D.minhash_signatures_hashed(sh_hashed)
+    bands = D.band_signatures(mh)
+    cand = D.candidate_pairs(bands)
+    pairs = D.jaccard_verify_hashed(sh_hashed, cand, 0.7).select(
+        "doc_a", "doc_b"
+    )
     labels = D.connected_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),

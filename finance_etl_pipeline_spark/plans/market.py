@@ -283,6 +283,7 @@ def _pagerank_oracle() -> str:
     _pagerank_oracle(),
     "graph",
     "iterative",
+    "bench",
 )
 def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (edge weight = number

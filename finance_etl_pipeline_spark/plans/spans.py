@@ -108,6 +108,7 @@ def _windows_sql() -> str:
     "llm",
     "dedup",
     "spans",
+    "bench",
 )
 def dd_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-span profile — see module docstring.

@@ -21,13 +21,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
+from finance_etl_pipeline_spark.functions.money import MONEY
 
+# FX quotes need more scale than money amounts (a TZS→USD rate is
+# ~0.0004); decimal mode carries them at scale 10
+RATE_DECIMAL = DecimalType(20, 10)
+
+MONEY_MODES = ("double", "decimal")
 
 
 def pandas_round2(c):
     """NumPy-exact round to cents: rint(x*100)/100 (see module doc)."""
     return F.rint(c * 100) / 100
+
+
+def round2_fn(money_mode: str):
+    """The cents-rounding strategy for already-exact money inputs:
+
+    - ``double``  — ``pandas_round2`` (bit-parity with the reference's
+      pandas ``.round(2)``; half-even on the BINARY value).
+    - ``decimal`` — ``bround`` (half-even on the EXACT value), typed
+      DecimalType(18, 4).
+
+    Only used where the operand is either exact (sums of fixed cents)
+    or double-rounded upstream — per-row cent FIXING always runs
+    ``pandas_round2`` in both modes, see ``to_fact_transactions``."""
+    if money_mode == "decimal":
+        return lambda c: F.bround(c, 2).cast(MONEY)
+    return pandas_round2
 
 
 class MissingFxRatesError(ValueError):
@@ -118,11 +141,24 @@ def to_fact_transactions(
     inventory: DataFrame,
     fx: DataFrame,
     base_currency: str,
+    money_mode: str = "double",
 ) -> DataFrame:
     """Union of the four source projections + FX enrichment + txn_id
     (reference transform.py:49-110). Sign conventions are applied
     BEFORE any aggregation: expenses/payroll negative, inventory
-    issues negative (reference :66,73,84)."""
+    issues negative (reference :66,73,84).
+
+    ``money_mode='decimal'`` (SURVEY §7.6.9): the per-row cent-fixing
+    arithmetic (qty×cost, amount×rate, rint-round) stays bit-identical
+    to the reference's pandas path in BOTH modes — a single double
+    multiply has half-ulp error that never reaches a cent except at
+    exact rounding ties, and matching the reference's tie behavior is
+    the parity contract.  Decimal begins where scale risk begins:
+    the OUTPUT money columns are cast to exact DecimalType, so every
+    downstream sum/pivot/rollup (the place a 100 TB job adds ~10^9
+    values per group and double error reaches real cents) is exact
+    integer arithmetic.  This also makes decimal mode cent-identical
+    to the golden-verified double mode by construction."""
     s = _project(sales, "sales", F.col("invoice_id"), F.col("amount"))
     e = _project(expenses, "expenses", F.col("bill_id"), -F.col("amount"))
 
@@ -164,6 +200,16 @@ def to_fact_transactions(
     fact = fact.withColumn(
         "txn_id", F.concat_ws("|", "entity", "source", "document_id")
     )
+    if money_mode == "decimal":
+        # the money boundary: cents are fixed above (double, reference
+        # bit-parity); from here every money column is exact decimal
+        fact = fact.withColumns(
+            {
+                "amount": F.col("amount").cast(MONEY),
+                "amount_base": F.col("amount_base").cast(MONEY),
+                "rate": F.col("rate").cast(RATE_DECIMAL),
+            }
+        )
     # Sort is a file-presentation guarantee (reference transform.py:94)
     # — downstream consumers must not rely on row order at scale.
     return fact.select(
@@ -184,12 +230,17 @@ def to_fact_transactions(
 KPI_ACCOUNT_TYPES = ["Asset", "COGS", "Expense", "Liability", "Revenue"]
 
 
-def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
+def kpi_monthly(
+    fact: DataFrame, dim_accounts: DataFrame, money_mode: str = "double"
+) -> DataFrame:
     """Monthly KPI pivot (reference transform.py:113-128):
     broadcast account-type join → yyyy-MM derive → group-sum → pivot
     with EXPLICIT values (deterministic plan, no extra distinct job) →
     profits. COGS/Expense are stored negative, so gross_profit =
-    Revenue + COGS and operating_profit = gross_profit + Expense."""
+    Revenue + COGS and operating_profit = gross_profit + Expense.
+    In decimal mode the pivot sums are exact decimal arithmetic and
+    the profit columns stay DecimalType — the 100 TB-correct rollup."""
+    round2 = round2_fn(money_mode)
     df = fact.join(
         F.broadcast(dim_accounts.select("account_code", "account_type")),
         "account_code",
@@ -197,17 +248,22 @@ def kpi_monthly(fact: DataFrame, dim_accounts: DataFrame) -> DataFrame:
     ).withColumn("month", F.date_format("date", "yyyy-MM"))
 
     # explicit pivot values guarantee Revenue/COGS/Expense columns
-    # always exist (no reference-style backfill loop needed)
-    wide = (
-        df.groupBy("entity", "month")
-        .pivot("account_type", KPI_ACCOUNT_TYPES)
-        .sum("amount_base")
-        .na.fill(0.0, KPI_ACCOUNT_TYPES)
+    # always exist (no reference-style backfill loop needed); the
+    # missing-cell fill is a typed coalesce so it works identically
+    # for double and decimal pivot sums
+    wide = df.groupBy("entity", "month").pivot(
+        "account_type", KPI_ACCOUNT_TYPES
+    ).sum("amount_base")
+    wide = wide.withColumns(
+        {
+            c: F.coalesce(F.col(c), F.lit(0).cast(wide.schema[c].dataType))
+            for c in KPI_ACCOUNT_TYPES
+        }
     )
     return (
-        wide.withColumn("gross_profit", pandas_round2(F.col("Revenue") + F.col("COGS")))
+        wide.withColumn("gross_profit", round2(F.col("Revenue") + F.col("COGS")))
         .withColumn(
-            "operating_profit", pandas_round2(F.col("gross_profit") + F.col("Expense"))
+            "operating_profit", round2(F.col("gross_profit") + F.col("Expense"))
         )
         .orderBy("entity", "month")
     )

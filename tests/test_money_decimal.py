@@ -36,3 +36,106 @@ def test_decimal_pivot_keeps_scale(spark):
     for field in wide.schema.fields[1:]:
         # sum over decimal widens precision but keeps the scale
         assert field.dataType.scale == MONEY.scale
+
+
+# ---------------------------------------------------------------------------
+# run_month money_mode="decimal" — the pipeline-surface promotion
+# (round-2 verdict item 5)
+# ---------------------------------------------------------------------------
+
+MONTH = "2025-12"
+
+
+def _kpi_cents(spark, path):
+    """KPI rows as {(entity, month): (cents, ...)} — exact integers, so
+    a double/decimal comparison can't hide behind float tolerance."""
+    kpi = spark.read.parquet(path)
+    money_cols = [
+        "Asset", "COGS", "Expense", "Liability", "Revenue",
+        "gross_profit", "operating_profit",
+    ]
+    rows = kpi.select(
+        "entity",
+        "month",
+        *[
+            F.rint(F.col(c).cast("double") * 100).cast("long").alias(c)
+            for c in money_cols
+        ],
+    ).collect()
+    return {(r.entity, r.month): tuple(r[c] for c in money_cols) for r in rows}
+
+
+def test_run_month_decimal_mode_cent_identical_to_double(spark, tmp_path):
+    """Same seed-42 fixture through both money modes: every KPI cell and
+    every fact amount_base must agree to the cent.  Double mode is the
+    reference-golden-verified path (tests/test_reference_golden.py), so
+    equality here chains decimal mode to the committed goldens."""
+    import os
+
+    from finance_etl_pipeline_spark import sample_data
+    from finance_etl_pipeline_spark.pipeline import run_month
+
+    raw, ref = str(tmp_path / "raw"), str(tmp_path / "ref")
+    sample_data.generate_raw(raw, MONTH, seed=42)
+    sample_data.generate_reference(ref)
+
+    out_d = str(tmp_path / "curated_double")
+    out_x = str(tmp_path / "curated_decimal")
+    res_d = run_month(spark, MONTH, raw, out_d, ref)
+    res_x = run_month(spark, MONTH, raw, out_x, ref, money_mode="decimal")
+    assert res_d.status == res_x.status == "PASS"
+
+    kpi_d = _kpi_cents(spark, res_d.paths["kpi_monthly"])
+    kpi_x = _kpi_cents(spark, res_x.paths["kpi_monthly"])
+    assert kpi_d == kpi_x and len(kpi_d) == 2
+
+    # decimal mode's output typing: money columns are exact decimals
+    from pyspark.sql.types import DecimalType
+
+    fact_x = spark.read.parquet(res_x.paths["fact_transactions"])
+    assert isinstance(fact_x.schema["amount_base"].dataType, DecimalType)
+    kpi_schema = spark.read.parquet(res_x.paths["kpi_monthly"]).schema
+    assert isinstance(kpi_schema["gross_profit"].dataType, DecimalType)
+
+    # fact parity at the txn_id grain (txn_id can repeat — e.g. two
+    # inventory movements of one sku on one day — so compare per-key
+    # sums and counts, not a row join)
+    def per_key(df, cents_col):
+        return df.groupBy("txn_id").agg(
+            F.sum(cents_col).alias("cents"), F.count(F.lit(1)).alias("n")
+        )
+
+    fact_d = spark.read.parquet(res_d.paths["fact_transactions"])
+    agg_d = per_key(
+        fact_d, F.rint(F.col("amount_base") * 100).cast("long")
+    )
+    agg_x = per_key(
+        fact_x,
+        F.rint(F.col("amount_base").cast("double") * 100).cast("long"),
+    )
+    joined = agg_d.alias("d").join(agg_x.alias("x"), "txn_id", "full_outer")
+    diff = joined.filter(
+        (F.col("d.cents") != F.col("x.cents"))
+        | (F.col("d.n") != F.col("x.n"))
+        | F.col("d.cents").isNull()
+        | F.col("x.cents").isNull()
+    )
+    assert diff.count() == 0
+
+    # metrics observation works on decimal sums too
+    assert res_x.metrics["fact_rows"] == res_d.metrics["fact_rows"] > 100
+    assert abs(
+        res_x.metrics["fact_amount_base_total"]
+        - res_d.metrics["fact_amount_base_total"]
+    ) < 0.01
+
+
+def test_run_month_rejects_bad_money_mode(spark, tmp_path):
+    import pytest
+
+    from finance_etl_pipeline_spark.pipeline import run_month
+
+    with pytest.raises(ValueError, match="invalid money_mode"):
+        run_month(
+            spark, MONTH, "x", "y", "z", money_mode="float128"
+        )
