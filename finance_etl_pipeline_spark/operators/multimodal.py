@@ -396,3 +396,70 @@ def bmp_decode_stats(payloads: DataFrame) -> DataFrame:
             yield pdf_out
 
     return payloads.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+RESIZE_W, RESIZE_H = 4, 3  # fixed target grid for the verified resize
+
+BMP_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("rsum_r", LongType()),
+        StructField("rsum_g", LongType()),
+        StructField("rsum_b", LongType()),
+        StructField("rwsum_g", LongType()),
+    ]
+)
+
+
+def resize_nearest(rgb, dst_w: int, dst_h: int):
+    """REAL nearest-neighbor resample (the floor-index convention:
+    source pixel (x*src_w)//dst_w, (y*src_h)//dst_h) — pure numpy
+    fancy indexing, no image library."""
+    import numpy as np
+
+    src_h, src_w, _ = rgb.shape
+    xs = (np.arange(dst_w, dtype=np.int64) * src_w) // dst_w
+    ys = (np.arange(dst_h, dtype=np.int64) * src_h) // dst_h
+    return rgb[np.ix_(ys, xs)]
+
+
+def bmp_resize_stats(payloads: DataFrame) -> DataFrame:
+    """Decode + nearest-neighbor resize + per-channel statistics of the
+    RESIZED image, Arrow-batched.  Completes the image path upgrade:
+    like decode (mm_bmp_decode_stats), the resample arithmetic is fully
+    value-verifiable — the oracle recomputes each destination pixel's
+    source coordinates and channel values symbolically.  rwsum_g is
+    y-weighted, so a flipped or transposed index map cannot pass."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                "rsum_r", "rsum_g", "rsum_b", "rwsum_g",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_bmp(bytes(payload))
+                resized = resize_nearest(rgb, RESIZE_W, RESIZE_H).astype(
+                    np.int64
+                )
+                ys = np.arange(RESIZE_H, dtype=np.int64)[:, None]
+                out["doc_id"].append(int(doc_id))
+                out["src_w"].append(rgb.shape[1])
+                out["src_h"].append(rgb.shape[0])
+                out["dst_w"].append(RESIZE_W)
+                out["dst_h"].append(RESIZE_H)
+                out["rsum_r"].append(int(resized[:, :, 0].sum()))
+                out["rsum_g"].append(int(resized[:, :, 1].sum()))
+                out["rsum_b"].append(int(resized[:, :, 2].sum()))
+                out["rwsum_g"].append(int((ys * resized[:, :, 1]).sum()))
+            pdf_out = pd.DataFrame(out)
+            for c in ("src_w", "src_h", "dst_w", "dst_h"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, BMP_RESIZE_SCHEMA)

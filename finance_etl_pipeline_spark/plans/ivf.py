@@ -123,3 +123,197 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("query_id", "rank")
     )
+
+
+NPROBES = (1, 2, 4)
+
+_SWEEP_SQL = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cv, nrm AS cn FROM base WHERE vec_id < {N_CELLS}
+    ),
+    ranked AS (
+      SELECT b.vec_id, c.cell_id,
+             row_number() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY floor((list_dot_product(b.v, c.cv) / nullif(b.nrm * c.cn, 0.0)) * 1000000 + 0.5001) / 1000000 DESC,
+                        c.cell_id
+             ) AS rn
+      FROM base b CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cell_id FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0),
+    levels AS (SELECT unnest([{", ".join(str(n) for n in NPROBES)}]) AS np),
+    qcells AS (
+      SELECT l.np, r.vec_id AS query_id, r.cell_id
+      FROM ranked r CROSS JOIN levels l
+      WHERE r.vec_id % 50 = 0 AND r.rn <= l.np
+    ),
+    cand AS (
+      SELECT qc.np, q.query_id, b.vec_id,
+             CAST(floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
+      FROM q
+      JOIN qcells qc ON qc.query_id = q.query_id
+      JOIN assign a ON a.cell_id = qc.cell_id
+      JOIN base b ON b.vec_id = a.vec_id
+      WHERE b.vec_id != q.query_id
+    ),
+    scanned AS (
+      SELECT np, query_id, count(*) AS n_scanned FROM cand GROUP BY np, query_id
+    ),
+    ivf_top AS (
+      SELECT np, query_id, vec_id FROM (
+        SELECT np, query_id, vec_id,
+               row_number() OVER (PARTITION BY np, query_id
+                                  ORDER BY cosine_e4 DESC, vec_id) AS rk
+        FROM cand
+      ) WHERE rk <= 3
+    ),
+    exact_top AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, b.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) DESC,
+                          b.vec_id
+               ) AS rk
+        FROM q JOIN base b ON b.vec_id != q.query_id
+      ) WHERE rk <= 3
+    ),
+    hits AS (
+      SELECT i.np, count(*) AS n_hits
+      FROM ivf_top i JOIN exact_top e
+        ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+      GROUP BY i.np
+    ),
+    nq AS (SELECT count(*) AS n_queries FROM q)
+    SELECT l.np AS nprobe,
+           CAST(nq.n_queries AS BIGINT) AS n_queries,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(floor(coalesce(h.n_hits, 0) / (3.0 * nq.n_queries) * 10000 + 0.5001) AS BIGINT) AS recall_e4,
+           CAST(coalesce(s.total_scanned, 0) AS BIGINT) AS total_scanned
+    FROM levels l
+    CROSS JOIN nq
+    LEFT JOIN hits h ON h.np = l.np
+    LEFT JOIN (SELECT np, sum(n_scanned) AS total_scanned FROM scanned GROUP BY np) s
+      ON s.np = l.np
+    ORDER BY nprobe
+"""
+
+
+@register("ann_ivf_probe_sweep", _SWEEP_SQL, "llm", "similarity", "eval")
+def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quality/cost dial, measured: recall@3 against the exact
+    cosine ground truth AND total candidates scanned, for
+    nprobe ∈ {1, 2, 4} — the recall-vs-work curve an operator reads
+    before picking nprobe on a new corpus (the IVF analogue of
+    dd_lsh_band_sweep's band-width sweep).  Everything is derived from
+    ONE centroid-ranking pass: each nprobe level re-filters the same
+    ranked assignment, so the sweep costs one extra aggregate per
+    level, not a recomputation.
+
+    Scale: the exact arm is |queries| × corpus (broadcast query set —
+    fine for an evaluation run on a sample); the IVF arms touch
+    nprobe/N_CELLS of the corpus per query.  Output is |levels| rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    cents = base.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    sim_to_cent = fround(
+        dot(F.col("v"), F.col("cv"))
+        / F.nullif(F.col("nrm") * F.col("cn"), F.lit(0.0)),
+        6,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("centroid_sim"), F.col("cell_id")
+    )
+    ranked = (
+        base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell_id", sim_to_cent.alias("centroid_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
+    levels = spark.createDataFrame([(n,) for n in NPROBES], ["np"])
+    qcells = (
+        ranked.filter(F.col("vec_id") % 50 == 0)
+        .join(F.broadcast(levels), F.col("rn") <= F.col("np"))
+        .select("np", F.col("vec_id").alias("query_id"), "cell_id")
+    )
+    q = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cell_members = assign.join(base, "vec_id").select(
+        "cell_id", "vec_id", "v", "nrm"
+    )
+    cosine = igrid(
+        dot(F.col("qv"), F.col("v"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    cand = (
+        F.broadcast(q.join(qcells, "query_id"))
+        .join(cell_members, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("np", "query_id", "vec_id", cosine.alias("cosine_e4"))
+    )
+    scanned = cand.groupBy("np").agg(
+        F.count(F.lit(1)).alias("total_scanned")
+    )
+    w_ivf = Window.partitionBy("np", "query_id").orderBy(
+        F.desc("cosine_e4"), F.col("vec_id")
+    )
+    ivf_top = (
+        cand.withColumn("rk", F.row_number().over(w_ivf))
+        .filter(F.col("rk") <= 3)
+        .select("np", "query_id", "vec_id")
+    )
+    exact_pairs = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine_e4"))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_e4"), F.col("vec_id")
+    )
+    exact_top = (
+        exact_pairs.withColumn("rk", F.row_number().over(w_exact))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id")
+    )
+    hits = ivf_top.join(exact_top, ["query_id", "vec_id"]).groupBy("np").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        levels.crossJoin(F.broadcast(nq))
+        .join(F.broadcast(hits), "np", "left")
+        .join(F.broadcast(scanned), "np", "left")
+        .select(
+            F.col("np").alias("nprobe"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            igrid(
+                F.coalesce("n_hits", F.lit(0))
+                / (3.0 * F.col("n_queries")),
+                4,
+            ).alias("recall_e4"),
+            F.coalesce("total_scanned", F.lit(0))
+            .cast("long")
+            .alias("total_scanned"),
+        )
+        .orderBy("nprobe")
+    )

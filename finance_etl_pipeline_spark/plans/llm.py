@@ -1375,6 +1375,66 @@ def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_decode_stats(with_bmp_payload(docs)).orderBy("doc_id")
 
 
+@register(
+    "mm_bmp_resize_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INTEGER) AS w,
+             CAST(3 + doc_id % 4 AS INTEGER) AS h
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS x FROM dims),
+    px AS (
+      SELECT doc_id, w, h, x, unnest(generate_series(0, 2)) AS y
+      FROM xs
+    ),
+    src AS (
+      SELECT doc_id, w, h, y,
+             (x * w) // 4 AS sx,
+             (y * h) // 3 AS sy
+      FROM px
+    )
+    SELECT doc_id,
+           w AS src_w,
+           h AS src_h,
+           CAST(4 AS INTEGER) AS dst_w,
+           CAST(3 AS INTEGER) AS dst_h,
+           CAST(sum((5 * doc_id + 11 * sx + sy) % 256) AS BIGINT) AS rsum_r,
+           CAST(sum((3 * doc_id + sx + 7 * sy) % 256) AS BIGINT) AS rsum_g,
+           CAST(sum((doc_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS rsum_b,
+           CAST(sum(y * ((3 * doc_id + sx + 7 * sy) % 256)) AS BIGINT) AS rwsum_g
+    FROM src
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_bmp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-verified image RESIZE: decode the real BMP bytes, run an
+    actual nearest-neighbor resample (numpy fancy indexing over the
+    floor-index map (x·src_w)//dst_w) to a fixed 4×3 grid, aggregate
+    the resized image's channel statistics.  The oracle recomputes
+    every destination pixel symbolically — source coordinates from the
+    same floor map, channel values from the generator formulas — so a
+    wrong index convention, an x/y transpose (rwsum_g is y-weighted),
+    or a channel swap is a hash mismatch.  Together with
+    mm_bmp_decode_stats this makes decode AND resize real, verified
+    stages; only the codec-dependent formats stay env-gated.
+
+    Scale: same Arrow posture as the decode stage — one mapInPandas
+    pass, memory bounded per batch, 9 scalar columns leave the stage."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        bmp_resize_stats,
+        with_bmp_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return bmp_resize_stats(with_bmp_payload(docs)).orderBy("doc_id")
+
+
 @register("tx_compression_ratio", None, "llm", "text", "quality", "arrow")
 def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per document (operators/text.py::

@@ -431,3 +431,110 @@ def s_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phase")
     )
+
+
+_BUDGET_X = 4  # token budget as a multiple of the corpus size
+_MAX_EPOCHS = 4  # diminishing-returns cap (Muennighoff et al. 2023)
+
+
+@register(
+    "s_epoch_plan",
+    f"""
+    WITH tokd AS (
+      SELECT source, len(string_split_regex(lower(text), '\\s+')) AS n_toks
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      FROM tokd GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(pow(n_tokens, {_MIX_ALPHA})) AS z,
+             sum(n_tokens) AS all_tokens
+      FROM per_src
+    ),
+    plan AS (
+      SELECT source, n_docs, n_tokens,
+             {{tt}} AS target_tokens
+      FROM per_src CROSS JOIN tot
+    )
+    SELECT source, n_docs, n_tokens, target_tokens,
+           {{ep}} AS epochs_e4,
+           {{cep}} AS capped_epochs_e4,
+           CAST(greatest(target_tokens - {_MAX_EPOCHS} * n_tokens, 0) AS BIGINT)
+             AS excess_tokens
+    FROM plan
+    ORDER BY source
+    """.format(
+        tt=sql_igrid(
+            f"{_BUDGET_X} * all_tokens * pow(n_tokens, {_MIX_ALPHA}) / z", 0
+        ),
+        ep=sql_igrid("CAST(target_tokens AS DOUBLE) / n_tokens", 4),
+        cep=sql_igrid(
+            f"least(CAST(target_tokens AS DOUBLE) / n_tokens, {_MAX_EPOCHS})", 4
+        ),
+    ),
+    "llm",
+    "sampling",
+    "mixture",
+)
+def s_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch plan (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"): given a token budget of 4× the
+    corpus and temperature-smoothed source weights (same τ=0.7 policy
+    as s_temperature_mixture), how many PASSES over each source does
+    the mix imply, where does it exceed the ~4-epoch
+    diminishing-returns threshold, and how many target tokens per
+    source are unfillable under the cap (excess_tokens — the demand a
+    mixing run would have to redistribute to under-budget sources).
+    This is the planning step between weight policy
+    (s_temperature_mixture) and physical resampling
+    (s_mixture_resample).
+
+    Scale: one narrow token-count map, a |sources|-row aggregate, a
+    1-row normalizer — driver-scale output regardless of corpus size.
+    target_tokens is gridded to an exact BIGINT before the epochs
+    division, so both engines divide identical integers (single IEEE
+    divide; pow on exact integer counts, the s_temperature_mixture
+    precedent)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    per_src = (
+        docs.select(
+            "source", F.size(F.split(F.lower("text"), r"\s+")).alias("n_toks")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum(F.pow("n_tokens", F.lit(_MIX_ALPHA))).alias("z"),
+        F.sum("n_tokens").alias("all_tokens"),
+    )
+    w = F.pow("n_tokens", F.lit(_MIX_ALPHA)) / F.col("z")
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        igrid(F.lit(_BUDGET_X) * F.col("all_tokens") * w, 0).alias(
+            "target_tokens"
+        ),
+    )
+    epochs = F.col("target_tokens").cast("double") / F.col("n_tokens")
+    return plan.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_tokens",
+        igrid(epochs, 4).alias("epochs_e4"),
+        igrid(F.least(epochs, F.lit(float(_MAX_EPOCHS))), 4).alias(
+            "capped_epochs_e4"
+        ),
+        F.greatest(
+            F.col("target_tokens") - _MAX_EPOCHS * F.col("n_tokens"), F.lit(0)
+        )
+        .cast("long")
+        .alias("excess_tokens"),
+    ).orderBy("source")

@@ -191,6 +191,13 @@ ALLOWED_BROADCASTS = {
     ("plans/importance.py", "emb_retrieval_mrr", "qlab"): "query labels: |queries| rows",
     ("plans/ivf.py", "ann_ivf_topk", "cents"): "k-means centroids: k x dim",
     ("plans/ivf.py", "ann_ivf_topk", 'q.join(qcells, "query_id")'): "query set x probe cells",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "cents"): "centroids: k x dim",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "levels"): "3-row nprobe level list",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", 'q.join(qcells, "query_id")'): "query set x probe cells x levels",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "q"): "query vector set",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "nq"): "1-row query count",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "hits"): "per-level hit counts: |levels| rows",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "scanned"): "per-level scan totals: |levels| rows",
     ("plans/llm.py", "ann_cosine_topk_arrow", "q"): "query vector set",
     ("plans/lm.py", "tx_bigram_perplexity", "vocab"): "1-row distinct-count aggregate",
     ("plans/market.py", "bi_basket_lift", "ba"): "per-brand totals: |brands| rows",
@@ -214,6 +221,7 @@ ALLOWED_BROADCASTS = {
     ("plans/robust.py", "dq_chi2_independence", "ct"): "per-band totals",
     ("plans/robust.py", "dq_chi2_independence", "g"): "1-row grand total",
     ("plans/sampling.py", "s_temperature_mixture", "tot"): "1-row total",
+    ("plans/sampling.py", "s_epoch_plan", "tot"): "1-row normalizer",
     ("plans/spans.py", "dd_minhash_estimate_calibration", "cand_docs"): "candidate doc ids: ∝ dup density",
     ("plans/spans.py", "dd_minhash_estimate_calibration", "ma"): "candidate-restricted signatures",
     ("plans/spans.py", "dd_minhash_estimate_calibration", "mb"): "candidate-restricted signatures",
