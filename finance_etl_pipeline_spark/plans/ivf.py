@@ -240,24 +240,39 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = (
         base.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nrm", "cell_id", sim_to_cent.alias("centroid_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    # ONE physical pass over the corpus: the assigned table (vector +
+    # home cell) is eagerly pinned, and every later arm — query set,
+    # cell members, the exact ground-truth scan — reads the pinned
+    # 2-int-plus-vector rows instead of re-ranking the parquet scan.
+    # Same posture and cluster caveat (persist(DISK_ONLY)) as the
+    # shingle index in dd_minhash_lsh_pairs.
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "v", "nrm")
+        .localCheckpoint(eager=True)
+    )
+    levels = spark.createDataFrame([(n,) for n in NPROBES], ["np"])
+    # query cells re-rank ONLY the query vectors (|queries| × k rows)
+    q_ranked = (
+        assigned.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", "v", "nrm")
+        .crossJoin(F.broadcast(cents))
         .select("vec_id", "cell_id", sim_to_cent.alias("centroid_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
     )
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cell_id")
-    levels = spark.createDataFrame([(n,) for n in NPROBES], ["np"])
     qcells = (
-        ranked.filter(F.col("vec_id") % 50 == 0)
-        .join(F.broadcast(levels), F.col("rn") <= F.col("np"))
+        q_ranked.join(F.broadcast(levels), F.col("rn") <= F.col("np"))
         .select("np", F.col("vec_id").alias("query_id"), "cell_id")
     )
-    q = base.filter(F.col("vec_id") % 50 == 0).select(
+    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    cell_members = assign.join(base, "vec_id").select(
-        "cell_id", "vec_id", "v", "nrm"
-    )
+    cell_members = assigned.select("cell_id", "vec_id", "v", "nrm")
     cosine = igrid(
         dot(F.col("qv"), F.col("v"))
         / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
@@ -282,7 +297,7 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_pairs = (
         F.broadcast(q)
-        .crossJoin(base)
+        .crossJoin(assigned.select("vec_id", "v", "nrm"))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", cosine.alias("cosine_e4"))
     )

@@ -471,3 +471,36 @@ def test_lsh_band_sweep_single_signature_computation(spark, sf_dir):
     # after the two eager checkpoints the three branches read cached
     # scans — at most the original documents scan appears once
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 1
+
+
+def test_concurrent_sessions_bucket_join_no_cartesian(spark, sf_dir):
+    """The interval join must be an equi join on the hour bucket with
+    the ownership filter — a CartesianProduct or non-equi-only join
+    would mean the range join regressed to all-pairs sessions."""
+    plan = plan_of(spark, "e_concurrent_sessions", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the overlap predicate runs as a post-join Filter on candidates,
+    # never as the join itself
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_clusters_no_cartesian(spark, sf_dir):
+    """dd_dedup_clusters consumes the LSH pipeline.  Its final plan is
+    checkpoint-truncated (connected_components pins each round), so the
+    verify-join shape is asserted on dd_minhash_lsh_pairs above — here
+    we pin what remains visible: no cartesian anywhere."""
+    plan = plan_of(spark, "dd_dedup_clusters", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_sweep_single_corpus_pass(spark, sf_dir):
+    """The sweep pins ONE assigned-corpus pass (eager checkpoint) and
+    every arm — per-level candidates, query set, exact ground truth —
+    reads the pinned table: at most the assignment build's two parquet
+    scans (base + centroid subset) may appear; more means an arm
+    regressed to re-scanning the corpus."""
+    import re
+
+    plan = plan_of(spark, "ann_ivf_probe_sweep", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
