@@ -1,10 +1,14 @@
 """LLM-data-pipeline operator battery (BASELINE.json north_star):
 dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
 search (brute-force cosine top-k + LSH hyperplane buckets), and text
-analysis — every SQL-expressible op oracle-verified; the multimodal
-path's decode stage stays a rows-only Pandas-UDF stub (see
-operators/multimodal.py) while its frame-sampling and byte-energy
-stages carry full value oracles (mm_frame_sample, mm_audio_energy).
+analysis — every SQL-expressible op oracle-verified.  The multimodal
+path is value-verified end to end for the formats this container can
+decode without image libraries: frame sampling (mm_frame_sample),
+audio byte-energy (mm_audio_energy), and a real 24-bit BMP decode +
+nearest-neighbor resize pipeline (mm_bmp_decode_stats,
+mm_bmp_resize_stats — pure-numpy header parsing, operators/
+multimodal.py); only codec-dependent formats remain a rows-only
+contract-tested stub (mm_decode_features).
 
 The SQL oracles mirror the Spark expressions constant-for-constant
 (MinHash permutation coefficients, lexicons, the LSH hyperplane sign
