@@ -47,3 +47,25 @@ def test_run_months_partitioned_and_pruned(spark, tmp_path):
         if d.startswith("month=")
     }
     assert dirs == {"month=2025-11", "month=2025-12"}
+
+
+def test_run_months_decimal_mode_propagates(spark, tmp_path):
+    """money_mode threads through run_months: the month-partitioned
+    curated fact keeps DecimalType money columns and exact cents."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    ref = str(tmp_path / "ref")
+    sample_data.generate_reference(ref)
+    raw = str(tmp_path / "raw_dec")
+    sample_data.generate_raw(raw, "2025-12", seed=7)
+    cur = str(tmp_path / "cur_dec")
+    res = run_months(spark, ["2025-12"], raw, cur, ref, money_mode="decimal")
+    assert res["2025-12"].status == "PASS"
+    fact = spark.read.parquet(os.path.join(cur, "fact_transactions_by_month"))
+    assert isinstance(fact.schema["amount_base"].dataType, DecimalType)
+    total = fact.agg(F.sum("amount_base")).first()[0]
+    assert isinstance(total, Decimal)
+    # exact-cents invariant: the decimal sum has no sub-cent residue
+    assert (total * 100) == int(total * 100)
