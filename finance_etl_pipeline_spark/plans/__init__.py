@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QueryDef]:
         sampling,
         scalars,
         semdedup,
+        skew_shapes,
         spans,
         subqueries,
         supplier_shapes,

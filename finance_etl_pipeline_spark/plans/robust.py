@@ -579,3 +579,149 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = df if out is None else out.unionByName(df)
     return out.orderBy("dataset")
+
+
+@register(
+    "a_trimmed_mean",
+    f"""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag AS returnflag,
+           count(*) AS n_kept,
+           {sql_igrid('avg(l_extendedprice)', 2)} AS trimmed_mean_e2
+    FROM ranked
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY l_returnflag
+    ORDER BY returnflag
+    """,
+    "robust",
+    "agg",
+)
+def a_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of extended price per return flag —
+    the third robust location estimate next to the winsorized mean
+    (f_winsorize_caps caps, this one DROPS the tails) and the
+    median (w_rolling_median).  Trim membership is decided by exact
+    rank with a full deterministic tie order (price, orderkey,
+    linenumber), so both engines drop the identical row set — a
+    percentile-threshold formulation would let a 1-ulp interpolation
+    difference move boundary rows in or out.
+
+    Scale: one shuffle on l_returnflag (3 groups — for a
+    high-cardinality trim key the same shape holds, rank within key);
+    the count(*) window rides the same partitioning as row_number, so
+    no second shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = F.floor(F.col("n") * 0.1).cast("long")
+    return (
+        ranked.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            igrid(F.avg("l_extendedprice"), 2).alias("trimmed_mean_e2"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_SPAN = 32
+
+
+@register(
+    "w_ewma_trailing",
+    f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             {sql_round('sum(value)', 4)} AS v
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    seq AS (
+      SELECT event_type, day, v,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY day
+             ) AS rn
+      FROM daily
+    )
+    SELECT a.event_type AS event_type,
+           a.day AS day,
+           {sql_igrid(
+             'sum(b.v * pow(' + str(1 - _EWMA_ALPHA) + ', a.rn - b.rn)) / '
+             + '((1 - pow(' + str(1 - _EWMA_ALPHA) + ', least(a.rn, '
+             + str(_EWMA_SPAN) + '))) / ' + str(_EWMA_ALPHA) + ')', 2
+           )} AS ewma_e2
+    FROM seq a
+    JOIN seq b
+      ON a.event_type = b.event_type
+     AND b.rn BETWEEN a.rn - {_EWMA_SPAN - 1} AND a.rn
+    GROUP BY a.event_type, a.day, a.rn
+    ORDER BY event_type, day
+    """,
+    "robust",
+    "window",
+)
+def w_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized trailing EWMA (alpha=0.3, 32-day truncation) of
+    daily event value per event type — pandas ``ewm(adjust=True)``
+    semantics restated as a CLOSED-FORM windowed dot product, because
+    the textbook recurrence y_i = a*x_i + (1-a)*y_{i-1} is sequential
+    and would serialize a 100 TB series through one task.  The
+    truncation at 32 days ((0.7)^32 < 1.2e-5 of weight) is part of
+    the operator contract, so both engines sum the identical finite
+    term set; daily inputs are fround'ed BEFORE weighting so the two
+    engines weight the same numbers.
+
+    Spark shape: daily aggregate (one shuffle), then ONE trailing
+    window collect_list + a codegen'd higher-order ``aggregate`` with
+    negative element_at for the j-steps-back term — no self-join, no
+    per-offset lag chain.  The oracle states the same dot product as
+    a rank-band self-join, which is the naive O(span) shuffle the
+    window form avoids."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(fround(F.sum("value"), 4).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    q = 1 - _EWMA_ALPHA
+    num = F.expr(
+        "aggregate(sequence(0, size(vs) - 1), cast(0.0 as double), "
+        f"(acc, j) -> acc + element_at(vs, -(j + 1)) * pow({q}, j))"
+    )
+    den = (1 - F.pow(F.lit(q), F.size("vs"))) / _EWMA_ALPHA
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.collect_list("v").over(w).alias("vs"),
+        )
+        .select(
+            "event_type",
+            "day",
+            igrid(num / den, 2).alias("ewma_e2"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1,0 +1,171 @@
+"""Scale-technique parity queries: rewrites a 1000-executor cluster
+needs (salting for hot keys, range-partition planning) proven
+value-identical to their naive forms.
+
+The reference's pandas pipeline never needs these — a single process
+has no stragglers — but at 100 TB they are the difference between an
+even stage and one task holding 999 executors hostage.  Each query
+here runs the SCALE-SAFE rewrite in Spark and pairs it with the naive
+ANSI form as the DuckDB oracle, so the correctness gate itself proves
+the rewrite is semantics-preserving:
+
+- ``j_salted_skew_join`` executes ``operators/skew.py``'s
+  replicate-dim salted join (fact salts randomly, dim explodes one
+  copy per salt) and must produce the exact aggregate a plain join
+  produces — salt is plumbing, never semantics.
+- ``prof_range_partition_plan`` computes the boundary table
+  ``repartitionByRange`` needs — but from exact percentiles as a
+  distributed aggregate rather than a global sort, then audits the
+  resulting bucket occupancy.  Spark's own RangePartitioner samples
+  (reservoir per partition); this is the exact-twin audit you run to
+  validate a chosen boundary set before a big write.
+
+Reference parity: the reference has no distributed layer (single
+pandas process, finance-etl-pipeline transform.py); these extend
+SURVEY.md §2's join/profile families with the cluster-only shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import (
+    igrid,
+    sql_igrid,
+    sql_round,
+)
+from finance_etl_pipeline_spark.operators.skew import salted_left_join
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+@register(
+    "j_salted_skew_join",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           {sql_igrid('sum(o.o_totalprice)', 2)} AS revenue_e2
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY mktsegment
+    """,
+    "join",
+    "skew",
+)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue per market segment through a SALTED left join.
+
+    The fact (orders) takes a random salt in [0, 8); the dim
+    (customer) explodes to one copy per salt; the join key becomes
+    (custkey, salt) so a hot customer's orders spread over 8 reducers
+    instead of one.  The oracle is the PLAIN join — identical output
+    is the proof that salting never changes semantics, only placement.
+    Dim replication cost is 8× |customer| rows of 2 columns, paid
+    only when a profiled hot key justifies it (see prof_key_skew);
+    AQE's runtime skew split handles the sort-merge case, salting
+    handles skew known in advance (tests/test_aqe_skew.py compares).
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_left_join(o, c, "custkey", salts=8)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            igrid(F.sum("o_totalprice"), 2).alias("revenue_e2"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_NBUCKETS = 8
+
+
+def _boundary_exprs() -> list:
+    """Exact percentile boundaries j/8, rounded to the e4 grid so a
+    1-ulp interpolation difference between engines cannot move a row
+    across a bucket edge (prices carry 2 decimals; boundaries live on
+    the 4-decimal grid between them)."""
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    return [
+        fround(
+            F.expr(f"percentile(l_extendedprice, {j}.0/{_NBUCKETS})"), 4
+        ).alias(f"b{j}")
+        for j in range(1, _NBUCKETS)
+    ]
+
+
+@register(
+    "prof_range_partition_plan",
+    f"""
+    WITH b AS (
+      SELECT {', '.join(
+        sql_round(f'quantile_cont(l_extendedprice, {j}.0/{_NBUCKETS})', 4)
+        + f' AS b{j}' for j in range(1, _NBUCKETS)
+      )}
+      FROM lineitem
+    ),
+    assigned AS (
+      SELECT l.l_extendedprice AS price,
+             1 {' '.join(
+               f'+ CASE WHEN l.l_extendedprice > b.b{j} THEN 1 ELSE 0 END'
+               for j in range(1, _NBUCKETS)
+             )} AS bucket
+      FROM lineitem l CROSS JOIN b
+    )
+    SELECT bucket,
+           count(*) AS n_rows,
+           {sql_igrid('min(price)', 2)} AS min_price_e2,
+           {sql_igrid('max(price)', 2)} AS max_price_e2,
+           {sql_igrid('sum(price)', 2)} AS sum_price_e2
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    "profile",
+    "partitioning",
+)
+def prof_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary plan + occupancy audit for a sorted
+    write of lineitem by l_extendedprice into 8 buckets.
+
+    Boundaries come from EXACT percentiles computed as one
+    distributed aggregate — no global sort, no single-partition
+    window (NTILE over an unpartitioned window would funnel 100 TB
+    through one task; this shape never does).  The 1-row boundary
+    frame broadcasts back onto the scan and bucket assignment is a
+    chain of codegen'd comparisons.  At cluster scale you'd swap
+    ``percentile`` for ``percentile_approx`` (a_percentiles_approx
+    documents the error bound) and feed the boundaries to
+    ``repartitionByRange``/sortWithinPartitions for a skip-friendly
+    layout (operators/zorder.py writes it); the exact form here is
+    the audit oracle for that plan."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.agg(*_boundary_exprs())
+    bucket = F.lit(1)
+    for j in range(1, _NBUCKETS):
+        bucket = bucket + F.when(
+            F.col("l_extendedprice") > F.col(f"b{j}"), 1
+        ).otherwise(0)
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(
+            F.col("l_extendedprice").alias("price"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            igrid(F.min("price"), 2).alias("min_price_e2"),
+            igrid(F.max("price"), 2).alias("max_price_e2"),
+            igrid(F.sum("price"), 2).alias("sum_price_e2"),
+        )
+        .orderBy("bucket")
+    )
