@@ -538,3 +538,82 @@ def s_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("excess_tokens"),
     ).orderBy("source")
+
+
+def _leakage_safe_split_sql() -> str:
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    clusters = REGISTRY["dd_dedup_clusters"].oracle
+    h_group = _SQL_H60.format(x="CAST(group_id AS VARCHAR)")
+    return f"""
+    WITH c AS (SELECT doc_id, cluster_id FROM ({clusters})),
+    g AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS group_id,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_clustered
+      FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+    ),
+    lab AS (
+      SELECT doc_id, group_id, is_clustered,
+             CASE WHEN {h_group} % 100 < 80 THEN 'train'
+                  WHEN {h_group} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT group_id) AS n_groups,
+           CAST(sum(is_clustered) AS BIGINT) AS n_clustered_docs
+    FROM lab GROUP BY split ORDER BY split
+    """
+
+
+@register(
+    "s_leakage_safe_split",
+    _leakage_safe_split_sql(),
+    "sampling",
+    "llm",
+    "dedup",
+)
+def s_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the split hash is taken
+    over the DEDUP GROUP (connected-component cluster_id for
+    clustered docs, own doc_id for singletons), so two near-duplicate
+    documents can never land on opposite sides — the leakage mode a
+    plain per-doc split (s_train_test_split) cannot prevent, and the
+    reason eval numbers inflate when test data near-dups the training
+    set.  By construction every group maps to exactly one split; the
+    emitted per-split group/doc counts are the audit.
+
+    Scale: the cluster pass is the production LSH pipeline
+    (dd_dedup_clusters — duplication-density-bounded); the split
+    itself is a left join on doc_id (co-partitioned, dup-bounded
+    right side) plus a narrow hash map.  Content-addressed like every
+    sampler here: adding new docs never moves an existing group."""
+    from finance_etl_pipeline_spark.plans import REGISTRY
+
+    labels = (
+        REGISTRY["dd_dedup_clusters"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "cluster_id")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    g = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("group_id"),
+        F.col("cluster_id").isNotNull().cast("int").alias("is_clustered"),
+    )
+    h = hash60_expr(F.col("group_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        g.select(split.alias("split"), "group_id", "is_clustered")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("group_id").alias("n_groups"),
+            F.sum("is_clustered").cast("long").alias("n_clustered_docs"),
+        )
+        .orderBy("split")
+    )
