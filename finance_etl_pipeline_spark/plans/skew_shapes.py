@@ -169,3 +169,93 @@ def prof_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_TARGET_PART_BYTES = 128 * 1024 * 1024
+
+# (table, [(column, kind)]) — kind drives the per-row byte model:
+# fixed-width natives at their in-memory width, strings at
+# chars + 4 bytes of offset/length overhead.  The spec is written
+# out once and shared verbatim by the Spark plan and the oracle so
+# the two engines price the identical schema.
+_SIZE_SPECS = [
+    ("documents", [("doc_id", 8), ("text", "str"), ("lang", "str"),
+                   ("source", "str"), ("n_chars", 8)]),
+    ("events", [("event_id", 8), ("ts", 8), ("user_id", 8),
+                ("event_type", "str"), ("value", 8), ("props", "str")]),
+    ("lineitem", [("l_orderkey", 8), ("l_partkey", 8), ("l_suppkey", 8),
+                  ("l_linenumber", 4), ("l_quantity", 8),
+                  ("l_extendedprice", 8), ("l_discount", 8), ("l_tax", 8),
+                  ("l_returnflag", "str"), ("l_linestatus", "str"),
+                  ("l_shipdate", 8)]),
+    ("orders", [("o_orderkey", 8), ("o_custkey", 8),
+                ("o_orderstatus", "str"), ("o_totalprice", 8),
+                ("o_orderdate", 8), ("o_orderpriority", "str")]),
+]
+
+
+def _advisor_sql() -> str:
+    parts = []
+    for t, cols in _SIZE_SPECS:
+        fixed = sum(k for _, k in cols if k != "str")
+        strs = " + ".join(
+            f"length(coalesce({c}, '')) + 4" for c, k in cols if k == "str"
+        )
+        row = f"{fixed} + {strs}" if strs else str(fixed)
+        parts.append(f"""
+    SELECT '{t}' AS dataset,
+           count(*) AS n_rows,
+           CAST(sum({row}) AS BIGINT) AS est_bytes,
+           greatest(CAST(1 AS BIGINT),
+                    (CAST(sum({row}) AS BIGINT) + {_TARGET_PART_BYTES - 1})
+                    // {_TARGET_PART_BYTES}) AS target_partitions
+    FROM {t}""")
+    return " UNION ALL ".join(parts) + " ORDER BY dataset"
+
+
+@register(
+    "prof_partition_advisor",
+    _advisor_sql(),
+    "profile",
+    "partitioning",
+)
+def prof_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-count advisor: estimated uncompressed bytes per
+    dataset from an explicit per-column width model (natives at
+    fixed width, strings at chars+4), and the partition count that
+    lands each dataset at the 128 MiB target
+    ``spark.sql.files.maxPartitionBytes`` / shuffle-partition sizing
+    both assume.  This is the number you feed to ``repartition(n)``
+    before a big write, or use to sanity-check
+    ``spark.sql.shuffle.partitions`` for a join on the table — at
+    sf0.1 everything fits one partition; at 100 TB the same query
+    prints the honest 10⁵-partition plan.  One aggregate pass per
+    table, no shuffle beyond the 1-row-per-table merge."""
+    out = None
+    for t, cols in _SIZE_SPECS:
+        fixed = sum(k for _, k in cols if k != "str")
+        row = F.lit(fixed)
+        for c, k in cols:
+            if k == "str":
+                row = row + F.length(F.coalesce(F.col(c), F.lit(""))) + 4
+        df = (
+            table(spark, sf_dir, t)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(row).cast("long").alias("est_bytes"),
+            )
+            .select(
+                F.lit(t).alias("dataset"),
+                "n_rows",
+                "est_bytes",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    (
+                        (F.col("est_bytes") + (_TARGET_PART_BYTES - 1))
+                        / _TARGET_PART_BYTES
+                    ).cast("long"),
+                ).alias("target_partitions"),
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("dataset")
