@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from finance_etl_pipeline_spark.functions.scalars import fround, igrid, sql_round
+from finance_etl_pipeline_spark.functions.scalars import (
+    fround,
+    igrid,
+    sql_igrid,
+    sql_round,
+)
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import table
 
@@ -332,4 +337,66 @@ def bi_order_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("age_days").cast("long").alias("max_age_days"),
         )
         .orderBy("age_bucket")
+    )
+
+
+@register(
+    "bi_new_vs_returning_revenue",
+    f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS first_day
+      FROM orders GROUP BY o_custkey
+    ),
+    labeled AS (
+      SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+             CASE WHEN CAST(o.o_orderdate AS DATE) = f.first_day
+                  THEN 'new' ELSE 'returning' END AS cohort,
+             o.o_totalprice AS price
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT month, cohort,
+           count(*) AS n_orders,
+           {sql_igrid('sum(price)', 2)} AS revenue_e2
+    FROM labeled
+    GROUP BY month, cohort
+    ORDER BY month, cohort
+    """,
+    "bi",
+    "window",
+)
+def bi_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into new-customer vs returning-customer
+    orders — the acquisition-vs-retention decomposition every
+    commerce dashboard leads with (the reference's KPI table slices
+    by entity/month; this slices by customer lifecycle).  'New' =
+    the order lands on the customer's first-ever order DAY, so a
+    customer's multiple same-day first orders all count as new —
+    stated in both engines identically via the min-date join.
+
+    Scale: the firsts table is one aggregate over orders keyed by
+    customer (map-side combined), joined back on o_custkey —
+    co-partitioned with the fact it came from; no window over the
+    full fact, no broadcast hint (AQE picks one while firsts is
+    small)."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_day")
+    )
+    labeled = o.join(firsts, "o_custkey").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.when(
+            F.col("o_orderdate").cast("date") == F.col("first_day"), "new"
+        )
+        .otherwise("returning")
+        .alias("cohort"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        labeled.groupBy("month", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            igrid(F.sum("price"), 2).alias("revenue_e2"),
+        )
+        .orderBy("month", "cohort")
     )

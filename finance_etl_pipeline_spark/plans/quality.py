@@ -238,3 +238,43 @@ def dq_severity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Q.dq_summary(
         exc, ["lineitem", "events", "orders"], spark, fail_on="ERROR"
     ).orderBy("dataset")
+
+
+@register(
+    "dq_declared_length_audit",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(max(abs(n_chars - length(text))) AS BIGINT) AS max_abs_delta
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "quality",
+    "llm",
+)
+def dq_declared_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-metadata vs payload consistency: does the ingest-time
+    ``n_chars`` column actually equal ``length(text)``?  The
+    LLM-corpus counterpart of the reference's row-level identity
+    check (quality.py Q4 payroll identity): declared metadata is what
+    downstream samplers/packers trust (s_weighted_sample weights by
+    n_chars, s_size_balanced_shards bins by it), so a drifted or
+    truncated payload silently corrupts every consumer.  One narrow
+    map + per-source aggregate; at 100 TB this is the cheap audit you
+    run on every ingest batch before the expensive stages."""
+    d = table(spark, sf_dir, "documents")
+    delta = F.col("n_chars") - F.length("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(delta == 0, 0).otherwise(1))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.max(F.abs(delta)).cast("long").alias("max_abs_delta"),
+        )
+        .orderBy("source")
+    )

@@ -617,3 +617,94 @@ def s_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_N_SHARDS = 8
+_N_BANDS = 8
+
+
+def _shard_band_sql() -> str:
+    bounds = ", ".join(
+        f"floor(quantile_cont(n_chars, {j}.0/{_N_BANDS}) * 10000 + 0.5001) / 10000 AS b{j}"
+        for j in range(1, _N_BANDS)
+    )
+    case = " ".join(
+        f"+ CASE WHEN d.n_chars > b.b{j} THEN 1 ELSE 0 END"
+        for j in range(1, _N_BANDS)
+    )
+    return f"""
+    WITH b AS (SELECT {bounds} FROM documents),
+    banded AS (
+      SELECT d.doc_id, d.n_chars, 1 {case} AS band
+      FROM documents d CROSS JOIN b
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars, band,
+             (row_number() OVER (
+                PARTITION BY band ORDER BY n_chars DESC, doc_id
+              ) - 1) % {_N_SHARDS} AS shard
+      FROM banded
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+@register(
+    "s_size_balanced_shards",
+    _shard_band_sql(),
+    "sampling",
+    "partitioning",
+)
+def s_size_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment: round-robin docs into 8 shards
+    by descending size WITHIN each of 8 size bands — the banded
+    approximation of greedy longest-first bin packing that stays
+    distributed: a truly global size rank would funnel the corpus
+    through one window partition; banding on exact-percentile
+    boundaries (the prof_range_partition_plan pattern) caps every
+    window partition at corpus/8 and still lands each shard within
+    one band-width of perfect char balance.  Use it to write
+    equal-weight training shards instead of hash shards
+    (s_shard_assignment) whose sizes drift with document-length
+    variance.  Boundaries are e4-rounded so interpolation ULPs can't
+    move a doc across bands."""
+    d = table(spark, sf_dir, "documents")
+    b = d.agg(
+        *[
+            (
+                F.floor(
+                    F.expr(f"percentile(n_chars, {j}.0/{_N_BANDS})") * 10000
+                    + 0.5001
+                )
+                / 10000
+            ).alias(f"b{j}")
+            for j in range(1, _N_BANDS)
+        ]
+    )
+    band = F.lit(1)
+    for j in range(1, _N_BANDS):
+        band = band + F.when(F.col("n_chars") > F.col(f"b{j}"), 1).otherwise(0)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.crossJoin(F.broadcast(b))
+        .select("doc_id", "n_chars", band.alias("band"))
+        .select(
+            "n_chars",
+            ((F.row_number().over(w) - 1) % _N_SHARDS).alias("shard"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("shard")
+    )

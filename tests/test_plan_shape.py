@@ -215,6 +215,7 @@ ALLOWED_BROADCASTS = {
     ("plans/relational.py", "j_band_join_pricing", "bands"): "literal band grid",
     ("plans/robust.py", "f_winsorize_caps", "caps"): "per-event-type caps: |event types| rows",
     ("plans/skew_shapes.py", "prof_range_partition_plan", "b"): "1-row aggregate of 7 exact percentile boundaries",
+    ("plans/sampling.py", "s_size_balanced_shards", "b"): "1-row aggregate of 7 percentile band boundaries",
     ("plans/robust.py", "f_mad_outliers", "med"): "per-event-type medians",
     ("plans/robust.py", "f_mad_outliers", "mad"): "per-event-type MADs",
     ("plans/robust.py", "dq_benford_first_digit", "tot"): "1-row total",
