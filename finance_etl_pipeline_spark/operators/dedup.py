@@ -316,6 +316,11 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # the change flag is computed inside the SAME update join (a
+        # node's label only ever decreases, so "changed" ⇔ some
+        # neighbor label beat the current one) — a separate
+        # new-vs-old comparison join would add a full shuffle join
+        # per round for information the update already has in hand
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
@@ -323,17 +328,14 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
+                (F.coalesce("nbr_lbl", F.col("lbl")) < F.col("lbl")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels
