@@ -725,3 +725,75 @@ def w_ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+_ENTROPY_COLS = [
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+]
+
+
+@register(
+    "prof_categorical_entropy",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{t}.{c}' AS column_name,
+           count(*) AS n_values,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           {sql_igrid(
+               'ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)', 6
+           )} AS entropy_e6,
+           {sql_igrid('max(cnt) / sum(cnt)', 6)} AS top1_share_e6
+    FROM (SELECT {c} AS v, CAST(count(*) AS DOUBLE) AS cnt
+          FROM {t} WHERE {c} IS NOT NULL GROUP BY {c})
+    """
+        for t, c in _ENTROPY_COLS
+    )
+    + " ORDER BY column_name",
+    "robust",
+    "profile",
+)
+def prof_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + dominance profile of the categorical
+    columns: cardinality, H = ln(N) - Σ n_i·ln(n_i)/N (computed from
+    integer value counts so both engines feed ln() the identical
+    arguments), and the top-1 value share.  This is the
+    column-level complement of prof_table_summary's numeric stats —
+    the signal for join-key selectivity, stratification usefulness
+    (a near-zero-entropy column can't stratify), and encoding choice
+    (dictionary vs plain at write time).
+
+    Scale: one groupBy per profiled column on low-cardinality keys →
+    counts are tiny; the entropy algebra runs over |distinct values|
+    rows.  For high-cardinality columns swap the exact count for a
+    CMS/HLL sketch (operators/sketch.py)."""
+    out = None
+    for t, c in _ENTROPY_COLS:
+        counts = (
+            table(spark, sf_dir, t)
+            .where(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+        )
+        df = counts.agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            igrid(
+                F.log(F.sum("cnt"))
+                - F.sum(F.col("cnt") * F.log("cnt")) / F.sum("cnt"),
+                6,
+            ).alias("entropy_e6"),
+            igrid(F.max("cnt") / F.sum("cnt"), 6).alias("top1_share_e6"),
+        ).select(
+            F.lit(f"{t}.{c}").alias("column_name"),
+            "n_values",
+            "n_rows",
+            "entropy_e6",
+            "top1_share_e6",
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("column_name")
