@@ -123,3 +123,75 @@ def gen_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM").alias("month_key"),
         F.date_trunc("week", "d").cast("date").alias("week_start"),
     ).orderBy("date_key")
+
+
+@register(
+    "dq_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 3 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-07-01'
+        AND o_orderkey % 97 <> 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus <> n.o_orderstatus
+                  OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_keys
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    GROUP BY 1 ORDER BY change_type
+    """,
+    "etl",
+    "quality",
+    "join",
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two versions of a keyed table
+    (operators/diff.py::table_diff): every key classified added /
+    removed / changed / unchanged — the anti-entropy audit after a
+    backfill or CDC replay on a plain-Parquet lake.  The two
+    snapshots are carved deterministically from orders (six months of
+    growth, a 1-in-97 deletion, a 1-in-89 price restatement) so all
+    four classes are populated at every SF.
+
+    The Spark path compares per-column md5 digests hashed in
+    fixed-width concatenation (16 bytes shuffle per row, not the
+    row); the oracle compares the raw VALUES — matching proves the
+    hash classification exact, not just self-consistent.  One full
+    outer join on the key; pre-bucketed snapshots would skip the
+    exchange (tests/test_bucketing.py)."""
+    from finance_etl_pipeline_spark.operators.diff import table_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.where(
+            (F.col("o_orderdate") < "1997-07-01")
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 89 == 3, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return (
+        table_diff(old, new, ["o_orderkey"])
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("change_type")
+    )
