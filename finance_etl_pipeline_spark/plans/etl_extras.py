@@ -195,3 +195,81 @@ def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("change_type")
     )
+
+
+@register(
+    "u_upsert_merge",
+    """
+    WITH tgt AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    src AS (
+      SELECT o_orderkey,
+             'F' AS o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-06-01'
+        AND o_orderdate < TIMESTAMP '1997-07-01'
+        AND o_orderkey % 3 = 0
+    ),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT t.* FROM tgt t
+      WHERE NOT EXISTS (SELECT 1 FROM src s
+                        WHERE s.o_orderkey = t.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(floor(sum(o_totalprice) * 100 + 0.5001) AS BIGINT)
+             AS revenue_e2
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "etl",
+    "union",
+    "join",
+)
+def u_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert for plain-Parquet tables
+    (operators/merge.py::upsert, source-wins): a six-month order
+    restatement batch (status forced to 'F', price +10) merged into
+    the pre-1997 snapshot — updates overwrite matched keys, unmatched
+    source keys insert, untouched target rows survive.  The oracle
+    states MERGE's textbook expansion (source UNION ALL
+    anti-joined target); matching per-status counts and revenue prove
+    the operator's join-based implementation equivalent.
+
+    Scale: one full-outer-shaped join on the key (hash-partitioned);
+    the uniqueness guard is a cheap early-out aggregate.  On a real
+    lake this runs per partition-predicate slice (dynamic partition
+    overwrite, sources/writers.py), never whole-table."""
+    from finance_etl_pipeline_spark.operators.merge import upsert
+
+    o = table(spark, sf_dir, "orders")
+    tgt = o.where(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = (
+        o.where(
+            (F.col("o_orderdate") >= "1996-06-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+            & (F.col("o_orderkey") % 3 == 0)
+        )
+        .select(
+            "o_orderkey",
+            F.lit("F").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        )
+    )
+    return (
+        upsert(tgt, src, ["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            igrid(F.sum("o_totalprice"), 2).alias("revenue_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
