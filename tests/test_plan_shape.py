@@ -506,3 +506,48 @@ def test_ivf_probe_sweep_single_corpus_pass(spark, sf_dir):
     plan = plan_of(spark, "ann_ivf_probe_sweep", sf_dir)
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_size_balanced_shards_no_global_window(spark, sf_dir):
+    """The shard ranker must window WITHIN size bands — a global
+    row_number (empty partition spec) would funnel the corpus through
+    one task.  'Window [...]' with no 'partitionBy' shows up in the
+    formatted plan as a Window whose partition spec is empty; assert
+    every Window node carries the band key instead."""
+    plan = plan_of(spark, "s_size_balanced_shards", sf_dir)
+    assert "CartesianProduct" not in plan
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "band" in spec, f"global (unpartitioned) window: {spec}"
+
+
+def test_salted_join_no_plain_key_join(spark, sf_dir):
+    """j_salted_skew_join must join on (custkey, salt) — the whole
+    point.  The physical join keys must include the salt column; a
+    plain custkey-only join would mean the salting silently collapsed
+    (e.g. a rewrite dropped __salt)."""
+    plan = plan_of(spark, "j_salted_skew_join", sf_dir)
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_single_window_no_self_join(spark, sf_dir):
+    """w_ewma_trailing's Spark form is ONE trailing window over the
+    daily aggregate — the rank-band self-join lives only in the
+    oracle.  Two scans of events (or any join) would mean the closed
+    form regressed to the naive shape."""
+    plan = plan_of(spark, "w_ewma_trailing", sf_dir)
+    assert "Join" not in plan
+    # formatted explain prints each node twice (tree + detail)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_upsert_anti_join_or_outer_shape(spark, sf_dir):
+    """u_upsert_merge is one key join between target and compacted
+    source — no cartesian, no repeated orders scans beyond the two
+    snapshot carvings."""
+    plan = plan_of(spark, "u_upsert_merge", sf_dir)
+    assert "CartesianProduct" not in plan
+    # two snapshot carvings, each printed twice (tree + detail)
+    assert plan.count("Scan parquet") <= 4
