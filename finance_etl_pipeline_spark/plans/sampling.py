@@ -619,7 +619,7 @@ def s_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_SHARDS = 8
+_N_BAL_SHARDS = 8
 _N_BANDS = 8
 
 
@@ -642,7 +642,7 @@ def _shard_band_sql() -> str:
       SELECT doc_id, n_chars, band,
              (row_number() OVER (
                 PARTITION BY band ORDER BY n_chars DESC, doc_id
-              ) - 1) % {_N_SHARDS} AS shard
+              ) - 1) % {_N_BAL_SHARDS} AS shard
       FROM banded
     )
     SELECT shard,
@@ -698,7 +698,7 @@ def s_size_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", band.alias("band"))
         .select(
             "n_chars",
-            ((F.row_number().over(w) - 1) % _N_SHARDS).alias("shard"),
+            ((F.row_number().over(w) - 1) % _N_BAL_SHARDS).alias("shard"),
         )
         .groupBy("shard")
         .agg(
