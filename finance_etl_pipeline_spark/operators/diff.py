@@ -39,12 +39,14 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
         # concatenation: per-column digests cannot bleed into each
         # other, so no separator/sentinel value occurring IN the data
         # can make two different rows collide (md5 output is always
-        # 32 hex chars; 'N' marks NULL unambiguously)
+        # 32 hex chars; 'N' marks NULL unambiguously).  The outer
+        # digest is unhex'd to a 16-byte BINARY so the join shuffles
+        # true 16-byte digests, not 32-char hex strings.
         col_digests = [
             F.coalesce(F.md5(F.col(c).cast("string")), F.lit("N" * 32))
             for c in value_cols
         ]
-        h = F.md5(F.concat(*col_digests))
+        h = F.unhex(F.md5(F.concat(*col_digests)))
         return df.select(*keys, h.alias(name))
 
     o = hashed(old, "h_old")
