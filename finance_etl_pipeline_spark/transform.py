@@ -271,14 +271,20 @@ def kpi_monthly(
 
 def add_margins(kpi: DataFrame) -> DataFrame:
     """BI margin enrichment (reference export_bi_datasets.py:45-55).
-    Division by zero → null (Spark semantics; SURVEY.md §7.6.5)."""
-    rev = F.nullif(F.col("Revenue"), F.lit(0.0))
+    Division by zero → null (Spark semantics; SURVEY.md §7.6.5).
+
+    Margin RATIOS are always double — even in decimal money mode —
+    because the reference emits them unrounded (a percentage is not
+    money), and decimal÷decimal would retype them with an
+    engine-chosen scale.  The money columns themselves pass through
+    untouched, so a DecimalType KPI stays DecimalType."""
+    rev = F.nullif(F.col("Revenue").cast("double"), F.lit(0.0))
     # reference emits margins UNROUNDED (export_bi_datasets.py:45-55:
     # (gp / rev) * 100 with no .round) — full precision preserved here
     # so the golden comparison is exact
     return kpi.withColumns(
         {
-            "gross_margin_pct": F.col("gross_profit") / rev * 100,
-            "operating_margin_pct": F.col("operating_profit") / rev * 100,
+            "gross_margin_pct": F.col("gross_profit").cast("double") / rev * 100,
+            "operating_margin_pct": F.col("operating_profit").cast("double") / rev * 100,
         }
     )

@@ -130,6 +130,80 @@ def test_run_month_decimal_mode_cent_identical_to_double(spark, tmp_path):
     ) < 0.01
 
 
+def test_decimal_mode_flows_through_star_and_bi_exports(spark, tmp_path):
+    """Round-3 verdict item 6: star/BI exports downstream of a decimal
+    run_month must keep DecimalType money columns end to end and stay
+    cent-identical to the double-mode export (which is chained to the
+    committed reference goldens by test_reference_golden.py)."""
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    from finance_etl_pipeline_spark import export_bi, sample_data, star
+    from finance_etl_pipeline_spark.pipeline import run_month
+
+    raw, ref = str(tmp_path / "raw"), str(tmp_path / "ref")
+    sample_data.generate_raw(raw, MONTH, seed=42)
+    sample_data.generate_reference(ref)
+
+    stars = {}
+    for mode in ("double", "decimal"):
+        out = str(tmp_path / f"curated_{mode}")
+        res = run_month(spark, MONTH, raw, out, ref, money_mode=mode)
+        assert res.status == "PASS"
+        fact = spark.read.parquet(res.paths["fact_transactions"])
+        kpi = spark.read.parquet(res.paths["kpi_monthly"])
+        coa = spark.read.parquet(res.paths["dim_accounts"])
+        stars[mode] = star.export_star(fact, kpi, coa)
+        # flat BI export runs on the same curated dir without error
+        bi_out = str(tmp_path / f"bi_{mode}")
+        paths = export_bi.export_bi_datasets(spark, out, bi_out, MONTH)
+        assert "kpi_monthly" in paths
+
+    # typing: money stays decimal, margins stay double ratios
+    kpi_x = stars["decimal"]["fact_kpi_monthly"]
+    for c in ("Revenue", "COGS", "Expense", "gross_profit", "operating_profit"):
+        assert isinstance(kpi_x.schema[c].dataType, DecimalType), c
+    for c in ("gross_margin_pct", "operating_margin_pct"):
+        assert isinstance(kpi_x.schema[c].dataType, DoubleType), c
+    assert isinstance(
+        stars["decimal"]["fact_gl"].schema["amount"].dataType, DecimalType
+    )
+
+    # cent-identical KPI facts between modes (entity_key is the same
+    # sequential surrogate in both: same entity set, same sort)
+    def kpi_cents(tabs):
+        rows = tabs["fact_kpi_monthly"].select(
+            "month_key",
+            "entity_key",
+            *[
+                F.rint(F.col(c).cast("double") * 100).cast("long").alias(c)
+                for c in ("Revenue", "COGS", "Expense",
+                          "gross_profit", "operating_profit")
+            ],
+            F.round("gross_margin_pct", 9).alias("gm"),
+            F.round("operating_margin_pct", 9).alias("om"),
+        ).collect()
+        return {(r.month_key, r.entity_key): tuple(r)[2:] for r in rows}
+
+    assert kpi_cents(stars["double"]) == kpi_cents(stars["decimal"])
+
+    # cent-identical GL totals per (entity_key, account_key)
+    def gl_cents(tabs):
+        rows = (
+            tabs["fact_gl"]
+            .groupBy("entity_key", "account_key")
+            .agg(
+                F.sum(
+                    F.rint(F.col("amount").cast("double") * 100).cast("long")
+                ).alias("cents"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        return {(r.entity_key, r.account_key): (r.cents, r.n) for r in rows}
+
+    assert gl_cents(stars["double"]) == gl_cents(stars["decimal"])
+
+
 def test_run_month_rejects_bad_money_mode(spark, tmp_path):
     import pytest
 
