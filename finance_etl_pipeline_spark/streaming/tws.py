@@ -19,12 +19,16 @@ Requires the RocksDB state store provider (the test sets
 state also brings changelog checkpointing — state restore cost is
 O(changed keys), not O(state).
 
-Environment gate: the TWS state-server protocol needs the Python
-``protobuf`` package (`pyspark/sql/streaming/transform_with_state_
-driver_worker.py` imports google.protobuf).  This container does not
-ship it, so tests/test_tws_alerts.py skips cleanly when the import
-fails; the operator itself is complete and runs wherever pyspark's
-`connect` extra (which pins protobuf) is installed."""
+Environment note: the TWS state-server protocol is protobuf-framed;
+pyspark expects the ``protobuf`` runtime for its generated
+``StateMessage_pb2``.  Where ``google.protobuf`` is absent,
+``streaming/proto_shim.py`` (a pure-Python proto3 wire-format
+implementation of the same public Spark message contract) is
+registered in its place — the ``install()`` below runs at import
+time, which is exactly when a Spark Python worker unpickles the
+``SpendAlertProcessor`` defined here, i.e. before the first
+state-server round trip.  With real protobuf installed the shim
+stands down and the generated module is used untouched."""
 
 from __future__ import annotations
 
@@ -36,6 +40,10 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+from finance_etl_pipeline_spark.streaming import proto_shim
+
+proto_shim.install()
 
 ALERT_STEP = 1000.0
 

@@ -11,13 +11,11 @@ from __future__ import annotations
 import os
 import shutil
 
-import pytest
 from pyspark.sql import functions as F
 
-# the TWS state-server wire protocol is protobuf-based; without the
-# package the driver-side worker crashes before user code runs
-pytest.importorskip("google.protobuf")
-
+# the TWS state-server wire protocol is protobuf-framed; importing the
+# operator module installs streaming/proto_shim.py where the protobuf
+# runtime is absent, so this test runs in the default environment
 from finance_etl_pipeline_spark.sources.readers import table
 from finance_etl_pipeline_spark.streaming.events import read_events_stream
 from finance_etl_pipeline_spark.streaming.tws import ALERT_STEP, spend_alerts
