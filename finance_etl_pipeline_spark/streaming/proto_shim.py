@@ -40,7 +40,10 @@ stays absent).
 
 from __future__ import annotations
 
+import os
 import sys
+
+_DEBUG = os.environ.get("SPARK_SHIM_DEBUG", "") == "1"
 
 # ---------------------------------------------------------------------------
 # wire-format primitives (public proto3 encoding)
@@ -183,6 +186,8 @@ class _Message:
     # -- serialize -----------------------------------------------------------
 
     def SerializeToString(self) -> bytes:  # noqa: N802 (protobuf API)
+        if _DEBUG:
+            print(f"SHIM>> {self!r}", file=sys.stderr, flush=True)
         out = bytearray()
         for name, f in sorted(
             type(self)._FIELDS.items(), key=lambda kv: kv[1].number
@@ -259,6 +264,8 @@ class _Message:
             else:
                 self._values[name] = value
             self._set.add(name)
+        if _DEBUG:
+            print(f"SHIM<< {self!r}", file=sys.stderr, flush=True)
         return len(data)
 
     def __repr__(self):
