@@ -296,6 +296,98 @@ def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "drift_ks_value",
+    f"""
+    WITH cells AS (
+      SELECT value,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM cells),
+    cum AS (
+      SELECT sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+             sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM cells
+    )
+    SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+           CAST(max(abs(cum_a * tb - cum_b * ta)) AS BIGINT) AS d_num,
+           {sql_igrid('max(abs(cum_a * tb - cum_b * ta)) / (CAST(ta AS DOUBLE) * tb)', 6)} AS ks_e6
+    FROM cum CROSS JOIN tot
+    GROUP BY ta, tb
+    """,
+    "llm",
+    "curation",
+    "events",
+)
+def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic on the
+    `value` distribution between the two deterministic cohorts
+    (event_id parity): KS = max over distinct values of
+    |ECDF_a - ECDF_b|.  PSI (drift_psi_events) sees only 10 coarse
+    bins; KS is the distribution-free test that catches shape drift
+    PSI's binning can hide, and the classic pre-training check that a
+    re-scored or re-sampled corpus still matches the reference
+    distribution.
+
+    Everything up to the final grid is INTEGER arithmetic: the
+    statistic is maximized as |cum_a*N_b - cum_b*N_a| (exact BIGINT),
+    so cross-engine parity cannot hinge on float summation order.
+
+    Spark shape — exact KS needs a global ECDF, but NOT a global
+    single-partition sort: distinct values aggregate first (map-side
+    combine, one row per distinct value), each lands in a fixed-width
+    value band, per-band subtotals form the prefix offsets (a window
+    over |bands| ≈ 10 rows), and the running sums run inside each
+    band only (windows capped at rows-per-band) — the banded-prefix
+    pattern of prof_range_partition_plan, giving an exact global
+    cumulative sum with no unpartitioned window over the data."""
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = (
+        e.select((F.col("event_id") % 2).alias("grp"), "value")
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
+        )
+        .withColumn("bkt", F.floor(F.col("value") / _BIN_W).cast("long"))
+    )
+    band_tot = cells.groupBy("bkt").agg(
+        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = band_tot.select(
+        "bkt",
+        F.coalesce(F.sum("bca").over(wb), F.lit(0)).alias("pa"),
+        F.coalesce(F.sum("bcb").over(wb), F.lit(0)).alias("pb"),
+    )
+    wv = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.join(F.broadcast(prefix), "bkt").select(
+        (F.sum("ca").over(wv) + F.col("pa")).alias("cum_a"),
+        (F.sum("cb").over(wv) + F.col("pb")).alias("cum_b"),
+    )
+    tot = cells.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    d = F.abs(
+        F.col("cum_a") * F.col("tb") - F.col("cum_b") * F.col("ta")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("ta").cast("long").alias("n_a"),
+            F.max("tb").cast("long").alias("n_b"),
+            F.max(d).cast("long").alias("d_num"),
+            igrid(
+                F.max(d) / (F.max("ta").cast("double") * F.max("tb")), 6
+            ).alias("ks_e6"),
+        )
+    )
+
+
 _ALPHA_KEEP = 200  # total docs the resampled mixture targets
 
 
