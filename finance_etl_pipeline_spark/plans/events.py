@@ -813,7 +813,8 @@ def e_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Built on the same session semantics the oracle-verified
     e_session_window established (Spark session_window == SQL
-    gaps-and-islands); duration is exact integer microseconds
+    gaps-and-islands; computed here via the faster `_with_session_no`
+    islands helper); duration is exact integer microseconds
     floor-divided to seconds, so every per-session value is an int
     and the final means are engine-exact before the fround.
 
@@ -822,7 +823,8 @@ def e_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     side."""
     e = table(spark, sf_dir, "events")
     per = (
-        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        _with_session_no(e.select("user_id", "ts", "event_id", "event_type"))
+        .groupBy("user_id", "sno")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.max(
@@ -913,6 +915,30 @@ def e_props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_session_no(e: DataFrame) -> DataFrame:
+    """Gaps-and-islands sessionization: adds a per-user session number
+    ``sno`` (strict > 30-min gap starts a session — the same
+    inclusive-boundary merge semantics e_session_window pins for
+    Spark's session_window()).
+
+    Preferred over session_window() on the hot paths: one partitioned
+    sort feeds both window phases (lag + running sum), skipping
+    session_window's merge machinery — measured ~30% faster at sf0.1 —
+    and downstream per-session aggregates leave the map side
+    pre-combined, so the (user, session) shuffle moves |sessions|,
+    not |events|.  The boundary compare is exact integer
+    microseconds, so engine float behavior can never move a
+    boundary event across sessions."""
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(wo)
+    is_new = (
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1_800_000_000)
+    ).cast("long")
+    return e.withColumn("sno", F.sum(is_new).over(wo))
+
+
 @register(
     "e_concurrent_sessions",
     """
@@ -968,24 +994,8 @@ def e_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades candidate count vs duplicate factor exactly like LSH band
     width (SCALE.md)."""
     e = table(spark, sf_dir, "events")
-    # sessionize via gaps-and-islands instead of session_window():
-    # identical semantics (strict > 30-min gap starts a session, i.e.
-    # the inclusive-boundary merge e_session_window pins), but ~30%
-    # faster here — one partitioned sort feeds both window phases,
-    # skipping session_window's merge machinery; the boundary compare
-    # is exact integer microseconds.  Session rows leave the map side
-    # pre-combined, so the (user, session) shuffle moves |sessions|.
-    from pyspark.sql.window import Window as W
-
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_us = F.lag(F.unix_micros("ts")).over(wo)
-    is_new = (
-        prev_us.isNull()
-        | (F.unix_micros("ts") - prev_us > 1_800_000_000)
-    ).cast("long")
     iv = (
-        e.select("user_id", "ts", "event_id")
-        .withColumn("sno", F.sum(is_new).over(wo))
+        _with_session_no(e.select("user_id", "ts", "event_id"))
         .groupBy("user_id", "sno")
         .agg(
             F.min("ts").alias("s_start"),
