@@ -268,6 +268,30 @@ class _Message:
             print(f"SHIM<< {self!r}", file=sys.stderr, flush=True)
         return len(data)
 
+    # -- auxiliary protobuf APIs (defensive: pyspark's state clients
+    # don't call these today, but they are the next obvious surface a
+    # pyspark patch release could reach for) ---------------------------------
+
+    def HasField(self, name: str) -> bool:  # noqa: N802
+        f = type(self)._FIELDS.get(name)
+        if f is None or f.repeated:
+            raise ValueError(f"{type(self).__name__} has no singular field {name}")
+        return self._present(name, f)
+
+    def WhichOneof(self, _oneof_name: str) -> str | None:  # noqa: N802
+        # every oneof in StateMessage.proto is a set of message-typed
+        # arms within one message, so "the set message field" resolves
+        # it without tracking oneof grouping explicitly
+        for name, f in type(self)._FIELDS.items():
+            if f.kind == "message" and not f.repeated and self._present(name, f):
+                return name
+        return None
+
+    def CopyFrom(self, other: "_Message") -> None:  # noqa: N802
+        if type(other) is not type(self):
+            raise TypeError(f"CopyFrom expects {type(self).__name__}")
+        self.ParseFromString(other.SerializeToString())
+
     def __repr__(self):
         parts = ", ".join(
             f"{n}={self._values[n]!r}" for n in sorted(self._set)

@@ -91,6 +91,25 @@ def test_unknown_fields_are_skipped():
     assert m.statusCode == 7
 
 
+def test_hasfield_whichoneof_copyfrom():
+    req = pb.StateVariableRequest(
+        valueStateCall=pb.ValueStateCall(stateName="s", get=pb.Get())
+    )
+    assert req.HasField("valueStateCall") and not req.HasField("mapStateCall")
+    assert req.WhichOneof("method") == "valueStateCall"
+    assert pb.StateVariableRequest().WhichOneof("method") is None
+    # auto-vivified-but-unwritten child is NOT present
+    cmd = pb.StateCallCommand(stateName="x")
+    _ = cmd.ttl
+    assert not cmd.HasField("ttl")
+    cmd.ttl.durationMs = 9
+    assert cmd.HasField("ttl")
+
+    dst = pb.StateResponse()
+    dst.CopyFrom(pb.StateResponse(statusCode=3, value=b"z"))
+    assert dst.statusCode == 3 and dst.value == b"z"
+
+
 def test_install_registers_only_without_real_protobuf():
     target = "pyspark.sql.streaming.proto.StateMessage_pb2"
     saved = sys.modules.get(target)
