@@ -17,7 +17,10 @@ import ast
 import pathlib
 
 PKG = pathlib.Path(__file__).resolve().parents[1] / "finance_etl_pipeline_spark"
-SCAN_DIRS = [PKG / "plans", PKG / "operators"]
+# plans/ and operators/ are where oracle SQL bakes constants, but the
+# bug class (module constant rebound after import-time interpolation)
+# is not dir-specific — scan the whole package
+SCAN_DIRS = [PKG] + [p for p in PKG.iterdir() if p.is_dir() and p.name != "__pycache__"]
 
 
 def _module_level_assignments(tree: ast.Module) -> dict[str, list[int]]:
