@@ -176,7 +176,11 @@ class _Message:
     def _present(self, name: str, f: _Field) -> bool:
         if name in self._set:
             return True
-        if f.kind == "message" and not f.repeated and name in self._values:
+        if f.repeated:
+            # append-mutation (msg.field.append(x)) auto-vivifies the
+            # list without touching _set — a non-empty list IS presence
+            return bool(self._values.get(name))
+        if f.kind == "message" and name in self._values:
             child = self._values[name]
             return bool(child._set) or any(
                 child._present(n, cf) for n, cf in type(child)._FIELDS.items()
@@ -281,8 +285,14 @@ class _Message:
     def WhichOneof(self, _oneof_name: str) -> str | None:  # noqa: N802
         # every oneof in StateMessage.proto is a set of message-typed
         # arms within one message, so "the set message field" resolves
-        # it without tracking oneof grouping explicitly
+        # it without tracking oneof grouping explicitly — EXCEPT the
+        # singular message fields that sit outside any oneof
+        # (_NON_ONEOF_MESSAGE_FIELDS), which must never be reported as
+        # a oneof arm
+        skip = _NON_ONEOF_MESSAGE_FIELDS.get(type(self).__name__, ())
         for name, f in type(self)._FIELDS.items():
+            if name in skip:
+                continue
             if f.kind == "message" and not f.repeated and self._present(name, f):
                 return name
         return None
@@ -303,6 +313,13 @@ class _Message:
 # message definitions — field numbers transcribed from Spark's
 # StateMessage.proto (see module docstring)
 # ---------------------------------------------------------------------------
+
+# singular message-typed fields that are NOT oneof arms in
+# StateMessage.proto (everything else message-typed lives inside a
+# "method"-style oneof); WhichOneof must skip these
+_NON_ONEOF_MESSAGE_FIELDS: dict[str, frozenset[str]] = {
+    "StateCallCommand": frozenset({"ttl"}),
+}
 
 _SPECS: dict[str, dict[str, tuple]] = {
     # requests

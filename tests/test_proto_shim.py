@@ -110,6 +110,32 @@ def test_hasfield_whichoneof_copyfrom():
     assert dst.statusCode == 3 and dst.value == b"z"
 
 
+def test_append_mutated_repeated_field_serializes():
+    # standard protobuf mutation idiom: auto-vivify the list via
+    # __getattr__, then append — presence must follow the list's
+    # contents, not only explicit assignment
+    put = pb.ListStatePut()
+    put.value.append(b"a")
+    put.value.append(b"bc")
+    wire = put.SerializeToString()
+    assert wire == b"\x0a\x01a\x0a\x02bc"
+    rt = pb.ListStatePut()
+    rt.ParseFromString(wire)
+    assert list(rt.value) == [b"a", b"bc"]
+    # an auto-vivified-but-empty list is still absent
+    empty = pb.ListStatePut()
+    _ = empty.value
+    assert empty.SerializeToString() == b""
+
+
+def test_whichoneof_skips_non_oneof_message_fields():
+    # StateCallCommand.ttl is a singular message field OUTSIDE the
+    # oneof grouping; a populated ttl must not masquerade as an arm
+    cmd = pb.StateCallCommand(stateName="s")
+    cmd.ttl.durationMs = 7
+    assert cmd.WhichOneof("method") is None
+
+
 def test_install_registers_only_without_real_protobuf():
     target = "pyspark.sql.streaming.proto.StateMessage_pb2"
     saved = sys.modules.get(target)
