@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark.functions.scalars import fround
 from finance_etl_pipeline_spark.operators import kmeans as KM
+from finance_etl_pipeline_spark.operators.similarity import query_set
 
 M_SUBSPACES = 4
 K_SUB = 8
@@ -147,7 +148,7 @@ def adc_topk(
     corpus; the per-query top-k is a rank window.  Ties break to the
     lowest vec_id, ranks ascend with distance."""
     codes = encode(base, dim, books)
-    q = base.filter(query_pred).select(
+    q = query_set(base, query_pred).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     pairs = (

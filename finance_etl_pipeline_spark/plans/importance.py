@@ -270,7 +270,7 @@ def tx_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     q AS (
       SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
-      FROM base WHERE vec_id % 50 = 0
+      FROM base WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {S.QUERY_CAP}
     ),
     pairs AS (
       SELECT query_id, qlabel, vec_id, label,
@@ -322,7 +322,9 @@ def emb_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("label").cast("long").alias("label")
     )
     top = S.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=10)
-    qlab = labels.select(
+    # the SAME capped query set cosine_topk used — qlab must never be
+    # the corpus-wide label table (that broadcast grows with SF)
+    qlab = S.query_set(labels, F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
     )
     # top is |queries|×10 rows — broadcast it onto the label table,

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark.functions.scalars import fround, igrid
-from finance_etl_pipeline_spark.operators.similarity import as_double, dot, norm
+from finance_etl_pipeline_spark.operators.similarity import (
+    QUERY_CAP,
+    as_double,
+    dot,
+    norm,
+    query_set,
+)
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
@@ -46,7 +52,8 @@ _IVF_SQL = f"""
       SELECT vec_id AS query_id, cell_id
       FROM ranked WHERE rn <= {NPROBE} AND vec_id % 50 = 0
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+         WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {QUERY_CAP}),
     pairs AS (
       SELECT DISTINCT q.query_id, b.vec_id,
              CAST(floor((list_dot_product(q.qv, b.v) / nullif(q.qn * b.nrm, 0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
@@ -98,7 +105,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter((F.col("rn") <= NPROBE) & (F.col("vec_id") % 50 == 0))
         .select(F.col("vec_id").alias("query_id"), "cell_id")
     )
-    q = base.filter(F.col("vec_id") % 50 == 0).select(
+    q = query_set(base, F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -146,7 +153,8 @@ _SWEEP_SQL = f"""
       FROM base b CROSS JOIN cents c
     ),
     assign AS (SELECT vec_id, cell_id FROM ranked WHERE rn = 1),
-    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+         WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {QUERY_CAP}),
     levels AS (SELECT unnest([{", ".join(str(n) for n in NPROBES)}]) AS np),
     qcells AS (
       SELECT l.np, r.vec_id AS query_id, r.cell_id
@@ -257,7 +265,7 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = spark.createDataFrame([(n,) for n in NPROBES], ["np"])
     # query cells re-rank ONLY the query vectors (|queries| × k rows)
     q_ranked = (
-        assigned.filter(F.col("vec_id") % 50 == 0)
+        query_set(assigned, F.col("vec_id") % 50 == 0)
         .select("vec_id", "v", "nrm")
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "cell_id", sim_to_cent.alias("centroid_sim"))
@@ -267,7 +275,7 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ranked.join(F.broadcast(levels), F.col("rn") <= F.col("np"))
         .select("np", F.col("vec_id").alias("query_id"), "cell_id")
     )
-    q = assigned.filter(F.col("vec_id") % 50 == 0).select(
+    q = query_set(assigned, F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),

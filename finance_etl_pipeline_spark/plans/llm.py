@@ -513,7 +513,8 @@ EMB_DIMS = 64
       FROM embeddings
     ),
     q AS (
-      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {S.QUERY_CAP}
     ),
     pairs AS (
       SELECT query_id, vec_id,
@@ -939,7 +940,8 @@ def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     q AS (
-      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base WHERE vec_id % 50 = 0
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM base
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {S.QUERY_CAP}
     ),
     pairs AS (
       SELECT query_id, vec_id,
@@ -997,7 +999,7 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("v"),
         norm(as_double(F.col("embedding"))).alias("nrm"),
     )
-    q = base.filter(F.col("vec_id") % 50 == 0).select(
+    q = S.query_set(base, F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),

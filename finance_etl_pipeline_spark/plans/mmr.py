@@ -86,7 +86,7 @@ def _mmr_oracle() -> str:
     ),
     q AS (
       SELECT vec_id AS query_id, v AS qv, nrm AS qn
-      FROM base WHERE vec_id % 50 = 0
+      FROM base WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {S.QUERY_CAP}
     ),
     rel AS (
       SELECT query_id, vec_id, rel FROM (

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 from finance_etl_pipeline_spark.functions.scalars import sql_round
 from finance_etl_pipeline_spark.operators import pq as PQ
 from finance_etl_pipeline_spark.operators.kmeans import ROUND_N
-from finance_etl_pipeline_spark.operators.similarity import as_double
+from finance_etl_pipeline_spark.operators.similarity import (
+    QUERY_CAP,
+    as_double,
+    query_set,
+)
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.plans.kmeans_sql import kmeans_ctes, sql_sqdist
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -65,7 +69,8 @@ def _pq_pairs_ctes() -> list[str]:
     )
     ctes.append(
         "q AS (SELECT vec_id AS query_id, v AS qv FROM base"
-        f" WHERE vec_id % {QUERY_STRIDE} = 0)"
+        f" WHERE vec_id % {QUERY_STRIDE} = 0"
+        f" ORDER BY vec_id LIMIT {QUERY_CAP})"
     )
 
     terms = []
@@ -195,7 +200,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = PQ.adc_topk(base, DIM, books, pred, RERANK_C).select(
         "query_id", "vec_id"
     )
-    q = base.filter(pred).select(
+    q = query_set(base, pred).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     from finance_etl_pipeline_spark.functions.scalars import fround

@@ -22,7 +22,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark.functions.scalars import igrid
-from finance_etl_pipeline_spark.operators.similarity import as_double
+from finance_etl_pipeline_spark.operators.similarity import (
+    QUERY_CAP,
+    as_double,
+    query_set,
+)
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
 
@@ -76,13 +80,16 @@ _Q_SQL = f"""
              sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS qn
       FROM codes
     ),
+    qset AS (
+      SELECT * FROM normed WHERE vec_id % {QUERY_STRIDE} = 0
+      ORDER BY vec_id LIMIT {QUERY_CAP}
+    ),
     pairs AS (
       SELECT a.vec_id AS query_id, b.vec_id,
              CAST(floor((CAST(list_dot_product(a.q, b.q) AS DOUBLE)
                     / nullif(a.qn * b.qn, 0.0)) * 10000 + 0.5001) AS BIGINT)
                AS cosine_q_e4
-      FROM normed a JOIN normed b ON b.vec_id != a.vec_id
-      WHERE a.vec_id % {QUERY_STRIDE} = 0
+      FROM qset a JOIN normed b ON b.vec_id != a.vec_id
     )
     SELECT query_id, vec_id, cosine_q_e4,
            CAST(row_number() OVER (PARTITION BY query_id
@@ -109,7 +116,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         F.sqrt(idot(F.col("q"), F.col("q")).cast("double")).alias("qn"),
     )
-    q = normed.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    q = query_set(normed, F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
         F.col("qn").alias("qqn"),

@@ -189,26 +189,26 @@ ALLOWED_BROADCASTS = {
     ("plans/events.py", "e_changepoint_cusum", "mx"): "1-row max",
     ("plans/events.py", "e_cohort_ltv_curve", "sizes"): "per-cohort-week sizes: |calendar weeks| rows",
     ("plans/importance.py", "s_dsir_importance", "ratio"): "per-hash-bucket ratios: fixed bucket count",
-    ("plans/importance.py", "emb_retrieval_mrr", 'top.join(F.broadcast(qlab), "query_id")'): "per-query top-k: |queries| x k rows",
-    ("plans/importance.py", "emb_retrieval_mrr", "qlab"): "query labels: |queries| rows",
+    ("plans/importance.py", "emb_retrieval_mrr", 'top.join(F.broadcast(qlab), "query_id")'): "per-query top-k: query_set(QUERY_CAP) x k rows",
+    ("plans/importance.py", "emb_retrieval_mrr", "qlab"): "query labels: bounded by query_set(QUERY_CAP)",
     ("plans/ivf.py", "ann_ivf_topk", "cents"): "k-means centroids: k x dim",
-    ("plans/ivf.py", "ann_ivf_topk", 'q.join(qcells, "query_id")'): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production, joined to probe cells",
+    ("plans/ivf.py", "ann_ivf_topk", 'q.join(qcells, "query_id")'): "query vector set — bounded by query_set(QUERY_CAP) in code, joined to probe cells",
     ("plans/ivf.py", "ann_ivf_probe_sweep", "cents"): "centroids: k x dim",
     ("plans/ivf.py", "ann_ivf_probe_sweep", "levels"): "3-row nprobe level list",
-    ("plans/ivf.py", "ann_ivf_probe_sweep", 'q.join(qcells, "query_id")'): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production, joined to probe cells x levels",
-    ("plans/ivf.py", "ann_ivf_probe_sweep", "q"): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", 'q.join(qcells, "query_id")'): "query vector set — bounded by query_set(QUERY_CAP) in code, joined to probe cells x levels",
+    ("plans/ivf.py", "ann_ivf_probe_sweep", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("plans/ivf.py", "ann_ivf_probe_sweep", "nq"): "1-row query count",
     ("plans/ivf.py", "ann_ivf_probe_sweep", "hits"): "per-level hit counts: |levels| rows",
     ("plans/ivf.py", "ann_ivf_probe_sweep", "scanned"): "per-level scan totals: |levels| rows",
-    ("plans/llm.py", "ann_cosine_topk_arrow", "q"): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production",
+    ("plans/llm.py", "ann_cosine_topk_arrow", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("plans/lm.py", "tx_bigram_perplexity", "vocab"): "1-row distinct-count aggregate",
     ("plans/market.py", "bi_basket_lift", "ba"): "per-brand totals: |brands| rows",
     ("plans/market.py", "bi_basket_lift", "bb"): "per-brand totals: |brands| rows",
     ("plans/market.py", "bi_basket_lift", "n"): "1-row order count",
     ("plans/market.py", "graph_bfs_hops", "min_brand"): "1-row min",
     ("plans/market.py", "bi_lorenz_revenue_deciles", "tot"): "1-row total",
-    ("plans/pq.py", "ann_pq_rerank_topk", "q"): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production",
-    ("plans/quantized.py", "ann_int8_topk", "q"): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production",
+    ("plans/pq.py", "ann_pq_rerank_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
+    ("plans/quantized.py", "ann_int8_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("plans/relational.py", "q5_region_revenue", "n"): "nation: 25 rows",
     ("plans/relational.py", "q5_region_revenue", "r"): "region: 5 rows",
     ("plans/relational.py", "q10_returned_items", "n"): "nation: 25 rows",
@@ -263,8 +263,8 @@ ALLOWED_BROADCASTS = {
     ("operators/graph.py", "hits_bipartite", "a_tot"): "1-row norm",
     ("operators/graph.py", "hits_bipartite", "h_tot"): "1-row norm",
     ("operators/pca.py", "project", "comp"): "PCA components: d x k",
-    ("operators/pq.py", "adc_topk", "q"): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production",
-    ("operators/similarity.py", "cosine_topk", "q"): "query vector set — bounded by query workload by definition; testdata carve (vec_id % 50) is SF-proportional and would need a .limit cap in production",
+    ("operators/pq.py", "adc_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
+    ("operators/similarity.py", "cosine_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("operators/zorder.py", "zorder_by", "stats"): "1-row min/max stats",
 }
 
