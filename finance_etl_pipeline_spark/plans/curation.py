@@ -232,6 +232,7 @@ def hh_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_BINS = 10
 _BIN_W = 50.0
+_KS_BANDS = 16  # KS prefix bands: quantiles of the distinct-value table
 
 
 @register(
@@ -337,21 +338,46 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape — exact KS needs a global ECDF, but NOT a global
     single-partition sort: distinct values aggregate first (map-side
-    combine, one row per distinct value), each lands in a fixed-width
-    value band, per-band subtotals form the prefix offsets (a window
-    over |bands| ≈ 10 rows), and the running sums run inside each
-    band only (windows capped at rows-per-band) — the banded-prefix
-    pattern of prof_range_partition_plan, giving an exact global
-    cumulative sum with no unpartitioned window over the data."""
+    combine, one row per distinct value), band boundaries come from
+    exact percentiles OF THE DISTINCT VALUES (one more aggregate over
+    the cells table — the prof_range_partition_plan pattern), per-band
+    subtotals form the prefix offsets (a window over _KS_BANDS rows),
+    and the running sums run inside each band only.  Quantile-derived
+    bands make the within-band window ≈ |distinct|/_KS_BANDS rows on
+    ANY value domain — a fixed-width grid would degrade to one
+    unbounded band on a domain the grid wasn't sized for.  Banding is
+    placement only: bucket = 1 + #(boundaries below value) is
+    monotone in value, so prefix + within-band sums ARE the global
+    cumulative sums and the emitted statistic is band-invariant.
+
+    Exactness bound: the integer numerator |cum·N_b − cum·N_a| stays
+    below 2⁶³ while each cohort holds < ~3·10⁹ rows (cum ≤ N_a, so
+    the product is ≤ N_a·N_b); beyond that, switch the numerator to
+    DOUBLE — the e6 grid only needs ~15 significant digits and the
+    SQL oracle has the same overflow horizon, so the exact-integer
+    form buys nothing there."""
     e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cells = e.select((F.col("event_id") % 2).alias("grp"), "value").groupBy(
+        "value"
+    ).agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    b = cells.agg(
+        *[
+            F.percentile("value", j / _KS_BANDS).alias(f"kb{j}")
+            for j in range(1, _KS_BANDS)
+        ]
+    )
+    bucket = F.lit(1)
+    for j in range(1, _KS_BANDS):
+        bucket = bucket + F.when(
+            F.col("value") > F.col(f"kb{j}"), 1
+        ).otherwise(0)
     cells = (
-        e.select((F.col("event_id") % 2).alias("grp"), "value")
-        .groupBy("value")
-        .agg(
-            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
-            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
-        )
-        .withColumn("bkt", F.floor(F.col("value") / _BIN_W).cast("long"))
+        cells.crossJoin(F.broadcast(b))
+        .withColumn("bkt", bucket.cast("long"))
+        .drop(*[f"kb{j}" for j in range(1, _KS_BANDS)])
     )
     band_tot = cells.groupBy("bkt").agg(
         F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
@@ -385,6 +411,9 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(d) / (F.max("ta").cast("double") * F.max("tb")), 6
             ).alias("ks_e6"),
         )
+        # empty input: the global agg makes one all-NULL row while the
+        # oracle's GROUP BY ta, tb makes zero — align to zero rows
+        .where(F.col("n_a").isNotNull())
     )
 
 

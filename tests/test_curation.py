@@ -85,6 +85,37 @@ def test_curation_operators_on_empty_input(spark):
     }
 
 
+def test_drift_ks_zero_rows_on_all_null_values(spark, tmp_path):
+    """Degenerate input (every event value NULL): BOTH engines emit
+    zero rows — the Spark global agg must not leak its one all-NULL
+    row where the oracle's GROUP BY produces none."""
+    import datetime
+
+    import duckdb
+
+    from finance_etl_pipeline_spark.plans import all_queries
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1, 0, i), i % 3, "view", None, None)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    q = all_queries()["drift_ks_value"]
+    assert q.fn(spark, str(tmp_path)).count() == 0
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"
+    )
+    assert len(con.sql(q.oracle).fetchall()) == 0
+
+
 def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     """Bloom membership can only overcount: per doc, the bloom hit
     count must be >= the exact query's (and equal for most docs at the

@@ -169,7 +169,8 @@ ALLOWED_BROADCASTS = {
     ("plans/curation.py", "hh_top_tokens", "total"): "1-row global aggregate",
     ("plans/curation.py", "drift_psi_events", "tot"): "per-window totals: 2 rows",
     ("plans/curation.py", "drift_ks_value", "tot"): "1-row cohort totals",
-    ("plans/curation.py", "drift_ks_value", "prefix"): "per-band prefix offsets: |fixed value grid| rows",
+    ("plans/curation.py", "drift_ks_value", "prefix"): "per-band prefix offsets: _KS_BANDS rows",
+    ("plans/curation.py", "drift_ks_value", "b"): "1-row aggregate of _KS_BANDS-1 exact percentile band boundaries",
     ("plans/curation.py", "s_mixture_resample", "tot"): "1-row total",
     ("plans/curation.py", "s_mixture_resample", "tgt"): "per-source targets: |sources| rows",
     ("plans/curation.py", "prof_doclen_histogram", "tot"): "1-row total",
