@@ -6,6 +6,18 @@ Prints ONE JSON line:
 Each bench query is executed twice: a warm-up iteration (JVM/codegen
 warm, file listing cached) is NOT counted; the timed iteration drains
 the result with a count/collect.
+
+The ``stream_exact_dedup_tws`` entry (new in round 5) times a FULL
+transformWithStateInPandas availableNow drain of the documents table
+through streaming/dedup.py — micro-batch planning, RocksDB state
+store, and the per-key Python state-server round trips that no batch
+query exercises.  Its batch equivalent is the md5-groupBy
+min-survivor dedup (``dd_exact_dedup``); the drain's cost
+decomposition at sf0.1 is recorded in SCALE.md (plain micro-batch
+≈0.45 s, built-in dropDuplicates state ≈0.97 s, TWS ≈3 s — the delta
+IS the state-server path this entry watches for regressions).  The
+entry is additive: it joined the suite in round 5, so compare
+``value`` across rounds net of it (or use the per-query map).
 """
 
 from __future__ import annotations
@@ -16,6 +28,67 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _stream_dedup_drain(spark, sf_dir: str) -> float:
+    """Best-of-2 (after one warm-up) availableNow TWS dedup drain of
+    the documents table.  Batch equivalent: dd_exact_dedup.  Each run
+    gets a fresh checkpoint (a reused checkpoint would see no new
+    files and time an empty batch)."""
+    import shutil
+    import tempfile
+
+    from finance_etl_pipeline_spark.streaming.dedup import stream_exact_dedup
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        in_dir = os.path.join(root, "in")
+        os.makedirs(in_dir)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(in_dir, "part-0.parquet"),
+        )
+        saved = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            best = float("inf")
+            for it in range(3):  # first run is the uncounted warm-up
+                start = time.perf_counter()
+                stream = spark.readStream.schema(DOCS_SCHEMA).parquet(in_dir)
+                q = (
+                    stream_exact_dedup(stream)
+                    .writeStream.format("noop")
+                    .option(
+                        "checkpointLocation", os.path.join(root, f"ckpt{it}")
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                elapsed = time.perf_counter() - start
+                if it > 0:
+                    best = min(best, elapsed)
+            return round(best, 4)
+        finally:
+            if saved:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", saved
+                )
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> None:
@@ -50,6 +123,9 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 4)
 
+    batch_total = round(sum(timings.values()), 4)
+    timings["stream_exact_dedup_tws"] = _stream_dedup_drain(spark, sf_dir)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -64,6 +140,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # round-over-round continuity: the streaming entry
+                # joined in round 5, so the batch-only subtotal is the
+                # number comparable with BENCH_r1..r4 totals
+                "batch_total_sec": batch_total,
+                "streaming": {
+                    "stream_exact_dedup_tws": {
+                        "batch_equivalent": "dd_exact_dedup (md5 groupBy, min-doc_id survivor)",
+                        "operator": "streaming/dedup.py::stream_exact_dedup",
+                    }
+                },
             }
         )
     )

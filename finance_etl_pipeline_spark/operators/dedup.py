@@ -304,10 +304,19 @@ def connected_components(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     edges = edges.localCheckpoint()
+    # init = the first propagation round fused into the node-distinct
+    # aggregate: label(n) = min(n, min neighbor).  Equivalent to one
+    # round from identity labels (symmetrized edges ⇒ groupBy(a)
+    # enumerates every node), but skips that round's two joins,
+    # checkpoint, and convergence action — pair/star components are
+    # already at fixpoint entering the loop.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy("a")
+        .agg(F.min("b").alias("m"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("m")).alias("lbl"),
+        )
         .localCheckpoint()
     )
     for _ in range(max_iter):
