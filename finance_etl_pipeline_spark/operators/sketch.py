@@ -61,3 +61,57 @@ def mg_heavy_hitters(tokens: DataFrame, k: int = 64) -> DataFrame:
         per_partition, "token string, est long"
     )
     return summaries.groupBy("token").agg(F.sum("est").alias("est"))
+
+
+def categorical_profile_sketch(
+    df: DataFrame, col: str, k: int = 64, rsd: float = 0.05
+) -> DataFrame:
+    """Bounded-memory profile of a HIGH-cardinality categorical
+    column — the sketch path prof_categorical_entropy's docstring
+    promises for columns whose exact value-count table would itself
+    be a scale problem (user ids, URLs, session keys).
+
+    One row: exact ``n_rows``, ``n_values_approx`` from Spark's HLL
+    (approx_count_distinct, relative error ``rsd``), and
+    ``top1_est`` / ``top1_share_e6`` from the merged Misra-Gries
+    summary.  State is k counters per partition + one HLL register
+    set — nothing proportional to the column's cardinality.
+
+    Estimate contract (what the parity test pins):
+    - ``top1_est`` is a LOWER bound on the true top-1 count and
+      undercounts by at most N/k (MG merge guarantee), so
+      ``top1_share_e6`` is a guaranteed floor on dominance;
+    - if the column has ≤ k distinct values, no MG counter is ever
+      decremented and ``top1_est`` is EXACT — the sketch degrades
+      gracefully into the exact profiler on low-cardinality columns;
+    - ``n_values_approx`` carries HLL's ~rsd relative error.
+
+    Exact entropy is NOT sketchable in bounded state (it needs every
+    n_i); the dominance floor + cardinality estimate are the
+    actionable parts of the profile at this scale."""
+    vals = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("string").alias("token")
+    )
+    top = mg_heavy_hitters(vals, k).agg(F.max("est").alias("top1_est"))
+    return (
+        vals.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct("token", rsd).alias("n_values_approx"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            "n_values_approx",
+            "top1_est",
+            (
+                F.floor(
+                    F.col("top1_est")
+                    / F.col("n_rows").cast("double")
+                    * 1_000_000
+                )
+            )
+            .cast("long")
+            .alias("top1_share_e6"),
+        )
+    )

@@ -769,8 +769,10 @@ def prof_categorical_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one groupBy per profiled column on low-cardinality keys →
     counts are tiny; the entropy algebra runs over |distinct values|
-    rows.  For high-cardinality columns swap the exact count for a
-    CMS/HLL sketch (operators/sketch.py)."""
+    rows.  For high-cardinality columns swap in
+    operators/sketch.py::categorical_profile_sketch — HLL cardinality
+    + Misra-Gries dominance floor in bounded state (bounds pinned by
+    tests/test_sketch.py)."""
     out = None
     for t, c in _ENTROPY_COLS:
         counts = (

@@ -151,6 +151,59 @@ def click_purchase_stream_join(
     )
 
 
+def click_purchase_stream_left_join(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER variant of ``click_purchase_stream_join``: every
+    click emits exactly one of (a) an attributed row per matching
+    purchase as matches arrive, or (b) one NULL-purchase row once the
+    watermark proves no purchase within 30 minutes can still arrive —
+    the unconverted-click feed (abandonment alerting, negative
+    training labels) that the inner join silently drops.
+
+    Spark only admits an outer stream-stream join when state is
+    provably expirable: both sides are watermarked and the join
+    condition bounds purchase_ts to [click_ts, click_ts + 30 min], so
+    a click's outer row can be emitted (and its state dropped) as
+    soon as the watermark passes click_ts + 30 min.  Outer rows
+    therefore trail the data by watermark delay + 30 min — under
+    availableNow the final watermark position decides which trailing
+    clicks get their NULL row (the parity test pushes the watermark
+    past everything with a sentinel; a live deployment just keeps
+    running).  Batch twin for parity: the same predicate as a batch
+    left join."""
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "user_id",
+        "purchase_id",
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("delay_sec"),
+        igrid(F.col("value"), 2).alias("purchase_value_e2"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, watermark: str = "35 days"
 ) -> DataFrame:

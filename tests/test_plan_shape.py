@@ -267,6 +267,7 @@ ALLOWED_BROADCASTS = {
     ("operators/pq.py", "adc_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("operators/similarity.py", "cosine_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("operators/zorder.py", "zorder_by", "stats"): "1-row min/max stats",
+    ("operators/sketch.py", "categorical_profile_sketch", "top"): "1-row max of the merged MG summary",
 }
 
 

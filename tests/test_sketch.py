@@ -75,3 +75,46 @@ def test_count_min_sketch_bounds(spark):
         assert est <= true + overshoot_budget, (
             f"{tok}: CMS overshoot {est - true} > eps*N {overshoot_budget}"
         )
+
+
+def test_categorical_profile_sketch_bounds(spark):
+    """categorical_profile_sketch vs the exact profile on a
+    HIGH-cardinality column (o_custkey): top1_est is a floor within
+    N/k of the true top-1 count, the share floor follows, and the HLL
+    cardinality lands within 4 standard errors of exact.  On a
+    low-cardinality column (o_orderpriority, |values| <= k) the MG
+    path degrades to EXACT."""
+    from finance_etl_pipeline_spark.operators.sketch import (
+        categorical_profile_sketch,
+    )
+
+    orders = table(spark, SF_DIR, "orders")
+    k, rsd = 64, 0.05
+
+    # high-cardinality: bounds
+    prof = categorical_profile_sketch(orders, "o_custkey", k=k, rsd=rsd).first()
+    exact = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("nv"), F.max("cnt").alias("top1"),
+             F.sum("cnt").alias("n"))
+        .first()
+    )
+    assert prof.n_rows == exact.n
+    assert prof.top1_est <= exact.top1
+    assert prof.top1_est >= exact.top1 - exact.n / k
+    assert abs(prof.n_values_approx - exact.nv) <= 4 * rsd * exact.nv
+    assert prof.top1_share_e6 <= int(exact.top1 / exact.n * 1_000_000) + 1
+
+    # low-cardinality: exact degradation
+    prof_lo = categorical_profile_sketch(
+        orders, "o_orderpriority", k=k, rsd=rsd
+    ).first()
+    top_lo = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt"))
+        .first()[0]
+    )
+    assert prof_lo.top1_est == top_lo
