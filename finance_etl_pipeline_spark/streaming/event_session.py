@@ -104,7 +104,9 @@ class EventSessionProcessor(StatefulProcessor):
         if not ts:
             return
         ts.sort()
-        state = self._sess.get() if self._sess.exists() else None
+        # single get() round trip (None when absent) — exists()+get()
+        # would cost two state-server RPCs per key per batch
+        state = self._sess.get()
         closed: list[tuple] = []
         for t in ts:
             if state is None:
@@ -127,9 +129,9 @@ class EventSessionProcessor(StatefulProcessor):
     def handleExpiredTimer(
         self, key: tuple, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        if not self._sess.exists():
-            return
         state = self._sess.get()
+        if state is None:
+            return
         # stale-timer guard: only finalize if this expiry really is
         # the current session's close boundary (or later)
         if expiredTimerInfo.getExpiryTimeInMs() < self._expiry_ms(state[1]):

@@ -65,7 +65,8 @@ class IdleFlushProcessor(StatefulProcessor):
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        # one get() RPC; None when absent (exists()+get() would be two)
+        n, total = self._agg.get() or (0, 0.0)
         for pdf in rows:
             n += len(pdf)
             total += float(pdf["value"].sum())
@@ -83,9 +84,10 @@ class IdleFlushProcessor(StatefulProcessor):
     def handleExpiredTimer(
         self, key: tuple, timerValues, expiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        if not self._agg.exists():
+        got = self._agg.get()
+        if got is None:
             return
-        n, total = self._agg.get()
+        n, total = got
         self._agg.clear()
         yield pd.DataFrame(
             {

@@ -63,7 +63,7 @@ class SpendAlertProcessor(StatefulProcessor):
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
         total, alerted = (
-            self._state.get() if self._state.exists() else (0.0, 0)
+            self._state.get() or (0.0, 0)  # one RPC; None when absent
         )
         out_bound: list[int] = []
         out_total: list[float] = []
