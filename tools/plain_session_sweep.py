@@ -40,9 +40,27 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import gc
+
+    def _release_blocks():
+        """Drop the blocks a query leaves behind (cache() persists,
+        localCheckpoint RDD blocks).  One query's residue is small,
+        but 264 queries' residue OOMs the plain session's default 1g
+        driver heap at sf0.1 — the ContextCleaner only unpersists
+        blocks after BOTH the Python wrapper and the JVM reference
+        are collected, so nudge both collectors every few queries."""
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+
     registry = all_queries()
     failures, checked, rows_only = [], 0, 0
-    for name, qdef in sorted(registry.items()):
+    for qi, (name, qdef) in enumerate(sorted(registry.items())):
+        if qi % 8 == 7:
+            _release_blocks()
         if qdef.oracle is None:
             # rows-only contract: still must RUN under the plain session
             try:
