@@ -71,23 +71,27 @@ def pagerank(
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Symmetric part-copurchase edges: weight = number of orders in
-    which both parts appear.  The per-order self-join is bounded by
-    lines-per-order (≤13 on this data, ≤7 in classic TPC-H), so the
-    pair blowup is a small constant factor of |lineitem| at any scale
-    and the join key (l_orderkey) is high-cardinality — no skew."""
-    lp = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = lp.alias("a")
-    b = lp.alias("b")
+    which both parts appear.  One ``collect_set`` per order gathers
+    that order's distinct parts (bounded by lines-per-order — ≤13 on
+    this data, ≤7 in classic TPC-H — so the array is a small constant
+    and the nested pair explode a constant factor of |lineitem|),
+    then pairs go straight to the (src, dst) count.  Shuffle cost is
+    one |lineitem| exchange on the high-cardinality l_orderkey plus
+    the map-side-combined pair aggregate — the self-join formulation
+    this replaces shuffled the distinct (orderkey, partkey) set twice
+    more (distinct, then both join inputs)."""
+    per_order = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = per_order.select(
+        F.explode("ps").alias("src"), F.col("ps")
+    ).select("src", F.explode("ps").alias("dst"))
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
+        pairs.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
 

@@ -697,13 +697,20 @@ _SQL_POS = (
 )
 def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination — the 100 TB path the exact
-    variant's docstring promises.  The train side is reduced to a
-    membership structure of AT MOST M = 2^22 distinct positions (each
-    gram sets K=3 md5-derived positions mod M), so train-side state is
-    O(M) regardless of corpus size, where ``tx_decontaminate``'s exact
-    DISTINCT holds every train gram (billions at 100 TB).  Eval grams
-    probe by joining their K positions against the position set — a
-    co-partitioned int join ∝ |eval|·K, never ∝ |train|.
+    variant's docstring promises.  The train side is reduced to an
+    ACTUAL BIT ARRAY of M = 2^22 bits (each gram sets K=3 md5-derived
+    positions mod M), materialized as ≤ M/64 = 2^16 (word, bits)
+    rows via a map-side-combining ``bit_or`` aggregate — train-side
+    state is O(M) = 512 KiB regardless of corpus size, where
+    ``tx_decontaminate``'s exact DISTINCT holds every train gram
+    (billions at 100 TB).  Eval grams probe by a BROADCAST join of
+    their K position words against the bitmap — the probe side never
+    shuffles for membership, and the broadcast is bounded by the
+    CONSTANT M/64, not by any input cardinality.  (A position-set
+    DISTINCT + shuffle join — the previous formulation — shuffles
+    up to min(K·|train grams|, M) rows instead; the bitmap form
+    replaces that with 2^16 words and is strictly smaller from
+    sf0.1 upward.)
 
     Bloom semantics are real: no false negatives (every truly
     contaminated gram hits — pytest asserts n_hit ≥ the exact query's
@@ -711,11 +718,10 @@ def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable for decontamination, which over-removes by design.
     Deterministic md5 position hashes make even the FP pattern
     bit-identical cross-engine, so this approximate operator still
-    carries an exact DuckDB oracle.
-
-    At even larger scale the position SET degrades gracefully: it is
-    itself just a DataFrame keyed on int, so it shards; nothing is
-    collected to the driver and no UDF is involved."""
+    carries an exact DuckDB oracle (stated as the equivalent
+    position-SET membership — bit k of word w is set iff position
+    64·w+k is in the set, so hit counts are identical by
+    construction)."""
     from finance_etl_pipeline_spark.operators.dedup import (
         hash60_expr,
         shingles_expr,
@@ -737,20 +743,33 @@ def tx_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     posed = hashed.select(
         "doc_id", "source", "g", F.explode(positions).alias("pos")
     )
-    train_pos = (
-        posed.filter(F.col("source") != _EVAL_SRC).select("pos").distinct()
+    # the source filters push down to the parquet scan on both
+    # branches, so train and eval rows are each exploded exactly once
+    bitmap = (
+        posed.filter(F.col("source") != _EVAL_SRC)
+        .select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 64 as int))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
     )
     eval_pos = posed.filter(F.col("source") == _EVAL_SRC).select(
-        "doc_id", "g", "pos"
+        "doc_id", "g", "pos", F.shiftright("pos", 6).alias("w")
+    )
+    # bit k of a missing word is 0 (NULL bits); shiftright's sign
+    # extension only touches bits above position 0 after the shift,
+    # so `& 1` reads the probed bit exactly
+    hit_bit = F.expr(
+        "cast(shiftright(coalesce(bits, cast(0 as bigint)),"
+        " cast(pos % 64 as int)) & 1 as int)"
     )
     per_gram = (
-        eval_pos.join(train_pos.withColumn("__in", F.lit(1)), "pos", "left")
+        eval_pos.join(F.broadcast(bitmap), "w", "left")
         .groupBy("doc_id", "g")
-        .agg(
-            (F.sum(F.coalesce("__in", F.lit(0))) == _BLOOM_K)
-            .cast("int")
-            .alias("hit")
-        )
+        .agg((F.sum(hit_bit) == _BLOOM_K).cast("int").alias("hit"))
     )
     contamination = igrid(
         F.sum("hit") / F.count(F.lit(1)).cast("double"), 4

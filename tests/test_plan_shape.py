@@ -171,6 +171,7 @@ ALLOWED_BROADCASTS = {
     ("plans/curation.py", "drift_ks_value", "tot"): "1-row cohort totals",
     ("plans/curation.py", "drift_ks_value", "prefix"): "per-band prefix offsets: _KS_BANDS rows",
     ("plans/curation.py", "drift_ks_value", "b"): "1-row aggregate of _KS_BANDS-1 exact percentile band boundaries",
+    ("plans/curation.py", "tx_decontaminate_bloom", "bitmap"): "bloom bit array: ≤ M/64 = 2^16 words, constant by construction",
     ("plans/curation.py", "s_mixture_resample", "tot"): "1-row total",
     ("plans/curation.py", "s_mixture_resample", "tgt"): "per-source targets: |sources| rows",
     ("plans/curation.py", "prof_doclen_histogram", "tot"): "1-row total",
