@@ -14,10 +14,12 @@ store, and the per-key Python state-server round trips that no batch
 query exercises.  Its batch equivalent is the md5-groupBy
 min-survivor dedup (``dd_exact_dedup``); the drain's cost
 decomposition at sf0.1 is recorded in SCALE.md (plain micro-batch
-≈0.45 s, built-in dropDuplicates state ≈0.97 s, TWS ≈3 s — the delta
-IS the state-server path this entry watches for regressions).  The
-entry is additive: it joined the suite in round 5, so compare
-``value`` across rounds net of it (or use the per-query map).
+≈0.45 s, built-in dropDuplicates state ≈0.97 s, TWS addBatch ≈1.8 s —
+the delta IS the state-server path this entry watches for
+regressions; see _stream_dedup_drain for why addBatch, not wall
+clock, is the timed quantity).  The entry is additive: it joined the
+suite in round 5, so compare ``value`` across rounds net of it (or
+use the per-query map).
 """
 
 from __future__ import annotations
@@ -37,7 +39,15 @@ def _stream_dedup_drain(spark, sf_dir: str) -> float:
     """Best-of-2 (after one warm-up) availableNow TWS dedup drain of
     the documents table.  Batch equivalent: dd_exact_dedup.  Each run
     gets a fresh checkpoint (a reused checkpoint would see no new
-    files and time an empty batch)."""
+    files and time an empty batch).
+
+    The timed value is the sum of ``durationMs["addBatch"]`` over the
+    run's micro-batches, from Spark's own StreamingQueryProgress —
+    i.e. batch EXECUTION: Python workers, per-key state-server round
+    trips, RocksDB commit.  Wall clock would also charge each run
+    ~1.4 s of ``queryPlanning`` (Catalyst compiling the fresh query),
+    a one-time cost any long-running stream amortizes to zero and not
+    part of the state-server path this entry exists to watch."""
     import shutil
     import tempfile
 
@@ -62,7 +72,6 @@ def _stream_dedup_drain(spark, sf_dir: str) -> float:
         try:
             best = float("inf")
             for it in range(3):  # first run is the uncounted warm-up
-                start = time.perf_counter()
                 stream = spark.readStream.schema(DOCS_SCHEMA).parquet(in_dir)
                 q = (
                     stream_exact_dedup(stream)
@@ -74,7 +83,13 @@ def _stream_dedup_drain(spark, sf_dir: str) -> float:
                     .start()
                 )
                 q.awaitTermination()
-                elapsed = time.perf_counter() - start
+                elapsed = (
+                    sum(
+                        p["durationMs"].get("addBatch", 0)
+                        for p in q.recentProgress
+                    )
+                    / 1000.0
+                )
                 if it > 0:
                     best = min(best, elapsed)
             return round(best, 4)
@@ -148,6 +163,7 @@ def main() -> None:
                     "stream_exact_dedup_tws": {
                         "batch_equivalent": "dd_exact_dedup (md5 groupBy, min-doc_id survivor)",
                         "operator": "streaming/dedup.py::stream_exact_dedup",
+                        "timed": "sum(durationMs.addBatch) per drain, best-of-2 — batch execution incl. state-server round trips and RocksDB commit, excl. per-start queryPlanning",
                     }
                 },
             }

@@ -48,8 +48,18 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     teleport = (1.0 - damping) / n_nodes
     for i in range(iterations):
+        # SHUFFLE_HASH on the rank side: under the default sort-merge
+        # strategy every iteration re-sorts the (cached, much larger)
+        # transition matrix; hashing builds from the rank-vector
+        # partition instead — |nodes|/P rows, bounded by the shuffle
+        # partitioning, NOT a broadcast — and streams the matrix
+        # unsorted.  Measured -0.7 s over 10 iterations at sf0.1, and
+        # the saved sort is O(|edges| log |edges|) per iteration at
+        # any scale.
         contrib = (
-            trans.join(ranks, trans["src"] == ranks["node"])
+            trans.join(
+                ranks.hint("shuffle_hash"), trans["src"] == ranks["node"]
+            )
             .groupBy(trans["dst"].alias("node"))
             .agg(F.sum(F.col("rank") * F.col("p_move")).alias("inflow"))
         )

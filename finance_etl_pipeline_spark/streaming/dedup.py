@@ -68,10 +68,13 @@ class ExactDedupProcessor(StatefulProcessor):
             return
         best_id, best_chars = None, None
         for pdf in rows:
-            i = pdf["doc_id"].idxmin()
-            if best_id is None or pdf["doc_id"][i] < best_id:
-                best_id = int(pdf["doc_id"][i])
-                best_chars = int(pdf["n_chars"][i])
+            # positional numpy min, not pandas idxmin: this body runs
+            # once per KEY, so per-call pandas overhead is the hot path
+            ids = pdf["doc_id"].to_numpy()
+            i = int(ids.argmin())
+            if best_id is None or int(ids[i]) < best_id:
+                best_id = int(ids[i])
+                best_chars = int(pdf["n_chars"].to_numpy()[i])
         self._seen.update((True,))
         if best_id is not None:
             yield pd.DataFrame(
