@@ -303,7 +303,10 @@ def connected_components(
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-    edges = edges.localCheckpoint()
+    # hash-partition on the join key BEFORE pinning: every round's
+    # neighbor join then reuses this partitioning instead of
+    # re-shuffling the (large) edge set per round
+    edges = edges.repartition("b").localCheckpoint()
     # init = the first propagation round fused into the node-distinct
     # aggregate: label(n) = min(n, min neighbor).  Equivalent to one
     # round from identity labels (symmetrized edges ⇒ groupBy(a)
@@ -320,8 +323,14 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # SHUFFLE_HASH on the label side (same reasoning as
+        # operators/graph.pagerank): sort-merge would re-sort the
+        # pinned edge set every round; hashing builds from the
+        # |nodes|/P label partition and streams edges unsorted.
+        # min-label is integer arithmetic, so unlike a float
+        # aggregate the join strategy cannot perturb the result.
         nbr_min = (
-            edges.join(labels, edges.b == labels.node)
+            edges.join(labels.hint("shuffle_hash"), edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
@@ -331,7 +340,9 @@ def connected_components(
         # new-vs-old comparison join would add a full shuffle join
         # per round for information the update already has in hand
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            labels.join(
+                nbr_min.hint("shuffle_hash"), labels.node == nbr_min.a, "left"
+            )
             .select(
                 "node",
                 F.least(
