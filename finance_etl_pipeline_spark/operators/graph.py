@@ -106,6 +106,27 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def copurchase_edge_set(lineitem: DataFrame) -> DataFrame:
+    """Distinct low→high oriented co-purchase edge set ``(s, d)`` with
+    ``s < d``: the unweighted twin of :func:`copurchase_edges`, built
+    the same way — one ``collect_set`` per order then a
+    constant-bounded nested explode — instead of the per-order
+    self-join that shuffles the distinct (orderkey, partkey)
+    projection three times (distinct + both join inputs).  Consumers:
+    triangle counting (orientation counts each triangle once) and BFS
+    (symmetrize before relaxing)."""
+    per_order = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = per_order.select(
+        F.explode("ps").alias("s"), F.col("ps")
+    ).select("s", F.explode("ps").alias("d"))
+    return pairs.filter(F.col("s") < F.col("d")).distinct()
+
+
 HITS_ITERATIONS = 5
 
 
@@ -121,18 +142,27 @@ def hits_bipartite(
     deterministic and SQL-unrollable like operators/graph.pagerank.
 
     Returns ``(auth, score)`` after ``iterations`` rounds from a
-    uniform hub start.  Each iteration is two co-partitioned
-    join-aggregates on the edge keys; the score vectors are
-    |hubs| / |auths| rows."""
+    uniform hub start.  Each iteration is two join-aggregates; the
+    score vectors are |hubs| / |auths| rows.  TWO pinned copies of
+    the edge set — one hash-partitioned on ``hub``, one on ``auth`` —
+    so neither direction's join ever re-shuffles the edge table (one
+    copy alone forces an |edges| exchange per iteration on the other
+    key); each join hints ``shuffle_hash`` on the score-vector side
+    so the pinned copy is streamed, not re-sorted (the
+    :func:`pagerank` rationale).  The float normalization sums make
+    strategy changes ulp-sensitive in principle, so this shape was
+    adopted only after DuckDB oracle parity passed at all three test
+    SFs on the e7 top-20 output."""
     # uniform start: the absolute level cancels at the first
     # normalization, so hs=1.0 avoids a driver-side count
-    edges = edges.repartition("hub").cache()
-    h = edges.select("hub").distinct().select(
+    e_by_hub = edges.repartition("hub").cache()
+    e_by_auth = edges.repartition("auth").cache()
+    h = e_by_hub.select("hub").distinct().select(
         "hub", F.lit(1.0).alias("hs")
     )
     for _ in range(iterations):
         a_raw = (
-            edges.join(h, "hub")
+            e_by_hub.join(h.hint("shuffle_hash"), "hub")
             .groupBy("auth")
             .agg(F.sum("hs").alias("as_raw"))
         )
@@ -141,7 +171,7 @@ def hits_bipartite(
             "auth", (F.col("as_raw") / F.col("tot")).alias("asc")
         )
         h_raw = (
-            edges.join(a, "auth")
+            e_by_auth.join(a.hint("shuffle_hash"), "auth")
             .groupBy("hub")
             .agg(F.sum("asc").alias("hs_raw"))
         )
@@ -156,7 +186,9 @@ def hits_bipartite(
             .localCheckpoint(eager=False)
         )
     a_raw = (
-        edges.join(h, "hub").groupBy("auth").agg(F.sum("hs").alias("as_raw"))
+        e_by_hub.join(h.hint("shuffle_hash"), "hub")
+        .groupBy("auth")
+        .agg(F.sum("hs").alias("as_raw"))
     )
     a_tot = a_raw.agg(F.sum("as_raw").alias("tot"))
     return a_raw.crossJoin(F.broadcast(a_tot)).select(

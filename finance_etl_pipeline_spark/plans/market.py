@@ -347,21 +347,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge endpoints is the gauge).  The wedge count itself comes from
     the degree table via exact integer arithmetic, so the clustering
     coefficient is bit-stable."""
-    lp = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = lp.alias("a"), lp.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .distinct()
-    )
+    e = G.copurchase_edge_set(table(spark, sf_dir, "lineitem"))
     deg = (
         e.select(F.col("s").alias("v"))
         .unionAll(e.select(F.col("d").alias("v")))
@@ -462,21 +448,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows on the node key; at billion-edge scale the frontier join
     co-partitions with a hash-partitioned edge table cached across
     iterations (same posture as pagerank above)."""
-    lp = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, b = lp.alias("a"), lp.alias("b")
-    eo = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .distinct()
-    )
+    eo = G.copurchase_edge_set(table(spark, sf_dir, "lineitem"))
     # localCheckpoint (not cache): reused across the hop loop like a
     # cache, but its blocks are released by the ContextCleaner when
     # this DataFrame goes out of scope — .cache() entries live in the
@@ -501,7 +473,13 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = seeds.select("node", F.lit(0).alias("dist"))
     for _ in range(_BFS_HOPS):
-        relaxed = e.join(dist, e["s"] == dist["node"]).select(
+        # shuffle_hash on the (small) distance table: sort-merge would
+        # re-sort the pinned edge set every hop (operators/graph.py
+        # pagerank rationale); integer distances, so the strategy
+        # cannot perturb the result
+        relaxed = e.join(
+            dist.hint("shuffle_hash"), e["s"] == dist["node"]
+        ).select(
             F.col("d").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         dist = (
