@@ -444,6 +444,26 @@ def test_repeated_spans_no_cartesian_semi_join_back(spark, sf_dir):
     assert "LeftSemi" in plan
 
 
+def test_iterative_graph_joins_are_shuffled_hash(spark, sf_dir):
+    """The round-5 iterative-join contract (SCALE.md): PageRank, BFS,
+    and HITS join their small score/distance vector to a pinned edge
+    table with a SHUFFLE_HASH hint so the edge side is streamed, not
+    re-sorted per iteration.  A dropped hint silently regresses to
+    sort-merge — every iteration then pays an O(|E| log |E|) sort —
+    so assert the executed strategy, not the hint.  (Connected
+    components checkpoints each round eagerly, so its per-round joins
+    never appear in the final plan; its strategy is pinned by the
+    same code path as these.)"""
+    for name, min_shj in (
+        ("graph_pagerank_copurchase", 1),  # last iteration post-checkpoint
+        ("graph_bfs_hops", 3),  # all _BFS_HOPS hop joins visible
+        ("graph_hits_authorities", 1),  # last round past the lazy pins
+    ):
+        plan = plan_of(spark, name, sf_dir)
+        assert plan.count("ShuffledHashJoin") >= min_shj, name
+        assert "SortMergeJoin" not in plan, name
+
+
 def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
     """tx_vocab_coverage joins the 1000-row vocabulary back onto the
     corpus-sized token stream — that join must be broadcast so the
