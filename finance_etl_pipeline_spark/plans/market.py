@@ -347,7 +347,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge endpoints is the gauge).  The wedge count itself comes from
     the degree table via exact integer arithmetic, so the clustering
     coefficient is bit-stable."""
-    e = G.copurchase_edge_set(table(spark, sf_dir, "lineitem"))
+    # pin the edge set once: it feeds SIX subplans (three triangle
+    # join legs, two degree-union scans, the edge count) and Spark
+    # re-runs the collect_set aggregate for each without an explicit
+    # pin (no ReusedExchange across the join legs).  Same
+    # localCheckpoint(eager=False) + ContextCleaner rationale as
+    # graph_bfs_hops below.
+    e = G.copurchase_edge_set(
+        table(spark, sf_dir, "lineitem")
+    ).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("s").alias("v"))
         .unionAll(e.select(F.col("d").alias("v")))
