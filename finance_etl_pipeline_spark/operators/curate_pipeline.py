@@ -68,7 +68,9 @@ def neardup_keepers(docs: DataFrame) -> DataFrame:
     sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=False)
     cand = D.candidate_pairs(
         D.band_signatures(D.minhash_signatures_hashed(sh_hashed))
-    )
+        # pinned for jaccard_verify_hashed's three internal consumers
+        # (see plans/llm.py dd_minhash_lsh_pairs)
+    ).localCheckpoint(eager=False)
     pairs = D.jaccard_verify_hashed(sh_hashed, cand, NEARDUP_THRESHOLD)
     labels = D.connected_components(pairs.select("doc_a", "doc_b"))
     losers = labels.filter(F.col("node") != F.col("lbl")).select(

@@ -252,7 +252,12 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
     mh = D.minhash_signatures_hashed(sh_hashed)
     bands = D.band_signatures(mh)
-    cand = D.candidate_pairs(bands)
+    # pin the candidate set: jaccard_verify_hashed consumes it three
+    # times (cand_docs twice, the pair join once) and no ReusedExchange
+    # forms across those subplans, so unpinned the signature+band
+    # chain re-runs per consumer (A/B at sf0.1: ~-1 s; candidates are
+    # ∝ dup density, so the pin is small at any scale)
+    cand = D.candidate_pairs(bands).localCheckpoint(eager=False)
     return D.jaccard_verify_hashed(sh_hashed, cand, 0.7).orderBy("doc_a", "doc_b")
 
 
@@ -686,7 +691,8 @@ def dd_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
     mh = D.minhash_signatures_hashed(sh_hashed)
     bands = D.band_signatures(mh)
-    cand = D.candidate_pairs(bands)
+    # pinned for the same three-consumer reason as dd_minhash_lsh_pairs
+    cand = D.candidate_pairs(bands).localCheckpoint(eager=False)
     pairs = D.jaccard_verify_hashed(sh_hashed, cand, 0.7).select(
         "doc_a", "doc_b"
     )
@@ -1221,8 +1227,11 @@ def dd_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
     mh = D.minhash_signatures_hashed(sh_hashed)
     bands = D.band_signatures(mh)
-    cand = D.candidate_pairs(bands).filter(
-        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    cand = (
+        D.candidate_pairs(bands)
+        .filter((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
+        # pinned for the same three-consumer reason as dd_minhash_lsh_pairs
+        .localCheckpoint(eager=False)
     )
     verified = D.jaccard_verify_hashed(sh_hashed, cand, 0.7)
     inc_a = F.col("doc_a") % 10 == 0

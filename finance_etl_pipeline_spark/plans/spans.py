@@ -290,7 +290,10 @@ def dd_minhash_estimate_calibration(spark: SparkSession, sf_dir: str) -> DataFra
     sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
     mh_wide = D.minhash_signatures_hashed(sh_hashed)
     bands = D.band_signatures(mh_wide)
-    cand = D.candidate_pairs(bands)
+    # pinned: consumed by cand_docs (twice), the agreement join, AND
+    # jaccard_verify_hashed's three internal scans — seven subplans
+    # that would each re-run the signature+band chain unpinned
+    cand = D.candidate_pairs(bands).localCheckpoint(eager=False)
     n_match = sum(
         F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
         for i in range(D.NUM_HASHES)
