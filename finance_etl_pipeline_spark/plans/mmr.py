@@ -139,6 +139,15 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-score the remaining candidates by λ·rel − (1−λ)·max-sim-to-
     selected and pick the per-query argmax."""
     emb = table(spark, sf_dir, "embeddings")
+    # rel and pairsim are consumed by EVERY greedy round below, and
+    # the growing `selected` is consumed three times per round (the
+    # max-sim join, the anti-join, the union) — unpinned, each round's
+    # plan embeds three copies of the previous round's, so plan size
+    # and recompute grow ~3^K (measured: 160 sort-merge joins in the
+    # K=5 physical plan).  The lazy pins below make each round's plan
+    # O(1) over materialized inputs, the same lineage-cut rationale as
+    # operators/dedup.connected_components.  Values are unchanged —
+    # pins don't reorder any float arithmetic.
     rel = S.cosine_topk(
         spread(emb), F.col("vec_id") % 50 == 0, k=_N_CAND
     ).select(
@@ -148,7 +157,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # oracle's floor(..)/10000, so the MMR affine combination
         # operates on bit-equal inputs in both engines
         (F.col("cosine_e4") / F.lit(10000.0)).alias("rel"),
-    )
+    ).localCheckpoint(eager=False)
     base = spread(emb).select(
         "vec_id",
         S.as_double(F.col("embedding")).alias("v"),
@@ -182,6 +191,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("sim"),
         )
+        .localCheckpoint(eager=False)
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.col("vec_id"))
     selected = (
@@ -229,7 +239,7 @@ def emb_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "score",
             )
         )
-        selected = selected.unionByName(pick)
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.select(
         "query_id",
         F.col("mmr_rank").cast("long").alias("mmr_rank"),
