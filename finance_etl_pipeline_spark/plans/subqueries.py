@@ -166,10 +166,17 @@ def a_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct counting (exact distinct shuffles every value; HLL ships
     one sketch per partition). No SQL oracle: the estimate is
     engine-specific — rows-only check; the companion exact value is
-    covered by a_stats_summary's n_users."""
+    covered by a_stats_summary's n_users.
+
+    rsd stays at Spark's 0.05 default: tightening to 0.01 inflates
+    the HLL++ state to 1,639 aggregate buffer words per group (a
+    100 KB physical plan and a multi-second whole-stage-codegen
+    compile for this two-line query), a 26× state cost for 5× less
+    error — the wrong trade for a monitoring count; callers that
+    need exactness use the exact path."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.approx_count_distinct("user_id").alias("approx_users")
     ).orderBy("event_type")
 
 
