@@ -27,45 +27,55 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice"
-    )
-    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    (
-        li.write.mode("overwrite")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable("buckets_demo.lineitem_b")
-    )
-    (
-        o.write.mode("overwrite")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable("buckets_demo.orders_b")
-    )
-    lb = spark.table("buckets_demo.lineitem_b")
-    ob = spark.table("buckets_demo.orders_b")
-    joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
-        "o_orderkey"
-    ).agg(F.sum("l_extendedprice").alias("s"))
+    # restore in finally, and UNSET the adaptive threshold when it was
+    # initially unset: leaving -1 behind leaked into every later test
+    # in the session and flipped AQE-materialized joins (seen as an
+    # order-dependent failure of the iterative-graph plan test)
+    try:
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        (
+            li.write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("buckets_demo.lineitem_b")
+        )
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable("buckets_demo.orders_b")
+        )
+        lb = spark.table("buckets_demo.lineitem_b")
+        ob = spark.table("buckets_demo.orders_b")
+        joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+            "o_orderkey"
+        ).agg(F.sum("l_extendedprice").alias("s"))
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        joined.explain("formatted")
-    plan = buf.getvalue()
-    join_section = plan.split("HashAggregate")[0]
-    assert "SortMergeJoin" in plan
-    # bucketed layout co-locates both sides: no exchange before the join
-    assert "Exchange hashpartitioning" not in join_section
-    # and the result matches the non-bucketed computation
-    expected = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey")
-        .agg(F.sum("l_extendedprice").alias("s"))
-        .count()
-    )
-    assert joined.count() == expected
-    spark.sql("DROP DATABASE buckets_demo CASCADE")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    if old_aqe is not None:
-        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        # bucketed layout co-locates both sides: no exchange before the join
+        assert "Exchange hashpartitioning" not in join_section
+        # and the result matches the non-bucketed computation
+        expected = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum("l_extendedprice").alias("s"))
+            .count()
+        )
+        assert joined.count() == expected
+        spark.sql("DROP DATABASE buckets_demo CASCADE")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe
+            )
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
