@@ -560,3 +560,151 @@ def tx_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc_e6"),
     )
+
+
+# nDCG@10 discount table in micro-units: round(1/log2(r+1) * 1e6) for
+# rank r = 1..10, and its prefix sums (the ideal-DCG lookup).  Fixed
+# integer literals shared verbatim with the oracle SQL, so the metric
+# is pure BIGINT arithmetic until the single final ratio — no libm
+# log() call whose last ulp could differ between the JVM and DuckDB.
+_NDCG_DISC = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_NDCG_PREF = (
+    1000000, 1630930, 2130930, 2561607, 2948460,
+    3304667, 3638000, 3953465, 4254495, 4543560,
+)
+_SQL_DISC_CASE = "CASE rank " + " ".join(
+    f"WHEN {r + 1} THEN {v}" for r, v in enumerate(_NDCG_DISC)
+) + " ELSE 0 END"
+_SQL_PREF_LIST = "[" + ", ".join(str(v) for v in _NDCG_PREF) + "]"
+
+
+@register(
+    "emb_retrieval_ndcg",
+    f"""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+      FROM base WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {S.QUERY_CAP}
+    ),
+    pairs AS (
+      SELECT query_id, qlabel, vec_id, label,
+             floor((list_dot_product(qv, v) / nullif(qn * nrm, 0.0))
+                   * 10000 + 0.5001) / 10000 AS cosine
+      FROM q CROSS JOIN base WHERE query_id != vec_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs QUALIFY rank <= 10
+    ),
+    lbl AS (SELECT label, count(*) AS n_label FROM base GROUP BY label),
+    perq AS (
+      SELECT query_id, qlabel,
+             CAST(sum(CASE WHEN label = qlabel
+                           THEN {_SQL_DISC_CASE} ELSE 0 END) AS BIGINT)
+               AS dcg_e6,
+             CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel_at10
+      FROM ranked GROUP BY query_id, qlabel
+    ),
+    scored AS (
+      SELECT p.query_id, p.qlabel, p.n_rel_at10, p.dcg_e6,
+             CASE WHEN l.n_label - 1 <= 0 THEN NULL
+                  ELSE ({_SQL_PREF_LIST})[
+                         CAST(least(l.n_label - 1, 10) AS INT)]
+             END AS idcg_e6
+      FROM perq p JOIN lbl l ON p.qlabel = l.label
+    )
+    SELECT query_id,
+           CAST(qlabel AS BIGINT) AS query_label,
+           n_rel_at10, dcg_e6,
+           CAST(idcg_e6 AS BIGINT) AS idcg_e6,
+           {sql_igrid('dcg_e6 * 1.0 / nullif(idcg_e6, 0)', 6)} AS ndcg_e6
+    FROM scored ORDER BY query_id
+    """,
+    "llm",
+    "similarity",
+    "eval",
+)
+def emb_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval #2: per-query nDCG@10 of exact cosine
+    retrieval with label-match relevance — the position-weighted
+    companion to ``emb_retrieval_mrr`` (MRR only scores the FIRST
+    relevant hit; nDCG credits every relevant hit, discounted by
+    rank).  Ideal DCG uses the true per-label corpus frequency
+    (n_label − 1 relevant candidates, capped at 10), so a query whose
+    label is rare is not penalized for having fewer than 10 possible
+    relevant neighbors.
+
+    Determinism: the rank contract is ``cosine_topk``'s (cosine
+    frounded at 4 dp, ties by vec_id); the log2 discounts are fixed
+    micro-unit integer literals shared with the oracle, so DCG/IDCG
+    are exact BIGINTs and the only float op is the final ratio.
+
+    Scale: same posture as MRR — the query set is bounded by
+    ``query_set(QUERY_CAP)``, its top-10 table (≤ CAP×10 rows) and the
+    label-frequency table (|label domain| rows) broadcast; the corpus
+    is scanned once by the brute-force baseline (swap IVF/PQ candidates
+    in for the 100 TB path — the eval join is unchanged)."""
+    emb = table(spark, sf_dir, "embeddings")
+    labels = spread(emb).select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
+    top = S.cosine_topk(emb, F.col("vec_id") % 50 == 0, k=10)
+    qlab = S.query_set(labels, F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    # |label domain| rows (an aggregate over the corpus) — broadcast.
+    lbl = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_label")
+    )
+    j = labels.join(
+        F.broadcast(top.join(F.broadcast(qlab), "query_id")), "vec_id"
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(v) for v in _NDCG_DISC]), F.col("rank").cast("int")
+    )
+    perq = j.groupBy("query_id", "qlabel").agg(
+        F.sum(
+            F.when(F.col("label") == F.col("qlabel"), disc).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_e6"),
+        F.sum(F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_rel_at10"),
+    )
+    pref = F.array(*[F.lit(v) for v in _NDCG_PREF])
+    idcg = F.when(
+        F.col("n_label") - 1 > 0,
+        F.element_at(
+            pref, F.least(F.col("n_label") - 1, F.lit(10)).cast("int")
+        ),
+    ).cast("long")
+    return (
+        perq.join(
+            F.broadcast(lbl), perq["qlabel"] == lbl["label"]
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("query_label"),
+            "n_rel_at10",
+            "dcg_e6",
+            idcg.alias("idcg_e6"),
+            igrid(
+                F.col("dcg_e6")
+                / F.nullif(idcg.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("ndcg_e6"),
+        )
+        .orderBy("query_id")
+    )
