@@ -708,3 +708,122 @@ def s_size_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# Per-source document cap: keep the _SRC_CAP hash-smallest docs of
+# each source (C4/RefinedWeb-style per-domain quota).  _CAP_BANDS
+# order-preserving hash bands (top 8 bits of the 60-bit hash) bound
+# the exact-rank window: only rows whose band prefix-count is still
+# below the cap ever enter it.
+_SRC_CAP = 40
+_CAP_BANDS_SHIFT = 52
+
+
+@register(
+    "s_per_source_cap",
+    f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_H_DOC}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {_SRC_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk > {_SRC_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rk <= {_SRC_CAP} THEN doc_id ELSE 0 END)
+                AS BIGINT) AS kept_doc_id_sum,
+           CAST(sum(CASE WHEN rk <= {_SRC_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source ORDER BY source
+    """,
+    "llm",
+    "sampling",
+    "agg",
+)
+def s_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the C4/RefinedWeb per-domain quota):
+    keep at most _SRC_CAP docs per source, selected as the hash-
+    smallest doc_ids — content-addressed, so the kept set is stable
+    under re-runs, engine swaps, and corpus appends (a doc already
+    kept can only be displaced by a new doc with a smaller hash, never
+    by reordering).  Emits the per-source keep/drop accounting plus a
+    kept-set checksum (sum of kept doc_ids) that pins the exact
+    selection, not just its size.
+
+    Scale: the naive form is a row_number window partitioned by
+    source — an unbounded per-source sort at 100 TB (one hot domain
+    can be billions of rows).  This plan instead bands the hash space
+    order-preservingly (top 8 bits → 256 bands), aggregates per-band
+    counts (map-side combined, |sources|×256 rows), prefix-sums them,
+    and lets only rows whose band starts below the cap into the exact
+    window: those are ≤ cap + |source|/256 rows per source by
+    construction (prefix-closed, so ranks within the survivor set
+    equal true ranks).  The same banded-prefix trick as
+    ``drift_ks_value`` / ``prof_range_partition_plan``."""
+    d = spread(table(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window
+
+    h = hash60_expr(F.col("doc_id").cast("string"))
+    docs = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        h.alias("h"),
+        F.shiftright(h, _CAP_BANDS_SHIFT).alias("band"),
+    )
+    per_band = docs.groupBy("source", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bands = per_band.select(
+        "source",
+        "band",
+        F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("cum_before"),
+        "n",
+    )
+    # band offset table: ≤ |sources| × 256 rows — broadcast.
+    j = docs.join(
+        F.broadcast(bands.select("source", "band", "cum_before")),
+        ["source", "band"],
+    )
+    # prefix-closed survivor set: every row of a band that starts at
+    # or past the cap has true rank > cap and never enters the window.
+    pre = j.filter(F.col("cum_before") < _SRC_CAP)
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    kept = pre.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _SRC_CAP
+    )
+    tot = per_band.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs")
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_doc_id_sum"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return (
+        tot.join(k, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("kept_doc_id_sum", F.lit(0))
+            .cast("long")
+            .alias("kept_doc_id_sum"),
+            F.coalesce("kept_chars", F.lit(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
