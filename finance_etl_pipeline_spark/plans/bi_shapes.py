@@ -400,3 +400,77 @@ def bi_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "cohort")
     )
+
+
+@register(
+    "bi_balance_rollforward",
+    f"""
+    WITH monthly AS (
+      SELECT n.n_name AS nation,
+             strftime(o.o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             {sql_igrid('sum(o.o_totalprice)', 2)} AS activity_e2
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY nation, month
+    )
+    SELECT nation, month, n_orders, activity_e2,
+           CAST(sum(activity_e2) OVER (PARTITION BY nation ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - activity_e2 AS BIGINT) AS opening_e2,
+           CAST(sum(activity_e2) OVER (PARTITION BY nation ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS closing_e2
+    FROM monthly ORDER BY nation, month
+    """,
+    "bi",
+    "window",
+    "agg",
+)
+def bi_balance_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance rollforward per nation-month — the ledger-continuity
+    shape every receivables/GL report leads with: opening balance +
+    period activity = closing balance, with closing(m) ≡ opening(m+1)
+    by construction.  The finance twin of the reference's monthly KPI
+    table, lifted to cumulative form.
+
+    Exactness: monthly activity is gridded to cents (BIGINT) at the
+    aggregate, so the running balance is pure integer arithmetic —
+    opening/closing can never drift from the activity column by a
+    summation-order ulp.  Months with no activity for a nation carry
+    the balance implicitly (the cumsum skips them).
+
+    Scale: orders↔customer is a co-partitioned key join (AQE
+    broadcasts the 25-row nation dim unhinted); everything after the
+    first aggregate is |nations × months| rows, so the running-sum
+    window sorts a bounded table, never the fact."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            igrid(F.sum("o_totalprice"), 2).alias("activity_e2"),
+        )
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    closing = F.sum("activity_e2").over(w)
+    return monthly.select(
+        "nation",
+        "month",
+        "n_orders",
+        "activity_e2",
+        (closing - F.col("activity_e2")).cast("long").alias("opening_e2"),
+        closing.cast("long").alias("closing_e2"),
+    ).orderBy("nation", "month")
