@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from finance_etl_pipeline_spark.functions.scalars import sql_hash60, sql_igrid
+from finance_etl_pipeline_spark.functions.scalars import igrid, sql_hash60, sql_igrid
 from finance_etl_pipeline_spark.operators.dedup import hash60_expr, tokens_expr
 from finance_etl_pipeline_spark.plans import register
 from finance_etl_pipeline_spark.sources.readers import spread, table
@@ -820,4 +820,151 @@ def dd_cross_source_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_leaked_spans"))
         .orderBy("source")
+    )
+
+
+# Winnowing guarantee window: every run of _WINNOW_W consecutive
+# k-gram hashes contributes (at least) one selected fingerprint, so
+# any match of length >= SPAN_W + _WINNOW_W - 1 tokens is guaranteed
+# to share a fingerprint (Schleimer, Wilkerson & Aiken, SIGMOD 2003).
+_WINNOW_W = 4
+
+
+def _winnow_sql() -> str:
+    """Fingerprint table: rightmost-min of each _WINNOW_W window."""
+    return f"""
+    {_windows_sql()},
+    exp AS (
+      SELECT doc_id, pos, h, pos + s AS t
+      FROM win, LATERAL (
+        SELECT unnest(generate_series(0, {_WINNOW_W - 1})) AS s
+      )
+    ),
+    wmin AS (
+      SELECT doc_id, t, pos, h,
+             min(h) OVER (PARTITION BY doc_id, t) AS minh,
+             count(*) OVER (PARTITION BY doc_id, t) AS n_in
+      FROM exp
+    ),
+    sel AS (
+      SELECT doc_id, t, max(pos) AS sel_pos, min(h) AS h
+      FROM wmin WHERE h = minh AND n_in = {_WINNOW_W}
+      GROUP BY doc_id, t
+    ),
+    fp AS (SELECT DISTINCT doc_id, sel_pos, h FROM sel)"""
+
+
+@register(
+    "dd_winnow_fingerprints",
+    f"""
+    WITH {_winnow_sql()},
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_fingerprints,
+             CAST(sum(h % 1000000007) AS BIGINT) AS fp_checksum
+      FROM fp GROUP BY doc_id
+    ),
+    kg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams
+      FROM win GROUP BY doc_id
+    )
+    SELECT k.doc_id, k.n_kgrams, p.n_fingerprints,
+           {sql_igrid('p.n_fingerprints * 1.0 / k.n_kgrams', 6)}
+             AS density_e6,
+           p.fp_checksum
+    FROM kg k JOIN per_doc p ON k.doc_id = p.doc_id
+    ORDER BY k.doc_id
+    """,
+    "llm",
+    "dedup",
+)
+def dd_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): from each document's rolling
+    SPAN_W-token k-gram hashes, select the rightmost minimum of every
+    _WINNOW_W-hash window.  The selected set is (a) position-stable
+    local sampling — expected density 2/(w+1) — and (b) guaranteed to
+    catch any copied passage of ≥ SPAN_W+_WINNOW_W−1 tokens, the
+    property hash-mod sampling (``s_hash_sample``-style) cannot give.
+    Emits per-doc k-gram count, fingerprint count, selection density,
+    and a checksum over the selected (hash mod p) set that pins the
+    exact selection cross-engine.
+
+    Determinism: rightmost-min is decided by (h, pos) only; the hash
+    is the shared md5→60-bit scheme, so both engines select the
+    identical positions.
+
+    Scale: the k-gram table explodes ×_WINNOW_W into selection
+    windows and shuffles once on (doc_id, t) for the window min —
+    narrow integer rows, no join-back (the argmin filter runs inside
+    the same partition pass).  Fingerprints per doc are bounded by
+    n_kgrams; everything downstream is per-doc aggregates.  The
+    natural 100 TB consumer joins ``fp`` on h to find candidate pairs
+    exactly like the LSH band join (candidates ∝ shared-content
+    density, never n²)."""
+    docs = spread(table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokens_expr().alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - (SPAN_W - 1))
+    windows = F.when(
+        F.size(t) >= SPAN_W,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SPAN_W))),
+    ).otherwise(F.array().cast("array<string>"))
+    # inline explode (project-into-generator fusion — see
+    # dd_repeated_spans); two consumers (kgram counts + winnow), so
+    # pin the hashed k-gram table once like the other span queries.
+    win = (
+        base.select("doc_id", F.posexplode(windows).alias("p0", "w"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            hash60_expr(F.col("w")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exp = win.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (_WINNOW_W - 1))
+        ).alias("t"),
+    )
+    wsel = Window.partitionBy("doc_id", "t")
+    wmin = exp.select(
+        "doc_id",
+        "t",
+        "pos",
+        "h",
+        F.min("h").over(wsel).alias("minh"),
+        F.count(F.lit(1)).over(wsel).alias("n_in"),
+    )
+    sel = (
+        wmin.filter(
+            (F.col("h") == F.col("minh")) & (F.col("n_in") == _WINNOW_W)
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.max("pos").alias("sel_pos"), F.min("h").alias("h"))
+    )
+    fp = sel.select("doc_id", "sel_pos", "h").distinct()
+    per_doc = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+        F.sum(F.col("h") % 1000000007).cast("long").alias("fp_checksum"),
+    )
+    kg = win.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kgrams")
+    )
+    return (
+        kg.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_fingerprints",
+            igrid(
+                F.col("n_fingerprints") / F.col("n_kgrams").cast("double"),
+                6,
+            ).alias("density_e6"),
+            "fp_checksum",
+        )
+        .orderBy("doc_id")
     )
