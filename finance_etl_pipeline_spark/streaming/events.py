@@ -204,6 +204,65 @@ def click_purchase_stream_left_join(
     )
 
 
+def click_purchase_stream_full_join(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """FULL OUTER variant of the click→purchase interval join — the
+    complete attribution matrix in one stream: matched rows as they
+    arrive, one NULL-purchase row per unconverted click (as in the
+    LEFT join), AND one NULL-click row per purchase with no click in
+    the preceding 30 minutes — the "dark conversion" feed (direct /
+    untracked-channel purchases) that both the inner and left joins
+    drop.
+
+    Expirability is symmetric: the condition that bounds purchase_ts
+    to [click_ts, click_ts + 30 min] equally bounds click_ts to
+    [purchase_ts − 30 min, purchase_ts], so with both sides
+    watermarked Spark can emit either side's outer row (and drop its
+    state) once the watermark clears its 30-minute horizon.  Same
+    trailing-emission semantics as the LEFT variant: under
+    availableNow the final watermark decides which trailing rows get
+    their NULL twin; a live deployment just keeps running.  Batch
+    twin for parity: the identical predicate as a batch full join."""
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    ).withWatermark("purchase_ts", watermark)
+    j = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "full_outer",
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        F.coalesce(F.col("user_id"), F.col("p_user")).alias("user_key"),
+        F.expr(
+            "(unix_micros(purchase_ts) - unix_micros(click_ts)) div 1000000"
+        ).alias("delay_sec"),
+        igrid(F.col("value"), 2).alias("purchase_value_e2"),
+        F.when(
+            F.col("click_id").isNotNull() & F.col("purchase_id").isNotNull(),
+            "matched",
+        )
+        .when(F.col("click_id").isNotNull(), "click_only")
+        .otherwise("purchase_only")
+        .alias("match_kind"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, watermark: str = "35 days"
 ) -> DataFrame:
