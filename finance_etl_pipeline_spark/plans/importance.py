@@ -708,3 +708,141 @@ def emb_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _logreg_oracle() -> str:
+    """Unrolled GD oracle: one gradient CTE + one weight CTE per
+    iteration, weights on the e6 integer grid between iterations —
+    the same quantize-between-iterations scheme as the kmeans oracle."""
+    from finance_etl_pipeline_spark.operators import logreg as LR
+    from finance_etl_pipeline_spark.operators.text import STOPWORDS
+
+    stop_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    d = LR.N_FEATURES
+    xs = [f"x{j}" for j in range(d)]
+
+    def margin(wcte: str | None) -> str:
+        if wcte is None:
+            return "0.0"
+        dot = " + ".join(f"{wcte}.w{j} * {xs[j]}" for j in range(d))
+        return f"({dot}) / 1000000.0"
+
+    parts = [
+        rf"""tokd AS (
+      SELECT lang, text, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT CASE WHEN lang = '{LR.TARGET_LANG}' THEN 1.0 ELSE 0.0 END AS y,
+             1.0 AS x0,
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) AS x1,
+             coalesce(CAST(len(list_filter(t, x ->
+                        list_contains({stop_list}, x))) AS DOUBLE)
+                      / nullif(CAST(len(t) AS DOUBLE), 0.0), 0.0) AS x2,
+             coalesce(least((CAST(list_aggregate(list_transform(t,
+                        x -> len(x)), 'sum') AS DOUBLE)
+                      / nullif(CAST(len(t) AS DOUBLE), 0.0)) / 8.0, 1.0),
+                      0.0) AS x3
+      FROM tokd
+    )"""
+    ]
+    prev = None
+    for it in range(1, LR.ITERATIONS + 1):
+        m = margin(prev)
+        src = "feats" if prev is None else f"feats CROSS JOIN {prev}"
+        grads = ", ".join(
+            f"avg((1.0 / (1.0 + exp(-({m}))) - y) * {xs[j]}) AS g{j}"
+            for j in range(d)
+        )
+        parts.append(f"g{it} AS (SELECT {grads} FROM {src})")
+        w_prev = (
+            "0.0" if prev is None else f"{prev}.w{{j}} / 1000000.0"
+        )
+        ws = ", ".join(
+            "CAST(floor(("
+            + w_prev.format(j=j)
+            + f" - {LR.LR} * g{it}.g{j}) * 1000000 + 0.5001) AS BIGINT)"
+            + f" AS w{j}"
+            for j in range(d)
+        )
+        w_src = f"g{it}" if prev is None else f"g{it} CROSS JOIN {prev}"
+        parts.append(f"w{it} AS (SELECT {ws} FROM {w_src})")
+        prev = f"w{it}"
+    final_m = margin(prev)
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    final AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN (({final_m}) > 0.0) = (y = 1.0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM feats CROSS JOIN {prev}
+    )
+    SELECT n_docs, n_pos, n_correct,
+           {sql_igrid('n_correct * 1.0 / n_docs', 6)} AS train_acc_ppm,
+           w0 AS w_bias_e6, w1 AS w_len_e6,
+           w2 AS w_stop_e6, w3 AS w_shape_e6
+    FROM final CROSS JOIN {prev}
+    """
+
+
+@register(
+    "tx_quality_classifier_train",
+    _logreg_oracle(),
+    "llm",
+    "ml",
+    "text",
+)
+def tx_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier whose INFERENCE shape is
+    ``tx_linear_classifier``: full-batch logistic-regression gradient
+    descent on the quality_score features (length, stopword density,
+    token shape + bias), target = the doc's language flag — the
+    standard seed-labeled gate-training loop (wiki-vs-crawl) of a
+    curation pipeline.  Emits the learned weights (e6 micro-units),
+    corpus/label counts, and training accuracy.
+
+    Determinism: weights are gridded to e6 integers between the
+    ITERATIONS gradient passes (operators/logreg.py — the kmeans
+    quantize-between-iterations pattern), so the oracle's unrolled
+    CTE chain reproduces them exactly.
+
+    Scale: each iteration is ONE map-side-combined aggregate (d
+    doubles per partition move); driver state is d doubles; the
+    feature projection is a narrow scan.  At 100 TB: identical plan —
+    GD over 4 features is bandwidth-bound on the scan, and the
+    cached feature frame amortizes tokenization across iterations."""
+    from finance_etl_pipeline_spark.operators import logreg as LR
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    feats = LR.features(docs)
+    feats.persist()
+    try:
+        w_e6 = LR.train(feats)
+        m = LR.margin_expr(w_e6)
+        agg = feats.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("y").cast("long")).cast("long").alias("n_pos"),
+            F.sum(
+                F.when(
+                    (m > 0.0) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        return agg.select(
+            "n_docs",
+            "n_pos",
+            "n_correct",
+            igrid(
+                F.col("n_correct") / F.col("n_docs").cast("double"), 6
+            ).alias("train_acc_ppm"),
+            F.lit(w_e6[0]).alias("w_bias_e6"),
+            F.lit(w_e6[1]).alias("w_len_e6"),
+            F.lit(w_e6[2]).alias("w_stop_e6"),
+            F.lit(w_e6[3]).alias("w_shape_e6"),
+        )
+    finally:
+        feats.unpersist()
