@@ -278,3 +278,90 @@ def dq_declared_length_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Sequence-gap audit: orderkey bands of 2^_GAP_SHIFT keys bound every
+# window partition (TPC-H orderkeys are deliberately sparse, so the
+# audit has real gaps to find).
+_GAP_SHIFT = 12
+
+
+@register(
+    "dq_sequence_gaps",
+    """
+    WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+    d AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k),
+    g AS (
+      SELECT k - pk - 1 AS gap FROM d WHERE pk IS NOT NULL AND k - pk > 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS n_keys,
+           (SELECT min(k) FROM k) AS min_key,
+           (SELECT max(k) FROM k) AS max_key,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(coalesce(sum(gap), 0) AS BIGINT) AS n_missing,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+    FROM g
+    """,
+    "dq",
+    "window",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence gap audit: how many runs of consecutive ids are
+    missing from ``o_orderkey``, how many ids they cover, and the
+    largest hole — the completeness check every CDC/backfill pipeline
+    runs on a supposedly-monotone source (a gap that grows run-over-
+    run means upstream is dropping records).
+
+    Scale: the textbook form is ``lag() OVER (ORDER BY k)`` — an
+    unpartitioned window that single-threads the whole table.  This
+    plan bands the key space order-preservingly (k >> _GAP_SHIFT, 4096
+    keys per band): interior gaps come from a lag window PARTITIONED
+    by band; gaps that straddle band boundaries come from a second lag
+    over the per-band (min, max) summary — |keys|/4096 rows, and that
+    stitching table can be re-banded recursively if even it is huge.
+    No unpartitioned window ever sees fact-sized input.  Exact:
+    every adjacent-key pair is examined exactly once (within its band,
+    or at the boundary between two non-empty bands — empty bands fold
+    into the boundary gap automatically)."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k")
+    )
+    keys = o.select("k", F.shiftright(F.col("k"), _GAP_SHIFT).alias("band"))
+    w_in = Window.partitionBy("band").orderBy("k")
+    interior = (
+        keys.select(
+            "k", (F.col("k") - F.lag("k").over(w_in) - 1).alias("gap")
+        )
+        .filter(F.col("gap") > 0)
+        .select("gap")
+    )
+    summary = keys.groupBy("band").agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w_b = Window.orderBy("band")
+    boundary = (
+        summary.select(
+            (F.col("min_k") - F.lag("max_k").over(w_b) - 1).alias("gap")
+        )
+        .filter(F.col("gap") > 0)
+        .select("gap")
+    )
+    gaps = interior.unionByName(boundary)
+    gap_agg = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("long").alias("n_missing"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long").alias("max_gap"),
+    )
+    stats = summary.agg(
+        F.sum("n").cast("long").alias("n_keys"),
+        F.min("min_k").alias("min_key"),
+        F.max("max_k").alias("max_key"),
+    )
+    # 1-row × 1-row join to assemble the report
+    return stats.crossJoin(F.broadcast(gap_agg)).select(
+        "n_keys", "min_key", "max_key", "n_gaps", "n_missing", "max_gap"
+    )
