@@ -474,3 +474,145 @@ def bi_balance_rollforward(spark: SparkSession, sf_dir: str) -> DataFrame:
         (closing - F.col("activity_e2")).cast("long").alias("opening_e2"),
         closing.cast("long").alias("closing_e2"),
     ).orderBy("nation", "month")
+
+
+@register(
+    "bi_rfm_migration",
+    """
+    WITH p AS (
+      SELECT user_id, strftime(ts, '%Y-%m') AS month,
+             CAST(floor(sum(value) * 100 + 0.5001) AS BIGINT) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, month
+    ),
+    seg AS (
+      SELECT user_id, month,
+             ntile(4) OVER (PARTITION BY month
+                            ORDER BY monetary DESC, user_id) AS q,
+             strftime(CAST(month || '-01' AS DATE) + INTERVAL 1 MONTH,
+                      '%Y-%m') AS next_month
+      FROM p
+    ),
+    mm AS (SELECT min(month) AS lo, max(month) AS hi FROM p),
+    moves AS (
+      SELECT a.q AS q_from, b.q AS q_to
+      FROM seg a JOIN seg b
+        ON a.user_id = b.user_id AND a.next_month = b.month
+    ),
+    churned AS (
+      SELECT a.q AS q_from, 0 AS q_to
+      FROM seg a CROSS JOIN mm
+      WHERE a.month <> mm.hi AND NOT EXISTS (
+        SELECT 1 FROM seg b
+        WHERE b.user_id = a.user_id AND b.month = a.next_month)
+    ),
+    fresh AS (
+      SELECT 0 AS q_from, b.q AS q_to
+      FROM seg b CROSS JOIN mm
+      WHERE b.month <> mm.lo AND NOT EXISTS (
+        SELECT 1 FROM seg a
+        WHERE a.user_id = b.user_id AND a.next_month = b.month)
+    )
+    SELECT CAST(q_from AS BIGINT) AS q_from,
+           CAST(q_to AS BIGINT) AS q_to,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM (SELECT * FROM moves UNION ALL SELECT * FROM churned
+          UNION ALL SELECT * FROM fresh)
+    GROUP BY q_from, q_to ORDER BY q_from, q_to
+    """,
+    "bi",
+    "window",
+)
+def bi_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month monetary-quartile migration matrix — the
+    customer-lifecycle flow report behind every retention deck: of
+    last month's Q1 spenders, how many stayed Q1, slipped, churned
+    (sentinel 0), and how many spenders are new this month (from 0).
+    Boundary months are excluded from the artificial legs (everyone
+    would 'churn' after the last month and be 'new' in the first).
+
+    Determinism: monthly monetary is cent-gridded BIGINT, and ntile
+    orders by (monetary DESC, user_id) — a total order, so both
+    engines assign identical quartiles.
+
+    Scale: the quartile window partitions by month and sorts that
+    month's active spenders; for user counts where a per-month sort
+    hurts, swap ntile for rank-banded assignment (the
+    ``s_per_source_cap`` banding) or boundary joins from
+    ``prof_range_partition_plan`` percentiles.  The migration join is
+    user-keyed and co-partitioned; all outputs are ≤ 24 rows."""
+    e = table(spark, sf_dir, "events")
+    per_um = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_format("ts", "yyyy-MM").alias("month")
+        )
+        .agg(igrid(F.sum("value"), 2).alias("monetary"))
+    )
+    w = Window.partitionBy("month").orderBy(
+        F.desc("monetary"), F.col("user_id")
+    )
+    seg = per_um.select(
+        "user_id",
+        "month",
+        F.ntile(4).over(w).alias("q"),
+        F.date_format(
+            F.add_months(
+                F.to_date(F.concat(F.col("month"), F.lit("-01"))), 1
+            ),
+            "yyyy-MM",
+        ).alias("next_month"),
+    ).localCheckpoint(eager=True)
+    mm = seg.agg(
+        F.min("month").alias("lo"), F.max("month").alias("hi")
+    )
+    a = seg.select(
+        F.col("user_id").alias("a_user"),
+        F.col("month").alias("a_month"),
+        F.col("q").alias("q_from"),
+        F.col("next_month").alias("a_next"),
+    )
+    b = seg.select(
+        F.col("user_id").alias("b_user"),
+        F.col("month").alias("b_month"),
+        F.col("q").alias("q_to"),
+    )
+    moves = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("a_next") == F.col("b_month")),
+    ).select("q_from", "q_to")
+    churned = (
+        a.crossJoin(F.broadcast(mm))
+        .filter(F.col("a_month") != F.col("hi"))
+        .join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("a_next") == F.col("b_month")),
+            "left_anti",
+        )
+        .select("q_from", F.lit(0).alias("q_to"))
+    )
+    prev_of_b = a.select(
+        F.col("a_user").alias("p_user"), F.col("a_next").alias("p_next")
+    )
+    fresh = (
+        b.crossJoin(F.broadcast(mm))
+        .filter(F.col("b_month") != F.col("lo"))
+        .join(
+            prev_of_b,
+            (F.col("b_user") == F.col("p_user"))
+            & (F.col("b_month") == F.col("p_next")),
+            "left_anti",
+        )
+        .select(F.lit(0).alias("q_from"), "q_to")
+    )
+    return (
+        moves.unionByName(churned)
+        .unionByName(fresh)
+        .groupBy(
+            F.col("q_from").cast("long").alias("q_from"),
+            F.col("q_to").cast("long").alias("q_to"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("q_from", "q_to")
+    )
