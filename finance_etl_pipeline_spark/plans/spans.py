@@ -854,6 +854,62 @@ def _winnow_sql() -> str:
     fp AS (SELECT DISTINCT doc_id, sel_pos, h FROM sel)"""
 
 
+
+
+def winnow_fp(docs):
+    """(k-gram table, fingerprint table) for the winnowing family.
+
+    ``win`` is the pinned (doc_id, pos, h) rolling-SPAN_W k-gram
+    table; ``fp`` the selected (doc_id, sel_pos, h) fingerprints —
+    rightmost-min of every _WINNOW_W window.  Shared by the
+    registered query and the guarantee property test."""
+    base = docs.select("doc_id", tokens_expr().alias("t"))
+    t = F.col("t")
+    idx = F.sequence(F.lit(1), F.size(t) - (SPAN_W - 1))
+    windows = F.when(
+        F.size(t) >= SPAN_W,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SPAN_W))),
+    ).otherwise(F.array().cast("array<string>"))
+    # inline explode (project-into-generator fusion — see
+    # dd_repeated_spans); two consumers (kgram counts + winnow), so
+    # pin the hashed k-gram table once like the other span queries.
+    win = (
+        base.select("doc_id", F.posexplode(windows).alias("p0", "w"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            hash60_expr(F.col("w")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exp = win.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (_WINNOW_W - 1))
+        ).alias("t"),
+    )
+    wsel = Window.partitionBy("doc_id", "t")
+    wmin = exp.select(
+        "doc_id",
+        "t",
+        "pos",
+        "h",
+        F.min("h").over(wsel).alias("minh"),
+        F.count(F.lit(1)).over(wsel).alias("n_in"),
+    )
+    sel = (
+        wmin.filter(
+            (F.col("h") == F.col("minh")) & (F.col("n_in") == _WINNOW_W)
+        )
+        .groupBy("doc_id", "t")
+        .agg(F.max("pos").alias("sel_pos"), F.min("h").alias("h"))
+    )
+    fp = sel.select("doc_id", "sel_pos", "h").distinct()
+    return win, fp
+
+
 @register(
     "dd_winnow_fingerprints",
     f"""
@@ -902,51 +958,7 @@ def dd_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural 100 TB consumer joins ``fp`` on h to find candidate pairs
     exactly like the LSH band join (candidates ∝ shared-content
     density, never n²)."""
-    docs = spread(table(spark, sf_dir, "documents"))
-    base = docs.select("doc_id", tokens_expr().alias("t"))
-    t = F.col("t")
-    idx = F.sequence(F.lit(1), F.size(t) - (SPAN_W - 1))
-    windows = F.when(
-        F.size(t) >= SPAN_W,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, SPAN_W))),
-    ).otherwise(F.array().cast("array<string>"))
-    # inline explode (project-into-generator fusion — see
-    # dd_repeated_spans); two consumers (kgram counts + winnow), so
-    # pin the hashed k-gram table once like the other span queries.
-    win = (
-        base.select("doc_id", F.posexplode(windows).alias("p0", "w"))
-        .select(
-            "doc_id",
-            (F.col("p0") + 1).alias("pos"),
-            hash60_expr(F.col("w")).alias("h"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    exp = win.select(
-        "doc_id",
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + (_WINNOW_W - 1))
-        ).alias("t"),
-    )
-    wsel = Window.partitionBy("doc_id", "t")
-    wmin = exp.select(
-        "doc_id",
-        "t",
-        "pos",
-        "h",
-        F.min("h").over(wsel).alias("minh"),
-        F.count(F.lit(1)).over(wsel).alias("n_in"),
-    )
-    sel = (
-        wmin.filter(
-            (F.col("h") == F.col("minh")) & (F.col("n_in") == _WINNOW_W)
-        )
-        .groupBy("doc_id", "t")
-        .agg(F.max("pos").alias("sel_pos"), F.min("h").alias("h"))
-    )
-    fp = sel.select("doc_id", "sel_pos", "h").distinct()
+    win, fp = winnow_fp(spread(table(spark, sf_dir, "documents")))
     per_doc = fp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
         F.sum(F.col("h") % 1000000007).cast("long").alias("fp_checksum"),
