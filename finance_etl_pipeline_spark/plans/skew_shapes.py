@@ -259,3 +259,97 @@ def prof_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = df if out is None else out.unionByName(df)
     return out.orderBy("dataset")
+
+
+@register(
+    "prof_value_boxplot",
+    f"""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             {sql_igrid('quantile_cont(value, 0.25)', 4)} AS p25_e4,
+             {sql_igrid('quantile_cont(value, 0.50)', 4)} AS p50_e4,
+             {sql_igrid('quantile_cont(value, 0.75)', 4)} AS p75_e4
+      FROM events GROUP BY event_type
+    ),
+    f AS (
+      SELECT *, p75_e4 - p25_e4 AS iqr_e4 FROM s
+    ),
+    o AS (
+      SELECT e.event_type,
+             CAST(sum(CASE WHEN 2 * {sql_igrid('e.value', 4)}
+                                < 2 * f.p25_e4 - 3 * f.iqr_e4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outliers,
+             CAST(sum(CASE WHEN 2 * {sql_igrid('e.value', 4)}
+                                > 2 * f.p75_e4 + 3 * f.iqr_e4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers
+      FROM events e JOIN f ON e.event_type = f.event_type
+      GROUP BY e.event_type
+    )
+    SELECT f.event_type, n, p25_e4, p50_e4, p75_e4, iqr_e4,
+           n_low_outliers, n_high_outliers
+    FROM f JOIN o ON f.event_type = o.event_type
+    ORDER BY f.event_type
+    """,
+    "profiling",
+    "agg",
+)
+def prof_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group boxplot profile (quartiles, IQR, Tukey-fence outlier
+    counts) over event values — the distribution summary a profiler
+    draws per column/segment before choosing clamps or winsorization
+    caps (complements ``f_winsorize_caps``/``f_mad_outliers``, which
+    treat fixed global quantiles).
+
+    Determinism: quartiles grid to e4 integers (the ``a_percentiles``
+    contract), and the 1.5×IQR fences are compared in DOUBLED e4
+    units (2·v vs 2·p25 − 3·iqr) so the half-unit never divides —
+    outlier counts are pure integer comparisons, immune to fence
+    arithmetic ulps.
+
+    Scale: stage 1 is one grouped exact-percentile aggregate (swap in
+    percentile_approx at corpus scale — ``a_percentiles_approx`` is
+    the audited path); stage 2 re-scans the fact against the
+    broadcast |event_types|-row fence table and counts map-side."""
+    e = table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        igrid(F.expr("percentile(value, 0.25)"), 4).alias("p25_e4"),
+        igrid(F.expr("percentile(value, 0.50)"), 4).alias("p50_e4"),
+        igrid(F.expr("percentile(value, 0.75)"), 4).alias("p75_e4"),
+    )
+    fences = s.withColumn(
+        "iqr_e4", F.col("p75_e4") - F.col("p25_e4")
+    )
+    v2 = (igrid(F.col("value"), 4) * 2).alias("v2")
+    j = e.select("event_type", v2).join(F.broadcast(fences), "event_type")
+    o = j.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("v2") < 2 * F.col("p25_e4") - 3 * F.col("iqr_e4"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_low_outliers"),
+        F.sum(
+            F.when(
+                F.col("v2") > 2 * F.col("p75_e4") + 3 * F.col("iqr_e4"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_high_outliers"),
+    )
+    return (
+        fences.join(o, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "p25_e4",
+            "p50_e4",
+            "p75_e4",
+            "iqr_e4",
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("event_type")
+    )

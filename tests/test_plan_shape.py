@@ -194,6 +194,7 @@ ALLOWED_BROADCASTS = {
     ("plans/sampling.py", "s_per_source_cap", 'bands.select("source", "band", "cum_before")'): "band offset table: |sources| x 256 rows",
     ("plans/quality.py", "dq_sequence_gaps", "gap_agg"): "1-row global gap aggregate",
     ("plans/bi_shapes.py", "bi_rfm_migration", "mm"): "1-row min/max month aggregate",
+    ("plans/skew_shapes.py", "prof_value_boxplot", "fences"): "per-event-type fence table: |event types| rows",
     ("plans/importance.py", "emb_retrieval_mrr", 'top.join(F.broadcast(qlab), "query_id")'): "per-query top-k: query_set(QUERY_CAP) x k rows",
     ("plans/importance.py", "emb_retrieval_mrr", "qlab"): "query labels: bounded by query_set(QUERY_CAP)",
     ("plans/importance.py", "emb_retrieval_ndcg", 'top.join(F.broadcast(qlab), "query_id")'): "per-query top-k: query_set(QUERY_CAP) x k rows",
