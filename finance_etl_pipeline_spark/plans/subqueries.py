@@ -210,3 +210,71 @@ def a_hll_incremental_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     )
     return per_day.unionAll(month).orderBy(F.col("day").asc_nulls_last())
+
+
+@register(
+    "a_hll_set_intersection", None, "agg", "approx", "sketch"
+)
+def a_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from MERGEABLE sketches: estimate
+    |A ∩ B| between event-type user sets by inclusion-exclusion over
+    HLL sketches (est_a + est_b − est_union) — the warehouse pattern
+    for overlap questions ("how many purchasers also clicked?") when
+    only per-segment sketches are stored, never the raw id sets.
+    Each pair's exact intersection rides along so the estimate is
+    audited in-query.
+
+    No SQL oracle (sketch bytes are engine-specific) — rows-only
+    check; tests/test_hll_intersection.py pins the error envelope vs
+    the exact counts and the sketch-algebra sanity invariants.
+
+    Scale: one sketch per segment (KB each, built in one grouped
+    pass); the pair table is |segments|² rows of sketch algebra —
+    nothing downstream touches the fact again.  The exact audit
+    columns are the only corpus-sized joins and exist for the test;
+    production keeps just the sketch path."""
+    types = ["click", "purchase", "signup"]
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(types)
+    )
+    sk = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b")
+    )
+    # |segments|² pair table (3 rows × 3 rows here) — intentional
+    # tiny non-equi join, never fact-sized
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        F.hll_sketch_estimate("sk_a").cast("long").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").cast("long").alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        .cast("long")
+        .alias("est_union"),
+    ).withColumn(
+        "est_intersection",
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    du = e.select("event_type", "user_id").distinct()
+    ua = du.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    ub = du.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    exact = (
+        ua.join(ub, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .orderBy("type_a", "type_b")
+    )
