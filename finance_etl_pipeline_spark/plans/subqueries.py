@@ -278,3 +278,59 @@ def a_hll_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.join(exact, ["type_a", "type_b"])
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "e_sliding_uniques_hll", None, "agg", "approx", "sketch", "window"
+)
+def e_sliding_uniques_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window COUNT DISTINCT from daily sketch panes: build
+    one HLL sketch per day (one grouped pass over the fact), then
+    produce each day's trailing-7-day unique-user estimate by UNIONING
+    the 7 daily sketches — the standard pane trick that turns sliding
+    distinct counts from 7 fact re-scans (or one giant
+    dropDuplicates) into |days| × 7 sketch merges of KB-sized state.
+    The exact trailing count rides along as an in-query audit.
+
+    No SQL oracle (sketch bytes are engine-specific) — rows-only;
+    tests/test_hll_intersection.py::test_sliding_panes pins the
+    estimate envelope vs the exact column.
+
+    Scale: the fact is scanned twice (sketch build + the exact audit,
+    which production drops); the pane join is a |days|-row spine
+    self-join bounded by the window length, and every merge input is
+    a compact sketch, so the sliding series costs O(days × window)
+    regardless of corpus size."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    spine = daily.select(F.col("day").alias("anchor"))
+    panes = spine.join(
+        daily,
+        (F.col("day") <= F.col("anchor"))
+        & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+    )
+    est = panes.groupBy("anchor").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+        .cast("long")
+        .alias("est_uniques_7d"),
+        F.count(F.lit(1)).cast("long").alias("n_panes"),
+    )
+    # exact audit: same window predicate on the distinct (day, user)
+    # pairs — production drops this branch and keeps only sketches
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    exact = (
+        spine.join(
+            du,
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") >= F.date_sub(F.col("anchor"), 6)),
+        )
+        .groupBy("anchor")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("exact_uniques_7d")
+        )
+    )
+    return est.join(exact, "anchor").orderBy("anchor")

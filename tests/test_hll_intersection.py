@@ -24,3 +24,19 @@ def test_intersection_estimate_envelope(spark, sf_dir):
             r.est_intersection,
             r.exact_intersection,
         )
+
+
+def test_sliding_panes(spark, sf_dir):
+    q = all_queries()["e_sliding_uniques_hll"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_panes <= 7
+        # HLL at Spark's default lgK=12 is ~1.6% rsd; 5% + floor is a
+        # conservative envelope for a 7-way union
+        tol = max(0.05 * r.exact_uniques_7d, 5.0)
+        assert abs(r.est_uniques_7d - r.exact_uniques_7d) <= tol, (
+            r.anchor,
+            r.est_uniques_7d,
+            r.exact_uniques_7d,
+        )
