@@ -69,19 +69,26 @@ def norm(a: Column) -> Column:
 
 
 def cosine_topk(
-    emb: DataFrame, query_pred: Column, k: int = 5
+    emb: DataFrame, query_pred: Column, k: int = 5, dims: int | None = None
 ) -> DataFrame:
     """Top-k cosine neighbors for each query vector (brute force).
 
     The query side is small by construction → broadcast; the corpus
     never shuffles until the final per-query top-k (TakeOrdered-style
-    via a rank window partitioned by query)."""
+    via a rank window partitioned by query).  ``dims`` scores on the
+    embedding's first ``dims`` components only (Matryoshka-style
+    truncation — norms are recomputed over the slice)."""
     from finance_etl_pipeline_spark.sources.readers import spread
 
+    raw = (
+        F.col("embedding")
+        if dims is None
+        else F.slice(F.col("embedding"), 1, dims)
+    )
     base = spread(emb).select(
         "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        norm(as_double(F.col("embedding"))).alias("nrm"),
+        as_double(raw).alias("v"),
+        norm(as_double(raw)).alias("nrm"),
     )
     q = query_set(base, query_pred).select(
         F.col("vec_id").alias("query_id"),

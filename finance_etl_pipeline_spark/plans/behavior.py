@@ -398,3 +398,123 @@ def e_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(p, 3, "view>click>purchase(7d)"))
         .orderBy("stage")
     )
+
+
+_MRL_DIMS = (16, 32, 64)  # full dim last — its recall row is the 1.0 sanity anchor
+
+
+def _trunc_recall_sql() -> str:
+    """Per-truncation top-5 blocks sharing the ann_cosine_topk rank
+    contract; recall joins each truncated set against the full-dim
+    (64) set."""
+    from finance_etl_pipeline_spark.operators import similarity as S
+
+    blocks = []
+    for d in _MRL_DIMS:
+        blocks.append(
+            f"""
+      SELECT {d} AS dim, query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_e4 DESC, vec_id) AS rank
+        FROM (
+          SELECT q.query_id, b.vec_id,
+                 CAST(floor((list_dot_product(q.qv[1:{d}], b.v[1:{d}])
+                      / nullif(sqrt(list_dot_product(q.qv[1:{d}], q.qv[1:{d}]))
+                             * sqrt(list_dot_product(b.v[1:{d}], b.v[1:{d}])),
+                        0.0)) * 10000 + 0.5001) AS BIGINT) AS cosine_e4
+          FROM q CROSS JOIN base b WHERE q.query_id != b.vec_id
+        )
+      ) WHERE rank <= 5"""
+        )
+    union = "\n      UNION ALL".join(blocks)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM base
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT {S.QUERY_CAP}
+    ),
+    tr AS ({union}
+    ),
+    ex AS (SELECT query_id, vec_id FROM tr WHERE dim = {_MRL_DIMS[-1]}),
+    qd AS (SELECT DISTINCT dim, query_id FROM tr),
+    hits AS (
+      SELECT t.dim, t.query_id, count(*) AS h
+      FROM tr t JOIN ex ON t.query_id = ex.query_id
+                       AND t.vec_id = ex.vec_id
+      GROUP BY t.dim, t.query_id
+    ),
+    perq AS (
+      SELECT qd.dim, qd.query_id, coalesce(hits.h, 0) AS h
+      FROM qd LEFT JOIN hits ON qd.dim = hits.dim
+                            AND qd.query_id = hits.query_id
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(h) AS BIGINT) AS sum_hits,
+           {sql_igrid('sum(h) * 1.0 / (5 * count(*))', 6)} AS recall_e6
+    FROM perq GROUP BY dim ORDER BY dim
+    """
+
+
+@register(
+    "emb_dim_truncation_recall",
+    _trunc_recall_sql(),
+    "llm",
+    "similarity",
+    "eval",
+)
+def emb_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval: recall@5 of cosine
+    retrieval when scoring on only the first 16 / 32 / 64 embedding
+    components, against the full-dimension top-5 as ground truth —
+    the measurement behind shipping truncated vectors (MRL, Kusupati
+    et al. 2022) to cut index bandwidth 2–4× (the full-dim row is the
+    recall = 1.0 sanity anchor by construction).  Complements the
+    precision-quantization evals (``ann_int8_topk``, ``ann_pca_topk``)
+    with the dimension-cut axis.
+
+    Determinism: each truncation uses the shared rank contract
+    (cosine gridded e4, ties by vec_id); norms are recomputed over the
+    slice in both engines.
+
+    Scale: three brute-force passes over the corpus against the
+    ``query_set``-bounded workload (the production path swaps in the
+    IVF/PQ candidate generators); everything after the rank windows is
+    |queries| × 5 rows per truncation."""
+    from finance_etl_pipeline_spark.operators import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    carve = F.col("vec_id") % 50 == 0
+    tr = None
+    for d in _MRL_DIMS:
+        t = S.cosine_topk(emb, carve, k=5, dims=d).select(
+            F.lit(d).alias("dim"), "query_id", "vec_id"
+        )
+        tr = t if tr is None else tr.unionByName(t)
+    tr = tr.localCheckpoint(eager=True)
+    ex = tr.filter(F.col("dim") == _MRL_DIMS[-1]).select(
+        "query_id", "vec_id"
+    )
+    qd = tr.select("dim", "query_id").distinct()
+    hits = (
+        tr.join(ex, ["query_id", "vec_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    perq = qd.join(hits, ["dim", "query_id"], "left").select(
+        "dim", "query_id", F.coalesce("h", F.lit(0)).alias("h")
+    )
+    return (
+        perq.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("h").cast("long").alias("sum_hits"),
+            igrid(
+                F.sum("h") / (5.0 * F.count(F.lit(1))), 6
+            ).alias("recall_e6"),
+        )
+        .orderBy("dim")
+    )
