@@ -2243,3 +2243,56 @@ def e_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow", "hour")
     )
+
+
+@register(
+    "e_props_variant_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
+                         IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_k,
+           CAST(sum(TRY_CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           min(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           max(TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "events",
+    "json",
+    "variant",
+)
+def e_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` shreds the ``props`` JSON once into the binary
+    variant encoding, ``try_variant_get`` extracts the typed field —
+    the modern replacement for per-access ``get_json_object`` string
+    re-parsing (one parse per row instead of one per extraction, and
+    the encoding is columnar-shreddable at the storage layer).
+
+    Same aggregate as the oracle's json_extract path: missing keys and
+    non-numeric payloads yield NULL (try_ semantics) in both engines.
+
+    Scale: parse + extract are narrow per-row ops inside codegen; the
+    aggregate is |event types| groups.  At 100 TB the variant column
+    would be materialized once at ingest (parquet variant shredding)
+    rather than re-parsed per query — this query is the read shape
+    either way."""
+    e = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
