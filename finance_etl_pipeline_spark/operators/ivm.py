@@ -36,18 +36,19 @@ from pyspark.sql import DataFrame
 
 
 def join_view_delta(
-    a_old: DataFrame,
+    a_old: DataFrame | None,
     delta_a: DataFrame | None,
-    b_old: DataFrame,
+    b_old: DataFrame | None,
     delta_b: DataFrame | None,
     on: Sequence[str] | str,
     how: str = "inner",
 ) -> DataFrame | None:
     """The view delta for one refresh: rows J gains when ``delta_a``
     appends to A and ``delta_b`` appends to B.  Either delta may be
-    None (one-sided refresh).  ``how`` must be 'inner' — outer joins
-    need retraction handling that inserts-only deltas cannot express.
-    """
+    None (one-sided refresh); a snapshot may be None only when the
+    opposite delta is None (it is then never joined).  ``how`` must be
+    'inner' — outer joins need retraction handling that inserts-only
+    deltas cannot express."""
     if how != "inner":
         raise ValueError("join_view_delta maintains INNER joins only")
     terms: list[DataFrame] = []
