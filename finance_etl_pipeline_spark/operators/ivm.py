@@ -33,6 +33,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def join_view_delta(
@@ -64,3 +65,88 @@ def join_view_delta(
     for t in terms[1:]:
         out = out.unionByName(t)
     return out
+
+
+def counted_join_view_delta(
+    a_pre: DataFrame | None,
+    delta_a: DataFrame | None,
+    b_pre: DataFrame | None,
+    delta_b: DataFrame | None,
+    on: Sequence[str] | str,
+    sign_col: str = "sign",
+) -> DataFrame | None:
+    """Delete-capable view delta (the counting algorithm of
+    Gupta/Mumick): deltas carry a ``sign`` column (+1 insert, −1
+    delete), snapshots are unsigned row sets, and the emitted delta
+    carries the product of the contributing signs.  Apply it with
+    ``merge_counts`` — a view row's multiplicity is the running sum of
+    its signs, and it leaves the view when that sum reaches zero.
+
+    Same three-term rule as ``join_view_delta``; the δA ⋈ δB term
+    multiplies signs (a deleted-A row joined to a deleted-B row
+    RE-ADDS the pair that the two one-sided terms each removed once —
+    the classic double-retraction correction)."""
+    s_a = F.col(f"__da.{sign_col}")
+    s_b = F.col(f"__db.{sign_col}")
+    terms: list[DataFrame] = []
+    if delta_a is not None:
+        terms.append(
+            delta_a.alias("__da")
+            .join(b_pre, on, "inner")
+            .withColumn("__sign", s_a)
+            .drop(sign_col)
+        )
+    if delta_b is not None:
+        terms.append(
+            a_pre.join(delta_b.alias("__db"), on, "inner")
+            .withColumn("__sign", s_b)
+            .drop(sign_col)
+        )
+    if delta_a is not None and delta_b is not None:
+        terms.append(
+            delta_a.alias("__da")
+            .withColumnRenamed(sign_col, "__sa")
+            .join(
+                delta_b.alias("__db").withColumnRenamed(sign_col, "__sb"),
+                on,
+                "inner",
+            )
+            .withColumn("__sign", F.col("__sa") * F.col("__sb"))
+            .drop("__sa", "__sb")
+        )
+    if not terms:
+        return None
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.unionByName(t)
+    return out.withColumnRenamed("__sign", sign_col)
+
+
+def merge_counts(
+    view_counts: DataFrame | None,
+    delta: DataFrame,
+    sign_col: str = "sign",
+    count_col: str = "multiplicity",
+) -> DataFrame:
+    """Fold a signed delta into the counted view: group the delta by
+    payload, add its sign sum to the stored multiplicity, drop rows
+    that reach zero.  The stored view is (payload → multiplicity > 0);
+    the user-facing rowset re-expands multiplicities (here every base
+    row is unique, so multiplicity stays 1 and the expansion is the
+    identity — the column exists for the algebra, not for display)."""
+    keys = [c for c in delta.columns if c != sign_col]
+    d = delta.groupBy(*keys).agg(
+        F.sum(sign_col).cast("long").alias("__delta_n")
+    )
+    if view_counts is None:
+        merged = d.select(*keys, F.col("__delta_n").alias(count_col))
+    else:
+        v = view_counts.withColumnRenamed(count_col, "__old_n")
+        merged = v.join(d, keys, "full_outer").select(
+            *keys,
+            (
+                F.coalesce(F.col("__old_n"), F.lit(0))
+                + F.coalesce(F.col("__delta_n"), F.lit(0))
+            ).alias(count_col),
+        )
+    return merged.filter(F.col(count_col) != 0)

@@ -79,3 +79,63 @@ def test_outer_join_rejected(spark, sf_dir):
 
     with pytest.raises(ValueError):
         join_view_delta(o, o, li, li, "k", how="left")
+
+
+def test_counting_ivm_with_deletes(spark, sf_dir):
+    """Delete-capable counting maintenance: inserts then deletes on
+    BOTH sides in one batch (exercising the dA><dB sign-product
+    correction); after every batch the expanded view equals the join
+    of the net tables and every multiplicity is exactly 1."""
+    from finance_etl_pipeline_spark.operators.ivm import (
+        counted_join_view_delta,
+        merge_counts,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber"
+    )
+    plus = lambda df: df.withColumn("sign", F.lit(1))  # noqa: E731
+    minus = lambda df: df.withColumn("sign", F.lit(-1))  # noqa: E731
+
+    # batch 1: insert even-k orders and ALL lineitems
+    a0, b0 = o.limit(0), li.limit(0)
+    da1 = plus(o.filter(F.col("k") % 2 == 0))
+    db1 = plus(li)
+    view = merge_counts(
+        None, counted_join_view_delta(a0, da1, b0, db1, "k")
+    ).localCheckpoint(eager=True)
+    a1 = o.filter(F.col("k") % 2 == 0)
+    b1 = li
+
+    def check(view, a_net, b_net):
+        # the testdata's (l_orderkey, l_linenumber) is NOT unique, so
+        # the view is a genuine multiset — multiplicities are the
+        # duplicate counts and must never go negative
+        assert view.filter(F.col("multiplicity") < 1).count() == 0
+        expanded = view.withColumn(
+            "__i",
+            F.explode(F.sequence(F.lit(1), F.col("multiplicity"))),
+        ).drop("__i", "multiplicity")
+        got = _checksum(expanded)
+        want = _checksum(a_net.join(b_net, "k"))
+        assert got == want
+
+    check(view, a1, b1)
+
+    # batch 2: insert odd-k orders, DELETE k%4==0 orders AND k%6==0
+    # lineitems in the same batch (k%12==0 pairs hit both one-sided
+    # retractions; the dA><dB (+1) term must re-add exactly one)
+    da2 = plus(o.filter(F.col("k") % 2 == 1)).unionByName(
+        minus(o.filter(F.col("k") % 4 == 0))
+    )
+    db2 = minus(li.filter(F.col("k") % 6 == 0))
+    view = merge_counts(
+        view,
+        counted_join_view_delta(a1, da2, b1, db2, "k"),
+    ).localCheckpoint(eager=True)
+    a2 = o.filter((F.col("k") % 2 == 1) | (F.col("k") % 4 == 2))
+    b2 = li.filter(F.col("k") % 6 != 0)
+    check(view, a2, b2)
