@@ -2296,3 +2296,88 @@ def e_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "e_cep_funnel_patterns",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             list_reduce(
+               list_prepend(0, list(
+                 CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                      WHEN 'purchase' THEN 3 WHEN 'error' THEN 9
+                      ELSE 0 END ORDER BY ts, event_id)),
+               (acc, x) -> CASE
+                 WHEN x = 1 AND acc % 10 = 0 THEN acc + 1
+                 WHEN x = 2 AND acc % 10 = 1 THEN acc + 1
+                 WHEN x = 3 AND acc % 10 = 2 THEN acc + 8
+                 WHEN x = 9 THEN acc - (acc % 10)
+                 ELSE acc END) AS m
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(m // 10 AS BIGINT) AS completed_patterns,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seq GROUP BY 1 ORDER BY 1
+    """,
+    "events",
+    "cep",
+    "hof",
+)
+def e_cep_funnel_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching without
+    MATCH_RECOGNIZE: count non-overlapping completions of the pattern
+    "view, then click, then purchase — reset on any error between" in
+    each user's event-time-ordered stream, as a deterministic
+    state-machine fold (higher-order ``aggregate``) over the per-user
+    sequence.  The fold encodes (completions × 10 + state) in one
+    integer, so both engines run the identical transition table —
+    the general recipe for regex-over-events questions Spark has no
+    native operator for (other events are no-ops; an error retracts
+    only the in-flight partial match, not completed ones).
+
+    Scale: one groupBy(user) with an ordered collect — per-entity CEP
+    always keys state by entity, and the array is bounded by that
+    user's history (the same contract as ``e_top_paths``); the fold
+    itself is codegen over the array, and the final histogram is
+    |distinct completion counts| rows.  For entities whose history
+    cannot sit in one task, pre-filter to the pattern's alphabet
+    (view/click/purchase/error) before collecting — at typical event
+    mixes that alone cuts the array several-fold."""
+    e = table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "error", 9)
+        .otherwise(0)
+    )
+    per_user = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), code.alias("c")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("arr"))
+    )
+    codes = F.transform(F.col("arr"), lambda s: s["c"])
+    m = F.aggregate(
+        codes,
+        F.lit(0),
+        lambda acc, x: (
+            F.when((x == 1) & (acc % 10 == 0), acc + 1)
+            .when((x == 2) & (acc % 10 == 1), acc + 1)
+            .when((x == 3) & (acc % 10 == 2), acc + 8)
+            .when(x == 9, acc - (acc % 10))
+            .otherwise(acc)
+        ),
+    )
+    return (
+        per_user.select(m.alias("m"))
+        .select(F.expr("m div 10").cast("long").alias("completed_patterns"))
+        .groupBy("completed_patterns")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("completed_patterns")
+    )
