@@ -2381,3 +2381,61 @@ def e_cep_funnel_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("completed_patterns")
     )
+
+
+@register(
+    "e_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS anchor
+      FROM d
+    ),
+    runs AS (
+      SELECT user_id, anchor, count(*) AS len FROM r
+      GROUP BY user_id, anchor
+    ),
+    best AS (SELECT user_id, max(len) AS streak FROM runs GROUP BY user_id)
+    SELECT CAST(streak AS BIGINT) AS streak_days,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM best GROUP BY streak ORDER BY streak_days
+    """,
+    "events",
+    "window",
+)
+def e_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled up to
+    a streak-length histogram — the engagement metric behind every
+    habit/retention dashboard (and the canonical gaps-and-islands
+    interview question, here in its distributed form).  The island
+    anchor is ``day − row_number`` (constant within a consecutive
+    run), so streaks fall out of two integer groupBys.
+
+    Scale: the distinct (user, day) grid is the only fact-sized
+    shuffle; the window partitions by user (bounded by that user's
+    active days), and everything after is |users| rows then
+    |distinct streak lengths| rows."""
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    r = d.select(
+        "user_id", "day", F.date_sub(F.col("day"), rn).alias("anchor")
+    )
+    runs = r.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = runs.groupBy("user_id").agg(F.max("len").alias("streak"))
+    return (
+        best.groupBy(F.col("streak").cast("long").alias("streak_days"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("streak_days")
+    )
