@@ -60,3 +60,118 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     return o.join(n, keys, "full_outer").select(
         *keys, change.alias("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style bucket reconciliation: find WHERE two snapshots differ
+# without comparing rows, then row-diff only the differing buckets.
+# ---------------------------------------------------------------------------
+
+_MOD = 1_000_000_007  # mod-p row digests keep bucket sums in BIGINT
+
+
+def bucket_digests(
+    df: DataFrame, keys: list[str], n_buckets: int = 256
+) -> DataFrame:
+    """(bucket, n_rows, digest): an order-independent content summary
+    per hash bucket of the key space.  The digest is the mod-p sum of
+    per-row 60-bit content hashes (key + value columns, sorted column
+    order), so two snapshots agree on a bucket iff — up to hash
+    collision — that key range's content is identical.  n_buckets
+    rows total: the exchange format for anti-entropy between sites
+    (ship KBs of digests, not the table)."""
+    all_cols = sorted(df.columns)
+    row_h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        *[
+                            F.coalesce(
+                                F.md5(F.col(c).cast("string")),
+                                F.lit("N" * 32),
+                            )
+                            for c in all_cols
+                        ]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _MOD
+    )
+    key_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.select(
+            (key_h % n_buckets).cast("int").alias("bucket"),
+            row_h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum("h") % _MOD).cast("long").alias("digest"),
+        )
+    )
+
+
+def differing_buckets(
+    old: DataFrame, new: DataFrame, keys: list[str], n_buckets: int = 256
+) -> DataFrame:
+    """Buckets whose (n_rows, digest) disagree between snapshots —
+    a ≤ n_buckets-row frame.  Missing-on-one-side buckets count as
+    differing."""
+    a = bucket_digests(old, keys, n_buckets).alias("a")
+    b = bucket_digests(new, keys, n_buckets).alias("b")
+    j = a.join(b, "bucket", "full_outer")
+    return j.filter(
+        F.col("a.n_rows").isNull()
+        | F.col("b.n_rows").isNull()
+        | (F.col("a.n_rows") != F.col("b.n_rows"))
+        | (F.col("a.digest") != F.col("b.digest"))
+    ).select("bucket")
+
+
+def reconcile(
+    old: DataFrame, new: DataFrame, keys: list[str], n_buckets: int = 256
+) -> DataFrame:
+    """Two-phase anti-entropy: locate differing buckets from digests
+    alone, then run ``table_diff`` restricted to rows in those
+    buckets.  Cost: one digest pass per side (map-side combined to
+    n_buckets rows) + a row-level diff over ONLY the divergent key
+    ranges — when drift is sparse, that is a small fraction of the
+    table instead of the full-outer join ``table_diff`` alone pays.
+    Returns table_diff's classification, which by construction can
+    only contain non-'unchanged' rows from differing buckets (rows in
+    agreeing buckets are provably identical up to hash collision and
+    are skipped, not reported)."""
+    bad = differing_buckets(old, new, keys, n_buckets)
+    key_h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = (key_h % n_buckets).cast("int").alias("bucket")
+
+    def restrict(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("bucket", bucket)
+            .join(F.broadcast(bad), "bucket", "left_semi")
+            .drop("bucket")
+        )
+
+    return table_diff(restrict(old), restrict(new), keys)
