@@ -17,10 +17,12 @@ re-reads are bit-stable, and a pandas twin can verify rows exactly.
 
 Scale posture: ``partitions()`` returns ``n_partitions`` equal ranges
 (a driver-side list of O(partitions) ints); each executor materializes
-only its slice, batched through Arrow by the Python worker. Filters on
-``event_id`` could prune whole ranges via ``pushFilters`` — left
-unimplemented deliberately: the default reports filters back as
-unsupported and Spark re-applies them post-scan (correctness first).
+only its slice, batched through Arrow by the Python worker. Range
+filters on ``event_id`` prune generation entirely via the opt-in
+pushdown reader (``option("pushdown", "true")`` + the
+``spark.sql.python.filterPushdown.enabled`` conf); the default reader
+omits ``pushFilters`` because Spark refuses to read from a reader
+that defines it while the conf is off.
 """
 
 from __future__ import annotations
@@ -31,7 +33,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 _KNUTH = 2654435761
@@ -68,6 +76,13 @@ class SyntheticEventsDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema) -> "SyntheticEventsReader":
+        # pushFilters is opt-in: Spark refuses ANY read from a reader
+        # that merely DEFINES pushFilters() unless
+        # spark.sql.python.filterPushdown.enabled is set, so the
+        # pushdown-capable subclass only appears when asked for
+        # (option("pushdown", "true") + the session conf).
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return SyntheticEventsPushdownReader(self.options)
         return SyntheticEventsReader(self.options)
 
     def streamReader(self, schema) -> "SyntheticEventsStreamReader":
@@ -84,17 +99,57 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.n = int(options.get("n_rows", 1000))
         self.p = max(1, int(options.get("n_partitions", 4)))
+        # effective scan bounds — pushFilters narrows these
+        self.lo = 0
+        self.hi = self.n
 
     def partitions(self) -> Sequence[InputPartition]:
-        step = -(-self.n // self.p)  # ceil — last range may be short
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if hi == lo:
+            return [_Range(lo, lo)]
+        step = -(-(hi - lo) // self.p)  # ceil — last range may be short
         return [
-            _Range(lo, min(lo + step, self.n))
-            for lo in range(0, self.n, step)
+            _Range(x, min(x + step, hi)) for x in range(lo, hi, step)
         ]
 
     def read(self, part: _Range) -> Iterator[tuple]:
         for i in range(part.lo, part.hi):
             yield row_at(i)
+
+
+class SyntheticEventsPushdownReader(SyntheticEventsReader):
+    """Pushdown-capable variant (see ``reader()`` for why it is a
+    separate class).  Requires
+    ``spark.sql.python.filterPushdown.enabled=true``."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Range pushdown on event_id: comparison filters against the
+        row-id column shrink [lo, hi) so pruned rows are never even
+        GENERATED — the custom-source analogue of parquet row-group
+        skipping.  Consumed filters are applied exactly (range
+        semantics), so they are not yielded back; anything else is
+        returned as unsupported and Spark re-applies it post-scan."""
+        for f in filters:
+            if getattr(f, "attribute", None) == ("event_id",) and isinstance(
+                getattr(f, "value", None), int
+            ):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f
 
 
 class SyntheticEventsStreamReader(DataSourceStreamReader):

@@ -72,3 +72,67 @@ def test_stream_drains_to_batch_table(spark, tmp_path):
     sample = {r.event_id: r.value for r in got.filter(F.col("event_id") < 5).collect()}
     for i in range(5):
         assert sample[i] == row_at(i)[3]
+
+
+def test_push_filters_prune_generation(spark):
+    """Range filters on event_id narrow the generated interval at the
+    source (reader-level unit check) and the e2e read stays correct."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from finance_etl_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsPushdownReader,
+    )
+
+    r = SyntheticEventsPushdownReader({"n_rows": "1000", "n_partitions": "4"})
+    unsupported = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 100),
+                LessThan(("event_id",), 260),
+                EqualTo(("event_type",), "click"),  # not ours → returned
+            ]
+        )
+    )
+    assert len(unsupported) == 1 and isinstance(unsupported[0], EqualTo)
+    parts = r.partitions()
+    covered = sorted((p.lo, p.hi) for p in parts)
+    assert covered[0][0] == 100 and covered[-1][1] == 260
+    assert sum(hi - lo for lo, hi in covered) == 160  # nothing extra generated
+
+    # e2e: Spark pushes the comparisons; result equals the unpruned read
+    _registered(spark)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = (
+            spark.read.format("synthetic_events")
+            .option("n_rows", 1000)
+            .option("pushdown", "true")
+            .load()
+            .filter((F.col("event_id") >= 100) & (F.col("event_id") < 260))
+        )
+        got = sorted(r_.event_id for r_ in df.collect())
+        assert got == list(range(100, 260))
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
+def test_push_filters_empty_range(spark):
+    from pyspark.sql.datasource import LessThan
+
+    from finance_etl_pipeline_spark.sources.pydatasource import (
+        SyntheticEventsPushdownReader,
+    )
+
+    r = SyntheticEventsPushdownReader({"n_rows": "50"})
+    list(r.pushFilters([LessThan(("event_id",), 0)]))
+    parts = r.partitions()
+    assert sum(p.hi - p.lo for p in parts) == 0
