@@ -1,0 +1,140 @@
+"""Versioned tables on plain Parquet — a minimal manifest log giving
+time travel, snapshot isolation, and safe vacuum without a table
+format dependency.
+
+Layout under the table root:
+
+    data/commit-<version>-<token>/part-*.parquet   immutable data dirs
+    _manifests/v<00000N>.json                      one snapshot per version
+
+A manifest lists the data directories composing that version, so a
+version is an immutable FILE SET: readers resolve one manifest and
+never see a torn state; writers add new data dirs and publish the next
+manifest; nothing is mutated in place.  Publication is atomic via
+exclusive-create of the manifest file (O_EXCL), which doubles as
+optimistic concurrency control — two concurrent committers race for
+v(N+1); the loser re-reads and retries at v(N+2), exactly the
+commit-protocol shape of the big table formats, reduced to its core.
+
+Scale posture: a manifest is O(#data dirs) of JSON — the driver-side
+metadata path; the data path is untouched parquet (all pushdown /
+skipping behavior preserved since ``read_version`` is a plain
+``spark.read.parquet`` over the listed dirs).  On object stores
+without atomic create, swap the O_EXCL publish for a conditional PUT
+(if-none-match) — the one primitive this protocol needs.
+
+Relationship to siblings: ``operators/compact.py`` rewrites files
+in place (crash-safe swap); committing the compacted files as a new
+VERSION here keeps old snapshots readable until ``vacuum``.
+``operators/diff.py::table_diff`` between two versions is the audit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFESTS, f"v{version:06d}.json")
+
+
+def latest_version(table_dir: str) -> int:
+    """Highest published version, or 0 if the table is empty."""
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[1:7])
+        for f in os.listdir(mdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions, default=0)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _publish(table_dir: str, payload: dict) -> int:
+    """Atomically publish the next manifest; retries the version
+    number on collision (optimistic concurrency)."""
+    os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
+    while True:
+        version = latest_version(table_dir) + 1
+        payload["version"] = version
+        try:
+            fd = os.open(
+                _manifest_path(table_dir, version),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            continue  # lost the race — recompute against the new tip
+        with os.fdopen(fd, "w") as fh:
+            json.dump(payload, fh)
+        return version
+
+
+def commit(
+    df: DataFrame, table_dir: str, mode: str = "append"
+) -> int:
+    """Write ``df`` as immutable data files and publish the next
+    version.  ``mode='append'`` extends the previous file set;
+    ``mode='overwrite'`` starts a fresh set (old versions stay
+    readable until vacuum)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    token = uuid.uuid4().hex[:12]
+    # data dir name carries no version: the version is assigned at
+    # publish time, after the (possibly contended) race
+    rel = os.path.join(_DATA, f"commit-{token}")
+    df.write.parquet(os.path.join(table_dir, rel))
+    prev = latest_version(table_dir)
+    dirs = [] if mode == "overwrite" or prev == 0 else list(
+        _read_manifest(table_dir, prev)["dirs"]
+    )
+    dirs.append(rel)
+    return _publish(table_dir, {"dirs": dirs, "mode": mode})
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The table as of ``version`` (default: latest) — a plain parquet
+    read over that snapshot's immutable file set."""
+    v = latest_version(table_dir) if version is None else version
+    m = _read_manifest(table_dir, v)
+    paths = [os.path.join(table_dir, d) for d in m["dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+    """Delete data dirs referenced only by expired versions (older
+    than the ``keep_last`` most recent) and drop their manifests.
+    Returns the removed data dirs.  Readers of retained versions are
+    unaffected — their file sets are intact by construction."""
+    tip = latest_version(table_dir)
+    keep = set(range(max(1, tip - keep_last + 1), tip + 1))
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(table_dir, v)["dirs"])
+    removed = []
+    data_root = os.path.join(table_dir, _DATA)
+    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel = os.path.join(_DATA, d)
+        if rel not in live:
+            shutil.rmtree(os.path.join(data_root, d))
+            removed.append(rel)
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    for f in os.listdir(mdir):
+        if int(f[1:7]) not in keep:
+            os.remove(os.path.join(mdir, f))
+    return removed

@@ -1,0 +1,62 @@
+"""Manifest log: time travel, overwrite isolation, optimistic-commit
+races, and vacuum safety on plain parquet."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+def test_append_time_travel_and_overwrite(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+
+    v1 = M.commit(a, t)
+    v2 = M.commit(b, t)
+    assert (v1, v2) == (1, 2)
+    assert M.read_version(spark, t, 1).count() == a.count()
+    assert M.read_version(spark, t, 2).count() == o.count()
+    assert M.read_version(spark, t).count() == o.count()  # latest
+
+    # overwrite starts a fresh set; v2 stays readable (isolation)
+    v3 = M.commit(a.limit(10), t, mode="overwrite")
+    assert v3 == 3
+    assert M.read_version(spark, t, 3).count() == 10
+    assert M.read_version(spark, t, 2).count() == o.count()
+
+
+def test_optimistic_commit_race_retries(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(5), t)
+    # simulate a concurrent committer winning v2: pre-create it
+    os.makedirs(os.path.join(t, "_manifests"), exist_ok=True)
+    with open(os.path.join(t, "_manifests", "v000002.json"), "w") as fh:
+        json.dump({"version": 2, "dirs": [], "mode": "append"}, fh)
+    v = M.commit(o.limit(3), t)
+    assert v == 3  # lost the race for 2, landed at 3
+    # the retried manifest was computed against the tip it lost to
+    assert M.read_version(spark, t, 3).count() == 3  # [] from v2 + 3 new
+
+
+def test_vacuum_drops_only_expired_versions(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(4), t)
+    M.commit(o.limit(6), t, mode="overwrite")
+    M.commit(o.limit(2), t)  # v3 = v2's files + 2 more
+    removed = M.vacuum(t, keep_last=2)
+    # v1's data dir is unreferenced by v2/v3 and must be gone
+    assert len(removed) == 1
+    assert M.latest_version(t) == 3
+    assert M.read_version(spark, t, 3).count() == 8
+    assert M.read_version(spark, t, 2).count() == 6
+    # v1 is expired: manifest removed
+    assert not os.path.exists(os.path.join(t, "_manifests", "v000001.json"))
