@@ -353,3 +353,81 @@ def prof_value_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "prof_join_size_forecast",
+    f"""
+    WITH ol AS (
+      SELECT o.k AS k, o.n * l.n AS contrib FROM
+        (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1) o
+        JOIN
+        (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) l
+        USING (k)
+    ),
+    ev AS (
+      SELECT user_id AS k, n * n AS contrib FROM
+        (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    ),
+    both_j AS (
+      SELECT 'orders_lineitem_orderkey' AS join_name, * FROM ol
+      UNION ALL
+      SELECT 'events_self_user' AS join_name, * FROM ev
+    )
+    SELECT join_name,
+           CAST(count(*) AS BIGINT) AS n_join_keys,
+           CAST(sum(contrib) AS BIGINT) AS forecast_rows,
+           CAST(max(contrib) AS BIGINT) AS top_key_rows,
+           {sql_igrid('max(contrib) * 1.0 / sum(contrib)', 6)}
+             AS top_share_e6
+    FROM both_j GROUP BY join_name ORDER BY join_name
+    """,
+    "profiling",
+    "agg",
+)
+def prof_join_size_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output-size forecast BEFORE running the join:
+    Σ_k n_a(k)·n_b(k) from two per-key count aggregates — the planner
+    statistic that predicts shuffle blowup (and, via the top key's
+    contribution share, whether the blowup is skew: one hot key
+    producing most of the output means salt that key, not resize the
+    cluster).  Includes the self-join form Σ n(k)² for the
+    sessionization/interval-join family, whose cost is quadratic in
+    per-user activity.
+
+    Scale: per-key counts partial-aggregate map-side to |distinct
+    keys| rows; the counts join is key-to-key (no fact rows move); at
+    extreme key cardinality swap the exact counts for CMS estimates
+    (operators/sketch.py) — the formula is unchanged."""
+    o = table(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    li = table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    ol = o.join(li, "k").select(
+        F.lit("orders_lineitem_orderkey").alias("join_name"),
+        (F.col("n_a") * F.col("n_b")).alias("contrib"),
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("events_self_user").alias("join_name"),
+            (F.col("n") * F.col("n")).alias("contrib"),
+        )
+    )
+    return (
+        ol.unionByName(ev)
+        .groupBy("join_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_join_keys"),
+            F.sum("contrib").cast("long").alias("forecast_rows"),
+            F.max("contrib").cast("long").alias("top_key_rows"),
+            igrid(
+                F.max("contrib") / F.sum("contrib").cast("double"), 6
+            ).alias("top_share_e6"),
+        )
+        .orderBy("join_name")
+    )
