@@ -138,3 +138,24 @@ def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
         if int(f[1:7]) not in keep:
             os.remove(os.path.join(mdir, f))
     return removed
+
+
+def changes(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Changefeed between two versions — the ``table_changes()`` API
+    of the big formats, composed from this log + the snapshot diff:
+    every key classified added / removed / changed / unchanged between
+    the two immutable file sets.  Cost: one ``table_diff`` (key-hash
+    shuffle) over the two snapshot reads; for sparse drift, route
+    through ``diff.reconcile`` instead to touch only divergent
+    buckets."""
+    from finance_etl_pipeline_spark.operators.diff import table_diff
+
+    old = read_version(spark, table_dir, from_version)
+    new = read_version(spark, table_dir, to_version)
+    return table_diff(old, new, keys)

@@ -60,3 +60,19 @@ def test_vacuum_drops_only_expired_versions(spark, sf_dir, tmp_path):
     assert M.read_version(spark, t, 2).count() == 6
     # v1 is expired: manifest removed
     assert not os.path.exists(os.path.join(t, "_manifests", "v000001.json"))
+
+
+def test_changes_between_versions(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 3 == 0)
+    M.commit(base, t)
+    # v2 = v1 + a disjoint slice appended
+    extra = o.filter(F.col("o_orderkey") % 3 == 1).limit(7)
+    M.commit(extra, t)
+    ch = M.changes(spark, t, ["o_orderkey"], 1, 2)
+    counts = {r.change_type: r.n for r in ch.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("added", 0) == 7
+    assert counts.get("removed", 0) == 0
+    assert counts.get("changed", 0) == 0
+    assert counts.get("unchanged", 0) == base.count()
