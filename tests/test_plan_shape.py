@@ -261,6 +261,7 @@ ALLOWED_BROADCASTS = {
     ("plans/tpch_rest.py", "q21_waiting_suppliers", "r"): "region: 5 rows",
     ("operators/bpe.py", "train_bpe", 'best.select(\n                            F.col("left").alias("__l"),\n                            F.col("right").alias("__r"),\n                        )'): "k best merge pairs per round: bounded by merge batch",
     ("operators/curate_pipeline.py", "gopher_pass", "bad"): "failed-doc ids: ∝ reject density of the batch",
+    ("operators/diff.py", "restrict", "bad"): "differing-bucket id set: <= n_buckets rows by construction",
     ("operators/curate_pipeline.py", "neardup_keepers", "losers"): "near-dup loser ids: ∝ dup density",
     ("operators/curate_pipeline.py", "schedule_sequences", "w"): "per-source weights",
     ("operators/curate_pipeline.py", "schedule_sequences", "sw"): "1-row weight sum",
