@@ -64,23 +64,28 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _publish(table_dir: str, payload: dict) -> int:
-    """Atomically publish the next manifest; retries the version
-    number on collision (optimistic concurrency)."""
+def _publish(table_dir: str, build_payload) -> int:
+    """Atomically publish the next manifest.  ``build_payload(prev)``
+    composes the snapshot against tip version ``prev`` and is
+    RE-INVOKED on every retry: a committer that loses the
+    exclusive-create race must recompose against the winner's
+    manifest, or the winner's files would be silently dropped from
+    the lineage (the classic optimistic-concurrency lost update)."""
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
     while True:
-        version = latest_version(table_dir) + 1
-        payload["version"] = version
+        prev = latest_version(table_dir)
+        payload = build_payload(prev)
+        payload["version"] = prev + 1
         try:
             fd = os.open(
-                _manifest_path(table_dir, version),
+                _manifest_path(table_dir, prev + 1),
                 os.O_CREAT | os.O_EXCL | os.O_WRONLY,
             )
         except FileExistsError:
-            continue  # lost the race — recompute against the new tip
+            continue  # lost the race — recompose against the new tip
         with os.fdopen(fd, "w") as fh:
             json.dump(payload, fh)
-        return version
+        return prev + 1
 
 
 def commit(
@@ -97,12 +102,17 @@ def commit(
     # publish time, after the (possibly contended) race
     rel = os.path.join(_DATA, f"commit-{token}")
     df.write.parquet(os.path.join(table_dir, rel))
-    prev = latest_version(table_dir)
-    dirs = [] if mode == "overwrite" or prev == 0 else list(
-        _read_manifest(table_dir, prev)["dirs"]
-    )
-    dirs.append(rel)
-    return _publish(table_dir, {"dirs": dirs, "mode": mode})
+
+    def build(prev: int) -> dict:
+        dirs = (
+            []
+            if mode == "overwrite" or prev == 0
+            else list(_read_manifest(table_dir, prev)["dirs"])
+        )
+        dirs.append(rel)
+        return {"dirs": dirs, "mode": mode}
+
+    return _publish(table_dir, build)
 
 
 def read_version(

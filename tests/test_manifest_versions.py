@@ -76,3 +76,58 @@ def test_changes_between_versions(spark, sf_dir, tmp_path):
     assert counts.get("removed", 0) == 0
     assert counts.get("changed", 0) == 0
     assert counts.get("unchanged", 0) == base.count()
+
+
+def test_concurrent_commits_all_land(spark, sf_dir, tmp_path):
+    """Real contention (not the simulated race): 6 threads commit
+    concurrently; every commit must land under a distinct version and
+    the final table must contain every thread's rows exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+
+    def commit_slice(i):
+        return M.commit(o.filter(F.col("o_orderkey") % 6 == i), t)
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        versions = sorted(ex.map(commit_slice, range(6)))
+    assert versions == [1, 2, 3, 4, 5, 6]
+    final = M.read_version(spark, t)
+    assert final.count() == o.count()
+    assert final.distinct().count() == o.count()
+
+
+def test_lost_update_impossible_on_publish_race(spark, sf_dir, tmp_path):
+    """Deterministic interleaving: a competing manifest lands AFTER
+    the victim composes its payload but BEFORE it publishes.  The
+    retry must recompose against the winner's manifest — the winner's
+    data dirs may never vanish from the lineage."""
+    from finance_etl_pipeline_spark.operators.manifest import (
+        _publish,
+        _read_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(5), t)  # v1
+
+    state = {"first": True}
+
+    def build(prev):
+        if state["first"]:
+            state["first"] = False
+            # the competing committer wins v2 mid-compose
+            with open(os.path.join(t, "_manifests", "v000002.json"), "w") as fh:
+                json.dump(
+                    {"version": 2, "dirs": ["data/winner"], "mode": "append"},
+                    fh,
+                )
+            # victim composes against the stale tip it was handed
+        base = [] if prev == 0 else list(_read_manifest(t, prev)["dirs"])
+        return {"dirs": base + ["data/victim"], "mode": "append"}
+
+    v = _publish(t, build)
+    assert v == 3
+    dirs = _read_manifest(t, 3)["dirs"]
+    assert "data/winner" in dirs and "data/victim" in dirs
