@@ -61,3 +61,47 @@ def test_density_bounds(spark):
         # every full window selects exactly one position, and one
         # position can serve at most _WINNOW_W windows
         assert nf[d] >= (n_full_windows + _WINNOW_W - 1) // _WINNOW_W
+
+
+def _py_winnow(text: str):
+    """Pure-Python twin of winnow_fp for one document: rolling
+    SPAN_W-token k-gram md5-60bit hashes, rightmost-min of every
+    _WINNOW_W window; returns the selected (pos, hash) set."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.lower())
+    if len(toks) < SPAN_W:
+        return set()
+    hashes = []
+    for i in range(len(toks) - SPAN_W + 1):
+        gram = " ".join(toks[i : i + SPAN_W])
+        h = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        hashes.append(h)  # pos = i + 1 (1-based, like the plan)
+    out = set()
+    for t in range(_WINNOW_W - 1, len(hashes)):
+        window = hashes[t - _WINNOW_W + 1 : t + 1]
+        mn = min(window)
+        # rightmost occurrence of the min within the window
+        off = max(j for j, v in enumerate(window) if v == mn)
+        pos = (t - _WINNOW_W + 1) + off + 1
+        out.add((pos, mn))
+    return out
+
+
+def test_selection_matches_python_twin_exactly(spark):
+    rng = random.Random(1234)
+    rows = []
+    for d in range(8):
+        n = rng.randrange(SPAN_W, 120)
+        # small vocabulary forces hash ties and repeated k-grams —
+        # the tie-break and distinct paths get real exercise
+        words = [f"w{rng.randrange(6)}" for _ in range(n)]
+        rows.append((d, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _, fp = winnow_fp(docs)
+    got = {}
+    for r in fp.collect():
+        got.setdefault(r.doc_id, set()).add((r.sel_pos, r.h))
+    for d, text in rows:
+        assert got.get(d, set()) == _py_winnow(text), f"doc {d}"
