@@ -131,3 +131,14 @@ def test_lost_update_impossible_on_publish_race(spark, sf_dir, tmp_path):
     assert v == 3
     dirs = _read_manifest(t, 3)["dirs"]
     assert "data/winner" in dirs and "data/victim" in dirs
+
+
+def test_read_version_preserves_pushdown(spark, sf_dir, tmp_path):
+    """The versioned read is a plain parquet scan: filters still reach
+    the scan (PushedFilters) — no format tax on the data path."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o, t)
+    df = M.read_version(spark, t).filter(F.col("o_orderkey") == 42)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200], plan[:1500]
