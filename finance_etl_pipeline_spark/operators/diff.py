@@ -155,7 +155,12 @@ def reconcile(
     only contain non-'unchanged' rows from differing buckets (rows in
     agreeing buckets are provably identical up to hash collision and
     are skipped, not reported)."""
-    bad = differing_buckets(old, new, keys, n_buckets)
+    # the join column lives under a collision-proof name so a snapshot
+    # that itself has a 'bucket' VALUE column is compared, not clobbered
+    tmp = "__reconcile_bucket"
+    bad = differing_buckets(old, new, keys, n_buckets).withColumnRenamed(
+        "bucket", tmp
+    )
     key_h = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])),
@@ -165,13 +170,13 @@ def reconcile(
         16,
         10,
     ).cast("long")
-    bucket = (key_h % n_buckets).cast("int").alias("bucket")
+    bucket = (key_h % n_buckets).cast("int").alias(tmp)
 
     def restrict(df: DataFrame) -> DataFrame:
         return (
-            df.withColumn("bucket", bucket)
-            .join(F.broadcast(bad), "bucket", "left_semi")
-            .drop("bucket")
+            df.withColumn(tmp, bucket)
+            .join(F.broadcast(bad), tmp, "left_semi")
+            .drop(tmp)
         )
 
     return table_diff(restrict(old), restrict(new), keys)

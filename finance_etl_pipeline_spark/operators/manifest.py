@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,15 +77,24 @@ def _publish(table_dir: str, build_payload) -> int:
         prev = latest_version(table_dir)
         payload = build_payload(prev)
         payload["version"] = prev + 1
+        # Atomic CONTENT publication: the payload is fully written to a
+        # private temp file first, then hard-linked to the manifest
+        # path.  link(2) fails like O_EXCL when the target exists (the
+        # optimistic-concurrency race) but — unlike create-then-write —
+        # never exposes an empty/partial manifest to a concurrent
+        # reader that resolves latest_version() in the window between
+        # claim and write.
+        tmp = os.path.join(
+            table_dir, _MANIFESTS, f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
         try:
-            fd = os.open(
-                _manifest_path(table_dir, prev + 1),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            os.link(tmp, _manifest_path(table_dir, prev + 1))
         except FileExistsError:
             continue  # lost the race — recompose against the new tip
-        with os.fdopen(fd, "w") as fh:
-            json.dump(payload, fh)
+        finally:
+            os.unlink(tmp)
         return prev + 1
 
 
@@ -126,26 +136,43 @@ def read_version(
     return spark.read.parquet(*paths)
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str,
+    keep_last: int = 1,
+    retention_seconds: float = 3600.0,
+) -> list[str]:
     """Delete data dirs referenced only by expired versions (older
     than the ``keep_last`` most recent) and drop their manifests.
     Returns the removed data dirs.  Readers of retained versions are
-    unaffected — their file sets are intact by construction."""
+    unaffected — their file sets are intact by construction.
+
+    ``retention_seconds`` protects IN-FLIGHT commits: ``commit``
+    writes its data dir BEFORE publishing the manifest, so an
+    unreferenced dir younger than the threshold may belong to a commit
+    that has not published yet — deleting it would make that commit
+    publish a manifest over vanished files.  Only dirs whose mtime is
+    older than the threshold are removed (the ``RETAIN n HOURS``
+    semantics of the big table formats); pass 0 only when no writer
+    can be concurrent.  A never-committed table vacuums to []."""
     tip = latest_version(table_dir)
+    if tip == 0:
+        return []
     keep = set(range(max(1, tip - keep_last + 1), tip + 1))
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(table_dir, v)["dirs"])
     removed = []
+    now = time.time()
     data_root = os.path.join(table_dir, _DATA)
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA, d)
-        if rel not in live:
-            shutil.rmtree(os.path.join(data_root, d))
+        path = os.path.join(data_root, d)
+        if rel not in live and now - os.path.getmtime(path) >= retention_seconds:
+            shutil.rmtree(path)
             removed.append(rel)
     mdir = os.path.join(table_dir, _MANIFESTS)
     for f in os.listdir(mdir):
-        if int(f[1:7]) not in keep:
+        if f.startswith("v") and f.endswith(".json") and int(f[1:7]) not in keep:
             os.remove(os.path.join(mdir, f))
     return removed
 

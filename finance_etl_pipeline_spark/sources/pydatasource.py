@@ -66,7 +66,8 @@ class SyntheticEventsDataSource(DataSource):
     ``spark.dataSource.register(SyntheticEventsDataSource)``.
 
     Options: ``n_rows`` (default 1000), ``n_partitions`` (default 4),
-    streaming adds ``rows_per_batch`` (default 100)."""
+    streaming adds ``rows_per_batch`` (default 0 = everything in one
+    micro-batch; positive = rate-limited advance per batch)."""
 
     @classmethod
     def name(cls) -> str:
@@ -153,23 +154,35 @@ class SyntheticEventsPushdownReader(SyntheticEventsReader):
 
 
 class SyntheticEventsStreamReader(DataSourceStreamReader):
-    """Micro-batch twin: offset = next row id to emit; each batch
-    advances by ``rows_per_batch`` until ``n_rows`` then idles.  The
-    offset log is the single source of truth — a restarted query
-    resumes exactly where the checkpoint says, and because payloads
+    """Micro-batch twin: offset = next row id to emit.  With
+    ``rows_per_batch`` unset (or 0), ``latestOffset`` reports all
+    ``n_rows`` at once — the whole table lands in one micro-batch,
+    which is what ``trigger(availableNow=True)`` needs (Spark captures
+    the FIRST latestOffset as the drain target, so a rate-limited
+    offset would stop the drain after one window).  With a positive
+    ``rows_per_batch``, each ``latestOffset`` call advances by that
+    many rows until ``n_rows`` then idles — real admission control for
+    processing-time triggers.  The offset log is the single source of
+    truth — a restarted query resumes exactly where the checkpoint
+    says (``commit`` re-seats the advance point), and because payloads
     are content-addressed, replayed batches are bit-identical
     (the exactly-once story for a synthetic source)."""
 
     def __init__(self, options: dict):
         self.n = int(options.get("n_rows", 1000))
-        self.per_batch = int(options.get("rows_per_batch", 100))
+        self.per_batch = int(options.get("rows_per_batch", 0))
         self.p = max(1, int(options.get("n_partitions", 4)))
+        self._last = 0  # highest offset this reader instance reported
 
     def initialOffset(self) -> dict:
         return {"next": 0}
 
     def latestOffset(self) -> dict:
-        return {"next": self.n}
+        if self.per_batch <= 0:
+            self._last = self.n
+        else:
+            self._last = min(self._last + self.per_batch, self.n)
+        return {"next": self._last}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         lo, hi = start["next"], min(end["next"], self.n)
@@ -185,4 +198,8 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             yield row_at(i)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are self-describing; nothing external to ack
+        # offsets are self-describing; the only bookkeeping is keeping
+        # the advance point monotone so a reader restarted mid-stream
+        # (fresh _last = 0, checkpointed start > 0) snaps forward to
+        # the committed position instead of re-crawling from zero
+        self._last = max(self._last, int(end["next"]))

@@ -52,7 +52,7 @@ def test_vacuum_drops_only_expired_versions(spark, sf_dir, tmp_path):
     M.commit(o.limit(4), t)
     M.commit(o.limit(6), t, mode="overwrite")
     M.commit(o.limit(2), t)  # v3 = v2's files + 2 more
-    removed = M.vacuum(t, keep_last=2)
+    removed = M.vacuum(t, keep_last=2, retention_seconds=0.0)
     # v1's data dir is unreferenced by v2/v3 and must be gone
     assert len(removed) == 1
     assert M.latest_version(t) == 3
@@ -60,6 +60,27 @@ def test_vacuum_drops_only_expired_versions(spark, sf_dir, tmp_path):
     assert M.read_version(spark, t, 2).count() == 6
     # v1 is expired: manifest removed
     assert not os.path.exists(os.path.join(t, "_manifests", "v000001.json"))
+
+
+def test_vacuum_never_committed_table_is_noop(tmp_path):
+    assert M.vacuum(str(tmp_path / "nonexistent")) == []
+
+
+def test_vacuum_retention_protects_in_flight_commit(spark, sf_dir, tmp_path):
+    """commit() writes data files BEFORE publishing the manifest; a
+    concurrent vacuum must not delete that young unreferenced dir —
+    the default retention window keeps it until the commit publishes."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(4), t)
+    # simulate the window: a data dir exists, its manifest does not yet
+    in_flight = os.path.join(t, "data", "commit-inflight00000")
+    o.limit(3).write.parquet(in_flight)
+    assert M.vacuum(t, keep_last=1) == []  # default retention: survives
+    assert os.path.isdir(in_flight)
+    # with retention waived (no concurrent writers), it is collectable
+    removed = M.vacuum(t, keep_last=1, retention_seconds=0.0)
+    assert removed == [os.path.join("data", "commit-inflight00000")]
 
 
 def test_changes_between_versions(spark, sf_dir, tmp_path):

@@ -70,3 +70,25 @@ def test_digests_localize_and_reconcile_reports_exact_drift(spark, sf_dir):
     n_unchanged = out.filter(F.col("change_type") == "unchanged").count()
     total = old.count()
     assert n_unchanged < total * (n_bad / N_BUCKETS) * 2 + 10
+
+
+def test_reconcile_with_value_column_named_bucket(spark, sf_dir):
+    """A snapshot whose SCHEMA contains a 'bucket' column must have
+    that column COMPARED, not silently clobbered by reconcile's
+    internal bucket assignment: a drift that exists only in the
+    'bucket' value column must be reported as changed."""
+    old = table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 10).alias("bucket")
+    )
+    victim = old.orderBy("o_orderkey").first().o_orderkey
+    new = old.withColumn(
+        "bucket",
+        F.when(F.col("o_orderkey") == victim, F.lit(999)).otherwise(
+            F.col("bucket")
+        ),
+    )
+    out = reconcile(old, new, ["o_orderkey"], N_BUCKETS)
+    drift = out.filter(F.col("change_type") != "unchanged").collect()
+    assert {(r.o_orderkey, r.change_type) for r in drift} == {
+        (victim, "changed")
+    }

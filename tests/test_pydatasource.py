@@ -49,11 +49,12 @@ def test_batch_read_matches_twin_and_partitioning(spark):
 
 
 def test_stream_drains_to_batch_table(spark, tmp_path):
+    """Default options (rows_per_batch=0): availableNow captures the
+    full table in its single latestOffset probe and drains it all."""
     _registered(spark)
     q = (
         spark.readStream.format("synthetic_events")
         .option("n_rows", 230)
-        .option("rows_per_batch", 64)
         .option("n_partitions", 3)
         .load()
         .writeStream.format("memory")
@@ -72,6 +73,47 @@ def test_stream_drains_to_batch_table(spark, tmp_path):
     sample = {r.event_id: r.value for r in got.filter(F.col("event_id") < 5).collect()}
     for i in range(5):
         assert sample[i] == row_at(i)[3]
+
+
+def test_stream_rows_per_batch_rate_limits(spark, tmp_path):
+    """rows_per_batch > 0 is REAL admission control: latestOffset
+    advances by that many rows per micro-batch, so 230 rows at 64/batch
+    take >= 4 non-empty batches, each admitting <= 64 rows, and the
+    stream still drains the exact table.  (availableNow would capture
+    only the first 64-row window — rate limiting needs a
+    processing-time trigger; the docstring states the contract.)"""
+    import time
+
+    _registered(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 230)
+        .option("rows_per_batch", 64)
+        .option("n_partitions", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("t_pyds_rate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_rate"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("t_pyds_rate").count() >= 230:
+                break
+            time.sleep(0.2)
+        got = spark.table("t_pyds_rate")
+        assert got.count() == 230
+        assert got.select("event_id").distinct().count() == 230
+        sizes = [
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(sizes) >= 4  # 230 rows admitted 64 at a time
+        assert max(sizes) <= 64
+    finally:
+        q.stop()
 
 
 def test_push_filters_prune_generation(spark):
