@@ -11,17 +11,36 @@ A manifest lists the data directories composing that version, so a
 version is an immutable FILE SET: readers resolve one manifest and
 never see a torn state; writers add new data dirs and publish the next
 manifest; nothing is mutated in place.  Publication is atomic via
-exclusive-create of the manifest file (O_EXCL), which doubles as
-optimistic concurrency control — two concurrent committers race for
-v(N+1); the loser re-reads and retries at v(N+2), exactly the
-commit-protocol shape of the big table formats, reduced to its core.
+write-to-temp + hard link (link fails like O_EXCL when the version
+exists), which doubles as optimistic concurrency control — two
+concurrent committers race for v(N+1); the loser re-reads and retries
+at v(N+2), exactly the commit-protocol shape of the big table formats,
+reduced to its core.
 
-Scale posture: a manifest is O(#data dirs) of JSON — the driver-side
-metadata path; the data path is untouched parquet (all pushdown /
-skipping behavior preserved since ``read_version`` is a plain
-``spark.read.parquet`` over the listed dirs).  On object stores
-without atomic create, swap the O_EXCL publish for a conditional PUT
-(if-none-match) — the one primitive this protocol needs.
+Beyond the file list, each manifest records (the two things that make
+a manifest WORTH having at 100 TB):
+
+* **per-file column statistics** — min / max / null count per leaf
+  column, harvested from the parquet footers at commit time (one
+  footer read per file, no data scan).  ``read_version(..., where=)``
+  prunes the file list against simple predicates BEFORE Spark ever
+  lists or opens them — file-level skipping above the row-group-level
+  skipping the scan already does, and the piece Iceberg/Delta
+  manifests add over a bare directory listing.
+* **the schema, per version and per data dir** — so the table can
+  EVOLVE: an append may add columns, and readers of any version see
+  that version's logical schema, with older files' missing columns
+  read as NULL (``unionByName(allowMissingColumns=True)`` semantics).
+  Time travel to a pre-evolution version returns the old schema
+  unchanged.
+
+Scale posture: a manifest is O(#files × #columns) of JSON — the
+driver-side metadata path; the data path is untouched parquet (all
+pushdown / row-group skipping behavior preserved since
+``read_version`` is a plain ``spark.read.parquet`` over the surviving
+files).  On object stores without atomic create, swap the link-based
+publish for a conditional PUT (if-none-match) — the one primitive
+this protocol needs.
 
 Relationship to siblings: ``operators/compact.py`` rewrites files
 in place (crash-safe swap); committing the compacted files as a new
@@ -37,10 +56,109 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 _MANIFESTS = "_manifests"
 _DATA = "data"
+
+#: predicate triple ops accepted by ``read_version(where=...)``
+_COMPARISONS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def _json_safe(v):
+    """A footer-stat / predicate value in a JSON-storable form whose
+    Python ordering matches the column's ordering, or None when the
+    type has no such form (then no stats are recorded / no skipping
+    happens — conservative).  Dates and timestamps go to fixed-width
+    strings so lexicographic == chronological."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _harvest_stats(data_dir: str) -> list[dict]:
+    """One entry per parquet file just written to ``data_dir``: file
+    name, row count, and per-column {min, max, nulls} aggregated over
+    the file's row groups — read from the footers only (no data scan;
+    the commit-time cost is one metadata read per file).  A column
+    whose stats are unavailable or not order-safe in ANY row group is
+    omitted for that file, which simply disables skipping on it."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(_glob.glob(os.path.join(data_dir, "part-*"))):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(f).metadata
+        stats: dict[str, dict] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            rg_meta = md.row_group(rg)
+            for ci in range(md.num_columns):
+                col = rg_meta.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested leaf: no file-level pruning
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    bad.add(name)
+                    continue
+                e = stats.setdefault(
+                    name, {"min": None, "max": None, "nulls": 0}
+                )
+                e["nulls"] += st.null_count
+                if st.has_min_max:
+                    mn, mx = _json_safe(st.min), _json_safe(st.max)
+                    if mn is None or mx is None:
+                        bad.add(name)
+                        continue
+                    e["min"] = mn if e["min"] is None else min(e["min"], mn)
+                    e["max"] = mx if e["max"] is None else max(e["max"], mx)
+                elif st.null_count != rg_meta.num_rows:
+                    # non-null values exist but min/max was not
+                    # written: unusable for range pruning
+                    bad.add(name)
+        for b in bad:
+            stats.pop(b, None)
+        out.append(
+            {
+                "path": os.path.basename(f),
+                "rows": md.num_rows,
+                "stats": stats,
+            }
+        )
+    return out
+
+
+def _merge_schema(prev_json: dict, new_schema: StructType) -> StructType:
+    """Append-mode schema evolution: the version's logical schema is
+    the previous schema plus any NEW columns (appended in arrival
+    order).  A same-named column must keep its type — type evolution
+    is rejected loudly rather than half-supported."""
+    prev = StructType.fromJson(prev_json)
+    by_name = {f.name: f for f in prev.fields}
+    fields = list(prev.fields)
+    for f in new_schema.fields:
+        if f.name not in by_name:
+            fields.append(f)
+        elif by_name[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"type evolution not supported for column {f.name}: "
+                f"{by_name[f.name].dataType} vs {f.dataType}"
+            )
+    return StructType(fields)
 
 
 def _manifest_path(table_dir: str, version: int) -> str:
@@ -102,38 +220,246 @@ def commit(
     df: DataFrame, table_dir: str, mode: str = "append"
 ) -> int:
     """Write ``df`` as immutable data files and publish the next
-    version.  ``mode='append'`` extends the previous file set;
-    ``mode='overwrite'`` starts a fresh set (old versions stay
-    readable until vacuum)."""
+    version.  ``mode='append'`` extends the previous file set (and may
+    ADD columns — schema evolution; see ``_merge_schema``);
+    ``mode='overwrite'`` starts a fresh set and a fresh schema (old
+    versions stay readable until vacuum).  The published manifest
+    carries per-file column min/max/null-count stats harvested from
+    the parquet footers, enabling ``read_version(where=...)`` file
+    skipping."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     token = uuid.uuid4().hex[:12]
     # data dir name carries no version: the version is assigned at
     # publish time, after the (possibly contended) race
     rel = os.path.join(_DATA, f"commit-{token}")
-    df.write.parquet(os.path.join(table_dir, rel))
+    abs_dir = os.path.join(table_dir, rel)
+    df.write.parquet(abs_dir)
+    file_entries = _harvest_stats(abs_dir)
+    schema_json = df.schema.jsonValue()
 
     def build(prev: int) -> dict:
-        dirs = (
-            []
-            if mode == "overwrite" or prev == 0
-            else list(_read_manifest(table_dir, prev)["dirs"])
-        )
+        if mode == "overwrite" or prev == 0:
+            dirs: list[str] = []
+            files: dict[str, list] = {}
+            dir_schemas: dict[str, dict] = {}
+            schema = df.schema
+        else:
+            m = _read_manifest(table_dir, prev)
+            dirs = list(m["dirs"])
+            files = dict(m.get("files", {}))
+            dir_schemas = dict(m.get("dir_schemas", {}))
+            schema = (
+                _merge_schema(m["schema"], df.schema)
+                if "schema" in m
+                else df.schema
+            )
         dirs.append(rel)
-        return {"dirs": dirs, "mode": mode}
+        files[rel] = file_entries
+        dir_schemas[rel] = schema_json
+        return {
+            "dirs": dirs,
+            "mode": mode,
+            "files": files,
+            "dir_schemas": dir_schemas,
+            "schema": schema.jsonValue(),
+        }
 
     return _publish(table_dir, build)
 
 
+def _normalize_pred(p) -> tuple[str, str, object]:
+    """(col, op) or (col, op, value) → canonical triple, validated."""
+    if len(p) == 2:
+        col, op = p
+        value = None
+    elif len(p) == 3:
+        col, op, value = p
+    else:
+        raise ValueError(f"predicate must be (col, op[, value]): {p!r}")
+    if op not in _COMPARISONS + ("is_null", "is_not_null"):
+        raise ValueError(f"unsupported predicate op: {op!r}")
+    if op in _COMPARISONS and len(p) != 3:
+        raise ValueError(f"comparison predicate needs a value: {p!r}")
+    return col, op, value
+
+
+def _pred_column(col: str, op: str, value) -> Column:
+    c = F.col(col)
+    if op == "is_null":
+        return c.isNull()
+    if op == "is_not_null":
+        return c.isNotNull()
+    return {
+        "==": c == value,
+        "!=": c != value,
+        "<": c < value,
+        "<=": c <= value,
+        ">": c > value,
+        ">=": c >= value,
+    }[op]
+
+
+def _file_may_match(
+    entry: dict, preds: list[tuple], present: set[str] | None
+) -> bool:
+    """False only when the file's footer stats PROVE no row satisfies
+    the conjunction of ``preds``; unknown stats keep the file
+    (skipping is an optimization, never a semantics change — the
+    residual filter re-applies every predicate exactly)."""
+    for col, op, value in preds:
+        if present is not None and col not in present:
+            # column absent from this file's physical schema: every
+            # row reads as NULL, so only is_null can match
+            if op == "is_null":
+                continue
+            return False
+        st = entry.get("stats", {}).get(col)
+        if st is None:
+            continue
+        if op == "is_null":
+            if st["nulls"] == 0:
+                return False
+            continue
+        if op == "is_not_null":
+            if st["nulls"] >= entry["rows"]:
+                return False
+            continue
+        mn, mx = st["min"], st["max"]
+        if mn is None or mx is None:
+            # the column is entirely NULL in this file: no comparison
+            # (incl. !=) can be satisfied by any row
+            return False
+        v = _json_safe(value)
+        if v is None:
+            continue
+        try:
+            if op == "==" and (v < mn or v > mx):
+                return False
+            if op == "<" and mn >= v:
+                return False
+            if op == "<=" and mn > v:
+                return False
+            if op == ">" and mx <= v:
+                return False
+            if op == ">=" and mx < v:
+                return False
+            if op == "!=" and mn == mx == v and st["nulls"] == 0:
+                return False
+        except TypeError:
+            continue  # incomparable stat/predicate types: keep file
+    return True
+
+
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest) — a plain parquet
-    read over that snapshot's immutable file set."""
+    read over that snapshot's immutable file set.
+
+    ``where`` is an optional conjunction of simple predicates —
+    ``(col, op, value)`` with op in ==, !=, <, <=, >, >= or
+    ``(col, 'is_null'|'is_not_null')`` — used twice: files whose
+    manifest stats prove they cannot match are dropped from the scan
+    (file skipping), and the predicates are re-applied to the result
+    (exactness — pruning never changes answers, it only removes I/O).
+
+    Schema evolution: every file is read under its commit's physical
+    schema; commits with missing columns contribute NULLs for them
+    (``unionByName(allowMissingColumns=True)``), and the result is
+    projected to the version's logical schema / column order.  When
+    all commits share one schema (the common case) the read collapses
+    to a single multi-path parquet scan — no union, no format tax."""
     v = latest_version(table_dir) if version is None else version
     m = _read_manifest(table_dir, v)
-    paths = [os.path.join(table_dir, d) for d in m["dirs"]]
-    return spark.read.parquet(*paths)
+    preds = [_normalize_pred(p) for p in where] if where else []
+
+    schema = (
+        StructType.fromJson(m["schema"]) if "schema" in m else None
+    )
+    files_meta = m.get("files", {})
+    dir_schemas = m.get("dir_schemas", {})
+
+    # group surviving paths by physical schema (one scan per schema)
+    by_schema: dict[str, list[str]] = {}
+    for d in m["dirs"]:
+        sj = dir_schemas.get(d)
+        key = json.dumps(sj, sort_keys=True) if sj else ""
+        entries = files_meta.get(d)
+        if entries is None:  # legacy manifest: whole dir, no skipping
+            by_schema.setdefault(key, []).append(
+                os.path.join(table_dir, d)
+            )
+            continue
+        present = (
+            set(StructType.fromJson(sj).fieldNames()) if sj else None
+        )
+        for e in entries:
+            if not preds or _file_may_match(e, preds, present):
+                by_schema.setdefault(key, []).append(
+                    os.path.join(table_dir, d, e["path"])
+                )
+
+    if not by_schema:
+        out = spark.createDataFrame([], schema or StructType([]))
+    else:
+        branches = [
+            spark.read.parquet(*paths) for paths in by_schema.values()
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b, allowMissingColumns=True)
+        if schema is not None:
+            out = _align_to(out, schema)
+    for col, op, value in preds:
+        out = out.filter(_pred_column(col, op, value))
+    return out
+
+
+def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
+    """Project ``df`` to the logical schema's columns and order,
+    contributing typed NULLs for columns the scanned files lack
+    (possible when file skipping pruned away every file of the commit
+    that introduced a column)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            F.col(f.name)
+            if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def files_for_version(
+    table_dir: str,
+    version: int | None = None,
+    where: list[tuple] | None = None,
+) -> list[str]:
+    """The absolute file list ``read_version`` would scan — the
+    metadata-only view of file skipping (what a SHOW FILES / EXPLAIN
+    surface would print)."""
+    v = latest_version(table_dir) if version is None else version
+    m = _read_manifest(table_dir, v)
+    preds = [_normalize_pred(p) for p in where] if where else []
+    out = []
+    for d in m["dirs"]:
+        entries = m.get("files", {}).get(d)
+        if entries is None:
+            out.append(os.path.join(table_dir, d))
+            continue
+        sj = m.get("dir_schemas", {}).get(d)
+        present = (
+            set(StructType.fromJson(sj).fieldNames()) if sj else None
+        )
+        for e in entries:
+            if not preds or _file_may_match(e, preds, present):
+                out.append(os.path.join(table_dir, d, e["path"]))
+    return out
 
 
 def vacuum(
@@ -190,9 +516,27 @@ def changes(
     the two immutable file sets.  Cost: one ``table_diff`` (key-hash
     shuffle) over the two snapshot reads; for sparse drift, route
     through ``diff.reconcile`` instead to touch only divergent
-    buckets."""
+    buckets.
+
+    Schema evolution across the span is reconciled: both snapshots are
+    aligned to the UNION of the two versions' logical schemas (missing
+    columns read as typed NULLs), so a column added between the
+    versions classifies rows as 'changed' exactly where it holds a
+    non-NULL value — the ``unionByName(allowMissingColumns=True)``
+    semantics, applied to the diff."""
     from finance_etl_pipeline_spark.operators.diff import table_diff
 
     old = read_version(spark, table_dir, from_version)
     new = read_version(spark, table_dir, to_version)
+    if set(old.columns) != set(new.columns):
+        mo = _read_manifest(table_dir, from_version)
+        mn = _read_manifest(
+            table_dir,
+            latest_version(table_dir) if to_version is None else to_version,
+        )
+        union = _merge_schema(
+            mo["schema"], StructType.fromJson(mn["schema"])
+        )
+        old = _align_to(old, union)
+        new = _align_to(new, union)
     return table_diff(old, new, keys)

@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QueryDef]:
         governance,
         importance,
         ivf,
+        lake,
         llm,
         lm,
         market,

@@ -1,0 +1,125 @@
+"""Versioned-table (manifest log) queries — the lakehouse layer as
+driver-checkable oracle entries.
+
+Each query BUILDS a small versioned table from the orders parquet in a
+fresh temp directory (commits, overwrites, schema evolution), then
+reads it back through ``operators/manifest.py`` — time travel, the
+changefeed, and stats-pruned reads all on the real code path.  The
+DuckDB oracle recomputes the expected result symbolically from the
+orders table, because every snapshot is a pure modulo-slice of it: if
+the manifest log mis-tracks a file, drops a schema, or prunes a file
+it should not, the aggregate diverges.
+
+The temp table dirs are intentionally leaked for the process lifetime:
+the returned DataFrame is LAZY — the driver collects it after this
+function returns, so the files must outlive the call (tmpdir reaping
+happens at interpreter exit with the rest of /tmp churn).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import igrid, sql_igrid
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.plans import register
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+@register(
+    "manifest_changes_classify",
+    """
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE
+                 WHEN o_orderkey % 3 = 1 THEN 'removed'
+                 WHEN o_orderkey % 3 = 2 THEN 'added'
+                 WHEN o_orderkey % 5 = 0 THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1, 2)
+    ) t
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+    "lake",
+)
+def manifest_changes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changefeed over a versioned table: v1 holds orders with
+    key%3 ∈ {0,1}; v2 OVERWRITES with key%3 ∈ {0,2} and bumps the
+    price of key%5 == 0 rows.  ``changes(v1, v2)`` must classify
+    key%3==1 as removed, key%3==2 as added, key%3==0 ∧ key%5==0 as
+    changed, the rest unchanged — exercising time travel (v1 is read
+    AFTER the overwrite) and the snapshot diff end-to-end."""
+    t = tempfile.mkdtemp(prefix="mlake_chg_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 <= 1), t)
+    v2 = o.filter(F.col("o_orderkey") % 3 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    M.commit(v2, t, mode="overwrite")
+    return (
+        M.changes(spark, t, ["o_orderkey"], 1, 2)
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "manifest_evolved_pruned_read",
+    f"""
+    SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'none' ELSE 'online' END
+             AS channel,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice < 100000.0
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    "lake",
+)
+def manifest_evolved_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution + stats-pruned read: v1 commits orders
+    key%4==0 WITHOUT the channel column; v2 appends key%4==1 WITH it.
+    The latest read goes through ``where=`` (file skipping against
+    the per-file min/max stats, then the exact residual filter) and
+    must see v1's rows with a NULL channel — the
+    unionByName(allowMissingColumns=True) reconciliation — while both
+    commits' totals match the symbolic recompute."""
+    t = tempfile.mkdtemp(prefix="mlake_evo_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(
+        o.filter(F.col("o_orderkey") % 4 == 0).repartitionByRange(
+            4, "o_totalprice"
+        ),
+        t,
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 4 == 1).withColumn(
+            "o_channel", F.lit("online")
+        ),
+        t,
+    )
+    df = M.read_version(spark, t, where=[("o_totalprice", "<", 100000.0)])
+    return (
+        df.groupBy(
+            F.coalesce("o_channel", F.lit("none")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid("o_totalprice", 2)).alias("sum_price_e2"),
+        )
+        .orderBy("channel")
+    )

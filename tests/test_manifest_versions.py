@@ -154,6 +154,143 @@ def test_lost_update_impossible_on_publish_race(spark, sf_dir, tmp_path):
     assert "data/winner" in dirs and "data/victim" in dirs
 
 
+def test_file_skipping_scans_strict_subset(spark, sf_dir, tmp_path):
+    """Per-file min/max stats in the manifest prune the scan: a
+    selective predicate on a range-clustered table reads a STRICT
+    subset of files (input_file_name-asserted on the actual scan, not
+    just the metadata view), with answers identical to the unpruned
+    read."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.repartitionByRange(8, "o_orderkey"), t)
+
+    all_files = M.files_for_version(t)
+    assert len(all_files) == 8
+    cutoff = o.approxQuantile("o_orderkey", [0.2], 0.01)[0]
+    where = [("o_orderkey", "<=", int(cutoff))]
+
+    pruned_files = M.files_for_version(t, where=where)
+    assert 0 < len(pruned_files) < len(all_files)  # strict subset
+    assert set(pruned_files) < set(all_files)
+
+    df = M.read_version(spark, t, where=where)
+    scanned = {
+        r.f for r in df.select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(scanned) <= len(pruned_files) < len(all_files)
+    # pruning is an optimization, never a semantics change
+    expect = o.filter(F.col("o_orderkey") <= int(cutoff))
+    assert df.count() == expect.count()
+    assert df.exceptAll(expect).count() == 0
+
+
+def test_file_skipping_equality_and_empty_range(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.repartitionByRange(6, "o_orderkey"), t)
+    key = o.orderBy("o_orderkey").first().o_orderkey
+    hits = M.files_for_version(t, where=[("o_orderkey", "==", int(key))])
+    assert len(hits) == 1  # range-clustered: one file can hold the key
+    got = M.read_version(spark, t, where=[("o_orderkey", "==", int(key))])
+    assert got.count() == o.filter(F.col("o_orderkey") == int(key)).count()
+    # a predicate outside the table's range prunes EVERYTHING
+    none = M.read_version(spark, t, where=[("o_orderkey", "<", -1)])
+    assert M.files_for_version(t, where=[("o_orderkey", "<", -1)]) == []
+    assert none.count() == 0
+    assert none.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_schema_evolution_time_travel_and_changes(spark, sf_dir, tmp_path):
+    """v1 without a column, v2 appends rows WITH it: time travel to v1
+    returns the old schema unchanged; v2 reads old files with typed
+    NULLs; changes(1, 2) classifies exactly the appended keys as
+    added and leaves v1 rows unchanged (NULL == NULL for the new
+    column on both sides of the diff)."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 3 == 0)
+    M.commit(base, t)
+    extra = (
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .limit(7)
+        .withColumn("o_channel", F.lit("online"))
+    )
+    M.commit(extra, t)
+
+    v1 = M.read_version(spark, t, 1)
+    assert v1.columns == ["o_orderkey", "o_totalprice"]
+    assert v1.count() == base.count()
+
+    v2 = M.read_version(spark, t, 2)
+    assert v2.columns == ["o_orderkey", "o_totalprice", "o_channel"]
+    assert v2.count() == base.count() + 7
+    assert v2.filter(F.col("o_channel").isNull()).count() == base.count()
+    assert v2.filter(F.col("o_channel") == "online").count() == 7
+    assert dict(v2.dtypes)["o_channel"] == "string"
+
+    ch = M.changes(spark, t, ["o_orderkey"], 1, 2)
+    counts = {
+        r.change_type: r.n
+        for r in ch.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts.get("added", 0) == 7
+    assert counts.get("changed", 0) == 0
+    assert counts.get("removed", 0) == 0
+    assert counts.get("unchanged", 0) == base.count()
+
+
+def test_skipping_on_absent_column_prunes_old_commits(spark, sf_dir, tmp_path):
+    """A predicate on a column added in v2 proves v1's files cannot
+    match (the column reads as NULL there): only v2's files are
+    scanned."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), t)
+    M.commit(
+        o.filter(F.col("o_orderkey") % 3 == 1)
+        .limit(7)
+        .withColumn("o_channel", F.lit("online")),
+        t,
+    )
+    v1_files = set(M.files_for_version(t, 1))
+    hits = M.files_for_version(t, where=[("o_channel", "==", "online")])
+    assert hits and not (set(hits) & v1_files)
+    got = M.read_version(spark, t, where=[("o_channel", "==", "online")])
+    assert got.count() == 7
+    # is_not_null prunes the same way; is_null must KEEP v1's files
+    assert not (
+        set(M.files_for_version(t, where=[("o_channel", "is_not_null")]))
+        & v1_files
+    )
+    assert v1_files <= set(
+        M.files_for_version(t, where=[("o_channel", "is_null")])
+    )
+
+
+def test_skipping_all_null_column_file(spark, sf_dir, tmp_path):
+    """A commit whose column is entirely NULL is skipped by any
+    comparison predicate even though the footer has no min/max for
+    it."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    withnull = o.limit(5).withColumn(
+        "flag", F.lit(None).cast("string")
+    )
+    withval = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .limit(5)
+        .withColumn("flag", F.lit("x"))
+    )
+    M.commit(withnull.coalesce(1), t)
+    M.commit(withval.coalesce(1), t)
+    v1_files = set(M.files_for_version(t, 1))
+    hits = M.files_for_version(t, where=[("flag", "==", "x")])
+    assert hits and not (set(hits) & v1_files)
+    assert M.read_version(spark, t, where=[("flag", "==", "x")]).count() == 5
+
+
 def test_read_version_preserves_pushdown(spark, sf_dir, tmp_path):
     """The versioned read is a plain parquet scan: filters still reach
     the scan (PushedFilters) — no format tax on the data path."""
