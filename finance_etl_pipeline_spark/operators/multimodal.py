@@ -6,12 +6,16 @@ extraction / resize / frame-sampling run as Arrow-batched Pandas UDF
 stages over ``mapInPandas`` — the only place Python touches the data,
 and it touches it one Arrow batch (not one row) at a time.
 
-The decode step is STUBBED: the real image/audio libraries are not in
-this container, so ``_fake_decode`` derives deterministic pseudo
--features from the payload bytes (and ``decode_image_real`` raises
-``NotImplementedError`` where Pillow would be called).  Everything
-around the stub — schema, batch iteration, partition behavior, column
-pruning — is real and tested (tests/test_multimodal.py).
+Decode is REAL for the formats a stdlib+numpy container can honestly
+parse: BMP (``decode_bmp`` — header/stride/bottom-up/BGR) and PNG
+(``decode_png`` — CRC-checked chunks, zlib inflate, all five scanline
+filters), both value-verified against symbolic DuckDB oracles
+(mm_bmp_decode_stats, mm_png_decode_stats).  ``decode_features``
+dispatches on magic bytes; only codec-library formats (JPEG/WebP/...)
+fall back to ``_fake_decode``'s deterministic pseudo-features, with
+``decode_image_real`` raising honestly where Pillow would be called.
+Schema, batch iteration, partition behavior, and column pruning are
+identical across real and stubbed paths (tests/test_multimodal.py).
 
 Scale notes: mapInPandas streams batches, so memory is bounded by
 ``spark.sql.execution.arrow.maxRecordsPerBatch`` regardless of
@@ -61,8 +65,10 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Where Pillow/libvips would decode. Not available in this
-    container — the pipeline uses ``_fake_decode`` instead."""
+    """Codec-library decode for formats this container cannot handle
+    natively (JPEG/WebP/...).  PNG and BMP do NOT land here — they
+    have real pure-numpy decoders (``decode_png``, ``decode_bmp``)
+    that ``decode_features`` dispatches to by magic bytes."""
     raise NotImplementedError("image decoding libraries not installed")
 
 
@@ -79,12 +85,29 @@ def _fake_decode(payload: bytes | None) -> tuple[int, int, int]:
     return width, height, checksum
 
 
+def _dispatch_decode(payload: bytes | None) -> tuple[int, int, int]:
+    """Magic-byte dispatch: REAL decode for the formats with pure-numpy
+    decoders (PNG, BMP — width/height from actual pixel parsing,
+    checksum = pixel sum), deterministic pseudo-features for anything
+    else (where ``decode_image_real`` would need a codec library)."""
+    if payload:
+        if payload[: len(PNG_SIG)] == PNG_SIG:
+            rgb = decode_png(payload)
+            return rgb.shape[1], rgb.shape[0], int(rgb.sum()) % 1_000_000_007
+        if payload[:2] == b"BM":
+            rgb = decode_bmp(payload)
+            return rgb.shape[1], rgb.shape[0], int(rgb.sum()) % 1_000_000_007
+    return _fake_decode(payload)
+
+
 def decode_features(payloads: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature stage over mapInPandas."""
+    """Arrow-batched decode/feature stage over mapInPandas.  PNG and
+    BMP payloads take the real decode path (``_dispatch_decode``);
+    other formats fall back to the deterministic stand-in."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            decoded = [_dispatch_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
@@ -378,6 +401,255 @@ def bmp_decode_stats(payloads: DataFrame) -> DataFrame:
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 rgb = decode_bmp(bytes(payload)).astype(np.int64)
+                h, w, _ = rgb.shape
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_r"].append(int(rgb[:, :, 0].sum()))
+                out["sum_g"].append(int(rgb[:, :, 1].sum()))
+                out["sum_b"].append(int(rgb[:, :, 2].sum()))
+                out["wsum_r"].append(int((ys * rgb[:, :, 0]).sum()))
+                out["wxsum_b"].append(int((xs * rgb[:, :, 2]).sum()))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Value-verified image decode, compressed path: PNG (RGB8), pure
+# numpy + zlib
+# ---------------------------------------------------------------------------
+#
+# The round-5 residual: codec-dependent formats were a rows-only stub
+# because no image library ships in this container.  PNG needs only
+# zlib (stdlib) around a byte-exact spec — signature, CRC-checked
+# chunks, IHDR, IDAT inflate, and the five scanline filters
+# (None/Sub/Up/Average/Paeth) — so, like the BMP path, it is
+# implementable AND value-verifiable with numpy alone.  The encoder
+# cycles the filter type per row ((doc_id + y) % 5), so every filter's
+# decode path is exercised by the oracle query, not just by unit
+# tests.  Pixels reuse the BMP generator formulas (distinct per-channel
+# coefficients, x/y dependence) on a DIFFERENT dims grid, so a
+# transposed unfilter, a wrong left-neighbor offset (bpp), or a missed
+# filter branch breaks the position-weighted sums.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc size: width 5..8, height 3..5 — wide
+    enough that Sub/Average/Paeth have a real left neighbor, and a
+    different grid from the BMP family so the two oracles cannot be
+    satisfied by one memoized answer."""
+    return 5 + doc_id % 4, 3 + doc_id % 3
+
+
+def _paeth_vec(a, b, c):
+    """Vectorized PaethPredictor (PNG spec 9.4) over int16 arrays."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _filter_scanline(ftype: int, cur, prev, bpp: int = 3):
+    """Apply PNG filter ``ftype`` to scanline ``cur`` given the
+    reconstructed previous scanline ``prev`` (encoder side)."""
+    import numpy as np
+
+    cur16 = cur.astype(np.int16)
+    a = np.concatenate([np.zeros(bpp, np.int16), cur16[:-bpp]])
+    b = prev.astype(np.int16)
+    c = np.concatenate([np.zeros(bpp, np.int16), b[:-bpp]])
+    if ftype == 0:
+        pred = np.zeros_like(cur16)
+    elif ftype == 1:
+        pred = a
+    elif ftype == 2:
+        pred = b
+    elif ftype == 3:
+        pred = (a + b) // 2
+    elif ftype == 4:
+        pred = _paeth_vec(a, b, c)
+    else:
+        raise ValueError(f"bad PNG filter type {ftype}")
+    return ((cur16 - pred) % 256).astype(np.uint8)
+
+
+def _unfilter_scanline(ftype: int, data, prev, bpp: int = 3):
+    """Invert a PNG scanline filter (decoder side).  Sub/Average/Paeth
+    depend on the RECONSTRUCTED left neighbor, so those run
+    byte-sequential; None/Up are vectorized."""
+    import numpy as np
+
+    if ftype == 0:
+        return data.copy()
+    if ftype == 2:
+        return ((data.astype(np.int16) + prev.astype(np.int16)) % 256).astype(
+            np.uint8
+        )
+    out = np.empty_like(data)
+    for i in range(len(data)):
+        a = int(out[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        x = int(data[i])
+        if ftype == 1:
+            rec = x + a
+        elif ftype == 3:
+            rec = x + (a + b) // 2
+        elif ftype == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            rec = x + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[i] = rec & 0xFF
+    return out
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + zlib.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def encode_png(doc_id: int) -> bytes:
+    """A real, openable 8-bit RGB PNG (color type 2, no interlace):
+    signature, CRC'd IHDR/IDAT/IEND, zlib-compressed scanlines with
+    the filter type cycling (doc_id + y) % 5 so all five filters
+    appear across the corpus."""
+    import zlib
+
+    import numpy as np
+
+    w, h = _png_dims(doc_id)
+    r, g, b = _pixel_channels(doc_id, w, h)
+    raw = np.stack([r, g, b], axis=2).reshape(h, w * 3)
+    lines = bytearray()
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        ft = (doc_id + y) % 5
+        lines.append(ft)
+        lines += _filter_scanline(ft, raw[y], prev).tobytes()
+        prev = raw[y]
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # bit depth 8, RGB, no interlace
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """Parse an 8-bit RGB PNG into (h, w, 3) uint8 — numpy + stdlib
+    zlib, no image library.  Validates the signature and every chunk
+    CRC, walks the chunk stream (multiple IDATs are concatenated, as
+    the spec allows), inflates, and inverts the per-scanline filter."""
+    import zlib
+
+    import numpy as np
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos < len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG: need 8-bit RGB, no interlace; got "
+                    f"depth={depth} color={color} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    lines = zlib.decompress(bytes(idat))
+    stride = 1 + w * 3
+    if len(lines) != h * stride:
+        raise ValueError(
+            f"PNG data length {len(lines)} != {h} scanlines of {stride}"
+        )
+    out = np.empty((h, w * 3), dtype=np.uint8)
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            lines, dtype=np.uint8, count=w * 3, offset=y * stride + 1
+        )
+        out[y] = _unfilter_scanline(lines[y * stride], row, prev)
+        prev = out[y]
+    return out.reshape(h, w, 3)
+
+
+def with_png_payload(docs: DataFrame) -> DataFrame:
+    """Arrow-batched synth stage: one real PNG file per doc_id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [encode_png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+def png_decode_stats(payloads: DataFrame) -> DataFrame:
+    """REAL compressed-image decode + per-channel statistics (same
+    contract as ``bmp_decode_stats``): y-weighted red breaks if
+    scanline order is wrong; x-weighted blue breaks on a bad
+    left-neighbor offset or channel swap; and because the filter type
+    cycles per row, every one of the five unfilter branches
+    contributes to the sums."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "wsum_r", "wxsum_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_png(bytes(payload)).astype(np.int64)
                 h, w, _ = rgb.shape
                 ys = np.arange(h, dtype=np.int64)[:, None]
                 xs = np.arange(w, dtype=np.int64)[None, :]
