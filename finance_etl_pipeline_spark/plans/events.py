@@ -1016,6 +1016,17 @@ def e_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     binned = iv.select("user_id", "s_start", "s_end", bucket.alias("b"))
+    # Pin the join's parallelism EXPLICITLY (numeric repartition on the
+    # join key — AQE never coalesces a user-specified numbered
+    # shuffle).  The bucket join is row-EXPLODING (~100× here: 145k
+    # binned rows → 14.5M candidates at sf0.1); AQE's coalescing sizes
+    # partitions by shuffle INPUT bytes, so it merged this join down
+    # to 2 tasks and serialized the candidate generation — measured
+    # 2.67 s → 1.92 s best-of-3 at sf0.1 from this line alone
+    # (round-6 A/B, SCALE.md).  Same blind spot at any scale: output
+    # explosion is invisible to input-sized coalescing.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    binned = binned.repartition(n_shuffle, "b")
     a = binned.select(
         F.col("user_id").alias("user_a"),
         F.col("s_start").alias("a_start"),
