@@ -20,6 +20,17 @@ regressions; see _stream_dedup_drain for why addBatch, not wall
 clock, is the timed quantity).  The entry is additive: it joined the
 suite in round 5, so compare ``value`` across rounds net of it (or
 use the per-query map).
+
+Round 6 widened the batch set with the iterative/stateful shapes the
+round-5 verdict called out — ``tx_quality_classifier_train`` (gradient
+-descent training loop), ``dd_winnow_fingerprints`` (per-doc rolling
+windows), ``e_cep_funnel_patterns`` (state-machine fold) — so
+regressions in fold/training plans surface round over round.  Budget:
+the full suite (20 batch entries + 1 streaming) targets ≤ ~25 s total
+at sf0.1 on an idle local[32] box; per-entry baselines live in
+SCALE.md.  The JSON also records host-load context (``loadavg``
+before/after, iteration count) so the next reader can tell noise from
+regression without re-running — the round-5 lesson.
 """
 
 from __future__ import annotations
@@ -128,6 +139,7 @@ def main() -> None:
     registry = all_queries()
     bench_queries = {n: q for n, q in registry.items() if "bench" in q.tags}
 
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name, qdef in sorted(bench_queries.items()):
         qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -159,6 +171,14 @@ def main() -> None:
                 # joined in round 5, so the batch-only subtotal is the
                 # number comparable with BENCH_r1..r4 totals
                 "batch_total_sec": batch_total,
+                # host-load context: single-box numbers are only
+                # comparable across rounds when taken on an idle
+                # machine (±10-15% noise otherwise; see SCALE.md's
+                # round-5 adjudication).  1-minute loadavg before the
+                # first timed query and after the last.
+                "loadavg": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+                "iterations": "warm-up + best-of-2 per entry",
+                "batch_entries": len(timings) - 1,
                 "streaming": {
                     "stream_exact_dedup_tws": {
                         "batch_equivalent": "dd_exact_dedup (md5 groupBy, min-doc_id survivor)",

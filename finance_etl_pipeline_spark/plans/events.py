@@ -2334,6 +2334,7 @@ def e_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events",
     "cep",
     "hof",
+    "bench",
 )
 def e_cep_funnel_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-processing pattern matching without

@@ -793,6 +793,7 @@ def _logreg_oracle() -> str:
     "llm",
     "ml",
     "text",
+    "bench",
 )
 def tx_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the quality classifier whose INFERENCE shape is

@@ -933,6 +933,7 @@ def winnow_fp(docs):
     """,
     "llm",
     "dedup",
+    "bench",
 )
 def dd_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
