@@ -523,9 +523,17 @@ def changes(
     columns read as typed NULLs), so a column added between the
     versions classifies rows as 'changed' exactly where it holds a
     non-NULL value — the ``unionByName(allowMissingColumns=True)``
-    semantics, applied to the diff."""
+    semantics, applied to the diff.
+
+    ``from_version=0`` is the EMPTY baseline: every key of
+    ``to_version`` classifies as 'added' — the bootstrap snapshot a
+    CDC consumer applies before the incremental steps, riding the same
+    feed shape."""
     from finance_etl_pipeline_spark.operators.diff import table_diff
 
+    if from_version == 0:
+        new = read_version(spark, table_dir, to_version)
+        return table_diff(new.limit(0), new, keys)
     old = read_version(spark, table_dir, from_version)
     new = read_version(spark, table_dir, to_version)
     if set(old.columns) != set(new.columns):
@@ -540,3 +548,40 @@ def changes(
         old = _align_to(old, union)
         new = _align_to(new, union)
     return table_diff(old, new, keys)
+
+
+def changefeed_rows(
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The APPLYABLE form of ``changes()`` — a CDC feed a downstream
+    consumer can merge without touching this table again:
+
+        (change_type, version, keys..., value columns...)
+
+    'added'/'changed' rows carry the TO-version payload; 'removed'
+    rows carry keys with NULL values (a delete marker); 'unchanged'
+    rows are dropped (a changefeed ships deltas, not snapshots — a
+    consumer bootstraps with the ``from_version=0`` feed, which emits
+    the full snapshot as 'added' rows, then applies increments).
+    ``version`` stamps the feed's target version so multiple steps can
+    be applied out of order or within one micro-batch — the consumer
+    resolves each key to its highest-version row (see
+    ``streaming/sink.py::apply_changefeed_each_batch``).
+
+    Cost: ``changes()``'s key-hash diff + one left join of the delta
+    keys against the new snapshot — at scale the join's left side is
+    ∝ |changed keys|, not the table."""
+    to_v = latest_version(table_dir) if to_version is None else to_version
+    delta = changes(spark, table_dir, keys, from_version, to_v).filter(
+        F.col("change_type") != "unchanged"
+    )
+    new = read_version(spark, table_dir, to_v)
+    return delta.join(new, keys, "left").select(
+        "change_type",
+        F.lit(to_v).cast("int").alias("version"),
+        *new.columns,
+    )

@@ -20,6 +20,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from finance_etl_pipeline_spark.operators.merge import upsert
 
@@ -46,6 +47,57 @@ def upsert_each_batch(
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
             old = path.rstrip("/") + "._upsert_old"
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
+        else:
+            os.rename(tmp, path)
+
+    return stream.writeStream.foreachBatch(_process)
+
+
+def apply_changefeed_each_batch(
+    stream: DataFrame,
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+):
+    """writeStream query that applies a versioned-table CDC feed
+    (``operators/manifest.py::changefeed_rows`` rows: change_type +
+    version + payload) to a plain-Parquet replica at ``path`` — the
+    end-to-end CDC loop: manifest log → changefeed → streaming MERGE.
+
+    Semantics per micro-batch: each key resolves to its highest-
+    ``version`` row in the batch (so one batch may safely contain
+    several version steps, including a remove-then-re-add);
+    'added'/'changed' upsert the payload, 'removed' deletes the key.
+    After draining a feed covering v_a → v_b, the replica equals
+    ``read_version(v_b)`` exactly — asserted in
+    tests/test_streaming_changefeed.py.
+
+    Scale posture: identical to ``upsert_each_batch`` — the merge is
+    one full-outer key join per batch ∝ |replica| + |delta|, the
+    rewrite is the plain-Parquet cost (partitioned targets rewrite
+    only touched partitions); the feed itself is delta-sized by
+    construction."""
+
+    def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        src = batch_df.withColumn(
+            "__is_delete", F.col("change_type") == "removed"
+        ).drop("change_type")
+        if os.path.exists(path):
+            target = spark.read.parquet(path)
+        else:
+            target = spark.createDataFrame(
+                [], src.drop("__is_delete", "version").schema
+            )
+        merged = upsert(
+            target, src, keys, delete_col="__is_delete", order_col="version"
+        )
+        tmp = path.rstrip("/") + "._cdc_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            old = path.rstrip("/") + "._cdc_old"
             os.rename(path, old)
             os.rename(tmp, path)
             shutil.rmtree(old)

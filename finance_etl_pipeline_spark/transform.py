@@ -269,6 +269,65 @@ def kpi_monthly(
     )
 
 
+def kpi_cube(
+    fact: DataFrame, dim_accounts: DataFrame, money_mode: str = "double"
+) -> DataFrame:
+    """Cube subtotals over the monthly KPI's dimensions — the
+    reference KPI table (reference transform.py:113-128) extended with
+    §2.4's grouping machinery (the a_cube_subtotals pattern, tied back
+    to the finance fixture): every (entity, month) detail cell PLUS
+    per-entity, per-month, and grand-total rows in one pass, with the
+    profit identities recomputed at each aggregation level (a
+    subtotal's profit is the rounded sum of unrounded amounts, not a
+    sum of rounded details — the correct rollup in both money modes).
+
+    'ALL' placeholders derive from ``grouping()``, never from value
+    tests, so a genuinely NULL dimension value can never masquerade as
+    a subtotal row.  Scale: ``cube`` emits all four grouping sets from
+    ONE shuffle with map-side partials — no per-set rescan of the
+    fact."""
+    round2 = round2_fn(money_mode)
+    df = fact.join(
+        F.broadcast(dim_accounts.select("account_code", "account_type")),
+        "account_code",
+        "left",
+    ).withColumn("month", F.date_format("date", "yyyy-MM"))
+    sums = [
+        F.sum(F.when(F.col("account_type") == t, F.col("amount_base"))).alias(t)
+        for t in KPI_ACCOUNT_TYPES
+    ]
+    agg = df.cube("entity", "month").agg(
+        *sums,
+        F.grouping("entity").alias("_ge"),
+        F.grouping("month").alias("_gm"),
+    )
+    agg = agg.withColumns(
+        {
+            c: F.coalesce(F.col(c), F.lit(0).cast(agg.schema[c].dataType))
+            for c in KPI_ACCOUNT_TYPES
+        }
+    )
+    return (
+        agg.select(
+            F.when(F.col("_ge") == 1, F.lit("ALL"))
+            .otherwise(F.col("entity"))
+            .alias("entity"),
+            F.when(F.col("_gm") == 1, F.lit("ALL"))
+            .otherwise(F.col("month"))
+            .alias("month"),
+            *KPI_ACCOUNT_TYPES,
+        )
+        .withColumn(
+            "gross_profit", round2(F.col("Revenue") + F.col("COGS"))
+        )
+        .withColumn(
+            "operating_profit",
+            round2(F.col("gross_profit") + F.col("Expense")),
+        )
+        .orderBy("entity", "month")
+    )
+
+
 def add_margins(kpi: DataFrame) -> DataFrame:
     """BI margin enrichment (reference export_bi_datasets.py:45-55).
     Division by zero → null (Spark semantics; SURVEY.md §7.6.5).
