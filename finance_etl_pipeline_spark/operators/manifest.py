@@ -550,6 +550,46 @@ def changes(
     return table_diff(old, new, keys)
 
 
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int | None = None,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """Transactional OPTIMIZE: commit a compacted (optionally
+    Z-ordered) rewrite of the latest version as a NEW version.
+
+    This is the manifest-log composition of the two maintenance
+    operators: ``operators/compact.py`` sizes the output file count
+    from real on-disk bytes, ``operators/zorder.py`` clusters along
+    the Morton curve.  Because the rewrite lands as a version:
+
+    * readers of any existing version are untouched (time travel keeps
+      working mid-OPTIMIZE — no swap window at all);
+    * the new manifest harvests fresh per-file stats over the
+      CLUSTERED layout, so ``read_version(where=...)`` file skipping
+      gets strictly tighter after the rewrite (test-proven);
+    * the old layout's dirs are reclaimed later by ``vacuum`` under
+      the normal retention rules.
+
+    Row content is preserved exactly — physical layout only."""
+    from finance_etl_pipeline_spark.operators.compact import (
+        DEFAULT_TARGET_BYTES,
+    )
+    from finance_etl_pipeline_spark.operators.zorder import zorder_by
+
+    tgt = DEFAULT_TARGET_BYTES if target_bytes is None else target_bytes
+    v = latest_version(table_dir)
+    on_disk = sum(os.path.getsize(f) for f in files_for_version(table_dir, v))
+    n_files = max(1, -(-on_disk // tgt))
+    df = read_version(spark, table_dir, v)
+    if zorder_cols:
+        df = zorder_by(df, zorder_cols, num_partitions=n_files)
+    else:
+        df = df.coalesce(n_files)
+    return commit(df, table_dir, mode="overwrite")
+
+
 def changefeed_rows(
     spark: SparkSession,
     table_dir: str,

@@ -300,3 +300,58 @@ def test_read_version_preserves_pushdown(spark, sf_dir, tmp_path):
     df = M.read_version(spark, t).filter(F.col("o_orderkey") == 42)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200], plan[:1500]
+
+
+def test_compact_table_commits_new_version(spark, sf_dir, tmp_path):
+    """OPTIMIZE as a version: fewer files, identical rows, old version
+    untouched (time travel through a compaction)."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0).repartition(8), t)
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 1).repartition(8), t)
+    before = M.files_for_version(t)
+    assert len(before) == 16
+    v = M.compact_table(spark, t)
+    assert v == 3
+    after = M.files_for_version(t, 3)
+    assert len(after) == 1  # tiny table -> one target-sized file
+    got = M.read_version(spark, t, 3)
+    assert got.count() == o.count()
+    assert got.exceptAll(o).count() == 0
+    # pre-compaction version still resolves its own (old) file set
+    assert len(M.files_for_version(t, 2)) == 16
+    assert M.read_version(spark, t, 2).count() == o.count()
+
+
+def test_zordered_compaction_tightens_file_skipping(spark, sf_dir, tmp_path):
+    """After compact_table(zorder_cols=[k, p]), a 2-D box predicate
+    prunes a strictly smaller file set than on the unclustered layout:
+    the new version's manifest stats reflect the clustering."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # random-ish layout: hash-partitioned on an unrelated column
+    M.commit(o.repartition(8, "o_orderkey"), t)
+    qk = o.approxQuantile("o_custkey", [0.25], 0.01)[0]
+    qp = o.approxQuantile("o_totalprice", [0.25], 0.01)[0]
+    box = [
+        ("o_custkey", "<=", int(qk)),
+        ("o_totalprice", "<=", float(qp)),
+    ]
+    before_hit = len(M.files_for_version(t, where=box))
+    assert before_hit == 8  # hash layout: every file spans both ranges
+
+    v = M.compact_table(
+        spark, t, target_bytes=4 * 1024, zorder_cols=["o_custkey", "o_totalprice"]
+    )
+    total_after = len(M.files_for_version(t, v))
+    assert total_after >= 3  # small target bytes -> several files
+    after_hit = len(M.files_for_version(t, v, where=box))
+    assert after_hit < total_after  # clustering makes stats selective
+    # answers unchanged by layout
+    got = M.read_version(spark, t, v, where=box)
+    want = o.filter(
+        (F.col("o_custkey") <= int(qk)) & (F.col("o_totalprice") <= float(qp))
+    )
+    assert got.count() == want.count()
