@@ -670,6 +670,43 @@ def png_decode_stats(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(batches, BMP_STATS_SCHEMA)
 
 
+def png_resize_stats(payloads: DataFrame) -> DataFrame:
+    """Decode the real PNG bytes + nearest-neighbor resize to the
+    fixed RESIZE grid + per-channel statistics of the RESIZED image —
+    the compressed-path twin of ``bmp_resize_stats``, sharing
+    ``resize_nearest`` so the floor-index convention is verified
+    through both codecs."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                "rsum_r", "rsum_g", "rsum_b", "rwsum_g",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = decode_png(bytes(payload))
+                resized = resize_nearest(rgb, RESIZE_W, RESIZE_H).astype(
+                    np.int64
+                )
+                ys = np.arange(RESIZE_H, dtype=np.int64)[:, None]
+                out["doc_id"].append(int(doc_id))
+                out["src_w"].append(rgb.shape[1])
+                out["src_h"].append(rgb.shape[0])
+                out["dst_w"].append(RESIZE_W)
+                out["dst_h"].append(RESIZE_H)
+                out["rsum_r"].append(int(resized[:, :, 0].sum()))
+                out["rsum_g"].append(int(resized[:, :, 1].sum()))
+                out["rsum_b"].append(int(resized[:, :, 2].sum()))
+                out["rwsum_g"].append(int((ys * resized[:, :, 1]).sum()))
+            pdf_out = pd.DataFrame(out)
+            for c in ("src_w", "src_h", "dst_w", "dst_h"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, BMP_RESIZE_SCHEMA)
+
+
 RESIZE_W, RESIZE_H = 4, 3  # fixed target grid for the verified resize
 
 BMP_RESIZE_SCHEMA = StructType(

@@ -123,3 +123,47 @@ def manifest_evolved_pruned_read(
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "manifest_compacted_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_custkey <= 500
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE on the driver path: commit orders key%2==0 as many
+    small files (two appends, 8 partitions each), run
+    ``compact_table`` with z-ordering on (o_custkey, o_totalprice),
+    then answer a box-filtered aggregate through the compacted
+    version's stats-pruned read.  Wrong rewrites (dropped/duplicated
+    rows), stats harvested from the wrong layout, or pruning that
+    changes answers all diverge from the symbolic recompute."""
+    t = tempfile.mkdtemp(prefix="mlake_opt_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    M.commit(even.filter(F.col("o_orderkey") % 4 == 0).repartition(8), t)
+    M.commit(even.filter(F.col("o_orderkey") % 4 == 2).repartition(8), t)
+    M.compact_table(
+        spark, t, target_bytes=64 * 1024,
+        zorder_cols=["o_custkey", "o_totalprice"],
+    )
+    df = M.read_version(spark, t, where=[("o_custkey", "<=", 500)])
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid("o_totalprice", 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )

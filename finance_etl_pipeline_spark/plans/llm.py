@@ -1503,6 +1503,63 @@ def mm_bmp_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_resize_stats(with_bmp_payload(docs)).orderBy("doc_id")
 
 
+@register(
+    "mm_png_resize_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(5 + doc_id % 4 AS INTEGER) AS w,
+             CAST(3 + doc_id % 3 AS INTEGER) AS h
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS x FROM dims),
+    px AS (
+      SELECT doc_id, w, h, x, unnest(generate_series(0, 2)) AS y
+      FROM xs
+    ),
+    src AS (
+      SELECT doc_id, w, h, y,
+             (x * w) // 4 AS sx,
+             (y * h) // 3 AS sy
+      FROM px
+    )
+    SELECT doc_id,
+           w AS src_w,
+           h AS src_h,
+           CAST(4 AS INTEGER) AS dst_w,
+           CAST(3 AS INTEGER) AS dst_h,
+           CAST(sum((5 * doc_id + 11 * sx + sy) % 256) AS BIGINT) AS rsum_r,
+           CAST(sum((3 * doc_id + sx + 7 * sy) % 256) AS BIGINT) AS rsum_g,
+           CAST(sum((doc_id + 2 * sx + 3 * sy) % 256) AS BIGINT) AS rsum_b,
+           CAST(sum(y * ((3 * doc_id + sx + 7 * sy) % 256)) AS BIGINT) AS rwsum_g
+    FROM src
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_png_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + resize through the COMPRESSED codec path: real PNG
+    bytes (all five scanline filters on the decode side) → the same
+    nearest-neighbor resampler the BMP family verifies → per-channel
+    statistics of the resized image, recomputed symbolically by the
+    oracle.  Closing the loop with mm_png_decode_stats makes both
+    stages of the compressed image pipeline value-verified, not just
+    the uncompressed one.
+
+    Scale: identical Arrow posture — chained mapInPandas, memory
+    bounded per batch, 9 scalar columns leave the stage per image."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        png_resize_stats,
+        with_png_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return png_resize_stats(with_png_payload(docs)).orderBy("doc_id")
+
+
 @register("tx_compression_ratio", None, "llm", "text", "quality", "arrow")
 def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility per document (operators/text.py::
