@@ -64,7 +64,7 @@ _MANIFESTS = "_manifests"
 _DATA = "data"
 
 #: predicate triple ops accepted by ``read_version(where=...)``
-_COMPARISONS = ("==", "!=", "<", "<=", ">", ">=")
+_COMPARISONS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
 
 def _json_safe(v):
@@ -290,6 +290,8 @@ def _pred_column(col: str, op: str, value) -> Column:
         return c.isNull()
     if op == "is_not_null":
         return c.isNotNull()
+    if op == "in":
+        return c.isin(list(value))
     return {
         "==": c == value,
         "!=": c != value,
@@ -328,8 +330,18 @@ def _file_may_match(
         mn, mx = st["min"], st["max"]
         if mn is None or mx is None:
             # the column is entirely NULL in this file: no comparison
-            # (incl. !=) can be satisfied by any row
+            # (incl. != and in) can be satisfied by any row
             return False
+        if op == "in":
+            vs = [x for x in (_json_safe(v) for v in value) if x is not None]
+            if len(vs) != len(list(value)):
+                continue  # un-normalizable member: keep the file
+            try:
+                if all(x < mn or x > mx for x in vs):
+                    return False
+            except TypeError:
+                pass
+            continue
         v = _json_safe(value)
         if v is None:
             continue
@@ -433,6 +445,24 @@ def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
             for f in schema.fields
         ]
     )
+
+
+def count_rows(
+    table_dir: str,
+    version: int | None = None,
+) -> int | None:
+    """Metadata-only COUNT(*) of a version — summed from the per-file
+    row counts the manifest recorded at commit time; no file is opened
+    (the SELECT COUNT(*) shortcut the big formats answer from their
+    manifests).  Returns None when the manifest predates per-file
+    stats (legacy), so a caller can fall back to a scan rather than
+    trust a partial number."""
+    v = latest_version(table_dir) if version is None else version
+    m = _read_manifest(table_dir, v)
+    files = m.get("files")
+    if files is None or set(m["dirs"]) - set(files):
+        return None
+    return sum(e["rows"] for d in m["dirs"] for e in files[d])
 
 
 def files_for_version(

@@ -355,3 +355,34 @@ def test_zordered_compaction_tightens_file_skipping(spark, sf_dir, tmp_path):
         (F.col("o_custkey") <= int(qk)) & (F.col("o_totalprice") <= float(qp))
     )
     assert got.count() == want.count()
+
+
+def test_metadata_only_count(spark, sf_dir, tmp_path):
+    """COUNT(*) answered from the manifest's per-file row counts — no
+    scan; exact across appends, overwrites, and time travel."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    M.commit(a.repartition(4), t)
+    M.commit(b.repartition(3), t)
+    assert M.count_rows(t, 1) == a.count()
+    assert M.count_rows(t, 2) == o.count()
+    M.commit(a.limit(10), t, mode="overwrite")
+    assert M.count_rows(t) == 10
+    assert M.count_rows(t, 2) == o.count()  # time travel
+
+
+def test_in_predicate_skips_files(spark, sf_dir, tmp_path):
+    """Membership predicates prune by range envelope: an IN list whose
+    members all fall outside a file's [min, max] skips it."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.repartitionByRange(8, "o_orderkey"), t)
+    keys = [r.o_orderkey for r in o.orderBy("o_orderkey").limit(3).collect()]
+    where = [("o_orderkey", "in", [int(k) for k in keys])]
+    hit = M.files_for_version(t, where=where)
+    assert 0 < len(hit) < 8
+    got = M.read_version(spark, t, where=where)
+    assert got.count() == o.filter(F.col("o_orderkey").isin(keys)).count()
+    assert sorted(r.o_orderkey for r in got.select("o_orderkey").collect()) == sorted(keys)
