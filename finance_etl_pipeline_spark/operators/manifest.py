@@ -86,21 +86,57 @@ def _json_safe(v):
     return None
 
 
+def _parse_partition_value(s: str):
+    """A hive-style path value as the most specific of int/float/str —
+    mirroring Spark's partition-type inference so stats comparisons
+    use the same ordering the residual filter will."""
+    from urllib.parse import unquote
+
+    s = unquote(s)
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return s
+
+
 def _harvest_stats(data_dir: str) -> list[dict]:
     """One entry per parquet file just written to ``data_dir``: file
-    name, row count, and per-column {min, max, nulls} aggregated over
-    the file's row groups — read from the footers only (no data scan;
+    path (relative to the dir — hive partition subdirs included), row
+    count, and per-column {min, max, nulls} aggregated over the
+    file's row groups — read from the footers only (no data scan;
     the commit-time cost is one metadata read per file).  A column
     whose stats are unavailable or not order-safe in ANY row group is
-    omitted for that file, which simply disables skipping on it."""
+    omitted for that file, which simply disables skipping on it.
+
+    Partition columns never appear in the footers (partitionBy strips
+    them from the data files), so their stats come from the PATH:
+    each ``k=v`` component records min = max = v (exact by
+    construction — every row of the file shares the value), making
+    partition pruning ride the same ``_file_may_match`` machinery as
+    data-column skipping.  ``__HIVE_DEFAULT_PARTITION__`` records an
+    all-NULL column."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
     out = []
-    for f in sorted(_glob.glob(os.path.join(data_dir, "part-*"))):
+    for f in sorted(
+        _glob.glob(os.path.join(data_dir, "**", "part-*"), recursive=True)
+    ):
         if not f.endswith(".parquet"):
             continue
+        rel = os.path.relpath(f, data_dir)
+        part_values: dict[str, object] = {}
+        for comp in rel.split(os.sep)[:-1]:
+            if "=" in comp:
+                k, _, v = comp.partition("=")
+                part_values[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _parse_partition_value(v)
+                )
         md = pq.ParquetFile(f).metadata
         stats: dict[str, dict] = {}
         bad: set[str] = set()
@@ -132,9 +168,15 @@ def _harvest_stats(data_dir: str) -> list[dict]:
                     bad.add(name)
         for b in bad:
             stats.pop(b, None)
+        for k, v in part_values.items():
+            sv = _json_safe(v)
+            if v is None:
+                stats[k] = {"min": None, "max": None, "nulls": md.num_rows}
+            elif sv is not None:
+                stats[k] = {"min": sv, "max": sv, "nulls": 0}
         out.append(
             {
-                "path": os.path.basename(f),
+                "path": rel,
                 "rows": md.num_rows,
                 "stats": stats,
             }
@@ -217,7 +259,10 @@ def _publish(table_dir: str, build_payload) -> int:
 
 
 def commit(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and publish the next
     version.  ``mode='append'`` extends the previous file set (and may
@@ -226,7 +271,15 @@ def commit(
     versions stay readable until vacuum).  The published manifest
     carries per-file column min/max/null-count stats harvested from
     the parquet footers, enabling ``read_version(where=...)`` file
-    skipping."""
+    skipping.
+
+    ``partition_by`` writes the commit hive-partitioned.  Partition
+    values land in the manifest as exact per-file min = max stats, so
+    a ``where=`` on a partition column prunes whole partitions from
+    the METADATA — no directory listing, the classic manifest win over
+    filesystem-discovery partition pruning.  Different commits of one
+    table may use different (or no) partitioning; each data dir is
+    read under its own layout."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     token = uuid.uuid4().hex[:12]
@@ -234,7 +287,10 @@ def commit(
     # publish time, after the (possibly contended) race
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
-    df.write.parquet(abs_dir)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir)
     schema_json = df.schema.jsonValue()
 
@@ -243,12 +299,14 @@ def commit(
             dirs: list[str] = []
             files: dict[str, list] = {}
             dir_schemas: dict[str, dict] = {}
+            part_dirs: dict[str, list] = {}
             schema = df.schema
         else:
             m = _read_manifest(table_dir, prev)
             dirs = list(m["dirs"])
             files = dict(m.get("files", {}))
             dir_schemas = dict(m.get("dir_schemas", {}))
+            part_dirs = dict(m.get("partitioned_dirs", {}))
             schema = (
                 _merge_schema(m["schema"], df.schema)
                 if "schema" in m
@@ -257,11 +315,14 @@ def commit(
         dirs.append(rel)
         files[rel] = file_entries
         dir_schemas[rel] = schema_json
+        if partition_by:
+            part_dirs[rel] = list(partition_by)
         return {
             "dirs": dirs,
             "mode": mode,
             "files": files,
             "dir_schemas": dir_schemas,
+            "partitioned_dirs": part_dirs,
             "schema": schema.jsonValue(),
         }
 
@@ -395,8 +456,13 @@ def read_version(
     files_meta = m.get("files", {})
     dir_schemas = m.get("dir_schemas", {})
 
-    # group surviving paths by physical schema (one scan per schema)
+    # group surviving paths into scans: unpartitioned dirs coalesce by
+    # physical schema (one multi-path scan — the fast path);
+    # hive-partitioned dirs each scan under their own basePath so
+    # Spark reconstructs the partition columns from the file paths
+    part_dirs = m.get("partitioned_dirs", {})
     by_schema: dict[str, list[str]] = {}
+    part_scans: list[tuple[str, list[str]]] = []  # (basePath, files)
     for d in m["dirs"]:
         sj = dir_schemas.get(d)
         key = json.dumps(sj, sort_keys=True) if sj else ""
@@ -409,18 +475,28 @@ def read_version(
         present = (
             set(StructType.fromJson(sj).fieldNames()) if sj else None
         )
-        for e in entries:
-            if not preds or _file_may_match(e, preds, present):
-                by_schema.setdefault(key, []).append(
-                    os.path.join(table_dir, d, e["path"])
-                )
+        kept = [
+            os.path.join(table_dir, d, e["path"])
+            for e in entries
+            if not preds or _file_may_match(e, preds, present)
+        ]
+        if not kept:
+            continue
+        if d in part_dirs:
+            part_scans.append((os.path.join(table_dir, d), kept))
+        else:
+            by_schema.setdefault(key, []).extend(kept)
 
-    if not by_schema:
+    branches = [
+        spark.read.parquet(*paths) for paths in by_schema.values()
+    ]
+    branches.extend(
+        spark.read.option("basePath", base).parquet(*paths)
+        for base, paths in part_scans
+    )
+    if not branches:
         out = spark.createDataFrame([], schema or StructType([]))
     else:
-        branches = [
-            spark.read.parquet(*paths) for paths in by_schema.values()
-        ]
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b, allowMissingColumns=True)

@@ -386,3 +386,69 @@ def test_in_predicate_skips_files(spark, sf_dir, tmp_path):
     got = M.read_version(spark, t, where=where)
     assert got.count() == o.filter(F.col("o_orderkey").isin(keys)).count()
     assert sorted(r.o_orderkey for r in got.select("o_orderkey").collect()) == sorted(keys)
+
+
+def test_partitioned_commit_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned commits: partition values come back on read
+    (basePath reconstruction), and a predicate on the partition column
+    prunes whole partitions from the MANIFEST - no listing, no scan."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o, t, partition_by=["o_orderstatus"])
+
+    got = M.read_version(spark, t)
+    assert set(got.columns) == set(o.columns)
+    assert got.count() == o.count()
+    assert got.exceptAll(o).count() == 0  # values AND types survive
+
+    statuses = sorted(r.o_orderstatus for r in o.select("o_orderstatus").distinct().collect())
+    assert len(statuses) >= 2
+    pick = statuses[0]
+    all_files = M.files_for_version(t)
+    hit = M.files_for_version(t, where=[("o_orderstatus", "==", pick)])
+    assert 0 < len(hit) < len(all_files)
+    assert all(f"o_orderstatus={pick}" in f for f in hit)
+    df = M.read_version(spark, t, where=[("o_orderstatus", "==", pick)])
+    assert df.count() == o.filter(F.col("o_orderstatus") == pick).count()
+    # metadata-only count still works on partitioned layouts
+    assert M.count_rows(t) == o.count()
+
+
+def test_partitioned_int_column_range_pruning(spark, sf_dir, tmp_path):
+    """Integer partition values are type-inferred from the path, so
+    RANGE predicates prune partitions, not just equality."""
+    t = str(tmp_path / "tbl")
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", (F.col("o_orderkey") % 4).cast("int"))
+    )
+    M.commit(o, t, partition_by=["bucket"])
+    hit = M.files_for_version(t, where=[("bucket", ">=", 2)])
+    assert hit and all(("bucket=2" in f or "bucket=3" in f) for f in hit)
+    df = M.read_version(spark, t, where=[("bucket", ">=", 2)])
+    assert df.count() == o.filter(F.col("bucket") >= 2).count()
+
+
+def test_mixed_partitioned_and_plain_commits(spark, sf_dir, tmp_path):
+    """One table, one commit unpartitioned + one partitioned: the read
+    reconciles both layouts; pruning uses footer stats on the plain
+    files and path stats on the partitioned ones."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        t,
+        partition_by=["o_orderstatus"],
+    )
+    got = M.read_version(spark, t)
+    assert got.count() == o.count()
+    assert got.exceptAll(o).count() == 0
+    pick = o.select("o_orderstatus").distinct().orderBy("o_orderstatus").first().o_orderstatus
+    df = M.read_version(spark, t, where=[("o_orderstatus", "==", pick)])
+    assert df.count() == o.filter(F.col("o_orderstatus") == pick).count()
