@@ -300,6 +300,7 @@ def commit(
             files: dict[str, list] = {}
             dir_schemas: dict[str, dict] = {}
             part_dirs: dict[str, list] = {}
+            deletes: list[dict] = []  # overwrite materializes/clears
             schema = df.schema
         else:
             m = _read_manifest(table_dir, prev)
@@ -307,6 +308,9 @@ def commit(
             files = dict(m.get("files", {}))
             dir_schemas = dict(m.get("dir_schemas", {}))
             part_dirs = dict(m.get("partitioned_dirs", {}))
+            # tombstones carry forward; their dir scope is already
+            # pinned, so the new dir is never retro-deleted
+            deletes = list(m.get("deletes", []))
             schema = (
                 _merge_schema(m["schema"], df.schema)
                 if "schema" in m
@@ -323,6 +327,7 @@ def commit(
             "files": files,
             "dir_schemas": dir_schemas,
             "partitioned_dirs": part_dirs,
+            "deletes": deletes,
             "schema": schema.jsonValue(),
         }
 
@@ -457,43 +462,71 @@ def read_version(
     dir_schemas = m.get("dir_schemas", {})
 
     # group surviving paths into scans: unpartitioned dirs coalesce by
-    # physical schema (one multi-path scan — the fast path);
-    # hive-partitioned dirs each scan under their own basePath so
-    # Spark reconstructs the partition columns from the file paths
+    # (physical schema, applicable tombstones) — one multi-path scan
+    # per group, the fast path; hive-partitioned dirs each scan under
+    # their own basePath so Spark reconstructs the partition columns
+    # from the file paths.  Merge-on-read deletes are scoped to the
+    # dirs that existed when each was published, so dirs appended
+    # later carry a shorter tombstone list (typically: old dirs with
+    # deletes + new dirs without → two scans).
     part_dirs = m.get("partitioned_dirs", {})
-    by_schema: dict[str, list[str]] = {}
-    part_scans: list[tuple[str, list[str]]] = []  # (basePath, files)
+    deletes = m.get("deletes", [])
+    by_group: dict[tuple, list[str]] = {}
+    part_scans: list[tuple[str, list[str], tuple[int, ...]]] = []
     for d in m["dirs"]:
         sj = dir_schemas.get(d)
         key = json.dumps(sj, sort_keys=True) if sj else ""
+        del_ids = tuple(
+            i for i, dl in enumerate(deletes) if d in dl["dirs"]
+        )
         entries = files_meta.get(d)
         if entries is None:  # legacy manifest: whole dir, no skipping
-            by_schema.setdefault(key, []).append(
+            by_group.setdefault((key, del_ids), []).append(
                 os.path.join(table_dir, d)
             )
             continue
         present = (
             set(StructType.fromJson(sj).fieldNames()) if sj else None
         )
+        del_preds = [
+            [_normalize_pred(tuple(p)) for p in deletes[i]["preds"]]
+            for i in del_ids
+        ]
         kept = [
             os.path.join(table_dir, d, e["path"])
             for e in entries
-            if not preds or _file_may_match(e, preds, present)
+            if (not preds or _file_may_match(e, preds, present))
+            and not any(_file_all_match(e, dp, present) for dp in del_preds)
         ]
         if not kept:
             continue
         if d in part_dirs:
-            part_scans.append((os.path.join(table_dir, d), kept))
+            part_scans.append((os.path.join(table_dir, d), kept, del_ids))
         else:
-            by_schema.setdefault(key, []).extend(kept)
+            by_group.setdefault((key, del_ids), []).extend(kept)
 
-    branches = [
-        spark.read.parquet(*paths) for paths in by_schema.values()
-    ]
-    branches.extend(
-        spark.read.option("basePath", base).parquet(*paths)
-        for base, paths in part_scans
-    )
+    def _tombstone_filter(df: DataFrame, del_ids: tuple[int, ...]) -> DataFrame:
+        for i in del_ids:
+            conj = None
+            for p in deletes[i]["preds"]:
+                c = _pred_column(*_normalize_pred(tuple(p)))
+                conj = c if conj is None else (conj & c)
+            # three-valued logic: a NULL predicate must KEEP the row
+            # (NULL never matched the delete), hence the coalesce
+            df = df.filter(~F.coalesce(conj, F.lit(False)))
+        return df
+
+    branches: list[DataFrame] = []
+    for (key, del_ids), paths in by_group.items():
+        b = spark.read.parquet(*paths)
+        if schema is not None:
+            b = _align_to(b, schema)
+        branches.append(_tombstone_filter(b, del_ids))
+    for base, paths, del_ids in part_scans:
+        b = spark.read.option("basePath", base).parquet(*paths)
+        if schema is not None:
+            b = _align_to(b, schema)
+        branches.append(_tombstone_filter(b, del_ids))
     if not branches:
         out = spark.createDataFrame([], schema or StructType([]))
     else:
@@ -523,6 +556,118 @@ def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
     )
 
 
+def _file_all_match(
+    entry: dict, preds: list[tuple], present: set[str] | None
+) -> bool:
+    """True only when the file's stats PROVE every row satisfies the
+    conjunction of ``preds`` — the dual of ``_file_may_match``, used
+    to drop files that a merge-on-read delete has fully tombstoned.
+    Unknown stats → False (the file is kept and filtered row-wise)."""
+    for col, op, value in preds:
+        if present is not None and col not in present:
+            # every row reads the column as NULL
+            if op == "is_null":
+                continue
+            return False
+        st = entry.get("stats", {}).get(col)
+        if st is None or entry.get("rows", 0) == 0:
+            return False
+        rows, nulls = entry["rows"], st["nulls"]
+        mn, mx = st["min"], st["max"]
+        if op == "is_null":
+            if nulls >= rows:
+                continue
+            return False
+        if op == "is_not_null":
+            if nulls == 0:
+                continue
+            return False
+        if nulls > 0:
+            return False  # NULL rows never satisfy comparisons
+        if mn is None or mx is None:
+            return False
+        try:
+            if op == "in":
+                vs = [x for x in (_json_safe(v) for v in value) if x is not None]
+                ok = mn == mx and mn in vs
+            else:
+                v = _json_safe(value)
+                if v is None:
+                    return False
+                ok = {
+                    "==": mn == mx == v,
+                    "!=": mx < v or mn > v,
+                    "<": mx < v,
+                    "<=": mx <= v,
+                    ">": mn > v,
+                    ">=": mn >= v,
+                }[op]
+        except TypeError:
+            return False
+        if not ok:
+            return False
+    return True
+
+
+def _store_value(op: str, value):
+    """A predicate value in the JSON-storable form ``_json_safe``
+    defines, validated — a delete predicate must persist faithfully or
+    not at all."""
+    if op in ("is_null", "is_not_null"):
+        return None
+    if op == "in":
+        vs = [_json_safe(v) for v in value]
+        if any(v is None for v in vs):
+            raise ValueError(f"unsupported value type in IN list: {value!r}")
+        return vs
+    v = _json_safe(value)
+    if v is None:
+        raise ValueError(f"unsupported predicate value type: {value!r}")
+    return v
+
+
+def delete_where(table_dir: str, where: list[tuple]) -> int:
+    """MERGE-ON-READ row deletes: publish a new version whose manifest
+    carries a predicate tombstone — no data file is touched (the
+    metadata-only DELETE of Iceberg's equality-delete flavor, with the
+    predicate itself as the delete record, O(1) storage).
+
+    Scoping: the tombstone records the data dirs existing at publish
+    time and applies ONLY to them — rows APPENDED afterwards are never
+    retro-deleted, matching snapshot-isolation semantics.  Readers
+    drop files the stats prove fully deleted and anti-filter the rest
+    row-wise; ``compact_table`` (or any overwrite commit) materializes
+    outstanding tombstones and resets the list.  Time travel to a
+    pre-delete version sees the rows again, by construction."""
+    preds = [_normalize_pred(p) for p in where]
+    if not preds:
+        raise ValueError("delete_where requires at least one predicate")
+    stored = [[c, o, _store_value(o, v)] for c, o, v in preds]
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("cannot delete from an empty table")
+        m = _read_manifest(table_dir, prev)
+        payload = {
+            k: m[k]
+            for k in (
+                "dirs",
+                "files",
+                "dir_schemas",
+                "partitioned_dirs",
+                "schema",
+            )
+            if k in m
+        }
+        payload["mode"] = "delete"
+        dels = list(m.get("deletes", []))
+        dels.append({"preds": stored, "dirs": list(m["dirs"])})
+        payload["deletes"] = dels
+        return payload
+
+    return _publish(table_dir, build)
+
+
 def count_rows(
     table_dir: str,
     version: int | None = None,
@@ -538,6 +683,10 @@ def count_rows(
     files = m.get("files")
     if files is None or set(m["dirs"]) - set(files):
         return None
+    if m.get("deletes"):
+        # merge-on-read tombstones make per-file counts an upper
+        # bound, not an answer — scan (or compact first)
+        return None
     return sum(e["rows"] for d in m["dirs"] for e in files[d])
 
 
@@ -552,6 +701,7 @@ def files_for_version(
     v = latest_version(table_dir) if version is None else version
     m = _read_manifest(table_dir, v)
     preds = [_normalize_pred(p) for p in where] if where else []
+    deletes = m.get("deletes", [])
     out = []
     for d in m["dirs"]:
         entries = m.get("files", {}).get(d)
@@ -562,8 +712,15 @@ def files_for_version(
         present = (
             set(StructType.fromJson(sj).fieldNames()) if sj else None
         )
+        del_preds = [
+            [_normalize_pred(tuple(p)) for p in dl["preds"]]
+            for dl in deletes
+            if d in dl["dirs"]
+        ]
         for e in entries:
-            if not preds or _file_may_match(e, preds, present):
+            if (not preds or _file_may_match(e, preds, present)) and not any(
+                _file_all_match(e, dp, present) for dp in del_preds
+            ):
                 out.append(os.path.join(table_dir, d, e["path"]))
     return out
 

@@ -452,3 +452,84 @@ def test_mixed_partitioned_and_plain_commits(spark, sf_dir, tmp_path):
     pick = o.select("o_orderstatus").distinct().orderBy("o_orderstatus").first().o_orderstatus
     df = M.read_version(spark, t, where=[("o_orderstatus", "==", pick)])
     assert df.count() == o.filter(F.col("o_orderstatus") == pick).count()
+
+
+def test_delete_where_merge_on_read(spark, sf_dir, tmp_path):
+    """Metadata-only DELETE: rows vanish from the latest read without
+    touching a data file; time travel resurrects them; rows appended
+    AFTER the delete are never retro-deleted even when they match."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.filter(F.col("o_orderkey") % 2 == 0)
+    M.commit(base, t)  # v1
+    files_before = set(M.files_for_version(t, 1))
+
+    v2 = M.delete_where(t, [("o_orderstatus", "==", "F")])
+    assert v2 == 2
+    assert set(M.files_for_version(t, 1)) == files_before  # nothing touched
+    got = M.read_version(spark, t)
+    want = base.filter(F.col("o_orderstatus") != "F")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # time travel: the pre-delete version still has every row
+    assert M.read_version(spark, t, 1).count() == base.count()
+    # tombstones make per-file counts an upper bound -> scan fallback
+    assert M.count_rows(t) is None
+    assert M.count_rows(t, 1) == base.count()
+
+    # append rows that MATCH the old predicate: scoped tombstone
+    extra = o.filter(
+        (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderstatus") == "F")
+    )
+    M.commit(extra, t)  # v3
+    got3 = M.read_version(spark, t, 3)
+    assert got3.count() == want.count() + extra.count()
+    assert got3.filter(F.col("o_orderstatus") == "F").count() == extra.count()
+
+
+def test_delete_tombstone_drops_whole_partition_files(spark, sf_dir, tmp_path):
+    """A delete whose predicate covers an entire partition drops that
+    partition's files from the scan plan (stats prove all rows match),
+    and compaction materializes the tombstones (deletes list resets,
+    metadata COUNT works again)."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o, t, partition_by=["o_orderstatus"])
+    M.delete_where(t, [("o_orderstatus", "==", "F")])
+    hit = M.files_for_version(t)
+    assert hit and not any("o_orderstatus=F" in f for f in hit)
+    want = o.filter(F.col("o_orderstatus") != "F")
+    assert M.read_version(spark, t).count() == want.count()
+
+    v = M.compact_table(spark, t)
+    import json as _json
+
+    with open(os.path.join(t, "_manifests", f"v{v:06d}.json")) as fh:
+        man = _json.load(fh)
+    assert man["deletes"] == []  # materialized
+    assert M.count_rows(t, v) == want.count()
+    assert M.read_version(spark, t, v).exceptAll(want).count() == 0
+
+
+def test_multiple_deletes_compose_and_in_list(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o, t)
+    keys = [int(r.o_orderkey) for r in o.orderBy("o_orderkey").limit(3).collect()]
+    cutoff = float(o.approxQuantile("o_totalprice", [0.9], 0.01)[0])
+    M.delete_where(t, [("o_orderkey", "in", keys)])
+    M.delete_where(t, [("o_totalprice", ">=", cutoff)])
+    got = M.read_version(spark, t)
+    want = o.filter(
+        ~F.col("o_orderkey").isin(keys) & (F.col("o_totalprice") < cutoff)
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    # changefeed across the deletes reports them as removed
+    ch = M.changes(spark, t, ["o_orderkey"], 1, 3)
+    n_removed = ch.filter(F.col("change_type") == "removed").count()
+    assert n_removed == o.count() - want.count()
