@@ -126,6 +126,56 @@ def manifest_evolved_pruned_read(
 
 
 @register(
+    "manifest_mor_delete_read",
+    f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'old' ELSE 'new' END
+             AS cohort,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_orderstatus <> 'F')
+       OR (o_orderkey % 2 = 1 AND o_orderstatus = 'F')
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+    "lake",
+)
+def manifest_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE on the driver path: commit even-key orders,
+    tombstone status 'F' via the metadata-only ``delete_where``, then
+    APPEND odd-key 'F' rows — which must survive (the tombstone is
+    scoped to the dirs existing at publish time).  The aggregate over
+    the latest read therefore sees even-key non-F rows plus odd-key F
+    rows exactly; a retro-deleting or non-deleting reader diverges."""
+    t = tempfile.mkdtemp(prefix="mlake_mor_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    M.delete_where(t, [("o_orderstatus", "==", "F")])
+    M.commit(
+        o.filter(
+            (F.col("o_orderkey") % 2 == 1) & (F.col("o_orderstatus") == "F")
+        ),
+        t,
+    )
+    df = M.read_version(spark, t)
+    return (
+        df.groupBy(
+            F.when(F.col("o_orderkey") % 2 == 0, "old")
+            .otherwise("new")
+            .alias("cohort")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid("o_totalprice", 2)).alias("sum_price_e2"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@register(
     "manifest_compacted_read",
     f"""
     SELECT o_orderstatus,
