@@ -63,6 +63,12 @@ from pyspark.sql.types import StructType
 _MANIFESTS = "_manifests"
 _DATA = "data"
 
+
+class ConcurrentTableModificationError(RuntimeError):
+    """An optimistic operation lost its race in a way that cannot be
+    safely recomposed (e.g. ``update_where`` over a moved tip) — the
+    caller re-runs against the new snapshot."""
+
 #: predicate triple ops accepted by ``read_version(where=...)``
 _COMPARISONS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
@@ -664,6 +670,89 @@ def delete_where(table_dir: str, where: list[tuple]) -> int:
         dels.append({"preds": stored, "dirs": list(m["dirs"])})
         payload["deletes"] = dels
         return payload
+
+    return _publish(table_dir, build)
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    where: list[tuple],
+    set_exprs: dict[str, Column],
+) -> int:
+    """MERGE-ON-READ row UPDATE in ONE atomic version: rows matching
+    ``where`` get ``set_exprs`` applied (column → new-value Column);
+    everything else is untouched, and no existing data file is
+    rewritten.
+
+    Mechanics: the matching rows are rewritten (with the updates
+    applied) into a NEW data dir, and the published manifest both
+    appends that dir and records a tombstone for the predicate scoped
+    to the PRIOR dirs — so a reader of the new version sees exactly
+    the updated rows (old copies tombstoned, new copies appended),
+    and a reader of any older version sees the originals.  Because
+    dir + tombstone land in one manifest, there is no intermediate
+    state where the rows are deleted but not yet re-added — the gap a
+    delete_where + commit sequence would expose.
+
+    Cost ∝ |matching rows| (stats-pruned read + one write), never the
+    table.  Completes the DML triad: INSERT = ``commit(append)``,
+    DELETE = ``delete_where``, UPDATE = here; MERGE = the changefeed
+    sink."""
+    preds = [_normalize_pred(p) for p in where]
+    if not preds:
+        raise ValueError("update_where requires at least one predicate")
+    if not set_exprs:
+        raise ValueError("update_where requires at least one SET column")
+    stored = [[c, o, _store_value(o, v)] for c, o, v in preds]
+
+    base_version = latest_version(table_dir)
+    matching = read_version(spark, table_dir, base_version, where=where)
+    bad = set(set_exprs) - set(matching.columns)
+    if bad:
+        raise ValueError(f"SET on unknown column(s): {sorted(bad)}")
+    updated = matching.withColumns(dict(set_exprs))
+
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA, f"commit-{token}")
+    abs_dir = os.path.join(table_dir, rel)
+    updated.write.parquet(abs_dir)
+    file_entries = _harvest_stats(abs_dir)
+    schema_json = updated.schema.jsonValue()
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("cannot update an empty table")
+        if prev != base_version:
+            # the rewritten rows were computed from base_version's
+            # snapshot; publishing over a different tip could
+            # tombstone concurrently-appended rows without a
+            # rewritten copy (a lost update) or stack onto an
+            # overwrite.  Conflict-abort, like the big formats.
+            raise ConcurrentTableModificationError(
+                f"table advanced to v{prev} while update_where was "
+                f"computing against v{base_version}; re-run the update"
+            )
+        m = _read_manifest(table_dir, prev)
+        dirs = list(m["dirs"])
+        files = dict(m.get("files", {}))
+        dir_schemas = dict(m.get("dir_schemas", {}))
+        deletes = list(m.get("deletes", []))
+        # tombstone the OLD copies (scoped to the dirs that hold them),
+        # then append the rewritten dir — one manifest, no gap
+        deletes.append({"preds": stored, "dirs": list(dirs)})
+        dirs.append(rel)
+        files[rel] = file_entries
+        dir_schemas[rel] = schema_json
+        return {
+            "dirs": dirs,
+            "mode": "append",
+            "files": files,
+            "dir_schemas": dir_schemas,
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": deletes,
+            "schema": m["schema"],
+        }
 
     return _publish(table_dir, build)
 

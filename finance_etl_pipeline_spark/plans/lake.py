@@ -176,6 +176,52 @@ def manifest_mor_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_update_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN {sql_igrid('o_totalprice * 2.0', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+                AS BIGINT) AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE on the driver path: commit even-key
+    orders, double the price of status-'F' rows via ``update_where``
+    (one atomic version: scoped tombstone + rewritten rows), then
+    aggregate the latest read.  Non-matching rows must be untouched
+    and matching rows must appear exactly once with the new value —
+    a reader that double-counts (tombstone not applied) or loses rows
+    (rewrite dropped) diverges from the symbolic recompute."""
+    t = tempfile.mkdtemp(prefix="mlake_upd_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    M.update_where(
+        spark,
+        t,
+        [("o_orderstatus", "==", "F")],
+        {"o_totalprice": F.col("o_totalprice") * 2.0},
+    )
+    df = M.read_version(spark, t)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid("o_totalprice", 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "manifest_compacted_read",
     f"""
     SELECT o_orderstatus,

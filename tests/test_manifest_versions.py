@@ -533,3 +533,65 @@ def test_multiple_deletes_compose_and_in_list(spark, sf_dir, tmp_path):
     ch = M.changes(spark, t, ["o_orderkey"], 1, 3)
     n_removed = ch.filter(F.col("change_type") == "removed").count()
     assert n_removed == o.count() - want.count()
+
+
+def test_update_where_atomic_single_version(spark, sf_dir, tmp_path):
+    """UPDATE as one version: matching rows get the SET applied,
+    everything else untouched, no data file rewritten in place, time
+    travel sees the originals — and there is no intermediate
+    deleted-but-not-readded version."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o, t)
+    v = M.update_where(
+        spark,
+        t,
+        [("o_orderstatus", "==", "F")],
+        {"o_totalprice": F.col("o_totalprice") * 2.0},
+    )
+    assert v == 2  # exactly ONE new version
+    got = M.read_version(spark, t)
+    want = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "F", F.col("o_totalprice") * 2.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    assert got.count() == o.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert M.read_version(spark, t, 1).exceptAll(o).count() == 0
+
+
+def test_update_where_conflict_aborts(spark, sf_dir, tmp_path):
+    """A commit landing between the update's snapshot read and its
+    publish must abort the update (lost-update prevention), leaving
+    the concurrent commit's rows intact."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+
+    real_publish = M._publish
+
+    def racing_publish(table_dir, build):
+        # the competitor appends just before the victim publishes
+        M._publish = real_publish
+        M.commit(o.filter(F.col("o_orderkey") % 2 == 1).limit(5), t)
+        return real_publish(table_dir, build)
+
+    M._publish = racing_publish
+    try:
+        with _pytest.raises(M.ConcurrentTableModificationError):
+            M.update_where(
+                spark, t, [("o_totalprice", ">", 0.0)],
+                {"o_totalprice": F.lit(0.0)},
+            )
+    finally:
+        M._publish = real_publish
+    # the competitor's commit is intact; no phantom update landed
+    assert M.latest_version(t) == 2
+    assert M.read_version(spark, t).filter(F.col("o_totalprice") == 0.0).count() == 0
