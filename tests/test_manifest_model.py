@@ -1,0 +1,125 @@
+"""Model-based check of the manifest DML surface: a seeded random
+sequence of commit/overwrite/delete_where/update_where/compact_table
+ops runs against both the real versioned table and a pure-Python
+dict model; after EVERY op the latest read must equal the model, a
+stats-pruned read must equal the model filter, and a random historical
+version must still equal its recorded snapshot (time travel under
+churn).  Interactions (a delete over an update over an append, a
+compact materializing both, pruning across all of it) are exactly
+where single-feature tests miss bugs."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.sources.readers import table
+
+N_OPS = 12
+
+
+def _to_model(rows):
+    return {int(r.k): int(r.p) for r in rows}
+
+
+def _read_model(spark, t, version=None):
+    return _to_model(M.read_version(spark, t, version).collect())
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
+    rng = random.Random(seed)
+    t = str(tmp_path / f"tbl{seed}")
+
+    # integer-cent universe keyed by unique o_orderkey
+    universe = {
+        int(r.k): int(r.p)
+        for r in table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") * 100).cast("long").alias("p"),
+        )
+        .limit(600)
+        .collect()
+    }
+    all_keys = sorted(universe)
+    unused = list(all_keys)
+    rng.shuffle(unused)
+
+    def frame(keys):
+        return spark.createDataFrame(
+            [(k, universe[k]) for k in sorted(keys)], "k long, p long"
+        )
+
+    def take(n):
+        got = unused[:n]
+        del unused[:n]
+        return got
+
+    # v1: initial commit
+    model: dict[int, int] = {}
+    first = take(120)
+    model.update({k: universe[k] for k in first})
+    M.commit(frame(first).repartition(3), t)
+    history = {1: dict(model)}
+
+    for step in range(N_OPS):
+        op = rng.choice(["append", "delete", "update", "compact", "overwrite"])
+        if op == "append" and unused:
+            ks = take(rng.randint(10, 60))
+            model.update({k: universe[k] for k in ks})
+            v = M.commit(frame(ks).repartition(2), t)
+        elif op == "overwrite":
+            ks = rng.sample(all_keys, rng.randint(30, 90))
+            model = {k: universe[k] for k in ks}
+            v = M.commit(frame(ks).repartition(2), t, mode="overwrite")
+        elif op == "delete" and model:
+            cut = rng.choice(sorted(model))
+            which = rng.choice(["<=", ">"])
+            v = M.delete_where(t, [("k", which, int(cut))])
+            model = {
+                k: p
+                for k, p in model.items()
+                if not (k <= cut if which == "<=" else k > cut)
+            }
+        elif op == "update" and model:
+            cut = rng.choice(sorted(model))
+            delta = rng.randint(1, 999)
+            v = M.update_where(
+                spark, t, [("k", ">=", int(cut))], {"p": F.col("p") + delta}
+            )
+            model = {
+                k: (p + delta if k >= cut else p) for k, p in model.items()
+            }
+        elif op == "compact":
+            v = M.compact_table(spark, t, target_bytes=32 * 1024)
+            # content unchanged
+        else:
+            continue
+        history[v] = dict(model)
+
+        got = _read_model(spark, t)
+        assert got == model, f"seed={seed} step={step} op={op}"
+
+        # stats-pruned read equals the model filter
+        if model:
+            cut = rng.choice(sorted(model))
+            pruned = _to_model(
+                M.read_version(spark, t, where=[("k", ">=", int(cut))])
+                .collect()
+            )
+            assert pruned == {k: p for k, p in model.items() if k >= cut}
+
+        # time travel: one random recorded version still matches
+        hv = rng.choice(sorted(history))
+        assert _read_model(spark, t, hv) == history[hv], (
+            f"seed={seed} step={step} time-travel v{hv}"
+        )
+
+        # metadata COUNT is exact whenever it answers at all
+        n = M.count_rows(t)
+        if n is not None:
+            assert n == len(model)
