@@ -779,6 +779,43 @@ def count_rows(
     return sum(e["rows"] for d in m["dirs"] for e in files[d])
 
 
+def column_bounds(
+    table_dir: str,
+    column: str,
+    version: int | None = None,
+) -> tuple | None:
+    """Metadata-only (min, max) of a column — the MIN()/MAX() shortcut
+    answered from the manifest's per-file stats, no file opened.
+    Returns None when any file lacks stats for the column, when
+    tombstones are outstanding (a delete may have removed the extreme
+    row), or when every row is NULL — the caller falls back to a scan
+    rather than trust a partial envelope."""
+    v = latest_version(table_dir) if version is None else version
+    m = _read_manifest(table_dir, v)
+    files = m.get("files")
+    if files is None or set(m["dirs"]) - set(files) or m.get("deletes"):
+        return None
+    mn = mx = None
+    for d in m["dirs"]:
+        sj = m.get("dir_schemas", {}).get(d)
+        present = (
+            set(StructType.fromJson(sj).fieldNames()) if sj else None
+        )
+        for e in files[d]:
+            if e["rows"] == 0:
+                continue
+            if present is not None and column not in present:
+                continue  # column reads as NULL here: no extremes
+            st = e.get("stats", {}).get(column)
+            if st is None:
+                return None  # unknown stats: envelope would be a lie
+            if st["min"] is None:  # all-NULL in this file
+                continue
+            mn = st["min"] if mn is None else min(mn, st["min"])
+            mx = st["max"] if mx is None else max(mx, st["max"])
+    return None if mn is None else (mn, mx)
+
+
 def files_for_version(
     table_dir: str,
     version: int | None = None,

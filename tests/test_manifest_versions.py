@@ -595,3 +595,20 @@ def test_update_where_conflict_aborts(spark, sf_dir, tmp_path):
     # the competitor's commit is intact; no phantom update landed
     assert M.latest_version(t) == 2
     assert M.read_version(spark, t).filter(F.col("o_totalprice") == 0.0).count() == 0
+
+
+def test_column_bounds_metadata_minmax(spark, sf_dir, tmp_path):
+    """MIN/MAX answered from the manifest, exact vs the scan; honest
+    None when tombstones could have removed the extreme row."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0).repartition(4), t)
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 1).repartition(3), t)
+    mn, mx = M.column_bounds(t, "o_orderkey")
+    row = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    assert (mn, mx) == (row[0], row[1])
+    # a tombstone invalidates the envelope -> scan fallback
+    M.delete_where(t, [("o_orderkey", "==", int(mx))])
+    assert M.column_bounds(t, "o_orderkey") is None
+    # pre-delete version still answers
+    assert M.column_bounds(t, "o_orderkey", 2) == (row[0], row[1])
