@@ -226,9 +226,26 @@ def latest_version(table_dir: str) -> int:
     return max(versions, default=0)
 
 
+class VersionNotFoundError(FileNotFoundError):
+    """The requested version has no manifest — it never existed, or
+    vacuum expired it."""
+
+
 def _read_manifest(table_dir: str, version: int) -> dict:
-    with open(_manifest_path(table_dir, version)) as fh:
-        return json.load(fh)
+    try:
+        with open(_manifest_path(table_dir, version)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        mdir = os.path.join(table_dir, _MANIFESTS)
+        have = sorted(
+            int(f[1:7])
+            for f in (os.listdir(mdir) if os.path.isdir(mdir) else [])
+            if f.startswith("v") and f.endswith(".json")
+        )
+        raise VersionNotFoundError(
+            f"version {version} of {table_dir} not found — never "
+            f"published or expired by vacuum; available: {have or 'none'}"
+        ) from None
 
 
 def _publish(table_dir: str, build_payload) -> int:

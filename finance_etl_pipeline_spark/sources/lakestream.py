@@ -72,6 +72,13 @@ class ManifestTableDataSource(DataSource):
             raise ValueError("manifest_table requires option table_dir")
         return d
 
+    def _starting_version(self) -> int:
+        """``starting_version`` N (default 0) begins the stream AFTER
+        version N: versions 1..N are treated as already consumed — the
+        new-consumer escape hatch from replaying deep history (and
+        from history already expired by vacuum)."""
+        return int(self.options.get("starting_version", 0))
+
     def schema(self) -> StructType:
         v = M.latest_version(self._table_dir())
         if v == 0:
@@ -86,16 +93,21 @@ class ManifestTableDataSource(DataSource):
         return StructType.fromJson(m["schema"])
 
     def streamReader(self, schema) -> "ManifestStreamReader":
-        return ManifestStreamReader(self._table_dir(), schema)
+        return ManifestStreamReader(
+            self._table_dir(), schema, self._starting_version()
+        )
 
 
 class ManifestStreamReader(DataSourceStreamReader):
-    def __init__(self, table_dir: str, schema: StructType):
+    def __init__(
+        self, table_dir: str, schema: StructType, starting_version: int = 0
+    ):
         self.table_dir = table_dir
         self.schema = schema
+        self.starting_version = starting_version
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         return {"version": M.latest_version(self.table_dir)}

@@ -93,3 +93,47 @@ def test_stream_schema_comes_from_manifest(spark, sf_dir, tmp_path):
     )
     assert stream.columns == ["o_orderkey", "o_orderstatus", "o_totalprice"]
     assert dict(stream.dtypes)["o_totalprice"] == "double"
+
+
+def test_starting_version_skips_history(spark, sf_dir, tmp_path):
+    """starting_version=N treats versions 1..N as consumed: only
+    later commits stream — the new-consumer escape from deep history."""
+    spark.dataSource.register(ManifestTableDataSource)
+    tbl = str(tmp_path / "tbl")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    M.commit(a, tbl)  # v1: history the consumer skips
+    M.commit(b, tbl)  # v2: the only batch it should see
+    q = (
+        spark.readStream.format("manifest_table")
+        .option("table_dir", tbl)
+        .option("starting_version", 1)
+        .load()
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = spark.read.parquet(out)
+    assert got.count() == b.count()
+    assert got.exceptAll(b).count() == 0
+
+
+def test_expired_version_error_is_clear(spark, sf_dir, tmp_path):
+    from finance_etl_pipeline_spark.operators.manifest import (
+        VersionNotFoundError,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(5), tbl)
+    M.commit(o.limit(5), tbl, mode="overwrite")
+    M.vacuum(tbl, keep_last=1, retention_seconds=0.0)
+    with pytest.raises(VersionNotFoundError, match="expired by vacuum|available: \\[2\\]"):
+        M.read_version(spark, tbl, 1)
