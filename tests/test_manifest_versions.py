@@ -612,3 +612,44 @@ def test_column_bounds_metadata_minmax(spark, sf_dir, tmp_path):
     assert M.column_bounds(t, "o_orderkey") is None
     # pre-delete version still answers
     assert M.column_bounds(t, "o_orderkey", 2) == (row[0], row[1])
+
+
+def test_concurrent_readers_never_see_torn_state(spark, sf_dir, tmp_path):
+    """Readers racing committers: every read must resolve a COMPLETE
+    published version (the temp+link publish makes partial manifests
+    unobservable) — no JSONDecodeError, and every observed row count
+    equals some legitimate version's count."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    slices = [o.filter(F.col("o_orderkey") % 8 == i) for i in range(8)]
+    sizes = [s.count() for s in slices]
+    valid_counts = set()
+    acc = 0
+    for n in sizes:
+        acc += n
+        valid_counts.add(acc)
+    M.commit(slices[0], t)
+
+    errors = []
+    observed = []
+
+    def writer():
+        for s in slices[1:]:
+            M.commit(s, t)
+
+    def reader():
+        for _ in range(12):
+            try:
+                observed.append(M.read_version(spark, t).count())
+            except Exception as e:  # torn manifest would land here
+                errors.append(e)
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(writer), ex.submit(reader), ex.submit(reader)]
+        for f in futs:
+            f.result()
+    assert not errors, errors[:3]
+    assert observed and set(observed) <= valid_counts
+    assert M.read_version(spark, t).count() == sum(sizes)
