@@ -584,3 +584,23 @@ def test_upsert_anti_join_or_outer_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # two snapshot carvings, each printed twice (tree + detail)
     assert plan.count("Scan parquet") <= 4
+
+
+def test_concurrent_sessions_join_width_is_pinned(spark, sf_dir):
+    """Round-6 rule: row-exploding equi-joins pin their shuffle width
+    with a NUMBERED repartition (AQE's input-sized coalescing ran the
+    ~100x-exploding bucket join on 2 tasks — 2.67s vs 1.92s at sf0.1).
+    The executed plan must carry REPARTITION_BY_NUM exchanges on the
+    bucket key with exactly the session's shuffle-partition count, on
+    BOTH join inputs."""
+    from finance_etl_pipeline_spark.plans import all_queries
+
+    df = all_queries()["e_concurrent_sessions"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = spark.conf.get("spark.sql.shuffle.partitions")
+    pinned = [
+        line
+        for line in plan.split("\n")
+        if "REPARTITION_BY_NUM" in line and f", {n})" in line
+    ]
+    assert len(pinned) >= 2, plan[:2000]
