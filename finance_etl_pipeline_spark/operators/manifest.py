@@ -286,6 +286,7 @@ def commit(
     table_dir: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    expected_base: int | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and publish the next
     version.  ``mode='append'`` extends the previous file set (and may
@@ -302,7 +303,14 @@ def commit(
     the METADATA — no directory listing, the classic manifest win over
     filesystem-discovery partition pruning.  Different commits of one
     table may use different (or no) partitioning; each data dir is
-    read under its own layout."""
+    read under its own layout.
+
+    ``expected_base`` pins the commit to a snapshot: when set, the
+    publish conflict-aborts (``ConcurrentTableModificationError``)
+    if any other version landed since — the OCC primitive that
+    ``compact_table`` and ``merge_into`` build on, because their
+    payloads are derived FROM a snapshot and silently publishing over
+    a moved tip would drop the interleaved commit (a lost update)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     token = uuid.uuid4().hex[:12]
@@ -318,6 +326,12 @@ def commit(
     schema_json = df.schema.jsonValue()
 
     def build(prev: int) -> dict:
+        if expected_base is not None and prev != expected_base:
+            raise ConcurrentTableModificationError(
+                f"table advanced to v{prev} while a snapshot-derived "
+                f"commit was computing against v{expected_base}; "
+                "re-run against the new snapshot"
+            )
         if mode == "overwrite" or prev == 0:
             dirs: list[str] = []
             files: dict[str, list] = {}
@@ -761,9 +775,14 @@ def update_where(
         dirs.append(rel)
         files[rel] = file_entries
         dir_schemas[rel] = schema_json
+        # mode='update', NOT 'append': the version both appends a dir
+        # AND tombstones rows, so an append-only consumer (the
+        # lakestream source) must reject it loudly — publishing it as
+        # 'append' would stream the rewritten copies as plain inserts
+        # while the consumer keeps the stale originals it already saw
         return {
             "dirs": dirs,
-            "mode": "append",
+            "mode": "update",
             "files": files,
             "dir_schemas": dir_schemas,
             "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
@@ -904,8 +923,19 @@ def vacuum(
             removed.append(rel)
     mdir = os.path.join(table_dir, _MANIFESTS)
     for f in os.listdir(mdir):
+        path = os.path.join(mdir, f)
         if f.startswith("v") and f.endswith(".json") and int(f[1:7]) not in keep:
-            os.remove(os.path.join(mdir, f))
+            os.remove(path)
+        elif f.startswith(".tmp-"):
+            # a writer that crashed between writing its temp payload
+            # and the link/unlink leaks the temp file; sweep it under
+            # the same retention window (younger ones may belong to a
+            # publish in flight right now)
+            try:
+                if now - os.path.getmtime(path) >= retention_seconds:
+                    os.remove(path)
+            except FileNotFoundError:
+                pass  # a concurrent publish just unlinked it
     return removed
 
 
@@ -978,7 +1008,12 @@ def compact_table(
     * the old layout's dirs are reclaimed later by ``vacuum`` under
       the normal retention rules.
 
-    Row content is preserved exactly — physical layout only."""
+    Row content is preserved exactly — physical layout only.  The
+    publish is pinned to the snapshot it rewrote (``expected_base``):
+    a commit landing between the read and the publish makes OPTIMIZE
+    conflict-abort instead of silently dropping the interleaved rows
+    from the compacted manifest — the same lost-update guard as
+    ``update_where``."""
     from finance_etl_pipeline_spark.operators.compact import (
         DEFAULT_TARGET_BYTES,
     )
@@ -993,7 +1028,7 @@ def compact_table(
         df = zorder_by(df, zorder_cols, num_partitions=n_files)
     else:
         df = df.coalesce(n_files)
-    return commit(df, table_dir, mode="overwrite")
+    return commit(df, table_dir, mode="overwrite", expected_base=v)
 
 
 def changefeed_rows(

@@ -32,7 +32,6 @@ Usage::
 
 from __future__ import annotations
 
-import json
 import os
 from collections.abc import Iterator, Sequence
 
@@ -52,10 +51,12 @@ class _FilePart(InputPartition):
 
 
 def _read_manifest_safe(table_dir: str, version: int) -> dict:
-    with open(
-        os.path.join(table_dir, "_manifests", f"v{version:06d}.json")
-    ) as fh:
-        return json.load(fh)
+    """Manifest read with the batch path's clear failure mode: a
+    version needed by ``partitions()`` (e.g. a checkpointed start
+    offset) that vacuum has expired raises ``VersionNotFoundError``
+    with the expired-by-vacuum explanation, not a bare
+    FileNotFoundError the operator has to reverse-engineer."""
+    return M._read_manifest(table_dir, version)
 
 
 class ManifestTableDataSource(DataSource):
@@ -116,15 +117,30 @@ class ManifestStreamReader(DataSourceStreamReader):
         a, b = int(start["version"]), int(end["version"])
         parts: list[InputPartition] = []
         prev_dirs: set[str] = set()
+        prev_n_deletes = 0
         if a > 0:
-            prev_dirs = set(_read_manifest_safe(self.table_dir, a)["dirs"])
+            pm = _read_manifest_safe(self.table_dir, a)
+            prev_dirs = set(pm["dirs"])
+            prev_n_deletes = len(pm.get("deletes", []))
         for v in range(a + 1, b + 1):
             m = _read_manifest_safe(self.table_dir, v)
             if m.get("mode") != "append":
                 raise ValueError(
                     f"version {v} is mode={m.get('mode')!r}: only "
                     "append-only tables stream; use changefeed_rows + "
-                    "the CDC sink for rewrites/deletes"
+                    "the CDC sink for rewrites/deletes/updates"
+                )
+            if len(m.get("deletes", [])) != prev_n_deletes:
+                # belt and braces against manifests published by
+                # writers predating the distinct 'update'/'delete'
+                # modes: a version whose tombstone list changed is not
+                # an append no matter what its mode field claims —
+                # streaming its new dir as plain inserts would leave
+                # consumers holding the stale pre-update copies
+                raise ValueError(
+                    f"version {v} changed the tombstone list: only "
+                    "append-only tables stream; use changefeed_rows + "
+                    "the CDC sink for rewrites/deletes/updates"
                 )
             new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
             part_dirs = m.get("partitioned_dirs", {})
@@ -151,6 +167,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                         )
                     )
             prev_dirs = set(m["dirs"])
+            prev_n_deletes = len(m.get("deletes", []))
         return parts if parts else [_FilePart("")]
 
     def read(self, part: _FilePart) -> Iterator:

@@ -25,6 +25,32 @@ from pyspark.sql import functions as F
 from finance_etl_pipeline_spark.operators.merge import upsert
 
 
+def _recover_replica(path: str, old: str) -> None:
+    """Crash recovery, run at batch START: a crash between the two
+    swap renames leaves the replica at ``old`` and nothing at
+    ``path`` — restore it, or the retried batch would merge into an
+    empty target and silently drop the replica's accumulated state.
+    A leftover ``old`` WITH ``path`` present means the crash happened
+    after the second rename but before the rmtree — just cleanup."""
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
+
+def _swap_in(path: str, tmp: str, old: str) -> None:
+    """Publish ``tmp`` at ``path`` via rename-through-old.  Callers
+    must have run ``_recover_replica`` first, so ``old`` is clear and
+    any crash mid-swap is recoverable on the next attempt."""
+    if os.path.exists(path):
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, path)
+
+
 def upsert_each_batch(
     stream: DataFrame,
     spark: SparkSession,
@@ -38,6 +64,8 @@ def upsert_each_batch(
     — CDC compaction) and is required for sources that can replay."""
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        old = path.rstrip("/") + "._upsert_old"
+        _recover_replica(path, old)
         if os.path.exists(path):
             target = spark.read.parquet(path)
         else:
@@ -45,13 +73,7 @@ def upsert_each_batch(
         merged = upsert(target, batch_df, keys, order_col=order_col)
         tmp = path.rstrip("/") + "._upsert_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            old = path.rstrip("/") + "._upsert_old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, path)
+        _swap_in(path, tmp, old)
 
     return stream.writeStream.foreachBatch(_process)
 
@@ -82,6 +104,8 @@ def apply_changefeed_each_batch(
     construction."""
 
     def _process(batch_df: DataFrame, _batch_id: int) -> None:
+        old = path.rstrip("/") + "._cdc_old"
+        _recover_replica(path, old)
         src = batch_df.withColumn(
             "__is_delete", F.col("change_type") == "removed"
         ).drop("change_type")
@@ -96,12 +120,6 @@ def apply_changefeed_each_batch(
         )
         tmp = path.rstrip("/") + "._cdc_tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(path):
-            old = path.rstrip("/") + "._cdc_old"
-            os.rename(path, old)
-            os.rename(tmp, path)
-            shutil.rmtree(old)
-        else:
-            os.rename(tmp, path)
+        _swap_in(path, tmp, old)
 
     return stream.writeStream.foreachBatch(_process)

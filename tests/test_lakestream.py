@@ -137,3 +137,55 @@ def test_expired_version_error_is_clear(spark, sf_dir, tmp_path):
     M.vacuum(tbl, keep_last=1, retention_seconds=0.0)
     with pytest.raises(VersionNotFoundError, match="expired by vacuum|available: \\[2\\]"):
         M.read_version(spark, tbl, 1)
+
+
+def test_stream_rejects_update_where_history(spark, sf_dir, tmp_path):
+    """update_where publishes dir + tombstone in one version; an
+    append-only stream passing it through would emit the rewritten
+    rows as plain inserts while consumers keep the stale originals.
+    The source must fail loudly instead (mode='update' + the
+    tombstone-growth belt-and-braces check)."""
+    spark.dataSource.register(ManifestTableDataSource)
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0).limit(50), tbl)
+    M.update_where(
+        spark,
+        tbl,
+        [("o_totalprice", ">", 0.0)],
+        {"o_totalprice": F.col("o_totalprice") * 2.0},
+    )
+    with pytest.raises(Exception, match="append-only|mode=|tombstone"):
+        _drain(spark, tbl, ckpt, out)
+
+
+def test_stream_rejects_tombstone_growth_even_if_mode_lies(
+    spark, sf_dir, tmp_path
+):
+    """Belt and braces: a manifest written by an older writer could
+    carry mode='append' while growing the tombstone list — the
+    deletes-length check must still reject it."""
+    import json as _json
+    import os as _os
+
+    spark.dataSource.register(ManifestTableDataSource)
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.limit(40), tbl)
+    M.update_where(
+        spark,
+        tbl,
+        [("o_totalprice", ">", 0.0)],
+        {"o_totalprice": F.col("o_totalprice") + 1.0},
+    )
+    # forge the legacy shape: same payload, mode claims 'append'
+    mpath = _os.path.join(tbl, "_manifests", "v000002.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    m["mode"] = "append"
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    with pytest.raises(Exception, match="tombstone"):
+        _drain(spark, tbl, ckpt, out)

@@ -653,3 +653,60 @@ def test_concurrent_readers_never_see_torn_state(spark, sf_dir, tmp_path):
     assert not errors, errors[:3]
     assert observed and set(observed) <= valid_counts
     assert M.read_version(spark, t).count() == sum(sizes)
+
+
+def test_compact_conflict_aborts_on_interleaved_commit(spark, sf_dir, tmp_path):
+    """OPTIMIZE has the same lost-update exposure as update_where: it
+    snapshots the tip, rewrites, then publishes.  An append landing in
+    between must make the publish conflict-abort — an unconditional
+    overwrite would silently drop the interleaved rows from the
+    compacted manifest."""
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    late = o.filter(F.col("o_orderkey") % 2 == 1).limit(7)
+    M.commit(even.repartition(4), t)
+
+    real_publish = M._publish
+
+    def racing_publish(table_dir, build):
+        M._publish = real_publish
+        M.commit(late, t)  # the interleaved append
+        return real_publish(table_dir, build)
+
+    M._publish = racing_publish
+    try:
+        with _pytest.raises(M.ConcurrentTableModificationError):
+            M.compact_table(spark, t, target_bytes=64 * 1024)
+    finally:
+        M._publish = real_publish
+    # the interleaved append survived; no rows vanished at the tip
+    got = M.read_version(spark, t)
+    assert got.count() == even.count() + late.count()
+    # a re-run against the new snapshot succeeds and keeps everything
+    M.compact_table(spark, t, target_bytes=64 * 1024)
+    assert M.read_version(spark, t).count() == even.count() + late.count()
+
+
+def test_vacuum_sweeps_orphaned_manifest_temp_files(spark, sf_dir, tmp_path):
+    """A writer crashing between writing its .tmp-* manifest payload
+    and the link/unlink leaks the temp file; vacuum reclaims it under
+    the same retention window that protects in-flight publishes."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(10), t)
+    mdir = os.path.join(t, "_manifests")
+    stale = os.path.join(mdir, ".tmp-deadbeef")
+    fresh = os.path.join(mdir, ".tmp-cafebabe")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    past = os.path.getmtime(stale) - 7200
+    os.utime(stale, (past, past))
+    M.vacuum(t, retention_seconds=3600.0)
+    assert not os.path.exists(stale)  # old orphan reclaimed
+    assert os.path.exists(fresh)  # possible in-flight publish kept
+    # the table itself is untouched
+    assert M.read_version(spark, t).count() == 10

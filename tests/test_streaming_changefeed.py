@@ -142,3 +142,43 @@ def test_changefeed_rows_shape(spark, sf_dir, tmp_path):
     assert removed.count() == n_removed_expected
     assert removed.filter(F.col("o_totalprice").isNotNull()).count() == 0
     assert feed.filter(F.col("version") != 2).count() == 0
+
+
+def test_replica_swap_recovers_from_crash_window(spark, sf_dir, tmp_path):
+    """Crash-safety of the replica swap: simulate a crash between the
+    two renames (replica parked at ._cdc_old, nothing at path, plus a
+    stale tmp) — the retried batch must restore the replica first and
+    still converge, instead of merging into an empty target (silent
+    state loss) or wedging on ENOTEMPTY."""
+    tbl = str(tmp_path / "tbl")
+    feed = str(tmp_path / "feed")
+    replica = str(tmp_path / "replica")
+    os.makedirs(feed)
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), tbl)
+    M.commit(o.filter(F.col("o_orderkey") % 3 <= 1), tbl, mode="overwrite")
+
+    keys = ["o_orderkey"]
+    feed_schema = M.changefeed_rows(spark, tbl, keys, 1, 2).schema
+    M.changefeed_rows(spark, tbl, keys, 0, 1).coalesce(1).write.parquet(
+        os.path.join(feed, "step0")
+    )
+    stream = spark.readStream.schema(feed_schema).parquet(feed + "/step*")
+    _drain(stream, spark, replica, keys, str(tmp_path / "ck1"))
+    _assert_replica_equals_version(spark, replica, tbl, 1)
+
+    # simulate the crash window: replica renamed aside, stale tmp left
+    os.rename(replica, replica + "._cdc_old")
+    os.makedirs(replica + "._cdc_tmp")
+    with open(os.path.join(replica + "._cdc_tmp", "junk"), "w") as fh:
+        fh.write("partial")
+
+    M.changefeed_rows(spark, tbl, keys, 1, 2).coalesce(1).write.parquet(
+        os.path.join(feed, "step1")
+    )
+    # fresh checkpoint replays the WHOLE feed (bootstrap + step1) in
+    # one batch — recovery plus an idempotent re-merge
+    _drain(stream, spark, replica, keys, str(tmp_path / "ck2"))
+    _assert_replica_equals_version(spark, replica, tbl, 2)
+    assert not os.path.exists(replica + "._cdc_old")
