@@ -213,11 +213,56 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFESTS, f"v{version:06d}.json")
 
 
+_LAST_HINT = "_LAST"
+
+
+def _read_last_hint(mdir: str) -> int:
+    try:
+        with open(os.path.join(mdir, _LAST_HINT)) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return 0
+
+
+def _write_last_hint(table_dir: str, version: int) -> None:
+    """Advance the tip-pointer HINT (atomic replace, forward-only).
+    Purely an optimization: losers of a concurrent-publish race may
+    write out of order, and the file may be deleted or stale — every
+    reader verifies against the actual manifests and probes forward,
+    so a wrong hint costs a directory listing, never a wrong answer."""
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    if _read_last_hint(mdir) >= version:
+        return
+    tmp = os.path.join(mdir, f".tmp-hint-{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(mdir, _LAST_HINT))
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
 def latest_version(table_dir: str) -> int:
-    """Highest published version, or 0 if the table is empty."""
+    """Highest published version, or 0 if the table is empty.
+
+    Scale hygiene: a full ``_manifests/`` listing is O(#versions) per
+    call — the lakehouse checkpoint problem at version 10⁵.  The
+    ``_LAST`` pointer file makes the common case O(1): start at the
+    hinted version (verified to exist) and probe forward to the true
+    tip; the listing remains only as the fallback when the hint is
+    missing, corrupt, or expired by vacuum."""
     mdir = os.path.join(table_dir, _MANIFESTS)
     if not os.path.isdir(mdir):
         return 0
+    hint = _read_last_hint(mdir)
+    if hint > 0 and os.path.exists(_manifest_path(table_dir, hint)):
+        v = hint
+        while os.path.exists(_manifest_path(table_dir, v + 1)):
+            v += 1
+        return v
     versions = [
         int(f[1:7])
         for f in os.listdir(mdir)
@@ -229,6 +274,64 @@ def latest_version(table_dir: str) -> int:
 class VersionNotFoundError(FileNotFoundError):
     """The requested version has no manifest — it never existed, or
     vacuum expired it."""
+
+
+def _as_epoch(as_of) -> float:
+    """``as_of`` in epoch seconds: accepts a number, a datetime
+    (naive = local time, matching the commit stamps), or an ISO-8601
+    string."""
+    import datetime
+
+    if isinstance(as_of, (int, float)) and not isinstance(as_of, bool):
+        return float(as_of)
+    if isinstance(as_of, str):
+        as_of = datetime.datetime.fromisoformat(as_of)
+    if isinstance(as_of, datetime.datetime):
+        return as_of.timestamp()
+    raise TypeError(f"unsupported as_of type: {type(as_of).__name__}")
+
+
+def version_as_of(table_dir: str, as_of) -> int:
+    """Timestamp time travel (Delta semantics): the LATEST version
+    whose commit timestamp is <= ``as_of`` — i.e. the snapshot a
+    reader at that wall-clock instant would have resolved.  Commit
+    timestamps are made monotonic at publish, so the answer is the
+    last element of a sorted prefix, not a fuzzy match.
+
+    Raises ``VersionNotFoundError`` when ``as_of`` predates the first
+    RETAINED version (either the table did not exist yet, or vacuum
+    expired the versions that covered that instant — both mean the
+    snapshot is not reconstructible).  Legacy manifests without a
+    ``ts`` stamp are treated as infinitely old: readable by version
+    number, never resolvable by timestamp."""
+    target = _as_epoch(as_of)
+    tip = latest_version(table_dir)
+    if tip == 0:
+        raise VersionNotFoundError(f"no published versions in {table_dir}")
+    best = None
+    earliest = None
+    for v in range(tip, 0, -1):
+        try:
+            ts = _read_manifest(table_dir, v).get("ts")
+        except VersionNotFoundError:
+            break  # versions below this are vacuumed
+        if ts is None:
+            continue
+        earliest = (v, ts)
+        if ts <= target:
+            best = v
+            break
+    if best is not None:
+        return best
+    raise VersionNotFoundError(
+        f"as_of={as_of!r} predates the earliest retained version of "
+        f"{table_dir}"
+        + (
+            f" (v{earliest[0]} committed at epoch {earliest[1]:.6f})"
+            if earliest
+            else " (no timestamped versions retained)"
+        )
+    )
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
@@ -260,6 +363,19 @@ def _publish(table_dir: str, build_payload) -> int:
         prev = latest_version(table_dir)
         payload = build_payload(prev)
         payload["version"] = prev + 1
+        # commit timestamp, made MONOTONIC against the previous
+        # version (Delta's in-commit-timestamp rule): a wall clock
+        # stepping backwards between commits must not make
+        # ``as_of`` resolution non-deterministic
+        ts = time.time()
+        if prev > 0:
+            try:
+                prev_ts = _read_manifest(table_dir, prev).get("ts")
+                if prev_ts is not None and ts <= prev_ts:
+                    ts = prev_ts + 1e-6
+            except VersionNotFoundError:
+                pass  # prev vacuumed mid-race: retry will re-read
+        payload["ts"] = ts
         # Atomic CONTENT publication: the payload is fully written to a
         # private temp file first, then hard-linked to the manifest
         # path.  link(2) fails like O_EXCL when the target exists (the
@@ -278,6 +394,7 @@ def _publish(table_dir: str, build_payload) -> int:
             continue  # lost the race — recompose against the new tip
         finally:
             os.unlink(tmp)
+        _write_last_hint(table_dir, prev + 1)
         return prev + 1
 
 
@@ -471,9 +588,15 @@ def read_version(
     table_dir: str,
     version: int | None = None,
     where: list[tuple] | None = None,
+    as_of=None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest) — a plain parquet
     read over that snapshot's immutable file set.
+
+    ``as_of`` (mutually exclusive with ``version``) resolves the
+    snapshot by COMMIT TIMESTAMP instead: the latest version published
+    at or before that instant (see ``version_as_of``) — epoch seconds,
+    datetime, or ISO-8601 string.
 
     ``where`` is an optional conjunction of simple predicates —
     ``(col, op, value)`` with op in ==, !=, <, <=, >, >= or
@@ -488,6 +611,10 @@ def read_version(
     projected to the version's logical schema / column order.  When
     all commits share one schema (the common case) the read collapses
     to a single multi-path parquet scan — no union, no format tax."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(table_dir, as_of)
     v = latest_version(table_dir) if version is None else version
     m = _read_manifest(table_dir, v)
     preds = [_normalize_pred(p) for p in where] if where else []

@@ -710,3 +710,84 @@ def test_vacuum_sweeps_orphaned_manifest_temp_files(spark, sf_dir, tmp_path):
     assert os.path.exists(fresh)  # possible in-flight publish kept
     # the table itself is untouched
     assert M.read_version(spark, t).count() == 10
+
+
+def test_as_of_timestamp_time_travel(spark, sf_dir, tmp_path):
+    """read_version(as_of=ts) resolves the latest version committed at
+    or before ts (Delta semantics), including the between-versions and
+    before-v1 edges, and commit timestamps are strictly monotonic even
+    for rapid-fire commits."""
+    import datetime
+    import json as _json
+
+    import pytest as _pytest
+
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(10), t)
+    M.commit(o.limit(30), t, mode="overwrite")
+    M.commit(o.limit(50), t, mode="overwrite")
+
+    ts = {}
+    for v in (1, 2, 3):
+        with open(os.path.join(t, "_manifests", f"v{v:06d}.json")) as fh:
+            ts[v] = _json.load(fh)["ts"]
+    assert ts[1] < ts[2] < ts[3]  # strictly monotonic
+
+    # exact hit and between-versions floor
+    assert M.version_as_of(t, ts[2]) == 2
+    assert M.version_as_of(t, (ts[2] + ts[3]) / 2) == 2
+    assert M.version_as_of(t, ts[3] + 3600) == 3
+    assert M.read_version(spark, t, as_of=(ts[1] + ts[2]) / 2).count() == 10
+    # datetime and ISO-string forms resolve identically
+    dt = datetime.datetime.fromtimestamp(ts[3] + 1)
+    assert M.version_as_of(t, dt) == 3
+    assert M.version_as_of(t, dt.isoformat()) == 3
+
+    # before-v1 edge: the snapshot is not reconstructible
+    with _pytest.raises(M.VersionNotFoundError, match="predates"):
+        M.version_as_of(t, ts[1] - 1.0)
+    with _pytest.raises(ValueError, match="version OR as_of"):
+        M.read_version(spark, t, version=2, as_of=ts[2])
+
+    # vacuum expires v1/v2: an instant they covered is gone too
+    M.vacuum(t, keep_last=1, retention_seconds=0.0)
+    with _pytest.raises(M.VersionNotFoundError, match="predates"):
+        M.version_as_of(t, (ts[1] + ts[2]) / 2)
+    assert M.version_as_of(t, ts[3]) == 3
+
+
+def test_latest_version_hint_is_self_healing(spark, sf_dir, tmp_path):
+    """_LAST is a pure optimization: correct when fresh, harmless when
+    missing, corrupt, stale, or pointing at a vacuumed version — every
+    shape must resolve the same tip the full listing would."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(5), t)
+    M.commit(o.limit(5), t)
+    M.commit(o.limit(5), t)
+    hint = os.path.join(t, "_manifests", "_LAST")
+    assert os.path.exists(hint)
+    with open(hint) as fh:
+        assert int(fh.read()) == 3
+
+    # stale hint: probe-forward finds the real tip
+    with open(hint, "w") as fh:
+        fh.write("1")
+    assert M.latest_version(t) == 3
+    # corrupt hint: listing fallback
+    with open(hint, "w") as fh:
+        fh.write("not-a-number")
+    assert M.latest_version(t) == 3
+    # missing hint: listing fallback, and the next publish restores it
+    os.remove(hint)
+    assert M.latest_version(t) == 3
+    M.commit(o.limit(5), t)
+    with open(hint) as fh:
+        assert int(fh.read()) == 4
+    # hint pointing at a vacuumed version: fallback, not a crash
+    M.vacuum(t, keep_last=1, retention_seconds=0.0)
+    with open(hint, "w") as fh:
+        fh.write("2")
+    assert M.latest_version(t) == 4
+    assert M.read_version(spark, t).count() == 20  # 4 appends of 5
