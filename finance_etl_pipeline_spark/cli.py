@@ -94,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="print the formatted physical plan instead of rows",
     )
+    sql_p.add_argument(
+        "--manifest-table",
+        action="append",
+        default=[],
+        metavar="NAME=DIR[@VERSION]",
+        help="register a versioned manifest table as a temp view "
+        "(repeatable); @VERSION time-travels, default latest. "
+        "Reads go through the manifest_table DataSource with "
+        "filter pushdown into footer-stats file skipping.",
+    )
 
     args = parser.parse_args(argv)
 
@@ -136,6 +146,33 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="adhoc-sql")
         for t in TABLES:
             table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        if args.manifest_table:
+            from finance_etl_pipeline_spark.sources.lakestream import (
+                ManifestTableDataSource,
+            )
+
+            spark.dataSource.register(ManifestTableDataSource)
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "true"
+            )
+            for spec in args.manifest_table:
+                name, _, rest = spec.partition("=")
+                tdir, _, ver = rest.partition("@")
+                if not name or not tdir:
+                    print(
+                        f"bad --manifest-table spec: {spec!r} "
+                        "(want NAME=DIR[@VERSION])",
+                        file=sys.stderr,
+                    )
+                    return 2
+                reader = (
+                    spark.read.format("manifest_table")
+                    .option("table_dir", tdir)
+                    .option("pushdown", "true")
+                )
+                if ver:
+                    reader = reader.option("version", int(ver))
+                reader.load().createOrReplaceTempView(name)
         df = spark.sql(args.statement)
         if args.explain:
             df.explain(mode="formatted")

@@ -222,6 +222,66 @@ def manifest_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_sql_pruned_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_totalprice < 100000.0 AND o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_sql_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface over a versioned table: register the
+    ``manifest_table`` Python DataSource and answer a filtered
+    aggregate through ``spark.sql``, with the WHERE pushed into
+    footer-stats FILE SKIPPING (the range-partitioned layout makes
+    the o_totalprice predicate prune whole files — the same
+    ``_file_may_match`` proofs as ``read_version(where=...)``) and a
+    merge-on-read tombstone applied executor-side as an Arrow mask.
+    A reader that prunes a file it should scan, misses the tombstone,
+    or drops the residual re-apply diverges from the symbolic
+    recompute."""
+    import tempfile
+
+    from finance_etl_pipeline_spark.sources.lakestream import (
+        ManifestTableDataSource,
+    )
+
+    t = tempfile.mkdtemp(prefix="mlake_sql_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.repartitionByRange(5, "o_totalprice"), t)
+    M.delete_where(t, [("o_orderstatus", "==", "F")])
+    spark.dataSource.register(ManifestTableDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    (
+        spark.read.format("manifest_table")
+        .option("table_dir", t)
+        .option("pushdown", "true")
+        .load()
+        .createOrReplaceTempView("manifest_sql_pruned_tbl")
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(sum(1) AS BIGINT) AS n_orders,
+               CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+                 AS sum_price_e2
+        FROM manifest_sql_pruned_tbl
+        WHERE o_totalprice < 100000.0
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
+@register(
     "manifest_compacted_read",
     f"""
     SELECT o_orderstatus,

@@ -1,14 +1,27 @@
-"""Streaming source over the manifest log: ``readStream`` a versioned
-table (operators/manifest.py) with VERSION NUMBERS as offsets — the
-plain-parquet analogue of Delta/Iceberg's table streaming.
+"""Batch + streaming source over the manifest log: ``spark.read`` /
+``readStream`` a versioned table (operators/manifest.py) as a
+first-class ``format("manifest_table")`` citizen — the plain-parquet
+analogue of Delta/Iceberg's table read surface.
 
-Why version offsets make this exactly-once for free: a version is an
-immutable FILE SET, so micro-batch (a, b] is "the data dirs appended
-by versions a+1..b" — a pure function of the offset pair.  A restarted
-query re-reads the same files bit-for-bit; no dedup state, no source
+BATCH (``reader``): resolves one snapshot (``version`` /
+``as_of`` / latest), routes supported predicates through the SAME
+footer-stats file-skipping proofs that ``read_version(where=...)``
+uses (``pushFilters`` — opt-in, see below), applies merge-on-read
+tombstones and schema-evolution NULL fill per file, and reconstructs
+hive partition columns from paths.  Every pushed filter is also
+yielded back to Spark for exact re-application — pruning is a
+may-match proof, never a semantics change.  This is the SQL surface
+(``cli.py sql --manifest-table name=dir``); the pure-JVM fast path
+for heavy jobs remains ``manifest.read_version``.
+
+STREAMING (``streamReader``): VERSION NUMBERS are the offsets.  A
+version is an immutable FILE SET, so micro-batch (a, b] is "the data
+dirs appended by versions a+1..b" — a pure function of the offset
+pair, which makes the source exactly-once for free: a restarted query
+re-reads the same files bit-for-bit; no dedup state, no source
 bookkeeping beyond Spark's own offset log.
 
-Contract: APPEND-ONLY streaming.  Version steps that rewrite history
+Streaming contract: APPEND-ONLY.  Version steps that rewrite history
 (``mode='overwrite'``) or tombstone rows (``mode='delete'``) are not
 expressible as an append stream; ``partitions()`` fails loudly on
 them rather than silently replaying or dropping rows — the consumer
@@ -37,8 +50,18 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
 )
 from pyspark.sql.types import StructType
 
@@ -60,8 +83,15 @@ def _read_manifest_safe(table_dir: str, version: int) -> dict:
 
 
 class ManifestTableDataSource(DataSource):
-    """``spark.readStream.format("manifest_table")`` after
-    registration.  Options: ``table_dir`` (required)."""
+    """``spark.read`` / ``spark.readStream`` ``.format("manifest_table")``
+    after registration.
+
+    Options: ``table_dir`` (required); batch adds ``version`` (int
+    time travel) or ``as_of`` (timestamp time travel, ISO-8601 or
+    epoch seconds) and ``pushdown`` ("true" enables ``pushFilters``
+    file skipping — requires the session conf
+    ``spark.sql.python.filterPushdown.enabled``, same opt-in shape as
+    the synthetic-events source); streaming adds ``starting_version``."""
 
     @classmethod
     def name(cls) -> str:
@@ -80,8 +110,25 @@ class ManifestTableDataSource(DataSource):
         from history already expired by vacuum)."""
         return int(self.options.get("starting_version", 0))
 
+    def _resolve_version(self) -> int:
+        """The snapshot a batch read resolves: explicit ``version``,
+        else ``as_of`` timestamp resolution, else the current tip."""
+        v = self.options.get("version")
+        as_of = self.options.get("as_of")
+        if v is not None and as_of is not None:
+            raise ValueError("pass version OR as_of, not both")
+        if v is not None:
+            return int(v)
+        if as_of is not None:
+            try:
+                as_of = float(as_of)
+            except ValueError:
+                pass  # ISO-8601 string form
+            return M.version_as_of(self._table_dir(), as_of)
+        return M.latest_version(self._table_dir())
+
     def schema(self) -> StructType:
-        v = M.latest_version(self._table_dir())
+        v = self._resolve_version()
         if v == 0:
             raise ValueError(
                 f"no published versions under {self._table_dir()}"
@@ -91,12 +138,288 @@ class ManifestTableDataSource(DataSource):
             raise ValueError(
                 "manifest predates schema records; rewrite the table"
             )
-        return StructType.fromJson(m["schema"])
+        schema = StructType.fromJson(m["schema"])
+        # all-nullable: schema evolution means any column can surface
+        # as NULL for files committed before it existed, and a
+        # not-null contract the reader cannot enforce would let Spark
+        # miscompile downstream null checks
+        for f in schema.fields:
+            f.nullable = True
+        return schema
+
+    def reader(self, schema) -> "ManifestBatchReader":
+        # same opt-in split as pydatasource.py: Spark refuses ANY read
+        # from a reader that merely DEFINES pushFilters() unless
+        # spark.sql.python.filterPushdown.enabled is on, so the
+        # pushdown-capable subclass only appears when asked for
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return ManifestBatchPushdownReader(
+                self._table_dir(), schema, self._resolve_version()
+            )
+        return ManifestBatchReader(
+            self._table_dir(), schema, self._resolve_version()
+        )
 
     def streamReader(self, schema) -> "ManifestStreamReader":
         return ManifestStreamReader(
             self._table_dir(), schema, self._starting_version()
         )
+
+
+class _SnapshotFilePart(InputPartition):
+    """One surviving data file of the resolved snapshot, with the
+    metadata its executor-side read needs: the tombstone conjunctions
+    scoped to its dir (already reduced to the ones its stats could
+    not prove fully-matching) and the hive partition values parsed
+    from its path (constants for every row of the file)."""
+
+    def __init__(
+        self,
+        path: str,
+        dels: list[list[tuple]],
+        part_values: dict[str, object],
+    ):
+        self.path = path
+        self.dels = dels
+        self.part_values = part_values
+
+
+def _coerce_for_arrow(value, typ):
+    """A JSON-stored predicate/partition value in the Python form
+    pyarrow compares correctly against column type ``typ`` (dates and
+    timestamps are stored as fixed-width strings — see
+    ``manifest._json_safe``)."""
+    import datetime
+
+    import pyarrow as pa
+
+    if value is None or not isinstance(value, str):
+        return value
+    if pa.types.is_date(typ):
+        return datetime.date.fromisoformat(value)
+    if pa.types.is_timestamp(typ):
+        fmt = "%Y-%m-%d %H:%M:%S.%f" if "." in value else "%Y-%m-%d %H:%M:%S"
+        return datetime.datetime.strptime(value, fmt)
+    return value
+
+
+def _const_matches(op: str, actual, value) -> bool:
+    """Evaluate one tombstone predicate against a per-file CONSTANT
+    (a hive partition value): True = every row of the file satisfies
+    it, False = no row does.  NULL constants never satisfy
+    comparisons (SQL three-valued logic collapses to False here)."""
+    if op == "is_null":
+        return actual is None
+    if op == "is_not_null":
+        return actual is not None
+    if actual is None:
+        return False
+    try:
+        if op == "in":
+            return actual in value
+        return {
+            "==": actual == value,
+            "!=": actual != value,
+            "<": actual < value,
+            "<=": actual <= value,
+            ">": actual > value,
+            ">=": actual >= value,
+        }[op]
+    except TypeError:
+        return False
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Batch half of the source: one snapshot, one partition per
+    surviving file.  Executors read their file via pyarrow and yield
+    Arrow RecordBatches aligned to the snapshot's logical schema —
+    missing columns (schema evolution) as typed NULLs, hive partition
+    columns as per-file constants, merge-on-read tombstones applied
+    as an Arrow compute mask.  No row-at-a-time Python anywhere."""
+
+    def __init__(self, table_dir: str, schema: StructType, version: int):
+        self.table_dir = table_dir
+        self.schema = schema
+        self.version = version
+        #: predicates available for file skipping (populated by the
+        #: pushdown subclass; pruning-only — Spark re-applies them)
+        self._skip_preds: list[tuple] = []
+
+    def partitions(self) -> Sequence[InputPartition]:
+        m = _read_manifest_safe(self.table_dir, self.version)
+        deletes = m.get("deletes", [])
+        files_meta = m.get("files", {})
+        dir_schemas = m.get("dir_schemas", {})
+        parts: list[InputPartition] = []
+        for d in m["dirs"]:
+            entries = files_meta.get(d)
+            if entries is None:
+                raise ValueError(
+                    f"dir {d} has no per-file manifest entries (legacy "
+                    "manifest); rewrite the table to use the batch reader"
+                )
+            sj = dir_schemas.get(d)
+            present = (
+                set(StructType.fromJson(sj).fieldNames()) if sj else None
+            )
+            del_preds = [
+                [M._normalize_pred(tuple(p)) for p in dl["preds"]]
+                for dl in deletes
+                if d in dl["dirs"]
+            ]
+            for e in entries:
+                if self._skip_preds and not M._file_may_match(
+                    e, self._skip_preds, present
+                ):
+                    continue
+                if any(
+                    M._file_all_match(e, dp, present) for dp in del_preds
+                ):
+                    continue
+                rel = e["path"]
+                part_values: dict[str, object] = {}
+                for comp in rel.split("/")[:-1]:
+                    if "=" in comp:
+                        k, _, v = comp.partition("=")
+                        part_values[k] = (
+                            None
+                            if v == "__HIVE_DEFAULT_PARTITION__"
+                            else M._parse_partition_value(v)
+                        )
+                # only tombstones the stats could not already decide
+                live_dels = [
+                    dp
+                    for dp in del_preds
+                    if M._file_may_match(e, dp, present)
+                ]
+                parts.append(
+                    _SnapshotFilePart(
+                        os.path.join(self.table_dir, d, rel),
+                        live_dels,
+                        part_values,
+                    )
+                )
+        return parts if parts else [_SnapshotFilePart("", [], {})]
+
+    def read(self, part: _SnapshotFilePart) -> Iterator:
+        if not part.path:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        pf = pq.ParquetFile(part.path)
+        physical = set(pf.schema_arrow.names)
+        want = [n for n in target.names if n in physical]
+
+        def tombstone_mask(batch: pa.RecordBatch):
+            """AND-of-ORs is not needed — each tombstone is a
+            conjunction; a row matching ANY tombstone is deleted.
+            Returns the KEEP mask, or None for keep-everything."""
+            delete_any = None
+            for conj in part.dels:
+                mask = None  # all-true until a predicate narrows it
+                for col, op, value in conj:
+                    if col in part.part_values:
+                        if _const_matches(op, part.part_values[col], value):
+                            continue  # satisfied by every row
+                        mask = False
+                        break
+                    if col not in physical:
+                        # column reads as NULL in this file
+                        if op == "is_null":
+                            continue
+                        mask = False
+                        break
+                    arr = batch.column(col)
+                    if op == "is_null":
+                        m_ = pc.is_null(arr)
+                    elif op == "is_not_null":
+                        m_ = pc.is_valid(arr)
+                    elif op == "in":
+                        vs = [_coerce_for_arrow(v, arr.type) for v in value]
+                        m_ = pc.is_in(
+                            arr, value_set=pa.array(vs, type=arr.type)
+                        )
+                    else:
+                        v = _coerce_for_arrow(value, arr.type)
+                        m_ = {
+                            "==": pc.equal,
+                            "!=": pc.not_equal,
+                            "<": pc.less,
+                            "<=": pc.less_equal,
+                            ">": pc.greater,
+                            ">=": pc.greater_equal,
+                        }[op](arr, pa.scalar(v, type=arr.type))
+                    # NULL comparison results never match the delete
+                    m_ = pc.fill_null(m_, False)
+                    mask = m_ if mask is None else pc.and_(mask, m_)
+                if mask is False:
+                    continue  # this tombstone matches no row here
+                if mask is None:
+                    return "all"  # every row of the file is deleted
+                delete_any = (
+                    mask if delete_any is None else pc.or_(delete_any, mask)
+                )
+            if delete_any is None:
+                return None
+            return pc.invert(delete_any)
+
+        for batch in pf.iter_batches(columns=want):
+            keep = tombstone_mask(batch)
+            if isinstance(keep, str):  # "all": every row tombstoned
+                continue
+            if keep is not None:
+                batch = batch.filter(keep)
+            n = batch.num_rows
+            arrays = []
+            for field in target:
+                if field.name in physical:
+                    arrays.append(batch.column(field.name).cast(field.type))
+                elif field.name in part.part_values:
+                    v = _coerce_for_arrow(
+                        part.part_values[field.name], field.type
+                    )
+                    arrays.append(pa.array([v] * n, type=field.type))
+                else:
+                    arrays.append(pa.nulls(n, type=field.type))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class ManifestBatchPushdownReader(ManifestBatchReader):
+    """Pushdown-capable variant (separate class for the same conf
+    opt-in reason as ``SyntheticEventsPushdownReader``).  Supported
+    predicates are translated to the manifest's (col, op, value)
+    triples and used ONLY to prune the file list against the per-file
+    footer stats — exactly ``read_version(where=...)``'s proofs.
+    Every filter (supported or not) is yielded back, so Spark
+    re-applies all of them exactly: a may-match proof can keep a file
+    whose rows then fail the filter; it can never change an answer."""
+
+    _OPS = {
+        EqualTo: "==",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(attr, tuple) and len(attr) == 1:
+                col = attr[0]
+                if isinstance(f, IsNull):
+                    self._skip_preds.append((col, "is_null", None))
+                elif isinstance(f, IsNotNull):
+                    self._skip_preds.append((col, "is_not_null", None))
+                elif isinstance(f, In):
+                    self._skip_preds.append((col, "in", list(f.value)))
+                elif type(f) in self._OPS:
+                    self._skip_preds.append((col, self._OPS[type(f)], f.value))
+            yield f  # ALWAYS returned: pruning-only, Spark re-applies
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -152,9 +475,10 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "changefeed instead"
                     )
                 sj = m.get("dir_schemas", {}).get(d)
-                if sj is not None and StructType.fromJson(
-                    sj
-                ) != self.schema:
+                if sj is not None and [
+                    (f.name, f.dataType)
+                    for f in StructType.fromJson(sj).fields
+                ] != [(f.name, f.dataType) for f in self.schema.fields]:
                     raise ValueError(
                         f"dir {d} was committed with a different "
                         "schema than the stream started with; "

@@ -106,3 +106,37 @@ def test_curate_subcommand_writes_packed_and_audit(tmp_path):
     assert "raw:" in r.stdout and "packed_sequences:" in r.stdout
     assert os.path.isdir(os.path.join(out, "packed_sequences"))
     assert os.path.isdir(os.path.join(out, "curation_audit"))
+
+
+def test_sql_subcommand_manifest_table_view(tmp_path):
+    """--manifest-table registers a versioned table as a temp view
+    backed by the manifest_table DataSource (pushdown on), including
+    @VERSION time travel."""
+    import pyspark.sql.functions as F
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+    from finance_etl_pipeline_spark.session import get_spark
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    spark = get_spark(app_name="cli-mt-setup")
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), tbl)
+    M.commit(o, tbl, mode="overwrite")
+    n_v1 = o.filter(F.col("o_orderkey") % 2 == 0).count()
+
+    r = _run(
+        "sql",
+        "--manifest-table",
+        f"t={tbl}@1",
+        "SELECT count(*) AS n FROM t WHERE o_totalprice > 0",
+        "--limit",
+        "5",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert str(n_v1) in r.stdout
+
+    r2 = _run("sql", "--manifest-table", "garbage-spec", "SELECT 1")
+    assert r2.returncode == 2

@@ -1,0 +1,207 @@
+"""Batch reads of manifest tables through the Python DataSource:
+``spark.read.format("manifest_table")`` must equal
+``manifest.read_version`` on the full feature matrix (schema
+evolution, merge-on-read deletes/updates, hive partitions, time
+travel), and the pushdown reader must materialize a strict SUBSET of
+files for a selective predicate while never changing answers."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.sources.lakestream import (
+    ManifestBatchPushdownReader,
+    ManifestTableDataSource,
+)
+from finance_etl_pipeline_spark.sources.readers import table
+
+
+def _batch_df(spark, tbl, **opts):
+    spark.dataSource.register(ManifestTableDataSource)
+    r = spark.read.format("manifest_table").option("table_dir", tbl)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def _assert_same(got, want):
+    # names + types; nullability is all-True on the DataSource side by
+    # design (schema evolution can NULL-fill any column)
+    assert [(f.name, f.dataType) for f in got.schema.fields] == [
+        (f.name, f.dataType) for f in want.schema.fields
+    ]
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_batch_read_full_feature_matrix(spark, sf_dir, tmp_path):
+    """One table exercising every read-side feature at once: plain
+    append, hive-partitioned append, schema evolution, a merge-on-read
+    delete, and an update — the DataSource read must equal
+    read_version at the tip AND at every historical version."""
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 4 == 0).repartition(3), tbl)
+    M.commit(
+        o.filter(F.col("o_orderkey") % 4 == 1),
+        tbl,
+        partition_by=["o_orderstatus"],
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 4 == 2).withColumn(
+            "o_channel", F.lit("online")
+        ),
+        tbl,
+    )
+    M.delete_where(tbl, [("o_orderstatus", "==", "F")])
+    M.update_where(
+        spark,
+        tbl,
+        [("o_totalprice", ">", 200000.0)],
+        {"o_totalprice": F.col("o_totalprice") - 1.0},
+    )
+
+    tip = M.latest_version(tbl)
+    for v in range(1, tip + 1):
+        _assert_same(
+            _batch_df(spark, tbl, version=v),
+            M.read_version(spark, tbl, v),
+        )
+    _assert_same(_batch_df(spark, tbl), M.read_version(spark, tbl))
+
+
+def test_batch_read_as_of_timestamp(spark, sf_dir, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(10), tbl)
+    M.commit(o.limit(25), tbl, mode="overwrite")
+    with open(os.path.join(tbl, "_manifests", "v000001.json")) as fh:
+        ts1 = json.load(fh)["ts"]
+    with open(os.path.join(tbl, "_manifests", "v000002.json")) as fh:
+        ts2 = json.load(fh)["ts"]
+    mid = (ts1 + ts2) / 2
+    assert _batch_df(spark, tbl, as_of=str(mid)).count() == 10
+    assert _batch_df(spark, tbl, as_of=str(ts2 + 60)).count() == 25
+
+
+def test_pushdown_prunes_strict_file_subset(spark, sf_dir, tmp_path):
+    """The metadata proof: a selective range predicate must shrink the
+    partition (file) list the reader materializes, and the pruned set
+    must be exactly what read_version's file skipping would scan."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        Not,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # range-partitioned layout → disjoint per-file min/max stats
+    M.commit(o.repartitionByRange(6, "o_orderkey"), tbl)
+
+    schema = M.read_version(spark, tbl).schema
+    full = ManifestBatchPushdownReader(tbl, schema, 1).partitions()
+    assert len(full) == 6
+
+    r = ManifestBatchPushdownReader(tbl, schema, 1)
+    cut = int(o.agg(F.expr("percentile(o_orderkey, 0.5)")).first()[0])
+    returned = list(
+        r.pushFilters(
+            [
+                LessThan(("o_orderkey",), cut),
+                # unsupported SHAPE: no attribute → skipped for
+                # pruning, still yielded back
+                Not(EqualTo(("o_orderkey",), 1)),
+            ]
+        )
+    )
+    assert len(returned) == 2  # EVERYTHING yielded back for re-apply
+    pruned = r.partitions()
+    assert 0 < len(pruned) < len(full)  # strict subset
+    assert {p.path for p in pruned} == set(
+        M.files_for_version(tbl, 1, where=[("o_orderkey", "<", cut)])
+    )
+
+    # equality-point and empty-range shapes
+    r2 = ManifestBatchPushdownReader(tbl, schema, 1)
+    list(r2.pushFilters([GreaterThanOrEqual(("o_orderkey",), 10**15)]))
+    none = r2.partitions()
+    assert len(none) == 1 and none[0].path == ""  # empty sentinel
+
+
+def test_pushdown_e2e_sql_equals_read_version(spark, sf_dir, tmp_path):
+    """End to end through Spark SQL with the pushdown conf on: the
+    filtered aggregate over the DataSource view equals the same over
+    read_version(where=...) — pruning never changes answers, even with
+    a tombstone outstanding."""
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.repartitionByRange(5, "o_totalprice"), tbl)
+    M.delete_where(tbl, [("o_orderstatus", "==", "P")])
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = _batch_df(spark, tbl, pushdown="true")
+        df.createOrReplaceTempView("mtbl")
+        got = spark.sql(
+            "SELECT o_orderstatus, count(*) AS n, "
+            "CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents "
+            "FROM mtbl WHERE o_totalprice < 100000.0 "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        want = (
+            M.read_version(
+                spark, tbl, where=[("o_totalprice", "<", 100000.0)]
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()
+        ]
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
+def test_delete_on_partition_column_via_batch_reader(spark, sf_dir, tmp_path):
+    """Tombstone predicates on hive partition columns evaluate against
+    the per-file path constants (the column is not in the data file)."""
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o, tbl, partition_by=["o_orderstatus"])
+    M.delete_where(tbl, [("o_orderstatus", "==", "O")])
+    got = _batch_df(spark, tbl)
+    assert got.filter(F.col("o_orderstatus") == "O").count() == 0
+    _assert_same(got, M.read_version(spark, tbl))
+
+
+def test_batch_reader_version_not_found(spark, sf_dir, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(5), tbl)
+    with pytest.raises(Exception, match="not found|never"):
+        _batch_df(spark, tbl, version=9).count()
