@@ -69,6 +69,12 @@ class ConcurrentTableModificationError(RuntimeError):
     safely recomposed (e.g. ``update_where`` over a moved tip) — the
     caller re-runs against the new snapshot."""
 
+
+class _TxnAlreadyApplied(Exception):
+    """Internal: a ``txn``-stamped commit found its (app_id, version)
+    already recorded — the write is a replay and must become a no-op,
+    not a duplicate version."""
+
 #: predicate triple ops accepted by ``read_version(where=...)``
 _COMPARISONS = ("==", "!=", "<", "<=", ">", ">=", "in")
 
@@ -398,12 +404,35 @@ def _publish(table_dir: str, build_payload) -> int:
         return prev + 1
 
 
+def _txn_seen(m: dict | None, txn) -> bool:
+    """True when the manifest already records this writer txn at or
+    beyond the given version — the write is a replay."""
+    if not txn or not m:
+        return False
+    app, ver = txn
+    prev = m.get("txns", {}).get(str(app))
+    return prev is not None and int(ver) <= prev
+
+
+def _carry_txns(m: dict | None, txn=None) -> dict:
+    """The txns map for the next manifest: carried forward verbatim
+    (writer idempotence must survive overwrites, deletes, and
+    compaction — it is about the WRITER's progress, not the data),
+    plus this commit's stamp."""
+    txns = dict(m.get("txns", {})) if m else {}
+    if txn:
+        app, ver = txn
+        txns[str(app)] = int(ver)
+    return txns
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     expected_base: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and publish the next
     version.  ``mode='append'`` extends the previous file set (and may
@@ -427,9 +456,23 @@ def commit(
     if any other version landed since — the OCC primitive that
     ``compact_table`` and ``merge_into`` build on, because their
     payloads are derived FROM a snapshot and silently publishing over
-    a moved tip would drop the interleaved commit (a lost update)."""
+    a moved tip would drop the interleaved commit (a lost update).
+
+    ``txn=(app_id, txn_version)`` makes the commit IDEMPOTENT per
+    writer (Delta's txnAppId/txnVersion pattern): the manifest carries
+    a ``txns`` map of each app's highest applied version, and a commit
+    whose txn_version is <= the recorded one becomes a NO-OP returning
+    the current tip — the exactly-once primitive a ``foreachBatch``
+    streaming sink needs, because Spark re-executes a micro-batch
+    after a crash between the sink action and the checkpoint advance.
+    The map survives overwrites/deletes/compaction: it tracks WRITER
+    progress, not data."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
+    if txn is not None:
+        tip = latest_version(table_dir)
+        if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
+            return tip  # replay detected before any data was written
     token = uuid.uuid4().hex[:12]
     # data dir name carries no version: the version is assigned at
     # publish time, after the (possibly contended) race
@@ -449,6 +492,11 @@ def commit(
                 f"commit was computing against v{expected_base}; "
                 "re-run against the new snapshot"
             )
+        m = _read_manifest(table_dir, prev) if prev > 0 else None
+        if _txn_seen(m, txn):
+            # a concurrent instance of the same writer published this
+            # txn between the early check and here — replay, back out
+            raise _TxnAlreadyApplied()
         if mode == "overwrite" or prev == 0:
             dirs: list[str] = []
             files: dict[str, list] = {}
@@ -457,7 +505,6 @@ def commit(
             deletes: list[dict] = []  # overwrite materializes/clears
             schema = df.schema
         else:
-            m = _read_manifest(table_dir, prev)
             dirs = list(m["dirs"])
             files = dict(m.get("files", {}))
             dir_schemas = dict(m.get("dir_schemas", {}))
@@ -483,9 +530,14 @@ def commit(
             "partitioned_dirs": part_dirs,
             "deletes": deletes,
             "schema": schema.jsonValue(),
+            "txns": _carry_txns(m, txn),
         }
 
-    return _publish(table_dir, build)
+    try:
+        return _publish(table_dir, build)
+    except _TxnAlreadyApplied:
+        shutil.rmtree(abs_dir, ignore_errors=True)  # orphaned data
+        return latest_version(table_dir)
 
 
 def _normalize_pred(p) -> tuple[str, str, object]:
@@ -827,6 +879,7 @@ def delete_where(table_dir: str, where: list[tuple]) -> int:
         dels = list(m.get("deletes", []))
         dels.append({"preds": stored, "dirs": list(m["dirs"])})
         payload["deletes"] = dels
+        payload["txns"] = _carry_txns(m)
         return payload
 
     return _publish(table_dir, build)
@@ -915,9 +968,200 @@ def update_where(
             "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
             "deletes": deletes,
             "schema": m["schema"],
+            "txns": _carry_txns(m),
         }
 
     return _publish(table_dir, build)
+
+
+def _strip_file_uri(u: str) -> str:
+    """``input_file_name()`` URI → plain filesystem path."""
+    if u.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(u).path)
+    return u
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+    order_col: str | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Row-level MERGE as ONE conflict-aborting manifest version —
+    copy-on-write at FILE granularity, the Delta/Iceberg MERGE INTO
+    shape on the plain-parquet log:
+
+    * matched keys → source row (update); unmatched source keys →
+      insert; unmatched target keys → untouched.  ``delete_col``
+      flags source rows whose key is deleted instead;``order_col``
+      compacts duplicate source keys to the latest (CDC semantics) —
+      identical semantics to ``operators/merge.py::upsert``, which
+      performs the row work.
+    * only the FILES that contain a matched key are rewritten: the
+      touched-file set comes from a key semi-join over the snapshot
+      tagged with ``input_file_name()`` (the driver collects one row
+      per touched FILE, never per row), stats-pre-pruned by the source
+      key range when the key is a single column.  Untouched files
+      carry over by reference — cost ∝ |touched files| + |source|,
+      not the table.
+    * the rewritten dir + the untouched remainder publish as ONE
+      version pinned to the snapshot the merge read
+      (``ConcurrentTableModificationError`` on a moved tip, like
+      ``update_where``), so readers never see a half-merged state and
+      a concurrent append cannot be silently dropped.
+    * ``txn=(app_id, version)`` makes the merge idempotent under
+      micro-batch replay (see ``commit``) — the streaming CDC sink's
+      exactly-once primitive.
+
+    Time travel composes: the pre-merge version still reads the old
+    file set; ``vacuum`` reclaims rewritten files after retention."""
+    from finance_etl_pipeline_spark.operators.merge import upsert
+
+    if txn is not None:
+        tip = latest_version(table_dir)
+        if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
+            return tip
+
+    base = latest_version(table_dir)
+    if base == 0:
+        # bootstrap: MERGE into an empty table = the insert-only half.
+        # delete_col/order_col are treated as CDC bookkeeping, not
+        # data — the table's columns are the source's payload columns.
+        target = spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    f
+                    for f in source.schema.fields
+                    if f.name not in (delete_col, order_col)
+                ]
+            ),
+        )
+        first = upsert(
+            target, source, keys, delete_col=delete_col, order_col=order_col
+        )
+        return commit(
+            first, table_dir, mode="overwrite", expected_base=0, txn=txn
+        )
+
+    m0 = _read_manifest(table_dir, base)
+    files0 = m0.get("files")
+    if files0 is None or set(m0["dirs"]) - set(files0):
+        raise ValueError(
+            "legacy manifest without per-file entries; rewrite the table"
+        )
+    logical = StructType.fromJson(m0["schema"])
+    aux = {delete_col} | (
+        {order_col} if order_col not in logical.fieldNames() else set()
+    )
+    src_types = {
+        f.name: f.dataType
+        for f in source.schema.fields
+        if f.name not in aux
+    }
+    for f in logical.fields:
+        if f.name not in src_types:
+            raise ValueError(f"source lacks table column {f.name}")
+        if src_types[f.name] != f.dataType:
+            raise ValueError(
+                f"type mismatch on {f.name}: table {f.dataType} vs "
+                f"source {src_types[f.name]}"
+            )
+    if set(src_types) - set(logical.fieldNames()):
+        raise ValueError(
+            "MERGE cannot add columns: "
+            f"{sorted(set(src_types) - set(logical.fieldNames()))}"
+        )
+
+    # find the touched files: key semi-join over the snapshot, file
+    # list stats-pruned by the source key envelope first (a small
+    # delta against a big clustered table touches few files)
+    where = None
+    if len(keys) == 1:
+        b = source.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).first()
+        if (
+            b["lo"] is not None
+            and _json_safe(b["lo"]) is not None
+            and _json_safe(b["hi"]) is not None
+        ):
+            where = [(keys[0], ">=", b["lo"]), (keys[0], "<=", b["hi"])]
+    probe = read_version(spark, table_dir, base, where=where).withColumn(
+        "__file", F.input_file_name()
+    )
+    raw_files = [
+        r["__file"]
+        for r in probe.join(
+            source.select(*keys).distinct(), keys, "left_semi"
+        )
+        .select("__file")
+        .distinct()
+        .collect()  # one row per touched FILE — bounded by #files
+    ]
+    touched = {_strip_file_uri(u) for u in raw_files}
+
+    tgt = read_version(spark, table_dir, base).withColumn(
+        "__file", F.input_file_name()
+    )
+    tgt_touched = tgt.filter(
+        F.col("__file").isin(raw_files) if raw_files else F.lit(False)
+    ).drop("__file")
+    merged = upsert(
+        tgt_touched, source, keys, delete_col=delete_col, order_col=order_col
+    )
+
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA, f"commit-{token}")
+    abs_dir = os.path.join(table_dir, rel)
+    merged.write.parquet(abs_dir)
+    file_entries = _harvest_stats(abs_dir)
+    schema_json = merged.schema.jsonValue()
+
+    def build(prev: int) -> dict:
+        if prev != base:
+            raise ConcurrentTableModificationError(
+                f"table advanced to v{prev} while merge_into was "
+                f"computing against v{base}; re-run the merge"
+            )
+        m = _read_manifest(table_dir, prev)
+        if _txn_seen(m, txn):
+            raise _TxnAlreadyApplied()
+        dirs: list[str] = []
+        files: dict[str, list] = {}
+        for d in m["dirs"]:
+            kept = [
+                e
+                for e in m["files"][d]
+                if os.path.join(table_dir, d, e["path"]) not in touched
+            ]
+            dirs.append(d)
+            files[d] = kept
+        dir_schemas = dict(m.get("dir_schemas", {}))
+        dirs.append(rel)
+        files[rel] = file_entries
+        dir_schemas[rel] = schema_json
+        return {
+            "dirs": dirs,
+            "mode": "merge",
+            "files": files,
+            "dir_schemas": dir_schemas,
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            "schema": m["schema"],
+            "txns": _carry_txns(m, txn),
+        }
+
+    try:
+        return _publish(table_dir, build)
+    except _TxnAlreadyApplied:
+        shutil.rmtree(abs_dir, ignore_errors=True)
+        return latest_version(table_dir)
 
 
 def count_rows(

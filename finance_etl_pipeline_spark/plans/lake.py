@@ -222,6 +222,61 @@ def manifest_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_merge_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                         THEN {sql_igrid('o_totalprice * 2.0', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+                AS BIGINT) AS sum_price_e2
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+      AND NOT (o_orderkey % 9 = 0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the driver path: commit even-key orders, then
+    merge a source of key%3==0 rows at doubled price with key%9==0
+    flagged for delete — one atomic version doing update (even ∩ %3),
+    insert (odd ∩ %3), and delete (%9, which implies %3) at file
+    granularity (operators/manifest.py::merge_into).  The aggregate
+    over the post-merge snapshot diverges if the merge double-applies
+    an update, loses a carried-over file, resurrects a deleted key,
+    or drops an insert."""
+    t = tempfile.mkdtemp(prefix="mlake_mrg_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        t,
+    )
+    src = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("__del", F.col("o_orderkey") % 9 == 0)
+    )
+    M.merge_into(spark, t, src, ["o_orderkey"], delete_col="__del")
+    return (
+        M.read_version(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # merged rows already HOLD the doubled price (applied in
+            # the source before the merge) — one igrid covers both
+            F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "manifest_sql_pruned_read",
     f"""
     SELECT o_orderstatus,

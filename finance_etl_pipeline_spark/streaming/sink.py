@@ -1,4 +1,5 @@
-"""Streaming CDC sink: foreachBatch → MERGE into a plain-Parquet table.
+"""Streaming CDC sinks: foreachBatch → MERGE into a plain-Parquet
+table, or exactly-once commits/merges INTO a versioned manifest table.
 
 Connects the streaming layer to the batch merge operator
 (operators/merge.py): every micro-batch is upserted into the target
@@ -121,5 +122,62 @@ def apply_changefeed_each_batch(
         tmp = path.rstrip("/") + "._cdc_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         _swap_in(path, tmp, old)
+
+    return stream.writeStream.foreachBatch(_process)
+
+
+def append_stream_to_manifest(stream: DataFrame, table_dir: str, app_id: str):
+    """writeStream query that appends every micro-batch to a manifest
+    table (operators/manifest.py) EXACTLY ONCE.
+
+    foreachBatch is at-least-once: Spark re-executes a micro-batch
+    after a crash between the sink action and the checkpoint advance,
+    and a plain append would double-commit it.  Stamping each commit
+    with ``txn=(app_id, batch_id)`` (the Delta txnAppId/txnVersion
+    pattern) makes the replay a NO-OP: the manifest records the
+    writer's highest applied batch and refuses to re-apply — one
+    version per batch, no duplicate rows, no dedup state in the
+    query.  ``app_id`` must be stable across restarts (use the
+    checkpoint's identity, e.g. a pipeline name — NOT the run id,
+    which changes per restart)."""
+    from finance_etl_pipeline_spark.operators import manifest as M
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        M.commit(batch_df, table_dir, mode="append", txn=(app_id, batch_id))
+
+    return stream.writeStream.foreachBatch(_process)
+
+
+def apply_changefeed_to_manifest_each_batch(
+    stream: DataFrame,
+    spark: SparkSession,
+    table_dir: str,
+    keys: list[str],
+    app_id: str,
+):
+    """``apply_changefeed_each_batch``'s exactly-once twin with a
+    MANIFEST TABLE as the replica: each micro-batch of changefeed rows
+    (change_type + version + payload) lands as ONE ``merge_into``
+    version — per-key latest-``version`` resolution, 'removed' rows
+    delete, 'added'/'changed' upsert — stamped ``txn=(app_id,
+    batch_id)`` so a replayed batch is a no-op instead of a duplicate
+    version.  No directory swap at all: the manifest publish is
+    atomic, readers time-travel mid-apply, and a crash at ANY point
+    leaves either the old or the new version, never a torn replica."""
+    from finance_etl_pipeline_spark.operators import manifest as M
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        src = batch_df.withColumn(
+            "__is_delete", F.col("change_type") == "removed"
+        ).drop("change_type")
+        M.merge_into(
+            spark,
+            table_dir,
+            src,
+            keys,
+            delete_col="__is_delete",
+            order_col="version",
+            txn=(app_id, batch_id),
+        )
 
     return stream.writeStream.foreachBatch(_process)

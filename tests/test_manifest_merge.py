@@ -1,0 +1,278 @@
+"""MERGE INTO as one manifest version + exactly-once streaming
+commits: row semantics (update/insert/delete, CDC compaction),
+file-granularity copy-on-write (untouched files carry over by
+reference), snapshot conflict-abort, txn (app_id, batch_id)
+idempotence under micro-batch replay, and the end-to-end
+changefeed → manifest-replica loop with a forced replay."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.sources.readers import table
+from finance_etl_pipeline_spark.streaming.sink import (
+    append_stream_to_manifest,
+    apply_changefeed_to_manifest_each_batch,
+)
+
+
+def _orders(spark, sf_dir):
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _as_map(df):
+    return {r["o_orderkey"]: tuple(r)[1:] for r in df.collect()}
+
+
+def test_merge_into_update_insert_delete(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    M.commit(even.repartitionByRange(4, "o_orderkey"), t)
+
+    src = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("__del", F.col("o_orderkey") % 9 == 0)
+    )
+    v = M.merge_into(spark, t, src, ["o_orderkey"], delete_col="__del")
+    assert v == 2
+
+    got = _as_map(M.read_version(spark, t))
+    want = {}
+    for r in o.collect():
+        k, status, price = r["o_orderkey"], r["o_orderstatus"], r["o_totalprice"]
+        in_src = k % 3 == 0
+        deleted = in_src and k % 9 == 0
+        if k % 2 == 0 and not in_src:
+            want[k] = (status, price)
+        elif in_src and not deleted:
+            want[k] = (status, price * 2.0)
+    assert got == want
+    # time travel: the pre-merge snapshot is untouched
+    assert _as_map(M.read_version(spark, t, 1)) == _as_map(even)
+
+
+def test_merge_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    """File-granularity COW: a merge whose keys land in one range
+    partition must carry every other file over BY REFERENCE (same
+    path in the new manifest), not rewrite the table."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.repartitionByRange(6, "o_orderkey"), t)
+    before = set(M.files_for_version(t, 1))
+    assert len(before) == 6
+
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    src = o.filter(F.col("o_orderkey") == lo).withColumn(
+        "o_totalprice", F.lit(1.0)
+    )
+    M.merge_into(spark, t, src, ["o_orderkey"])
+    after = set(M.files_for_version(t, 2))
+    carried = before & after
+    assert len(before - after) == 1  # exactly one file rewritten
+    assert len(carried) == 5  # the rest carried by reference
+    got = M.read_version(spark, t)
+    assert got.count() == o.count()
+    assert got.filter(F.col("o_orderkey") == lo).first()["o_totalprice"] == 1.0
+
+
+def test_merge_conflict_aborts_on_moved_tip(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+
+    real_publish = M._publish
+
+    def racing_publish(table_dir, build):
+        M._publish = real_publish
+        M.commit(o.filter(F.col("o_orderkey") % 2 == 1).limit(5), t)
+        return real_publish(table_dir, build)
+
+    M._publish = racing_publish
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.merge_into(
+                spark,
+                t,
+                o.filter(F.col("o_orderkey") % 10 == 0),
+                ["o_orderkey"],
+            )
+    finally:
+        M._publish = real_publish
+    assert M.latest_version(t) == 2  # only the interleaved append landed
+
+
+def test_merge_rejects_schema_drift_and_dup_keys(spark, sf_dir, tmp_path):
+    from finance_etl_pipeline_spark.operators.merge import (
+        DuplicateMergeKeysError,
+    )
+
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.limit(50), t)
+    with pytest.raises(ValueError, match="lacks table column"):
+        M.merge_into(
+            spark, t, o.select("o_orderkey", "o_totalprice"), ["o_orderkey"]
+        )
+    with pytest.raises(ValueError, match="cannot add columns"):
+        M.merge_into(
+            spark, t, o.withColumn("extra", F.lit(1)), ["o_orderkey"]
+        )
+    dup = o.limit(5).unionAll(o.limit(5))
+    with pytest.raises(DuplicateMergeKeysError):
+        M.merge_into(spark, t, dup, ["o_orderkey"])
+
+
+def test_txn_commit_is_idempotent_and_survives_rewrites(
+    spark, sf_dir, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    b0 = o.limit(10)
+    b1 = o.limit(25)
+
+    v = M.commit(b0, t, txn=("app", 0))
+    assert v == 1
+    # replay of batch 0: NO-OP — same version, same rows, no orphan dir
+    assert M.commit(b0, t, txn=("app", 0)) == 1
+    assert M.latest_version(t) == 1
+    assert M.read_version(spark, t).count() == 10
+    data_dirs = os.listdir(os.path.join(t, "data"))
+    assert len(data_dirs) == 1
+
+    # the next batch advances; an older batch id replays as no-op too
+    assert M.commit(b1, t, txn=("app", 1)) == 2
+    assert M.commit(b0, t, txn=("app", 0)) == 2
+    # a DIFFERENT writer app is independent
+    assert M.commit(b0, t, txn=("other", 0)) == 3
+
+    # the txns map survives delete/update/compact/overwrite
+    M.delete_where(t, [("o_totalprice", "<", 0.0)])
+    M.update_where(
+        spark, t, [("o_orderkey", ">=", 0)], {"o_totalprice": F.lit(1.0)}
+    )
+    M.compact_table(spark, t, target_bytes=64 * 1024)
+    M.commit(b1, t, mode="overwrite")
+    tip = M.latest_version(t)
+    with open(os.path.join(t, "_manifests", f"v{tip:06d}.json")) as fh:
+        txns = json.load(fh)["txns"]
+    assert txns == {"app": 1, "other": 0}
+    assert M.commit(b0, t, txn=("app", 1)) == tip  # still a replay
+
+
+def test_merge_into_txn_replay_is_noop(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    src = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.lit(5.0)
+    )
+    v = M.merge_into(spark, t, src, ["o_orderkey"], txn=("cdc", 7))
+    assert v == 2
+    assert M.merge_into(spark, t, src, ["o_orderkey"], txn=("cdc", 7)) == 2
+    assert M.latest_version(t) == 2
+    n5 = M.read_version(spark, t).filter(F.col("o_totalprice") == 5.0).count()
+    assert n5 == src.count()
+
+
+def test_append_stream_exactly_once_under_forced_replay(
+    spark, sf_dir, tmp_path
+):
+    """End to end: a file stream appends into a manifest table via
+    availableNow; restarting with a FRESH checkpoint replays batch 0
+    with the same (app_id, batch_id) — the table must not change."""
+    src_dir = str(tmp_path / "in")
+    t = str(tmp_path / "tbl")
+    os.makedirs(src_dir)
+    o = _orders(spark, sf_dir).limit(200)
+    o.coalesce(1).write.parquet(os.path.join(src_dir, "f0"))
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(o.schema).parquet(src_dir + "/f*")
+        q = (
+            append_stream_to_manifest(stream, t, "pipeline-x")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    drain("ck1")
+    assert M.latest_version(t) == 1
+    assert M.read_version(spark, t).count() == 200
+
+    drain("ck2")  # fresh checkpoint = the crash-replay shape
+    assert M.latest_version(t) == 1  # no duplicate version
+    assert M.read_version(spark, t).count() == 200
+
+
+def test_changefeed_to_manifest_replica_converges_and_replays(
+    spark, sf_dir, tmp_path
+):
+    """The exactly-once CDC loop: manifest source table → changefeed
+    files → streaming merge_into a manifest REPLICA.  The replica must
+    equal read_version(latest) of the source, and a forced replay
+    (fresh checkpoint over the same feed) must be a no-op."""
+    src_tbl = str(tmp_path / "src")
+    rep_tbl = str(tmp_path / "rep")
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    o = _orders(spark, sf_dir)
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), src_tbl)
+    v2 = o.filter(F.col("o_orderkey") % 3 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    M.commit(v2, src_tbl, mode="overwrite")
+
+    keys = ["o_orderkey"]
+    feed_schema = M.changefeed_rows(spark, src_tbl, keys, 1, 2).schema
+    M.changefeed_rows(spark, src_tbl, keys, 0, 1).coalesce(1).write.parquet(
+        os.path.join(feed, "step0")
+    )
+    M.changefeed_rows(spark, src_tbl, keys, 1, 2).coalesce(1).write.parquet(
+        os.path.join(feed, "step1")
+    )
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed + "/step*")
+        )
+        q = (
+            apply_changefeed_to_manifest_each_batch(
+                stream, spark, rep_tbl, keys, "cdc-loop"
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    drain("ck1")
+    got = M.read_version(spark, rep_tbl)
+    want = M.read_version(spark, src_tbl, 2)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    tip = M.latest_version(rep_tbl)
+    drain("ck2")  # replay the whole feed with the same batch ids
+    assert M.latest_version(rep_tbl) == tip
+    got2 = M.read_version(spark, rep_tbl)
+    assert got2.count() == want.count()
+    assert got2.exceptAll(want).count() == 0

@@ -1,6 +1,6 @@
 """Model-based check of the manifest DML surface: a seeded random
-sequence of commit/overwrite/delete_where/update_where/compact_table
-ops runs against both the real versioned table and a pure-Python
+sequence of commit/overwrite/delete_where/update_where/compact_table/
+merge_into ops runs against both the real versioned table and a pure-Python
 dict model; after EVERY op the latest read must equal the model, a
 stats-pruned read must equal the model filter, and a random historical
 version must still equal its recorded snapshot (time travel under
@@ -67,8 +67,22 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
     history = {1: dict(model)}
 
     for step in range(N_OPS):
-        op = rng.choice(["append", "delete", "update", "compact", "overwrite"])
-        if op == "append" and unused:
+        op = rng.choice(
+            ["append", "delete", "update", "compact", "overwrite", "merge"]
+        )
+        if op == "merge" and model:
+            upd = rng.sample(
+                sorted(model), min(len(model), rng.randint(5, 25))
+            )
+            ins = take(rng.randint(0, 15))
+            delta = rng.randint(1, 999)
+            rows = [(k, model[k] + delta) for k in upd] + [
+                (k, universe[k]) for k in ins
+            ]
+            src = spark.createDataFrame(sorted(rows), "k long, p long")
+            v = M.merge_into(spark, t, src, ["k"])
+            model.update(dict(rows))
+        elif op == "append" and unused:
             ks = take(rng.randint(10, 60))
             model.update({k: universe[k] for k in ks})
             v = M.commit(frame(ks).repartition(2), t)
