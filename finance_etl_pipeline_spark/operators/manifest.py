@@ -734,7 +734,14 @@ def read_version(
 
     branches: list[DataFrame] = []
     for (key, del_ids), paths in by_group.items():
-        b = spark.read.parquet(*paths)
+        reader = spark.read
+        if key:
+            # the branch's physical schema is recorded in the
+            # manifest — declaring it skips the footer-read schema
+            # inference (one driver round trip per branch; the bulk
+            # of the measured format tax on small reads)
+            reader = reader.schema(StructType.fromJson(json.loads(key)))
+        b = reader.parquet(*paths)
         if schema is not None:
             b = _align_to(b, schema)
         branches.append(_tombstone_filter(b, del_ids))

@@ -4,11 +4,13 @@ search (brute-force cosine top-k + LSH hyperplane buckets), and text
 analysis — every SQL-expressible op oracle-verified.  The multimodal
 path is value-verified end to end for the formats this container can
 decode without image libraries: frame sampling (mm_frame_sample),
-audio byte-energy (mm_audio_energy), and a real 24-bit BMP decode +
+audio byte-energy (mm_audio_energy), a real 24-bit BMP decode +
 nearest-neighbor resize pipeline (mm_bmp_decode_stats,
 mm_bmp_resize_stats — pure-numpy header parsing, operators/
-multimodal.py); only codec-dependent formats remain a rows-only
-contract-tested stub (mm_decode_features).
+multimodal.py), and the dispatch stage itself (mm_decode_features —
+ASCII-arithmetic twin of the deterministic fallback decoder); only
+codec-library decodes (JPEG/WebP) remain an honest
+NotImplementedError behind the magic-byte dispatch.
 
 The SQL oracles mirror the Spark expressions constant-for-constant
 (MinHash permutation coefficients, lexicons, the LSH hyperplane sign
@@ -603,12 +605,43 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("mm_decode_features", None, "llm", "multimodal")
+@register(
+    "mm_decode_features",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png'
+                ELSE 'audio/wav' END AS media_type,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 64
+                     ELSE 64 + ascii(substring(text, 1, 1)) END
+                AS INTEGER) AS width,
+           CAST(CASE WHEN length(text) <= 1 THEN 64
+                     ELSE 64 + ascii(substring(text, 2, 1)) END
+                AS INTEGER) AS height,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE list_sum(list_transform(
+                            generate_series(1, length(text)),
+                            i -> ascii(substring(text, i, 1))))
+                          % 1000000007 END AS BIGINT) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary multimodal pipeline: synthesize a binary payload
     column, run the Arrow-batched mapInPandas decode/feature stage
-    (deterministic fake decoder — see operators/multimodal.py), return
-    typed features. Not SQL-expressible (Pandas UDF) → rows-only check."""
+    (operators/multimodal.py::decode_features), return typed features.
+
+    VALUE-verified since round 7: the payload is the document's UTF-8
+    bytes (ASCII corpus), which carry no PNG/BMP magic, so every row
+    takes ``_fake_decode``'s deterministic arithmetic — width/height
+    from the leading byte values, checksum = byte sum mod 1e9+7 — all
+    of which the DuckDB oracle recomputes symbolically from character
+    codes (the same ASCII-arithmetic twin treatment as
+    mm_audio_energy).  The real-codec dispatch path keeps its own
+    value oracles on actual image bytes (mm_png_*, mm_bmp_*)."""
     from finance_etl_pipeline_spark.operators.multimodal import (
         decode_features,
         with_binary_payload,

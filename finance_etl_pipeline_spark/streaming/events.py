@@ -302,15 +302,18 @@ def enrich_with_user_profile(
     """Stream-STATIC join: enrich each streamed event with the user's
     precomputed profile (historical average spend, event count) — the
     reference-data pattern.  Unlike stream-stream joins this needs no
-    watermark and holds no join state: the static side is just a
-    (broadcastable) batch DataFrame re-read per micro-batch, and each
-    event emits exactly one enriched row with a deviation flag."""
-    p = F.broadcast(
-        profile.select(
-            "user_id",
-            F.col("avg_value").alias("profile_avg"),
-            F.col("n_events").alias("profile_n"),
-        )
+    watermark and holds no join state: the static side is a batch
+    DataFrame re-read per micro-batch, and each event emits exactly
+    one enriched row with a deviation flag.  No broadcast hint: the
+    profile table grows with the user population (∝ SF), so the join
+    strategy is left to Spark's size-based planning — it broadcasts
+    while the side is actually small and degrades to a shuffled join
+    instead of an executor OOM when it is not (the package-wide
+    broadcast-guard rule, tests/test_plan_shape.py)."""
+    p = profile.select(
+        "user_id",
+        F.col("avg_value").alias("profile_avg"),
+        F.col("n_events").alias("profile_n"),
     )
     out = stream.join(p, "user_id", "left")
     return out.select(

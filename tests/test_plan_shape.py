@@ -277,13 +277,27 @@ ALLOWED_BROADCASTS = {
     ("operators/similarity.py", "cosine_topk", "q"): "query vector set — bounded by query_set(QUERY_CAP) in code",
     ("operators/zorder.py", "zorder_by", "stats"): "1-row min/max stats",
     ("operators/sketch.py", "categorical_profile_sketch", "top"): "1-row max of the merged MG summary",
+    # package-root modules (scanned since round 7 — the guard is now
+    # literally package-wide)
+    ("dashboard.py", "revenue_trend", 'top_entities.select("entity")'): "top-8 entities by revenue: limit(8) upstream",
+    ("dashboard.py", "top_expense_accounts", 'dim_accounts.select("account_code", "account_name", "account_type")'): "chart of accounts: |accounts| rows, SF-invariant reference data",
+    ("star.py", "fact_gl", 'd_entity.select("entity", "entity_key")'): "entity dimension: |entities| rows, bounded org structure",
+    ("star.py", "fact_gl", 'd_account.select("account_code", "account_key")'): "account dimension: |accounts| rows",
+    ("star.py", "fact_kpi_monthly", 'd_entity.select("entity", "entity_key")'): "entity dimension: |entities| rows",
+    ("transform.py", "add_fx_amount_base", "fx"): "FX rates: |currencies x days| rows, calendar-bounded",
+    ("transform.py", "kpi_monthly", 'dim_accounts.select("account_code", "account_type")'): "chart of accounts: |accounts| rows",
+    ("transform.py", "kpi_cube", 'dim_accounts.select("account_code", "account_type")'): "chart of accounts: |accounts| rows",
 }
 
 
 def _broadcast_sites():
-    """Every F.broadcast(...) call site in plans/ and operators/, as
-    (relpath, enclosing function, argument source, assignment sources
-    for simple-Name arguments)."""
+    """Every F.broadcast(...) call site in the WHOLE package — plans/,
+    operators/, sources/, streaming/, functions/, and the package-root
+    modules (transform.py, star.py, dashboard.py, ...) — as (relpath,
+    enclosing function, argument source, assignment sources for
+    simple-Name arguments).  Round 6 scanned only plans/ + operators/,
+    leaving 8 root-module hints unadjudicated; the scan is now
+    literally package-wide."""
     import ast
     import os
 
@@ -291,8 +305,13 @@ def _broadcast_sites():
 
     root = os.path.dirname(pkg.__file__)
     out = []
-    for sub in ("plans", "operators"):
-        subdir = os.path.join(root, sub)
+    subs = [""] + sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and not d.startswith("__")
+    )
+    for sub in subs:
+        subdir = os.path.join(root, sub) if sub else root
         for fname in sorted(os.listdir(subdir)):
             if not fname.endswith(".py"):
                 continue
@@ -329,7 +348,7 @@ def _broadcast_sites():
                                     )
                         out.append(
                             (
-                                f"{sub}/{fname}",
+                                f"{sub}/{fname}" if sub else fname,
                                 stack[-1].name if stack else "<module>",
                                 arg_src,
                                 assigns,
