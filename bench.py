@@ -24,9 +24,13 @@ use the per-query map).
 Round 6 widened the batch set with the iterative/stateful shapes the
 round-5 verdict called out — ``tx_quality_classifier_train`` (gradient
 -descent training loop), ``dd_winnow_fingerprints`` (per-doc rolling
-windows), ``e_cep_funnel_patterns`` (state-machine fold) — so
-regressions in fold/training plans surface round over round.  Budget:
-the full suite (20 batch entries + 1 streaming) targets ≤ ~25 s total
+windows), ``e_cep_funnel_patterns`` (state-machine fold).  Round 7
+added the manifest read-path pair — ``manifest_pruned_read`` (stats-
+pruned ``read_version(where=...)``) vs ``manifest_plain_scan`` (same
+files, Spark-only filtering) — so the table-format tax and the file-
+skipping win are tracked round over round (the bench table is built
+once per process; the timed quantity is the read path).  Budget: the
+full suite (21 batch entries + 1 streaming) targets ≤ ~25 s total
 at sf0.1 on an idle local[32] box; per-entry baselines live in
 SCALE.md.  The JSON also records host-load context (``loadavg``
 before/after, iteration count) so the next reader can tell noise from

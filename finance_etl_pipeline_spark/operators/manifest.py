@@ -113,14 +113,13 @@ def _parse_partition_value(s: str):
     return s
 
 
-def _harvest_stats(data_dir: str) -> list[dict]:
-    """One entry per parquet file just written to ``data_dir``: file
-    path (relative to the dir — hive partition subdirs included), row
+def _harvest_one(data_dir: str, rel: str) -> dict:
+    """The manifest entry for ONE parquet file: relative path, row
     count, and per-column {min, max, nulls} aggregated over the
-    file's row groups — read from the footers only (no data scan;
-    the commit-time cost is one metadata read per file).  A column
-    whose stats are unavailable or not order-safe in ANY row group is
-    omitted for that file, which simply disables skipping on it.
+    file's row groups — read from the footer only (no data scan).
+    A column whose stats are unavailable or not order-safe in ANY row
+    group is omitted for that file, which simply disables skipping on
+    it.
 
     Partition columns never appear in the footers (partitionBy strips
     them from the data files), so their stats come from the PATH:
@@ -128,72 +127,96 @@ def _harvest_stats(data_dir: str) -> list[dict]:
     construction — every row of the file shares the value), making
     partition pruning ride the same ``_file_may_match`` machinery as
     data-column skipping.  ``__HIVE_DEFAULT_PARTITION__`` records an
-    all-NULL column."""
-    import glob as _glob
-
+    all-NULL column.  Module-level and argument-pure so the
+    distributed harvest can ship it to executors by reference."""
     import pyarrow.parquet as pq
 
-    out = []
-    for f in sorted(
-        _glob.glob(os.path.join(data_dir, "**", "part-*"), recursive=True)
-    ):
-        if not f.endswith(".parquet"):
-            continue
-        rel = os.path.relpath(f, data_dir)
-        part_values: dict[str, object] = {}
-        for comp in rel.split(os.sep)[:-1]:
-            if "=" in comp:
-                k, _, v = comp.partition("=")
-                part_values[k] = (
-                    None
-                    if v == "__HIVE_DEFAULT_PARTITION__"
-                    else _parse_partition_value(v)
-                )
-        md = pq.ParquetFile(f).metadata
-        stats: dict[str, dict] = {}
-        bad: set[str] = set()
-        for rg in range(md.num_row_groups):
-            rg_meta = md.row_group(rg)
-            for ci in range(md.num_columns):
-                col = rg_meta.column(ci)
-                name = col.path_in_schema
-                if "." in name:
-                    continue  # nested leaf: no file-level pruning
-                st = col.statistics
-                if st is None or st.null_count is None:
+    part_values: dict[str, object] = {}
+    for comp in rel.split(os.sep)[:-1]:
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            part_values[k] = (
+                None
+                if v == "__HIVE_DEFAULT_PARTITION__"
+                else _parse_partition_value(v)
+            )
+    md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+    stats: dict[str, dict] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        rg_meta = md.row_group(rg)
+        for ci in range(md.num_columns):
+            col = rg_meta.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaf: no file-level pruning
+            st = col.statistics
+            if st is None or st.null_count is None:
+                bad.add(name)
+                continue
+            e = stats.setdefault(
+                name, {"min": None, "max": None, "nulls": 0}
+            )
+            e["nulls"] += st.null_count
+            if st.has_min_max:
+                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                if mn is None or mx is None:
                     bad.add(name)
                     continue
-                e = stats.setdefault(
-                    name, {"min": None, "max": None, "nulls": 0}
-                )
-                e["nulls"] += st.null_count
-                if st.has_min_max:
-                    mn, mx = _json_safe(st.min), _json_safe(st.max)
-                    if mn is None or mx is None:
-                        bad.add(name)
-                        continue
-                    e["min"] = mn if e["min"] is None else min(e["min"], mn)
-                    e["max"] = mx if e["max"] is None else max(e["max"], mx)
-                elif st.null_count != rg_meta.num_rows:
-                    # non-null values exist but min/max was not
-                    # written: unusable for range pruning
-                    bad.add(name)
-        for b in bad:
-            stats.pop(b, None)
-        for k, v in part_values.items():
-            sv = _json_safe(v)
-            if v is None:
-                stats[k] = {"min": None, "max": None, "nulls": md.num_rows}
-            elif sv is not None:
-                stats[k] = {"min": sv, "max": sv, "nulls": 0}
-        out.append(
-            {
-                "path": rel,
-                "rows": md.num_rows,
-                "stats": stats,
-            }
+                e["min"] = mn if e["min"] is None else min(e["min"], mn)
+                e["max"] = mx if e["max"] is None else max(e["max"], mx)
+            elif st.null_count != rg_meta.num_rows:
+                # non-null values exist but min/max was not
+                # written: unusable for range pruning
+                bad.add(name)
+    for b in bad:
+        stats.pop(b, None)
+    for k, v in part_values.items():
+        sv = _json_safe(v)
+        if v is None:
+            stats[k] = {"min": None, "max": None, "nulls": md.num_rows}
+        elif sv is not None:
+            stats[k] = {"min": sv, "max": sv, "nulls": 0}
+    return {"path": rel, "rows": md.num_rows, "stats": stats}
+
+
+#: commits with at least this many files harvest their footer stats on
+#: the EXECUTORS instead of a sequential driver loop
+_DISTRIBUTED_HARVEST_MIN_FILES = 33
+
+
+def _harvest_stats(
+    data_dir: str, spark: SparkSession | None = None
+) -> list[dict]:
+    """One entry per parquet file just written to ``data_dir`` (see
+    ``_harvest_one`` for what an entry records).
+
+    Scale posture: a 100 TB commit writes thousands of files, and a
+    sequential driver-side footer loop becomes the commit-time
+    bottleneck (the exact 'driver-side footer harvest needs
+    executor-side stats' gap SCALE.md recorded).  With a session and
+    enough files, the per-file harvest fans out as one Spark job over
+    the file list — each executor reads only footers, the driver
+    collects O(#files × #cols) of JSON it was going to hold anyway.
+    Small commits keep the zero-overhead local loop."""
+    import glob as _glob
+
+    rels = [
+        os.path.relpath(f, data_dir)
+        for f in sorted(
+            _glob.glob(os.path.join(data_dir, "**", "part-*"), recursive=True)
         )
-    return out
+        if f.endswith(".parquet")
+    ]
+    if spark is not None and len(rels) >= _DISTRIBUTED_HARVEST_MIN_FILES:
+        sc = spark.sparkContext
+        out = (
+            sc.parallelize(rels, min(len(rels), 256))
+            .map(lambda r: _harvest_one(data_dir, r))
+            .collect()
+        )
+        return sorted(out, key=lambda e: e["path"])
+    return [_harvest_one(data_dir, r) for r in rels]
 
 
 def _merge_schema(prev_json: dict, new_schema: StructType) -> StructType:
@@ -482,7 +505,7 @@ def commit(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(abs_dir)
-    file_entries = _harvest_stats(abs_dir)
+    file_entries = _harvest_stats(abs_dir, df.sparkSession)
     schema_json = df.schema.jsonValue()
 
     def build(prev: int) -> dict:
@@ -935,7 +958,7 @@ def update_where(
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
     updated.write.parquet(abs_dir)
-    file_entries = _harvest_stats(abs_dir)
+    file_entries = _harvest_stats(abs_dir, spark)
     schema_json = updated.schema.jsonValue()
 
     def build(prev: int) -> dict:
@@ -1127,7 +1150,7 @@ def merge_into(
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
     merged.write.parquet(abs_dir)
-    file_entries = _harvest_stats(abs_dir)
+    file_entries = _harvest_stats(abs_dir, spark)
     schema_json = merged.schema.jsonValue()
 
     def build(prev: int) -> dict:
@@ -1228,6 +1251,41 @@ def column_bounds(
             mn = st["min"] if mn is None else min(mn, st["min"])
             mx = st["max"] if mx is None else max(mx, st["max"])
     return None if mn is None else (mn, mx)
+
+
+def history(table_dir: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per RETAINED version, newest first —
+    version, commit timestamp, mode, file/dir counts, metadata row
+    count (None when tombstones or legacy entries make it unknowable),
+    and the writer txns map.  Driver-side manifest JSON only; no file
+    is opened."""
+    out = []
+    for v in range(latest_version(table_dir), 0, -1):
+        try:
+            m = _read_manifest(table_dir, v)
+        except VersionNotFoundError:
+            break  # older versions expired by vacuum
+        files = m.get("files")
+        complete = files is not None and not (set(m["dirs"]) - set(files))
+        out.append(
+            {
+                "version": v,
+                "ts": m.get("ts"),
+                "mode": m.get("mode"),
+                "n_dirs": len(m["dirs"]),
+                "n_files": (
+                    sum(len(files[d]) for d in m["dirs"]) if complete else None
+                ),
+                "n_rows": (
+                    sum(e["rows"] for d in m["dirs"] for e in files[d])
+                    if complete and not m.get("deletes")
+                    else None
+                ),
+                "n_tombstones": len(m.get("deletes", [])),
+                "txns": dict(m.get("txns", {})),
+            }
+        )
+    return out
 
 
 def files_for_version(

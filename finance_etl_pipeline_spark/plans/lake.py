@@ -300,6 +300,50 @@ def manifest_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "manifest_asof_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel on the driver path: v1 commits even-key
+    orders, v2 OVERWRITES with a 30-row slice; reading
+    ``as_of`` the midpoint of the two commit timestamps must resolve
+    v1 (latest version at-or-before the instant, Delta semantics) and
+    see the pre-overwrite rows — a resolver that rounds up, reads the
+    tip, or mis-orders non-monotonic clocks diverges."""
+    import json as _json
+
+    t = tempfile.mkdtemp(prefix="mlake_asof_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 2 == 0), t)
+    M.commit(o.limit(30), t, mode="overwrite")
+    with open(t + "/_manifests/v000001.json") as fh:
+        ts1 = _json.load(fh)["ts"]
+    with open(t + "/_manifests/v000002.json") as fh:
+        ts2 = _json.load(fh)["ts"]
+    df = M.read_version(spark, t, as_of=(ts1 + ts2) / 2)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "manifest_merge_read",
     f"""
     SELECT o_orderstatus,

@@ -107,8 +107,33 @@ class ManifestTableDataSource(DataSource):
         """``starting_version`` N (default 0) begins the stream AFTER
         version N: versions 1..N are treated as already consumed — the
         new-consumer escape hatch from replaying deep history (and
-        from history already expired by vacuum)."""
-        return int(self.options.get("starting_version", 0))
+        from history already expired by vacuum).
+        ``starting_timestamp`` is the time-based form (Delta's
+        startingTimestamp): versions committed strictly BEFORE the
+        instant are treated as consumed, so the stream emits every
+        version at or after it."""
+        sv = self.options.get("starting_version")
+        st = self.options.get("starting_timestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "pass starting_version OR starting_timestamp, not both"
+            )
+        if st is not None:
+            try:
+                st = float(st)
+            except ValueError:
+                pass  # ISO-8601 form
+            try:
+                # latest version committed BEFORE the instant = the
+                # last already-consumed offset
+                v = M.version_as_of(self._table_dir(), st)
+            except M.VersionNotFoundError:
+                return 0  # instant predates v1: stream everything
+            ts_v = _read_manifest_safe(self._table_dir(), v).get("ts")
+            if ts_v is not None and ts_v == M._as_epoch(st):
+                v -= 1  # committed exactly AT the instant: still due
+            return v
+        return int(sv or 0)
 
     def _resolve_version(self) -> int:
         """The snapshot a batch read resolves: explicit ``version``,

@@ -189,3 +189,59 @@ def test_stream_rejects_tombstone_growth_even_if_mode_lies(
         _json.dump(m, fh)
     with pytest.raises(Exception, match="tombstone"):
         _drain(spark, tbl, ckpt, out)
+
+
+def test_starting_timestamp_skips_history(spark, sf_dir, tmp_path):
+    """starting_timestamp = the time-based starting_version: versions
+    committed strictly before the instant are treated as consumed;
+    one committed exactly AT it still streams (Delta semantics)."""
+    import json as _json
+    import os as _os
+
+    spark.dataSource.register(ManifestTableDataSource)
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    a = o.filter(F.col("o_orderkey") % 3 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 1)
+    M.commit(a, tbl)
+    M.commit(b, tbl)
+    ts = {}
+    for v in (1, 2):
+        with open(_os.path.join(tbl, "_manifests", f"v{v:06d}.json")) as fh:
+            ts[v] = _json.load(fh)["ts"]
+
+    def drain(opt_val, ckpt, out):
+        q = (
+            spark.readStream.format("manifest_table")
+            .option("table_dir", tbl)
+            .option("starting_timestamp", opt_val)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # midpoint: v1 consumed, v2 due
+    drain(
+        str((ts[1] + ts[2]) / 2),
+        str(tmp_path / "ck1"),
+        str(tmp_path / "out1"),
+    )
+    got = spark.read.parquet(str(tmp_path / "out1"))
+    assert got.count() == b.count()
+    assert got.exceptAll(b).count() == 0
+
+    # exactly AT v2's stamp: v2 still streams
+    drain(str(ts[2]), str(tmp_path / "ck2"), str(tmp_path / "out2"))
+    assert spark.read.parquet(str(tmp_path / "out2")).count() == b.count()
+
+    # before everything: full history streams
+    drain(str(ts[1] - 10), str(tmp_path / "ck3"), str(tmp_path / "out3"))
+    assert spark.read.parquet(str(tmp_path / "out3")).count() == o.filter(
+        F.col("o_orderkey") % 3 <= 1
+    ).count()

@@ -791,3 +791,45 @@ def test_latest_version_hint_is_self_healing(spark, sf_dir, tmp_path):
         fh.write("2")
     assert M.latest_version(t) == 4
     assert M.read_version(spark, t).count() == 20  # 4 appends of 5
+
+
+def test_distributed_stats_harvest_matches_local(spark, sf_dir, tmp_path):
+    """Commits above the file-count threshold harvest footer stats on
+    the executors; the entries must be byte-identical (and identically
+    ordered) to the sequential driver-side loop, and the resulting
+    manifest must still drive file skipping."""
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_files = M._DISTRIBUTED_HARVEST_MIN_FILES + 3
+    M.commit(o.repartitionByRange(n_files, "o_orderkey"), t)
+
+    m = M._read_manifest(t, 1)
+    d = m["dirs"][0]
+    entries = m["files"][d]
+    assert len(entries) == n_files
+    local = M._harvest_stats(os.path.join(t, d))  # no session → local
+    assert entries == local
+
+    cut = int(o.agg(F.expr("percentile(o_orderkey, 0.1)")).first()[0])
+    kept = M.files_for_version(t, 1, where=[("o_orderkey", "<", cut)])
+    assert 0 < len(kept) < n_files
+    got = M.read_version(spark, t, where=[("o_orderkey", "<", cut)])
+    assert got.count() == o.filter(F.col("o_orderkey") < cut).count()
+
+
+def test_history_lists_retained_versions(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.limit(10), t, txn=("app", 0))
+    M.commit(o.limit(20), t)
+    M.delete_where(t, [("o_orderkey", "==", -1)])
+    h = M.history(t)
+    assert [e["version"] for e in h] == [3, 2, 1]
+    assert [e["mode"] for e in h] == ["delete", "append", "append"]
+    assert h[2]["n_rows"] == 10 and h[1]["n_rows"] == 30
+    assert h[0]["n_rows"] is None  # tombstone outstanding: unknowable
+    assert h[0]["n_tombstones"] == 1
+    assert h[0]["txns"] == {"app": 0}
+    assert h[0]["ts"] > h[2]["ts"]
+    M.vacuum(t, keep_last=1, retention_seconds=0.0)
+    assert [e["version"] for e in M.history(t)] == [3]
