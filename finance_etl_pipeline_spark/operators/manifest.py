@@ -1149,6 +1149,11 @@ def merge_into(
     token = uuid.uuid4().hex[:12]
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
+    # write roughly as many files as were rewritten (small-file
+    # hygiene: a 1-file merge must not emit shuffle-partition-count
+    # slivers); insert-only merges keep the source's parallelism
+    if raw_files:
+        merged = merged.coalesce(len(raw_files))
     merged.write.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, spark)
     schema_json = merged.schema.jsonValue()
@@ -1340,14 +1345,38 @@ def vacuum(
     publish a manifest over vanished files.  Only dirs whose mtime is
     older than the threshold are removed (the ``RETAIN n HOURS``
     semantics of the big table formats); pass 0 only when no writer
-    can be concurrent.  A never-committed table vacuums to []."""
+    can be concurrent.  A never-committed table vacuums to [].
+
+    Cleanup is FILE-granular inside live dirs: ``merge_into`` rewrites
+    individual files and drops their entries while the dir stays
+    referenced, so a dir-only sweep would leak every rewritten file
+    forever.  A ``part-*`` file inside a live dir that NO retained
+    manifest references (and that is older than retention — a writer
+    may be mid-write into a dir it has not published yet) is deleted
+    individually.  Dirs without per-file entries in every retained
+    manifest (legacy) are skipped — no proof, no deletion."""
+    import glob as _glob
+
     tip = latest_version(table_dir)
     if tip == 0:
         return []
     keep = set(range(max(1, tip - keep_last + 1), tip + 1))
     live: set[str] = set()
+    live_files: set[str] = set()
+    no_proof: set[str] = set()  # dirs some retained manifest lists
+    # without per-file entries (legacy) — never file-swept
     for v in keep:
-        live.update(_read_manifest(table_dir, v)["dirs"])
+        m = _read_manifest(table_dir, v)
+        live.update(m["dirs"])
+        files = m.get("files")
+        for d in m["dirs"]:
+            entries = (files or {}).get(d)
+            if entries is None:
+                no_proof.add(d)
+            else:
+                live_files.update(
+                    os.path.join(d, e["path"]) for e in entries
+                )
     removed = []
     now = time.time()
     data_root = os.path.join(table_dir, _DATA)
@@ -1357,6 +1386,23 @@ def vacuum(
         if rel not in live and now - os.path.getmtime(path) >= retention_seconds:
             shutil.rmtree(path)
             removed.append(rel)
+        elif rel in live and rel not in no_proof:
+            # file-granular sweep of merge-rewritten leftovers
+            for f in _glob.glob(
+                os.path.join(path, "**", "part-*"), recursive=True
+            ):
+                if not f.endswith(".parquet"):
+                    continue
+                frel = os.path.join(rel, os.path.relpath(f, path))
+                try:
+                    if (
+                        frel not in live_files
+                        and now - os.path.getmtime(f) >= retention_seconds
+                    ):
+                        os.remove(f)
+                        removed.append(frel)
+                except FileNotFoundError:
+                    pass  # concurrent vacuum got it first
     mdir = os.path.join(table_dir, _MANIFESTS)
     for f in os.listdir(mdir):
         path = os.path.join(mdir, f)

@@ -276,3 +276,60 @@ def test_changefeed_to_manifest_replica_converges_and_replays(
     got2 = M.read_version(spark, rep_tbl)
     assert got2.count() == want.count()
     assert got2.exceptAll(want).count() == 0
+
+
+def test_vacuum_reclaims_merge_rewritten_files(spark, sf_dir, tmp_path):
+    """merge_into drops file ENTRIES while the dir stays live, so
+    vacuum must sweep at file granularity: the rewritten file's bytes
+    go away after retention, carried-over files and the merged dir
+    survive, and every retained version still reads correctly."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.repartitionByRange(5, "o_orderkey"), t)
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    M.merge_into(
+        spark,
+        t,
+        o.filter(F.col("o_orderkey") == lo).withColumn(
+            "o_totalprice", F.lit(9.0)
+        ),
+        ["o_orderkey"],
+    )
+    # the rewritten file: referenced by v1, not by v2
+    v1_files = set(M.files_for_version(t, 1))
+    v2_files = set(M.files_for_version(t, 2))
+    dead = v1_files - v2_files
+    assert len(dead) == 1
+    # keep_last=2: v1 still retained → its file must SURVIVE
+    removed = M.vacuum(t, keep_last=2, retention_seconds=0.0)
+    assert removed == []
+    assert all(os.path.exists(f) for f in dead)
+    # keep_last=1: only v2 retained → the dead file is reclaimed,
+    # carried-over files and the live dir stay
+    removed = M.vacuum(t, keep_last=1, retention_seconds=0.0)
+    dead_rel = {os.path.relpath(f, t) for f in dead}
+    assert set(removed) == dead_rel
+    assert all(os.path.exists(f) for f in v2_files)
+    got = M.read_version(spark, t)
+    assert got.count() == o.count()
+    assert got.filter(F.col("o_orderkey") == lo).first()["o_totalprice"] == 9.0
+
+
+def test_merge_output_file_count_matches_touched(spark, sf_dir, tmp_path):
+    """Small-file hygiene: rewriting one file emits ~one file, not
+    shuffle-partition-count slivers."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.repartitionByRange(6, "o_orderkey"), t)
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    M.merge_into(
+        spark,
+        t,
+        o.filter(F.col("o_orderkey") == lo).withColumn(
+            "o_totalprice", F.lit(1.0)
+        ),
+        ["o_orderkey"],
+    )
+    m = M._read_manifest(t, 2)
+    new_dir = m["dirs"][-1]
+    assert len(m["files"][new_dir]) == 1
