@@ -105,6 +105,22 @@ def main(argv: list[str] | None = None) -> int:
         "filter pushdown into footer-stats file skipping.",
     )
 
+    tbl_p = sub.add_parser(
+        "table",
+        help="versioned manifest-table maintenance "
+        "(history / vacuum / compact / count)",
+    )
+    tbl_p.add_argument(
+        "action", choices=["history", "vacuum", "compact", "count"]
+    )
+    tbl_p.add_argument("dir", help="table root directory")
+    tbl_p.add_argument("--keep-last", type=int, default=1)
+    tbl_p.add_argument("--retention-seconds", type=float, default=3600.0)
+    tbl_p.add_argument("--target-bytes", type=int, default=None)
+    tbl_p.add_argument(
+        "--zorder", default=None, help="comma-separated z-order columns"
+    )
+
     args = parser.parse_args(argv)
 
     if args.command == "version":
@@ -179,6 +195,58 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(args.limit, truncate=False)
         return 0
+
+    if args.command == "table":
+        from finance_etl_pipeline_spark.operators import manifest as M
+
+        if args.action == "history":
+            for e in M.history(args.dir):
+                import datetime as _dt
+
+                ts = (
+                    _dt.datetime.fromtimestamp(e["ts"]).isoformat()
+                    if e["ts"] is not None
+                    else "?"
+                )
+                print(
+                    f"v{e['version']}\t{ts}\t{e['mode']}\t"
+                    f"files={e['n_files']}\trows={e['n_rows']}\t"
+                    f"tombstones={e['n_tombstones']}\ttxns={e['txns']}"
+                )
+            return 0
+        if args.action == "vacuum":
+            removed = M.vacuum(
+                args.dir,
+                keep_last=args.keep_last,
+                retention_seconds=args.retention_seconds,
+            )
+            for r in removed:
+                print(r)
+            print(f"removed {len(removed)} path(s)")
+            return 0
+        if args.action == "count":
+            n = M.count_rows(args.dir)
+            if n is None:
+                from finance_etl_pipeline_spark.session import get_spark
+
+                spark = get_spark(app_name="table-count")
+                n = M.read_version(spark, args.dir).count()
+                print(f"{n} (scan — tombstones or legacy manifest)")
+            else:
+                print(f"{n} (metadata-only)")
+            return 0
+        if args.action == "compact":
+            from finance_etl_pipeline_spark.session import get_spark
+
+            spark = get_spark(app_name="table-compact")
+            v = M.compact_table(
+                spark,
+                args.dir,
+                target_bytes=args.target_bytes,
+                zorder_cols=args.zorder.split(",") if args.zorder else None,
+            )
+            print(f"compacted as v{v}")
+            return 0
 
     if args.command == "curate":
         import os

@@ -140,3 +140,33 @@ def test_sql_subcommand_manifest_table_view(tmp_path):
 
     r2 = _run("sql", "--manifest-table", "garbage-spec", "SELECT 1")
     assert r2.returncode == 2
+
+
+def test_table_subcommand_history_vacuum_count(tmp_path):
+    import pyspark.sql.functions as F
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+    from finance_etl_pipeline_spark.session import get_spark
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    spark = get_spark(app_name="cli-table-setup")
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    M.commit(o.limit(10), tbl)
+    M.commit(o.limit(40), tbl, mode="overwrite")
+
+    r = _run("table", "history", tbl)
+    assert r.returncode == 0, r.stderr[-1500:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("v")]
+    assert lines[0].startswith("v2") and "overwrite" in lines[0]
+    assert lines[1].startswith("v1")
+
+    r = _run("table", "count", tbl)
+    assert r.returncode == 0
+    assert "40 (metadata-only)" in r.stdout
+
+    r = _run("table", "vacuum", tbl, "--retention-seconds", "0")
+    assert r.returncode == 0
+    assert "removed 1 path(s)" in r.stdout

@@ -333,3 +333,30 @@ def test_merge_output_file_count_matches_touched(spark, sf_dir, tmp_path):
     m = M._read_manifest(t, 2)
     new_dir = m["dirs"][-1]
     assert len(m["files"][new_dir]) == 1
+
+
+def test_concurrent_same_txn_commits_exactly_one_version(
+    spark, sf_dir, tmp_path
+):
+    """Two instances of the SAME writer racing the SAME batch (the
+    zombie-executor replay shape): the early check cannot see the
+    other in flight, so the publish-time re-check must collapse the
+    race — exactly one new version, rows landing once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(o.limit(10), t)
+    batch = o.filter(F.col("o_orderkey") % 7 == 0)
+
+    def racer(_):
+        return M.commit(batch, t, txn=("app", 3))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        versions = list(ex.map(racer, range(2)))
+    assert M.latest_version(t) == 2
+    assert set(versions) == {2}
+    got = M.read_version(spark, t)
+    assert got.count() == 10 + batch.count()  # no double-applied batch
+    # the loser's orphaned data dir was cleaned up
+    assert len(os.listdir(os.path.join(t, "data"))) == 2
