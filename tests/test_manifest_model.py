@@ -137,3 +137,27 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
         n = M.count_rows(t)
         if n is not None:
             assert n == len(model)
+
+    # after the whole churn, the batch DataSource read (the SQL
+    # surface) must agree with the model too — tombstones, merges,
+    # compactions, and carried-over files all composed
+    from finance_etl_pipeline_spark.sources.lakestream import (
+        ManifestTableDataSource,
+    )
+
+    spark.dataSource.register(ManifestTableDataSource)
+    ds = (
+        spark.read.format("manifest_table").option("table_dir", t).load()
+    )
+    assert _to_model(ds.collect()) == model, f"seed={seed} DataSource read"
+    # and a random historical version through the same surface
+    hv = rng.choice(sorted(history))
+    ds_v = (
+        spark.read.format("manifest_table")
+        .option("table_dir", t)
+        .option("version", hv)
+        .load()
+    )
+    assert _to_model(ds_v.collect()) == history[hv], (
+        f"seed={seed} DataSource time-travel v{hv}"
+    )
