@@ -1335,8 +1335,9 @@ def vacuum(
 ) -> list[str]:
     """Delete data dirs referenced only by expired versions (older
     than the ``keep_last`` most recent) and drop their manifests.
-    Returns the removed data dirs.  Readers of retained versions are
-    unaffected — their file sets are intact by construction.
+    Returns the removed paths (whole dirs, plus individual
+    merge-rewritten files — see below).  Readers of retained versions
+    are unaffected — their file sets are intact by construction.
 
     ``retention_seconds`` protects IN-FLIGHT commits: ``commit``
     writes its data dir BEFORE publishing the manifest, so an
