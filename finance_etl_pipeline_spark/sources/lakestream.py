@@ -137,20 +137,32 @@ class ManifestTableDataSource(DataSource):
 
     def _resolve_version(self) -> int:
         """The snapshot a batch read resolves: explicit ``version``,
-        else ``as_of`` timestamp resolution, else the current tip."""
+        else ``as_of`` timestamp resolution, else the current tip.
+
+        Resolved ONCE per DataSource instance and cached: Spark calls
+        ``schema()`` and ``reader()`` separately, and a commit landing
+        between the two calls must not hand the reader a newer
+        snapshot than the schema was taken from (the torn-read shape
+        the manifest protocol exists to kill)."""
+        cached = getattr(self, "_resolved_version", None)
+        if cached is not None:
+            return cached
         v = self.options.get("version")
         as_of = self.options.get("as_of")
         if v is not None and as_of is not None:
             raise ValueError("pass version OR as_of, not both")
         if v is not None:
-            return int(v)
-        if as_of is not None:
+            resolved = int(v)
+        elif as_of is not None:
             try:
                 as_of = float(as_of)
             except ValueError:
                 pass  # ISO-8601 string form
-            return M.version_as_of(self._table_dir(), as_of)
-        return M.latest_version(self._table_dir())
+            resolved = M.version_as_of(self._table_dir(), as_of)
+        else:
+            resolved = M.latest_version(self._table_dir())
+        self._resolved_version = resolved
+        return resolved
 
     def schema(self) -> StructType:
         v = self._resolve_version()

@@ -143,6 +143,10 @@ def append_stream_to_manifest(stream: DataFrame, table_dir: str, app_id: str):
     from finance_etl_pipeline_spark.operators import manifest as M
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # idle micro-batch: no version spam.  Safe with
+            # txn monotonicity: a later batch's stamp covers this id,
+            # and replaying an empty batch is a no-op by definition.
         M.commit(batch_df, table_dir, mode="append", txn=(app_id, batch_id))
 
     return stream.writeStream.foreachBatch(_process)
@@ -167,6 +171,8 @@ def apply_changefeed_to_manifest_each_batch(
     from finance_etl_pipeline_spark.operators import manifest as M
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # idle micro-batch: no version spam
         src = batch_df.withColumn(
             "__is_delete", F.col("change_type") == "removed"
         ).drop("change_type")

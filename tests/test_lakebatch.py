@@ -205,3 +205,59 @@ def test_batch_reader_version_not_found(spark, sf_dir, tmp_path):
     M.commit(o.limit(5), tbl)
     with pytest.raises(Exception, match="not found|never"):
         _batch_df(spark, tbl, version=9).count()
+
+
+def test_schema_and_reader_resolve_the_same_snapshot(spark, sf_dir, tmp_path):
+    """A commit landing between Spark's schema() call and its
+    reader() call must not hand the reader a newer snapshot than the
+    schema came from — the version is resolved once per DataSource
+    instance."""
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    M.commit(o.limit(10), tbl)
+
+    ds = ManifestTableDataSource({"table_dir": tbl})
+    schema = ds.schema()  # resolves the tip: v1
+    # a concurrent writer advances the tip — and evolves the schema
+    M.commit(
+        o.limit(5).withColumn("extra", F.lit(1)), tbl
+    )
+    reader = ds.reader(schema)
+    assert reader.version == 1  # pinned to what schema() saw
+    assert [p.path for p in reader.partitions()]  # and readable
+    # a FRESH instance sees the new tip and the evolved schema
+    ds2 = ManifestTableDataSource({"table_dir": tbl})
+    assert "extra" in ds2.schema().fieldNames()
+    assert ds2.reader(ds2.schema()).version == 2
+
+
+def test_append_sink_skips_empty_batches(spark, sf_dir, tmp_path):
+    """Idle micro-batches must not spam empty versions."""
+    from finance_etl_pipeline_spark.streaming.sink import (
+        append_stream_to_manifest,
+    )
+
+    src_dir = str(tmp_path / "in")
+    t = str(tmp_path / "tbl")
+    os.makedirs(src_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey").limit(50)
+    o.coalesce(1).write.parquet(os.path.join(src_dir, "f0"))
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(o.schema).parquet(src_dir + "/f*")
+        q = (
+            append_stream_to_manifest(stream, t, "app-e")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    drain("ck1")
+    assert M.latest_version(t) == 1
+    # same checkpoint, no new files: the drain sees nothing new — and
+    # even if an empty batch fires, no version lands
+    drain("ck1")
+    assert M.latest_version(t) == 1
+    assert M.read_version(spark, t).count() == 50
