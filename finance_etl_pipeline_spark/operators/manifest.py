@@ -506,7 +506,34 @@ def commit(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, df.sparkSession)
-    schema_json = df.schema.jsonValue()
+    return _publish_dir(
+        table_dir,
+        rel,
+        file_entries,
+        df.schema,
+        mode,
+        partition_by=partition_by,
+        expected_base=expected_base,
+        txn=txn,
+    )
+
+
+def _publish_dir(
+    table_dir: str,
+    rel: str,
+    file_entries: list[dict],
+    schema: StructType,
+    mode: str,
+    partition_by: list[str] | None = None,
+    expected_base: int | None = None,
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Publish an already-written data dir as the next version — the
+    shared back half of ``commit`` and the DataSource write path
+    (``ManifestBatchWriter.commit``), which produces its files on the
+    executors and hands the driver only the dir + entries."""
+    abs_dir = os.path.join(table_dir, rel)
+    schema_json = schema.jsonValue()
 
     def build(prev: int) -> dict:
         if expected_base is not None and prev != expected_base:
@@ -526,7 +553,7 @@ def commit(
             dir_schemas: dict[str, dict] = {}
             part_dirs: dict[str, list] = {}
             deletes: list[dict] = []  # overwrite materializes/clears
-            schema = df.schema
+            merged_schema = schema
         else:
             dirs = list(m["dirs"])
             files = dict(m.get("files", {}))
@@ -535,10 +562,10 @@ def commit(
             # tombstones carry forward; their dir scope is already
             # pinned, so the new dir is never retro-deleted
             deletes = list(m.get("deletes", []))
-            schema = (
-                _merge_schema(m["schema"], df.schema)
+            merged_schema = (
+                _merge_schema(m["schema"], schema)
                 if "schema" in m
-                else df.schema
+                else schema
             )
         dirs.append(rel)
         files[rel] = file_entries
@@ -552,7 +579,7 @@ def commit(
             "dir_schemas": dir_schemas,
             "partitioned_dirs": part_dirs,
             "deletes": deletes,
-            "schema": schema.jsonValue(),
+            "schema": merged_schema.jsonValue(),
             "txns": _carry_txns(m, txn),
         }
 

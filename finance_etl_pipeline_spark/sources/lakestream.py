@@ -46,10 +46,14 @@ Usage::
 from __future__ import annotations
 
 import os
+import uuid
 from collections.abc import Iterator, Sequence
+
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -62,6 +66,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -86,12 +91,16 @@ class ManifestTableDataSource(DataSource):
     """``spark.read`` / ``spark.readStream`` ``.format("manifest_table")``
     after registration.
 
-    Options: ``table_dir`` (required); batch adds ``version`` (int
-    time travel) or ``as_of`` (timestamp time travel, ISO-8601 or
-    epoch seconds) and ``pushdown`` ("true" enables ``pushFilters``
-    file skipping — requires the session conf
+    Options: ``table_dir`` (required); batch reads add ``version``
+    (int time travel) or ``as_of`` (timestamp time travel, ISO-8601
+    or epoch seconds) and ``pushdown`` ("true" enables
+    ``pushFilters`` file skipping — requires the session conf
     ``spark.sql.python.filterPushdown.enabled``, same opt-in shape as
-    the synthetic-events source); streaming adds ``starting_version``."""
+    the synthetic-events source); batch WRITES
+    (``df.write.format("manifest_table")``, mode append/overwrite)
+    add ``txn_app_id`` + ``txn_version`` for exactly-once replayed
+    jobs; streaming reads add ``starting_version`` or
+    ``starting_timestamp``."""
 
     @classmethod
     def name(cls) -> str:
@@ -196,6 +205,16 @@ class ManifestTableDataSource(DataSource):
         return ManifestBatchReader(
             self._table_dir(), schema, self._resolve_version()
         )
+
+    def writer(self, schema, overwrite: bool) -> "ManifestBatchWriter":
+        txn = None
+        app = self.options.get("txn_app_id")
+        ver = self.options.get("txn_version")
+        if (app is None) != (ver is None):
+            raise ValueError("txn_app_id and txn_version go together")
+        if app is not None:
+            txn = (app, int(ver))
+        return ManifestBatchWriter(self._table_dir(), schema, overwrite, txn)
 
     def streamReader(self, schema) -> "ManifestStreamReader":
         return ManifestStreamReader(
@@ -457,6 +476,99 @@ class ManifestBatchPushdownReader(ManifestBatchReader):
                 elif type(f) in self._OPS:
                     self._skip_preds.append((col, self._OPS[type(f)], f.value))
             yield f  # ALWAYS returned: pruning-only, Spark re-applies
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    rel: str  # filename relative to the commit data dir ("" = empty)
+
+
+class ManifestBatchWriter(DataSourceArrowWriter):
+    """Write half of the source: ``df.write.format("manifest_table")``
+    with mode append/overwrite publishes ONE manifest version.
+
+    Protocol: each executor task streams its Arrow batches into one
+    parquet file inside a private ``data/commit-<token>`` dir and
+    reports the filename; the DRIVER's ``commit`` harvests footer
+    stats over the dir and publishes the manifest — identical
+    semantics to ``manifest.commit`` (same ``_publish_dir`` back
+    half), including optimistic retry and schema evolution.  A failed
+    job calls ``abort``, which removes the unpublished dir — readers
+    can never see it because nothing references it until the publish.
+
+    Options ``txn_app_id`` + ``txn_version`` thread the exactly-once
+    writer txn through the SQL write path (replayed jobs become
+    no-ops), same contract as ``commit(txn=...)``."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        schema: StructType,
+        overwrite: bool,
+        txn: tuple[str, int] | None = None,
+    ):
+        self.table_dir = table_dir
+        self.schema = schema
+        self.mode = "overwrite" if overwrite else "append"
+        self.txn = txn
+        token = uuid.uuid4().hex[:12]
+        self.rel = os.path.join("data", f"commit-{token}")
+        self.abs_dir = os.path.join(table_dir, self.rel)
+
+    def write(self, iterator) -> _WroteFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        os.makedirs(self.abs_dir, exist_ok=True)
+        target = to_arrow_schema(self.schema)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.abs_dir, name), target
+                    )
+                writer.write_batch(
+                    pa.RecordBatch.from_arrays(
+                        [
+                            batch.column(i).cast(target.field(i).type)
+                            for i in range(batch.num_columns)
+                        ],
+                        schema=target,
+                    )
+                )
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WroteFile(rel=name if writer is not None else "")
+
+    def commit(self, messages) -> None:
+        # harvest ONLY the files the successful task attempts named:
+        # a failed/retried/speculative attempt may have left a partial
+        # or duplicate part-* file in the dir, which must not enter
+        # the manifest (it stays unreferenced — readers never see it,
+        # and the file-granular vacuum reclaims it after retention)
+        entries = [
+            M._harvest_one(self.abs_dir, m.rel)
+            for m in messages
+            if m is not None and m.rel
+        ]
+        os.makedirs(self.abs_dir, exist_ok=True)  # 0-row writes
+        M._publish_dir(
+            self.table_dir,
+            self.rel,
+            sorted(entries, key=lambda e: e["path"]),
+            self.schema,
+            self.mode,
+            txn=self.txn,
+        )
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.abs_dir, ignore_errors=True)
 
 
 class ManifestStreamReader(DataSourceStreamReader):

@@ -261,3 +261,121 @@ def test_append_sink_skips_empty_batches(spark, sf_dir, tmp_path):
     drain("ck1")
     assert M.latest_version(t) == 1
     assert M.read_version(spark, t).count() == 50
+
+
+def test_dataframe_write_path_publishes_versions(spark, sf_dir, tmp_path):
+    """df.write.format("manifest_table") — the write half of the
+    DataSource: append and overwrite publish one version each with
+    footer stats (file skipping works on the written commit), and the
+    read path round-trips exactly."""
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.dataSource.register(ManifestTableDataSource)
+
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    (
+        a.repartitionByRange(4, "o_orderkey")
+        .write.format("manifest_table")
+        .option("table_dir", tbl)
+        .mode("append")
+        .save()
+    )
+    assert M.latest_version(tbl) == 1
+    got = M.read_version(spark, tbl)
+    assert got.count() == a.count()
+    assert got.exceptAll(a).count() == 0
+    # footer stats landed: a selective predicate prunes files
+    cut = int(o.agg(F.expr("percentile(o_orderkey, 0.2)")).first()[0])
+    kept = M.files_for_version(tbl, where=[("o_orderkey", "<", cut)])
+    assert 0 < len(kept) < len(M.files_for_version(tbl))
+
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    (
+        b.write.format("manifest_table")
+        .option("table_dir", tbl)
+        .mode("append")
+        .save()
+    )
+    assert M.latest_version(tbl) == 2
+    assert M.read_version(spark, tbl).count() == o.count()
+
+    (
+        a.limit(30)
+        .write.format("manifest_table")
+        .option("table_dir", tbl)
+        .mode("overwrite")
+        .save()
+    )
+    assert M.latest_version(tbl) == 3
+    assert M.read_version(spark, tbl).count() == 30
+    assert M.read_version(spark, tbl, 2).count() == o.count()  # time travel
+
+
+def test_dataframe_write_txn_replay_is_noop(spark, sf_dir, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey").limit(40)
+    spark.dataSource.register(ManifestTableDataSource)
+
+    def put():
+        (
+            o.write.format("manifest_table")
+            .option("table_dir", tbl)
+            .option("txn_app_id", "job-w")
+            .option("txn_version", 5)
+            .mode("append")
+            .save()
+        )
+
+    put()
+    assert M.latest_version(tbl) == 1
+    put()  # replayed job: no new version, no duplicate rows
+    assert M.latest_version(tbl) == 1
+    assert M.read_version(spark, tbl).count() == 40
+
+    with pytest.raises(Exception, match="go together"):
+        (
+            o.write.format("manifest_table")
+            .option("table_dir", tbl)
+            .option("txn_app_id", "job-w")
+            .mode("append")
+            .save()
+        )
+
+
+def test_dataframe_write_stray_files_never_enter_manifest(
+    spark, sf_dir, tmp_path
+):
+    """Only files reported by successful task attempts are harvested:
+    a stray partial file planted in the commit dir (the failed-attempt
+    shape) must stay out of the manifest, be invisible to readers, and
+    be reclaimable by the file-granular vacuum."""
+    from finance_etl_pipeline_spark.sources.lakestream import (
+        ManifestBatchWriter,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey").limit(20)
+    spark.dataSource.register(ManifestTableDataSource)
+    o.write.format("manifest_table").option("table_dir", tbl).mode(
+        "append"
+    ).save()
+
+    # plant a stray partial file in a FRESH writer's dir and commit
+    # around it via the real protocol
+    w = ManifestBatchWriter(tbl, o.schema, overwrite=False)
+    os.makedirs(w.abs_dir)
+    stray = os.path.join(w.abs_dir, "part-deadbeef.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"not parquet")
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pydict({"o_orderkey": [1, 2, 3]})
+    msg = w.write(iter([batch]))
+    w.commit([msg])
+    assert M.latest_version(tbl) == 2
+    got = M.read_version(spark, tbl)
+    assert got.count() == 23  # 20 + 3; the stray never entered
+    # the stray is vacuumable (unreferenced file inside a live dir)
+    removed = M.vacuum(tbl, keep_last=2, retention_seconds=0.0)
+    assert any(r.endswith("part-deadbeef.parquet") for r in removed)
+    assert M.read_version(spark, tbl).count() == 23
