@@ -767,7 +767,9 @@ def read_version(
         if not kept:
             continue
         if d in part_dirs:
-            part_scans.append((os.path.join(table_dir, d), kept, del_ids))
+            part_scans.append(
+                (os.path.join(table_dir, d), kept, del_ids, key)
+            )
         else:
             by_group.setdefault((key, del_ids), []).extend(kept)
 
@@ -795,8 +797,17 @@ def read_version(
         if schema is not None:
             b = _align_to(b, schema)
         branches.append(_tombstone_filter(b, del_ids))
-    for base, paths, del_ids in part_scans:
-        b = spark.read.option("basePath", base).parquet(*paths)
+    for base, paths, del_ids, key in part_scans:
+        reader = spark.read.option("basePath", base)
+        if key:
+            # declaring the commit's recorded schema (which includes
+            # the partition columns) does double duty: no footer
+            # inference read, AND the partition values are parsed
+            # from the raw path component AS the declared type — path
+            # type inference would turn a string '001' into a decimal
+            # 1, silently corrupting a numeric-looking string column
+            reader = reader.schema(StructType.fromJson(json.loads(key)))
+        b = reader.parquet(*paths)
         if schema is not None:
             b = _align_to(b, schema)
         branches.append(_tombstone_filter(b, del_ids))
@@ -1079,6 +1090,14 @@ def merge_into(
     file set; ``vacuum`` reclaims rewritten files after retention."""
     from finance_etl_pipeline_spark.operators.merge import upsert
 
+    # the touched-file set is matched against ``input_file_name()``
+    # URIs, which Spark always reports as RESOLVED absolute paths — a
+    # relative / non-normalized / symlinked table_dir would make the
+    # comparison miss every file and silently keep the originals
+    # alongside the rewrites.  Normalize once at entry so every join
+    # below is in the same canonical space.
+    table_dir = os.path.realpath(table_dir)
+
     if txn is not None:
         tip = latest_version(table_dir)
         if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
@@ -1152,16 +1171,22 @@ def merge_into(
     probe = read_version(spark, table_dir, base, where=where).withColumn(
         "__file", F.input_file_name()
     )
+    # the distinct source keys are reused twice (touched-file probe,
+    # then output sizing) — persist so the source plan runs once here
+    src_keys = source.select(*keys).distinct().persist()
+    n_src_keys = src_keys.count()
     raw_files = [
         r["__file"]
-        for r in probe.join(
-            source.select(*keys).distinct(), keys, "left_semi"
-        )
+        for r in probe.join(src_keys, keys, "left_semi")
         .select("__file")
         .distinct()
         .collect()  # one row per touched FILE — bounded by #files
     ]
-    touched = {_strip_file_uri(u) for u in raw_files}
+    src_keys.unpersist()
+    # realpath both sides: input_file_name() reports the resolved
+    # physical path, which can differ from the manifest's logical one
+    # under symlinks even after the abspath normalization above
+    touched = {os.path.realpath(_strip_file_uri(u)) for u in raw_files}
 
     tgt = read_version(spark, table_dir, base).withColumn(
         "__file", F.input_file_name()
@@ -1176,11 +1201,26 @@ def merge_into(
     token = uuid.uuid4().hex[:12]
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
-    # write roughly as many files as were rewritten (small-file
-    # hygiene: a 1-file merge must not emit shuffle-partition-count
-    # slivers); insert-only merges keep the source's parallelism
-    if raw_files:
-        merged = merged.coalesce(len(raw_files))
+    # size the output from an estimate of the rows it will hold
+    # (rewritten-file rows + source keys as an insert upper bound)
+    # against the table's observed rows-per-file, not the touched
+    # count alone: an insert-heavy merge that touched one file must
+    # not collapse to one task / one giant file.  repartition, not
+    # coalesce — coalesce propagates upstream and would fold the
+    # whole upsert (shuffle, window, joins) into that one task.
+    touched_rows = sum(
+        e["rows"]
+        for d in m0["dirs"]
+        for e in files0[d]
+        if os.path.realpath(os.path.join(table_dir, d, e["path"]))
+        in touched
+    )
+    n_files = sum(len(files0[d]) for d in m0["dirs"])
+    n_rows = sum(e["rows"] for d in m0["dirs"] for e in files0[d])
+    rows_per_file = max(1, n_rows // n_files) if n_files else 1_000_000
+    est_rows = touched_rows + n_src_keys
+    n_out = max(1, min(4096, est_rows // rows_per_file))
+    merged = merged.repartition(n_out)
     merged.write.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, spark)
     schema_json = merged.schema.jsonValue()
@@ -1200,7 +1240,8 @@ def merge_into(
             kept = [
                 e
                 for e in m["files"][d]
-                if os.path.join(table_dir, d, e["path"]) not in touched
+                if os.path.realpath(os.path.join(table_dir, d, e["path"]))
+                not in touched
             ]
             dirs.append(d)
             files[d] = kept

@@ -249,7 +249,15 @@ def _coerce_for_arrow(value, typ):
 
     import pyarrow as pa
 
-    if value is None or not isinstance(value, str):
+    if value is None:
+        return value
+    if not isinstance(value, str):
+        # last-resort guard: a numeric-looking value headed into a
+        # string column renders as text rather than raising in
+        # pa.array / pa.scalar (the caller should have kept the raw
+        # string; see ManifestBatchReader.partitions)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return str(value)
         return value
     if pa.types.is_date(typ):
         return datetime.date.fromisoformat(value)
@@ -302,10 +310,23 @@ class ManifestBatchReader(DataSourceReader):
         self._skip_preds: list[tuple] = []
 
     def partitions(self) -> Sequence[InputPartition]:
+        from urllib.parse import unquote
+
+        from pyspark.sql.types import StringType
+
         m = _read_manifest_safe(self.table_dir, self.version)
         deletes = m.get("deletes", [])
         files_meta = m.get("files", {})
         dir_schemas = m.get("dir_schemas", {})
+        # logical string partition columns keep the RAW path component
+        # — int/float inference would turn '001' into 1 and the Arrow
+        # constant materialization would either raise (int into a
+        # string array) or silently drop the leading zeros
+        string_cols = {
+            f.name
+            for f in self.schema.fields
+            if isinstance(f.dataType, StringType)
+        }
         parts: list[InputPartition] = []
         for d in m["dirs"]:
             entries = files_meta.get(d)
@@ -337,11 +358,12 @@ class ManifestBatchReader(DataSourceReader):
                 for comp in rel.split("/")[:-1]:
                     if "=" in comp:
                         k, _, v = comp.partition("=")
-                        part_values[k] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else M._parse_partition_value(v)
-                        )
+                        if v == "__HIVE_DEFAULT_PARTITION__":
+                            part_values[k] = None
+                        elif k in string_cols:
+                            part_values[k] = unquote(v)
+                        else:
+                            part_values[k] = M._parse_partition_value(v)
                 # only tombstones the stats could not already decide
                 live_dels = [
                     dp

@@ -379,3 +379,31 @@ def test_dataframe_write_stray_files_never_enter_manifest(
     removed = M.vacuum(tbl, keep_last=2, retention_seconds=0.0)
     assert any(r.endswith("part-deadbeef.parquet") for r in removed)
     assert M.read_version(spark, tbl).count() == 23
+
+
+def test_string_partition_values_that_look_numeric(
+    spark, sf_dir, tmp_path
+):
+    """Regression: a STRING partition column whose values look numeric
+    ('001', '1e3') must survive the batch read verbatim — the path
+    int/float inference used to hand pa.array an int for a string
+    column (ArrowTypeError, whole read failed), and casting instead
+    would have dropped the leading zeros."""
+    tbl = str(tmp_path / "tbl")
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .limit(40)
+        .withColumn(
+            "code",
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit("001")).otherwise(
+                F.lit("1e3")
+            ),
+        )
+    )
+    M.commit(o, tbl, partition_by=["code"])
+    got = _batch_df(spark, tbl)
+    assert set(
+        r["code"] for r in got.select("code").distinct().collect()
+    ) == {"001", "1e3"}
+    _assert_same(got, M.read_version(spark, tbl))

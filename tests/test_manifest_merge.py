@@ -360,3 +360,78 @@ def test_concurrent_same_txn_commits_exactly_one_version(
     assert got.count() == 10 + batch.count()  # no double-applied batch
     # the loser's orphaned data dir was cleaned up
     assert len(os.listdir(os.path.join(t, "data"))) == 2
+
+
+def test_merge_into_non_normalized_table_dir_no_duplicates(
+    spark, sf_dir, tmp_path
+):
+    """Regression: a non-normalized table_dir (/x/./tbl/, trailing
+    slash, symlinked parent) must not break the touched-file match —
+    input_file_name() reports RESOLVED absolute paths, so before the
+    entry realpath every key of a merge into such a table came back
+    duplicated: the rewritten files were appended while the originals
+    were silently kept."""
+    canon = str(tmp_path / "tbl")
+    crooked = str(tmp_path) + "/./tbl/"
+    link = str(tmp_path / "lnk")
+    os.symlink(str(tmp_path), link)
+    via_symlink = os.path.join(link, "tbl")
+
+    o = _orders(spark, sf_dir).limit(100)
+    M.commit(o.repartitionByRange(4, "o_orderkey"), crooked)
+
+    keys = [r[0] for r in o.select("o_orderkey").limit(10).collect()]
+    src = o.filter(F.col("o_orderkey").isin(keys)).withColumn(
+        "o_totalprice", F.lit(-1.0)
+    )
+    M.merge_into(spark, crooked, src, ["o_orderkey"])
+    # and once more through a symlinked parent — resolved vs logical
+    more = o.filter(F.col("o_orderkey").isin(keys[:3])).withColumn(
+        "o_totalprice", F.lit(-2.0)
+    )
+    M.merge_into(spark, via_symlink, more, ["o_orderkey"])
+
+    got = M.read_version(spark, canon)
+    assert got.count() == 100  # not 100 + 13 duplicated copies
+    assert got.filter(F.col("o_totalprice") == -2.0).count() == 3
+    assert (
+        got.filter(F.col("o_totalprice") == -1.0).count() == len(keys) - 3
+    )
+    # per-key uniqueness, the actual corruption signature
+    assert (
+        got.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
+
+
+def test_insert_heavy_merge_does_not_collapse_to_one_file(
+    spark, sf_dir, tmp_path
+):
+    """Scalability guard: a merge whose source is mostly INSERTS but
+    touches one small file must size its output from the estimated
+    output rows, not the touched-file count — coalesce(1) here used
+    to fold the whole upsert into one task and one giant file."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    # tiny table: ONE file holding 10 rows → rows_per_file = 10
+    base = o.orderBy("o_orderkey").limit(10)
+    M.commit(base.coalesce(1), t)
+    assert sum(
+        len(v) for v in M._read_manifest(t, 1)["files"].values()
+    ) == 1
+    # source: those 10 updated + ~400 inserts — touches the 1 file
+    src = (
+        o.orderBy("o_orderkey")
+        .limit(410)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    n_src = src.count()
+    M.merge_into(spark, t, src, ["o_orderkey"])
+    m = M._read_manifest(t, 2)
+    new_dir = m["dirs"][-1]
+    # est ≈ 10 + 410 rows at 10 rows/file → ~42 output files, not 1
+    assert len(m["files"][new_dir]) > 5
+    got = M.read_version(spark, t)
+    assert got.count() == n_src
+    assert (
+        got.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+    )
