@@ -34,13 +34,19 @@ a manifest WORTH having at 100 TB):
   Time travel to a pre-evolution version returns the old schema
   unchanged.
 
-Scale posture: a manifest is O(#files × #columns) of JSON — the
-driver-side metadata path; the data path is untouched parquet (all
-pushdown / row-group skipping behavior preserved since
-``read_version`` is a plain ``spark.read.parquet`` over the surviving
-files).  On object stores without atomic create, swap the link-based
-publish for a conditional PUT (if-none-match) — the one primitive
-this protocol needs.
+Scale posture: the log is SHARDED (format v2, see the shard section
+below) — per-file entries live in immutable per-dir shard files and
+each version manifest carries only O(#dirs) refs plus deduplicated
+schemas, so COMMIT cost is O(changed dirs/files), not O(all files):
+a 1-file append to a 10⁶-file table writes one small shard + one
+small manifest.  Reads that need every file's stats (file skipping)
+still materialize O(#files) of metadata, same as any manifest-based
+format, amortized by an immutable-shard cache.  The data path is
+untouched parquet (all pushdown / row-group skipping behavior
+preserved since ``read_version`` is a plain ``spark.read.parquet``
+over the surviving files).  On object stores without atomic create,
+swap the link-based publish for a conditional PUT (if-none-match) —
+the one primitive this protocol needs.
 
 Relationship to siblings: ``operators/compact.py`` rewrites files
 in place (crash-safe swap); committing the compacted files as a new
@@ -55,6 +61,7 @@ import os
 import shutil
 import time
 import uuid
+from collections import OrderedDict
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -242,6 +249,164 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFESTS, f"v{version:06d}.json")
 
 
+# --------------------------------------------------------------------
+# Sharded file-entry log (manifest format v2)
+#
+# A version's per-file entries (path + rows + column stats — the
+# O(#files × #columns) bulk) live in immutable per-dir SHARD files
+# ``_manifests/s-<uuid>.json``, one per data dir; the version manifest
+# itself carries only ``files_ref: {dir: {shard, n, rows}}`` plus a
+# deduplicated schema list.  This is the Iceberg manifest-list /
+# manifest-file split: a commit re-serializes shards ONLY for the dirs
+# it changed (an append: one new shard; a metadata-only delete: zero)
+# and carries every other dir by reference, so commit cost is
+# O(changed dirs + #dirs-in-refs), never O(all files) — the property
+# that keeps a 10⁶-file table committable.  Shards are content-
+# immutable by construction (any change writes a new uuid name), which
+# makes the read cache below trivially safe and lets vacuum reclaim
+# them by reference counting over retained manifests.  Manifests
+# written before this format (inline ``files`` / ``dir_schemas``)
+# remain readable everywhere via the ``_load_*`` accessors and are
+# re-sharded wholesale on their next publish.
+
+_SHARD_PREFIX = "s-"
+_SHARD_CACHE: OrderedDict = OrderedDict()  # abs path -> entries (immutable)
+_SHARD_CACHE_MAX = 1024
+
+
+class _ShardRef:
+    """Publish-time marker: this dir's entry list is UNCHANGED, carry
+    the previous version's shard by name instead of re-serializing
+    O(#files) entries."""
+
+    __slots__ = ("ref",)
+
+    def __init__(self, ref: dict):
+        self.ref = ref  # {"shard": name, "n": files, "rows": rows}
+
+
+def _read_shard(table_dir: str, name: str) -> list[dict]:
+    path = os.path.join(table_dir, _MANIFESTS, name)
+    hit = _SHARD_CACHE.get(path)
+    if hit is not None:
+        _SHARD_CACHE.move_to_end(path)
+        return hit
+    with open(path) as fh:
+        entries = json.load(fh)["entries"]
+    _SHARD_CACHE[path] = entries
+    if len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
+        _SHARD_CACHE.popitem(last=False)
+    return entries
+
+
+def _load_files(table_dir: str, m: dict) -> dict[str, list]:
+    """The version's full {dir: [file entries]} map — shard refs
+    resolved (v2) or the inline map (legacy).  O(#files) to
+    materialize, same as reading the old monolithic manifest; callers
+    that only need counts use ``_files_summary`` instead."""
+    refs = m.get("files_ref")
+    if refs is None:
+        return m.get("files", {})
+    return {d: _read_shard(table_dir, r["shard"]) for d, r in refs.items()}
+
+
+def _dir_entries(table_dir: str, m: dict, d: str) -> list | None:
+    """One dir's file entries without touching any other shard."""
+    refs = m.get("files_ref")
+    if refs is None:
+        return m.get("files", {}).get(d)
+    r = refs.get(d)
+    return None if r is None else _read_shard(table_dir, r["shard"])
+
+
+def _files_summary(m: dict) -> dict[str, tuple[int, int]] | None:
+    """{dir: (n_files, n_rows)} WITHOUT opening any shard — answered
+    from the refs a v2 manifest already carries.  None when some
+    listed dir has no per-file entries (legacy manifests), so callers
+    fall back to a scan rather than trust a partial number."""
+    refs = m.get("files_ref")
+    if refs is not None:
+        if set(m["dirs"]) - set(refs):
+            return None
+        return {d: (r["n"], r["rows"]) for d, r in refs.items()}
+    files = m.get("files")
+    if files is None or set(m["dirs"]) - set(files):
+        return None
+    return {
+        d: (len(es), sum(e.get("rows", 0) for e in es))
+        for d, es in files.items()
+    }
+
+
+def _carry_files(table_dir: str, m: dict | None) -> dict:
+    """The previous version's files map in PUBLISHABLE form: v2 shard
+    refs carry by name — O(1) each, the point of sharding; legacy
+    inline lists carry by value and get sharded at this publish."""
+    if m is None:
+        return {}
+    refs = m.get("files_ref")
+    if refs is not None:
+        return {d: _ShardRef(r) for d, r in refs.items()}
+    return dict(m.get("files", {}))
+
+
+def _load_dir_schemas(m: dict) -> dict[str, dict]:
+    """{dir: schema json} — expanded from the deduped v2 form (shared
+    dict references, O(#dirs) to expand) or the legacy inline map."""
+    c = m.get("dir_schemas_v2")
+    if c is None:
+        return dict(m.get("dir_schemas", {}))  # copy: builds mutate it
+    schemas = c["schemas"]
+    return {d: schemas[i] for d, i in c["by_dir"].items()}
+
+
+def _finalize_payload(
+    table_dir: str, payload: dict, written: list[str]
+) -> None:
+    """Rewrite a build()-produced payload into the sharded on-disk
+    form.  ``files`` values that are entry LISTS (new or rewritten
+    dirs) are serialized to fresh shard files (atomic replace — a
+    shard is complete or absent), recorded in ``written`` so a publish
+    attempt that loses its race can unlink them; ``_ShardRef`` values
+    become their carried ref verbatim.  ``dir_schemas`` dedupes to a
+    unique-schema list + per-dir index — one schema copy for the
+    common single-schema table instead of one per data dir."""
+    files = payload.pop("files", None)
+    if files is not None:
+        refs = {}
+        for d, v in files.items():
+            if isinstance(v, _ShardRef):
+                refs[d] = v.ref
+                continue
+            name = f"{_SHARD_PREFIX}{uuid.uuid4().hex}.json"
+            path = os.path.join(table_dir, _MANIFESTS, name)
+            tmp = os.path.join(table_dir, _MANIFESTS, f".tmp-{name}")
+            with open(tmp, "w") as fh:
+                json.dump({"dir": d, "entries": v}, fh)
+            os.replace(tmp, path)
+            written.append(path)
+            refs[d] = {
+                "shard": name,
+                "n": len(v),
+                "rows": sum(e.get("rows", 0) for e in v),
+            }
+        payload["files_ref"] = refs
+    ds = payload.pop("dir_schemas", None)
+    if ds is not None:
+        uniq: list = []
+        index: dict[str, int] = {}
+        by_dir: dict[str, int] = {}
+        for d, sj in ds.items():
+            key = json.dumps(sj, sort_keys=True)
+            i = index.get(key)
+            if i is None:
+                i = len(uniq)
+                index[key] = i
+                uniq.append(sj)
+            by_dir[d] = i
+        payload["dir_schemas_v2"] = {"schemas": uniq, "by_dir": by_dir}
+
+
 _LAST_HINT = "_LAST"
 
 
@@ -390,39 +555,60 @@ def _publish(table_dir: str, build_payload) -> int:
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
     while True:
         prev = latest_version(table_dir)
-        payload = build_payload(prev)
-        payload["version"] = prev + 1
-        # commit timestamp, made MONOTONIC against the previous
-        # version (Delta's in-commit-timestamp rule): a wall clock
-        # stepping backwards between commits must not make
-        # ``as_of`` resolution non-deterministic
-        ts = time.time()
-        if prev > 0:
-            try:
-                prev_ts = _read_manifest(table_dir, prev).get("ts")
-                if prev_ts is not None and ts <= prev_ts:
-                    ts = prev_ts + 1e-6
-            except VersionNotFoundError:
-                pass  # prev vacuumed mid-race: retry will re-read
-        payload["ts"] = ts
-        # Atomic CONTENT publication: the payload is fully written to a
-        # private temp file first, then hard-linked to the manifest
-        # path.  link(2) fails like O_EXCL when the target exists (the
-        # optimistic-concurrency race) but — unlike create-then-write —
-        # never exposes an empty/partial manifest to a concurrent
-        # reader that resolves latest_version() in the window between
-        # claim and write.
-        tmp = os.path.join(
-            table_dir, _MANIFESTS, f".tmp-{uuid.uuid4().hex}"
-        )
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
+        #: shards written by THIS attempt — unlinked if the attempt
+        #: loses the publish race or aborts, so failed attempts leave
+        #: no orphaned metadata (vacuum would sweep them anyway, but
+        #: cleanliness here keeps reference counting exact)
+        written: list[str] = []
         try:
-            os.link(tmp, _manifest_path(table_dir, prev + 1))
-        except FileExistsError:
-            continue  # lost the race — recompose against the new tip
-        finally:
-            os.unlink(tmp)
+            payload = build_payload(prev)
+            _finalize_payload(table_dir, payload, written)
+            payload["version"] = prev + 1
+            # commit timestamp, made MONOTONIC against the previous
+            # version (Delta's in-commit-timestamp rule): a wall clock
+            # stepping backwards between commits must not make
+            # ``as_of`` resolution non-deterministic
+            ts = time.time()
+            if prev > 0:
+                try:
+                    prev_ts = _read_manifest(table_dir, prev).get("ts")
+                    if prev_ts is not None and ts <= prev_ts:
+                        ts = prev_ts + 1e-6
+                except VersionNotFoundError:
+                    pass  # prev vacuumed mid-race: retry will re-read
+            payload["ts"] = ts
+            # Atomic CONTENT publication: the payload is fully written
+            # to a private temp file first, then hard-linked to the
+            # manifest path.  link(2) fails like O_EXCL when the target
+            # exists (the optimistic-concurrency race) but — unlike
+            # create-then-write — never exposes an empty/partial
+            # manifest to a concurrent reader that resolves
+            # latest_version() in the window between claim and write.
+            tmp = os.path.join(
+                table_dir, _MANIFESTS, f".tmp-{uuid.uuid4().hex}"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(payload, fh)
+            try:
+                os.link(tmp, _manifest_path(table_dir, prev + 1))
+            except FileExistsError:
+                # lost the race — drop this attempt's shards and
+                # recompose against the new tip
+                for s in written:
+                    try:
+                        os.unlink(s)
+                    except OSError:
+                        pass
+                continue
+            finally:
+                os.unlink(tmp)
+        except BaseException:
+            for s in written:
+                try:
+                    os.unlink(s)
+                except OSError:
+                    pass
+            raise
         _write_last_hint(table_dir, prev + 1)
         return prev + 1
 
@@ -556,8 +742,10 @@ def _publish_dir(
             merged_schema = schema
         else:
             dirs = list(m["dirs"])
-            files = dict(m.get("files", {}))
-            dir_schemas = dict(m.get("dir_schemas", {}))
+            # carried dirs keep their existing shard by NAME — this
+            # append serializes only the new dir's entries
+            files = _carry_files(table_dir, m)
+            dir_schemas = _load_dir_schemas(m)
             part_dirs = dict(m.get("partitioned_dirs", {}))
             # tombstones carry forward; their dir scope is already
             # pinned, so the new dir is never retro-deleted
@@ -724,8 +912,8 @@ def read_version(
     schema = (
         StructType.fromJson(m["schema"]) if "schema" in m else None
     )
-    files_meta = m.get("files", {})
-    dir_schemas = m.get("dir_schemas", {})
+    files_meta = _load_files(table_dir, m)
+    dir_schemas = _load_dir_schemas(m)
 
     # group surviving paths into scans: unpartitioned dirs coalesce by
     # (physical schema, applicable tombstones) — one multi-path scan
@@ -932,17 +1120,16 @@ def delete_where(table_dir: str, where: list[tuple]) -> int:
         if prev == 0:
             raise ValueError("cannot delete from an empty table")
         m = _read_manifest(table_dir, prev)
+        # pure metadata commit: every dir carries its shard by name —
+        # ZERO file entries are re-serialized for a DELETE
         payload = {
-            k: m[k]
-            for k in (
-                "dirs",
-                "files",
-                "dir_schemas",
-                "partitioned_dirs",
-                "schema",
-            )
-            if k in m
+            "dirs": list(m["dirs"]),
+            "files": _carry_files(table_dir, m),
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
         }
+        if "schema" in m:
+            payload["schema"] = m["schema"]
         payload["mode"] = "delete"
         dels = list(m.get("deletes", []))
         dels.append({"preds": stored, "dirs": list(m["dirs"])})
@@ -1014,8 +1201,10 @@ def update_where(
             )
         m = _read_manifest(table_dir, prev)
         dirs = list(m["dirs"])
-        files = dict(m.get("files", {}))
-        dir_schemas = dict(m.get("dir_schemas", {}))
+        # prior dirs carry their shards by name; only the rewritten
+        # dir's entries are serialized
+        files = _carry_files(table_dir, m)
+        dir_schemas = _load_dir_schemas(m)
         deletes = list(m.get("deletes", []))
         # tombstone the OLD copies (scoped to the dirs that hold them),
         # then append the rewritten dir — one manifest, no gap
@@ -1126,8 +1315,8 @@ def merge_into(
         )
 
     m0 = _read_manifest(table_dir, base)
-    files0 = m0.get("files")
-    if files0 is None or set(m0["dirs"]) - set(files0):
+    summary0 = _files_summary(m0)
+    if summary0 is None:
         raise ValueError(
             "legacy manifest without per-file entries; rewrite the table"
         )
@@ -1208,15 +1397,23 @@ def merge_into(
     # not collapse to one task / one giant file.  repartition, not
     # coalesce — coalesce propagates upstream and would fold the
     # whole upsert (shuffle, window, joins) into that one task.
+    # dirs holding touched files — the ONLY dirs whose entry shards
+    # this merge loads and rewrites; every other dir carries its shard
+    # by reference, keeping the publish O(touched), not O(table)
+    touched_dirs = set()
+    for d in m0["dirs"]:
+        droot = os.path.realpath(os.path.join(table_dir, d)) + os.sep
+        if any(p.startswith(droot) for p in touched):
+            touched_dirs.add(d)
     touched_rows = sum(
         e["rows"]
-        for d in m0["dirs"]
-        for e in files0[d]
+        for d in touched_dirs
+        for e in _dir_entries(table_dir, m0, d)
         if os.path.realpath(os.path.join(table_dir, d, e["path"]))
         in touched
     )
-    n_files = sum(len(files0[d]) for d in m0["dirs"])
-    n_rows = sum(e["rows"] for d in m0["dirs"] for e in files0[d])
+    n_files = sum(n for n, _ in summary0.values())
+    n_rows = sum(r for _, r in summary0.values())
     rows_per_file = max(1, n_rows // n_files) if n_files else 1_000_000
     est_rows = touched_rows + n_src_keys
     n_out = max(1, min(4096, est_rows // rows_per_file))
@@ -1234,18 +1431,16 @@ def merge_into(
         m = _read_manifest(table_dir, prev)
         if _txn_seen(m, txn):
             raise _TxnAlreadyApplied()
-        dirs: list[str] = []
-        files: dict[str, list] = {}
-        for d in m["dirs"]:
-            kept = [
+        dirs = list(m["dirs"])
+        files = _carry_files(table_dir, m)
+        for d in touched_dirs:  # prev == base, so m0's set is exact
+            files[d] = [
                 e
-                for e in m["files"][d]
+                for e in _dir_entries(table_dir, m, d)
                 if os.path.realpath(os.path.join(table_dir, d, e["path"]))
                 not in touched
             ]
-            dirs.append(d)
-            files[d] = kept
-        dir_schemas = dict(m.get("dir_schemas", {}))
+        dir_schemas = _load_dir_schemas(m)
         dirs.append(rel)
         files[rel] = file_entries
         dir_schemas[rel] = schema_json
@@ -1279,14 +1474,16 @@ def count_rows(
     trust a partial number."""
     v = latest_version(table_dir) if version is None else version
     m = _read_manifest(table_dir, v)
-    files = m.get("files")
-    if files is None or set(m["dirs"]) - set(files):
+    summary = _files_summary(m)
+    if summary is None:
         return None
     if m.get("deletes"):
         # merge-on-read tombstones make per-file counts an upper
         # bound, not an answer — scan (or compact first)
         return None
-    return sum(e["rows"] for d in m["dirs"] for e in files[d])
+    # answered from the manifest's per-dir ref summaries: O(#dirs),
+    # no shard is even opened
+    return sum(rows for _, rows in summary.values())
 
 
 def column_bounds(
@@ -1302,12 +1499,13 @@ def column_bounds(
     rather than trust a partial envelope."""
     v = latest_version(table_dir) if version is None else version
     m = _read_manifest(table_dir, v)
-    files = m.get("files")
-    if files is None or set(m["dirs"]) - set(files) or m.get("deletes"):
+    files = _load_files(table_dir, m)
+    if not files or set(m["dirs"]) - set(files) or m.get("deletes"):
         return None
+    schemas = _load_dir_schemas(m)
     mn = mx = None
     for d in m["dirs"]:
-        sj = m.get("dir_schemas", {}).get(d)
+        sj = schemas.get(d)
         present = (
             set(StructType.fromJson(sj).fieldNames()) if sj else None
         )
@@ -1338,8 +1536,9 @@ def history(table_dir: str) -> list[dict]:
             m = _read_manifest(table_dir, v)
         except VersionNotFoundError:
             break  # older versions expired by vacuum
-        files = m.get("files")
-        complete = files is not None and not (set(m["dirs"]) - set(files))
+        # per-dir ref summaries answer file/row counts without opening
+        # a single shard — history stays O(#versions × #dirs)
+        summary = _files_summary(m)
         out.append(
             {
                 "version": v,
@@ -1347,11 +1546,13 @@ def history(table_dir: str) -> list[dict]:
                 "mode": m.get("mode"),
                 "n_dirs": len(m["dirs"]),
                 "n_files": (
-                    sum(len(files[d]) for d in m["dirs"]) if complete else None
+                    sum(n for n, _ in summary.values())
+                    if summary is not None
+                    else None
                 ),
                 "n_rows": (
-                    sum(e["rows"] for d in m["dirs"] for e in files[d])
-                    if complete and not m.get("deletes")
+                    sum(r for _, r in summary.values())
+                    if summary is not None and not m.get("deletes")
                     else None
                 ),
                 "n_tombstones": len(m.get("deletes", [])),
@@ -1373,13 +1574,14 @@ def files_for_version(
     m = _read_manifest(table_dir, v)
     preds = [_normalize_pred(p) for p in where] if where else []
     deletes = m.get("deletes", [])
+    schemas = _load_dir_schemas(m)
     out = []
     for d in m["dirs"]:
-        entries = m.get("files", {}).get(d)
+        entries = _dir_entries(table_dir, m, d)
         if entries is None:
             out.append(os.path.join(table_dir, d))
             continue
-        sj = m.get("dir_schemas", {}).get(d)
+        sj = schemas.get(d)
         present = (
             set(StructType.fromJson(sj).fieldNames()) if sj else None
         )
@@ -1432,14 +1634,18 @@ def vacuum(
     keep = set(range(max(1, tip - keep_last + 1), tip + 1))
     live: set[str] = set()
     live_files: set[str] = set()
+    live_shards: set[str] = set()  # shard files some retained
+    # manifest references — everything else under s-* is reclaimable
     no_proof: set[str] = set()  # dirs some retained manifest lists
     # without per-file entries (legacy) — never file-swept
     for v in keep:
         m = _read_manifest(table_dir, v)
         live.update(m["dirs"])
-        files = m.get("files")
+        live_shards.update(
+            r["shard"] for r in m.get("files_ref", {}).values()
+        )
         for d in m["dirs"]:
-            entries = (files or {}).get(d)
+            entries = _dir_entries(table_dir, m, d)
             if entries is None:
                 no_proof.add(d)
             else:
@@ -1477,6 +1683,20 @@ def vacuum(
         path = os.path.join(mdir, f)
         if f.startswith("v") and f.endswith(".json") and int(f[1:7]) not in keep:
             os.remove(path)
+        elif f.startswith(_SHARD_PREFIX) and f.endswith(".json"):
+            # reference-counted shard sweep: a shard no retained
+            # manifest names is dead — unless it is younger than
+            # retention (it may belong to a publish in flight that
+            # wrote its shards but has not linked its manifest yet)
+            try:
+                if (
+                    f not in live_shards
+                    and now - os.path.getmtime(path) >= retention_seconds
+                ):
+                    os.remove(path)
+                    _SHARD_CACHE.pop(path, None)
+            except FileNotFoundError:
+                pass  # concurrent vacuum got it first
         elif f.startswith(".tmp-"):
             # a writer that crashed between writing its temp payload
             # and the link/unlink leaks the temp file; sweep it under

@@ -316,8 +316,8 @@ class ManifestBatchReader(DataSourceReader):
 
         m = _read_manifest_safe(self.table_dir, self.version)
         deletes = m.get("deletes", [])
-        files_meta = m.get("files", {})
-        dir_schemas = m.get("dir_schemas", {})
+        files_meta = M._load_files(self.table_dir, m)
+        dir_schemas = M._load_dir_schemas(m)
         # logical string partition columns keep the RAW path component
         # — int/float inference would turn '001' into 1 and the Arrow
         # constant materialization would either raise (int into a
@@ -638,6 +638,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 )
             new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
             part_dirs = m.get("partitioned_dirs", {})
+            dir_schemas = M._load_dir_schemas(m)
             for d in new_dirs:
                 if d in part_dirs:
                     raise ValueError(
@@ -645,7 +646,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "not carry the partition columns; stream the "
                         "changefeed instead"
                     )
-                sj = m.get("dir_schemas", {}).get(d)
+                sj = dir_schemas.get(d)
                 if sj is not None and [
                     (f.name, f.dataType)
                     for f in StructType.fromJson(sj).fields
@@ -655,7 +656,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                         "schema than the stream started with; "
                         "restart the stream to pick up the evolution"
                     )
-                for e in m.get("files", {}).get(d, []):
+                for e in M._dir_entries(self.table_dir, m, d) or []:
                     parts.append(
                         _FilePart(
                             os.path.join(self.table_dir, d, e["path"])

@@ -332,7 +332,7 @@ def test_merge_output_file_count_matches_touched(spark, sf_dir, tmp_path):
     )
     m = M._read_manifest(t, 2)
     new_dir = m["dirs"][-1]
-    assert len(m["files"][new_dir]) == 1
+    assert len(M._load_files(t, m)[new_dir]) == 1
 
 
 def test_concurrent_same_txn_commits_exactly_one_version(
@@ -416,7 +416,7 @@ def test_insert_heavy_merge_does_not_collapse_to_one_file(
     base = o.orderBy("o_orderkey").limit(10)
     M.commit(base.coalesce(1), t)
     assert sum(
-        len(v) for v in M._read_manifest(t, 1)["files"].values()
+        len(v) for v in M._load_files(t, M._read_manifest(t, 1)).values()
     ) == 1
     # source: those 10 updated + ~400 inserts — touches the 1 file
     src = (
@@ -429,7 +429,7 @@ def test_insert_heavy_merge_does_not_collapse_to_one_file(
     m = M._read_manifest(t, 2)
     new_dir = m["dirs"][-1]
     # est ≈ 10 + 410 rows at 10 rows/file → ~42 output files, not 1
-    assert len(m["files"][new_dir]) > 5
+    assert len(M._load_files(t, m)[new_dir]) > 5
     got = M.read_version(spark, t)
     assert got.count() == n_src
     assert (

@@ -805,7 +805,7 @@ def test_distributed_stats_harvest_matches_local(spark, sf_dir, tmp_path):
 
     m = M._read_manifest(t, 1)
     d = m["dirs"][0]
-    entries = m["files"][d]
+    entries = M._load_files(t, m)[d]
     assert len(entries) == n_files
     local = M._harvest_stats(os.path.join(t, d))  # no session → local
     assert entries == local
