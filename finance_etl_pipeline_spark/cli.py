@@ -102,7 +102,17 @@ def main(argv: list[str] | None = None) -> int:
         help="register a versioned manifest table as a temp view "
         "(repeatable); @VERSION time-travels, default latest. "
         "Reads go through the manifest_table DataSource with "
-        "filter pushdown into footer-stats file skipping.",
+        "filter pushdown into footer-stats file skipping. "
+        "UPDATE/DELETE/MERGE INTO statements against these names "
+        "publish a new table version (see operators/sqldml.py for "
+        "the supported subset).",
+    )
+    sql_p.add_argument(
+        "--txn",
+        default=None,
+        metavar="APP_ID:VERSION",
+        help="idempotency stamp for MERGE INTO (writer txn — a replay "
+        "with the same or older version becomes a no-op)",
     )
 
     tbl_p = sub.add_parser(
@@ -162,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="adhoc-sql")
         for t in TABLES:
             table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        dml_tables: dict[str, str] = {}  # un-pinned manifest views
         if args.manifest_table:
             from finance_etl_pipeline_spark.sources.lakestream import (
                 ManifestTableDataSource,
@@ -188,7 +199,43 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 if ver:
                     reader = reader.option("version", int(ver))
+                else:
+                    # DML always applies to the TIP; a @VERSION-pinned
+                    # view is a read-only snapshot by construction
+                    dml_tables[name] = tdir
                 reader.load().createOrReplaceTempView(name)
+        from finance_etl_pipeline_spark.operators.sqldml import (
+            SqlDmlError,
+            execute_dml,
+            is_dml,
+        )
+
+        if is_dml(args.statement):
+            txn = None
+            if args.txn:
+                app_id, _, txn_ver = args.txn.rpartition(":")
+                if not app_id or not txn_ver.isdigit():
+                    print(
+                        f"bad --txn spec: {args.txn!r} "
+                        "(want APP_ID:VERSION)",
+                        file=sys.stderr,
+                    )
+                    return 2
+                txn = (app_id, int(txn_ver))
+            from finance_etl_pipeline_spark.operators.manifest import (
+                ConcurrentTableModificationError,
+            )
+
+            try:
+                res = execute_dml(spark, args.statement, dml_tables, txn=txn)
+            except SqlDmlError as e:
+                print(f"DML error: {e}", file=sys.stderr)
+                return 2
+            except ConcurrentTableModificationError as e:
+                print(f"conflict: {e}", file=sys.stderr)
+                return 3
+            print(f"{res['table']} -> v{res['version']} ({res['op']})")
+            return 0
         df = spark.sql(args.statement)
         if args.explain:
             df.explain(mode="formatted")

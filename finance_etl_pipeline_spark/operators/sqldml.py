@@ -1,0 +1,446 @@
+"""SQL DML statements over manifest tables — UPDATE / DELETE / MERGE
+INTO as text, dispatched onto the versioned-table operators
+(``operators/manifest.py``): the statement surface every lakehouse
+this layer emulates (Delta, Iceberg) exposes, so a data engineer can
+write ``MERGE INTO t USING s ON ...`` instead of reaching for the
+Python API.
+
+Deliberately NOT a full ANSI parser: the verb, the clause skeleton,
+and the WHERE conjunction are parsed here (small, loud, predictable);
+every EXPRESSION inside them — SET right-hand sides, MERGE source
+subqueries — is handed to Spark SQL verbatim, so the expression
+language is exactly Spark's.  The supported subset maps 1:1 onto what
+the manifest log can execute as one atomic version:
+
+* ``DELETE FROM t WHERE <simple conjunction>`` →
+  ``delete_where`` (metadata-only merge-on-read tombstone).  The
+  predicate must be ``col op literal`` terms joined by AND (plus
+  IS [NOT] NULL / IN), because the tombstone is STORED as those
+  triples and re-proven against file stats on every read — an
+  arbitrary expression could not be.
+* ``UPDATE t SET col = <any spark expr>, ... WHERE <conjunction>`` →
+  ``update_where`` (one version: scoped tombstone + rewritten rows).
+* ``MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
+  ON a.k = b.k [AND ...]
+  [WHEN MATCHED THEN UPDATE SET *]
+  [WHEN NOT MATCHED THEN INSERT *]
+  [WHEN MATCHED AND <source bool column> THEN DELETE]`` →
+  ``merge_into`` (file-granular copy-on-write, conflict-aborting,
+  optionally idempotent under ``txn``).  The star forms are the only
+  UPDATE/INSERT actions — matched keys take the whole source row,
+  unmatched source keys insert — matching ``merge_into``'s CDC upsert
+  semantics exactly; column-level SET lists in MERGE are rejected
+  with a pointer at UPDATE.
+
+Reference parity: the reference pipeline (single-process pandas) has
+no SQL DML; this follows the PUBLIC Delta Lake / Iceberg statement
+surface re-expressed on the manifest log.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.operators import manifest as M
+
+
+class SqlDmlError(ValueError):
+    """The statement is outside the supported DML subset — the message
+    says which production failed and what IS supported."""
+
+
+_VERBS = ("UPDATE", "DELETE", "MERGE")
+
+
+def is_dml(statement: str) -> bool:
+    head = statement.lstrip().split(None, 1)
+    return bool(head) and head[0].upper() in _VERBS
+
+
+# ---------------------------------------------------------------- lexing
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` (a single char) at top level only — never
+    inside parentheses or single/double-quoted strings."""
+    out, depth, q, start = [], 0, None, 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                # doubled quote = escaped quote inside the literal
+                if i + 1 < len(s) and s[i + 1] == q:
+                    i += 1
+                else:
+                    q = None
+        elif c in ("'", '"'):
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return out
+
+
+def _find_top_keyword(s: str, kw: str, start: int = 0) -> int:
+    """Index of the first TOP-LEVEL, word-bounded, case-insensitive
+    occurrence of ``kw`` (outside parens/quotes), or -1."""
+    pat = re.compile(rf"\b{kw}\b", re.IGNORECASE)
+    depth, q = 0, None
+    i = start
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                if i + 1 < len(s) and s[i + 1] == q:
+                    i += 1
+                else:
+                    q = None
+        elif c in ("'", '"'):
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            mm = pat.match(s, i)
+            if mm:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_keyword(s: str, kw: str) -> list[str]:
+    """Split at every top-level occurrence of keyword ``kw``."""
+    parts, pos = [], 0
+    while True:
+        i = _find_top_keyword(s, kw, pos)
+        if i < 0:
+            parts.append(s[pos:])
+            return parts
+        parts.append(s[pos:i])
+        pos = i + len(kw)
+
+
+# ------------------------------------------------------------- literals
+
+
+_NUM = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _parse_literal(tok: str):
+    tok = tok.strip()
+    up = tok.upper()
+    m = re.match(r"^DATE\s*'(.*)'$", tok, re.IGNORECASE)
+    if m:
+        return datetime.date.fromisoformat(m.group(1))
+    m = re.match(r"^TIMESTAMP\s*'(.*)'$", tok, re.IGNORECASE)
+    if m:
+        return datetime.datetime.fromisoformat(m.group(1))
+    if len(tok) >= 2 and tok[0] == tok[-1] and tok[0] in ("'", '"'):
+        return tok[1:-1].replace(tok[0] * 2, tok[0])
+    if _NUM.match(tok):
+        return float(tok) if ("." in tok or "e" in up) else int(tok)
+    raise SqlDmlError(
+        f"unsupported literal {tok!r}: WHERE values must be numbers, "
+        "'strings', DATE '...', or TIMESTAMP '...' (they are stored in "
+        "the manifest tombstone and re-proven against file stats — "
+        "arbitrary expressions cannot be)"
+    )
+
+
+_OPS = {
+    "=": "==",
+    "==": "==",
+    "!=": "!=",
+    "<>": "!=",
+    "<=": "<=",
+    ">=": ">=",
+    "<": "<",
+    ">": ">",
+}
+
+
+def parse_where(cond: str) -> list[tuple]:
+    """A WHERE conjunction → the manifest predicate triples.  Only
+    AND-joined simple terms — the shape ``delete_where`` can persist
+    as a tombstone and every reader can re-prove against stats.  OR,
+    grouping, and column-to-column comparisons are rejected loudly."""
+    if _find_top_keyword(cond, "OR") >= 0:
+        raise SqlDmlError(
+            "OR is not supported in DML WHERE (the predicate becomes a "
+            "stats-provable manifest tombstone); issue one statement "
+            "per disjunct or use MERGE"
+        )
+    preds: list[tuple] = []
+    for term in _split_top_keyword(cond, "AND"):
+        term = term.strip()
+        if not term:
+            raise SqlDmlError(f"empty term in WHERE: {cond!r}")
+        m = re.match(r"^(\w+)\s+IS\s+NOT\s+NULL$", term, re.IGNORECASE)
+        if m:
+            preds.append((m.group(1), "is_not_null"))
+            continue
+        m = re.match(r"^(\w+)\s+IS\s+NULL$", term, re.IGNORECASE)
+        if m:
+            preds.append((m.group(1), "is_null"))
+            continue
+        m = re.match(r"^(\w+)\s+IN\s*\((.+)\)$", term, re.IGNORECASE)
+        if m:
+            vals = [_parse_literal(v) for v in _split_top(m.group(2), ",")]
+            preds.append((m.group(1), "in", vals))
+            continue
+        m = re.match(
+            r"^(\w+)\s*(==|!=|<>|<=|>=|=|<|>)\s*(.+)$", term, re.DOTALL
+        )
+        if m:
+            preds.append(
+                (m.group(1), _OPS[m.group(2)], _parse_literal(m.group(3)))
+            )
+            continue
+        raise SqlDmlError(
+            f"unsupported WHERE term {term!r}: want `col op literal`, "
+            "`col IS [NOT] NULL`, or `col IN (...)` joined by AND"
+        )
+    return preds
+
+
+# ------------------------------------------------------------ execution
+
+
+def _resolve(table_name: str, tables: dict[str, str]) -> str:
+    if table_name not in tables:
+        raise SqlDmlError(
+            f"{table_name!r} is not a registered manifest table "
+            f"(have: {sorted(tables) or 'none'}); DML targets must be "
+            "versioned tables passed via --manifest-table NAME=DIR "
+            "without @VERSION (DML always applies to the tip)"
+        )
+    return tables[table_name]
+
+
+def _exec_delete(spark, stmt: str, tables: dict[str, str]) -> dict:
+    m = re.match(
+        r"^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$",
+        stmt.strip().rstrip(";"),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise SqlDmlError(
+            "malformed DELETE: want `DELETE FROM <table> WHERE <cond>` "
+            "(an unconditional DELETE would drop the table — overwrite "
+            "it explicitly instead)"
+        )
+    tdir = _resolve(m.group(1), tables)
+    version = M.delete_where(tdir, parse_where(m.group(2)))
+    return {"op": "delete", "table": m.group(1), "version": version}
+
+
+def _exec_update(spark, stmt: str, tables: dict[str, str]) -> dict:
+    s = stmt.strip().rstrip(";")
+    mh = re.match(r"^UPDATE\s+(\w+)\s+SET\s+", s, re.IGNORECASE)
+    if not mh:
+        raise SqlDmlError(
+            "malformed UPDATE: want "
+            "`UPDATE <table> SET col = expr[, ...] WHERE <cond>`"
+        )
+    rest = s[mh.end():]
+    wi = _find_top_keyword(rest, "WHERE")
+    if wi < 0:
+        raise SqlDmlError(
+            "UPDATE requires a WHERE clause (an unconditional UPDATE "
+            "rewrites the whole table; do that as an explicit overwrite)"
+        )
+    set_part, cond = rest[:wi], rest[wi + len("WHERE"):]
+    set_exprs = {}
+    for assign in _split_top(set_part, ","):
+        ci = assign.find("=")
+        if ci < 0:
+            raise SqlDmlError(f"malformed SET assignment: {assign.strip()!r}")
+        col = assign[:ci].strip()
+        if not re.match(r"^\w+$", col):
+            raise SqlDmlError(f"malformed SET column name: {col!r}")
+        # the right-hand side is ANY Spark SQL expression — it runs
+        # through F.expr over the matching rows, Spark's language
+        set_exprs[col] = F.expr(assign[ci + 1:].strip())
+    tdir = _resolve(mh.group(1), tables)
+    version = M.update_where(spark, tdir, parse_where(cond), set_exprs)
+    return {"op": "update", "table": mh.group(1), "version": version}
+
+
+_MERGE_HEAD = re.compile(
+    r"^MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+",
+    re.IGNORECASE,
+)
+
+
+def _exec_merge(
+    spark: SparkSession, stmt: str, tables: dict[str, str], txn=None
+) -> dict:
+    s = stmt.strip().rstrip(";")
+    mh = _MERGE_HEAD.match(s)
+    if not mh:
+        raise SqlDmlError(
+            "malformed MERGE: want `MERGE INTO <table> [AS a] USING "
+            "<view | (subquery)> [AS b] ON a.k = b.k [AND ...] "
+            "[WHEN ... clauses]`"
+        )
+    target, t_alias = mh.group(1), mh.group(2) or mh.group(1)
+    rest = s[mh.end():]
+    oi = _find_top_keyword(rest, "ON")
+    if oi < 0:
+        raise SqlDmlError("MERGE requires an ON clause")
+    src_part = rest[:oi].strip()
+    on_and_when = rest[oi + len("ON"):]
+    when_parts = _split_top_keyword(on_and_when, "WHEN")
+    on_cond = when_parts[0].strip()
+    clauses = ["WHEN " + w.strip() for w in when_parts[1:]]
+
+    # ---- source: a registered view, or a parenthesized subquery
+    if src_part.startswith("("):
+        close = _matching_paren(src_part)
+        sub, alias_part = src_part[1:close], src_part[close + 1:].strip()
+        s_alias = re.sub(r"^AS\s+", "", alias_part, flags=re.IGNORECASE).strip()
+        if not re.match(r"^\w+$", s_alias or ""):
+            raise SqlDmlError(
+                "a MERGE subquery source needs an alias: "
+                "USING (SELECT ...) AS s"
+            )
+        source = spark.sql(sub)
+    else:
+        toks = src_part.split()
+        if len(toks) == 1:
+            s_alias = toks[0]
+        elif len(toks) == 2 or (
+            len(toks) == 3 and toks[1].upper() == "AS"
+        ):
+            s_alias = toks[-1]
+        else:
+            raise SqlDmlError(f"malformed MERGE source: {src_part!r}")
+        source = spark.table(toks[0])
+
+    # ---- ON: conjunction of same-named key equalities
+    keys = []
+    for term in _split_top_keyword(on_cond, "AND"):
+        m = re.match(
+            r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", term
+        )
+        if not m:
+            raise SqlDmlError(
+                f"unsupported ON term {term.strip()!r}: want "
+                "`<target_alias>.<col> = <source_alias>.<col>` equalities "
+                "joined by AND"
+            )
+        qa, ca, qb, cb = m.groups()
+        sides = {qa: ca, qb: cb}
+        if set(sides) != {t_alias, s_alias}:
+            raise SqlDmlError(
+                f"ON term {term.strip()!r} must reference both "
+                f"{t_alias!r} (target) and {s_alias!r} (source)"
+            )
+        if ca != cb:
+            raise SqlDmlError(
+                f"ON term {term.strip()!r}: merge keys must have the "
+                "same column name on both sides (rename in the source "
+                "subquery if needed)"
+            )
+        keys.append(ca)
+
+    # ---- WHEN clauses: the star upsert forms + an optional
+    # source-flag DELETE, exactly merge_into's semantics
+    delete_col = None
+    saw_update = saw_insert = False
+    for c in clauses:
+        if re.match(
+            r"^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", c, re.IGNORECASE
+        ):
+            saw_update = True
+        elif re.match(
+            r"^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", c, re.IGNORECASE
+        ):
+            saw_insert = True
+        else:
+            m = re.match(
+                r"^WHEN\s+MATCHED\s+AND\s+(?:(\w+)\.)?(\w+)\s+THEN\s+DELETE$",
+                c,
+                re.IGNORECASE,
+            )
+            if m:
+                if m.group(1) and m.group(1) != s_alias:
+                    raise SqlDmlError(
+                        "the DELETE flag must be a SOURCE column "
+                        f"(got {m.group(1)}.{m.group(2)})"
+                    )
+                delete_col = m.group(2)
+            else:
+                raise SqlDmlError(
+                    f"unsupported MERGE clause {c!r}: supported are "
+                    "`WHEN MATCHED THEN UPDATE SET *`, "
+                    "`WHEN NOT MATCHED THEN INSERT *`, and "
+                    "`WHEN MATCHED AND <source bool col> THEN DELETE` "
+                    "(column-level SET lists belong in UPDATE)"
+                )
+    if clauses and not (saw_update and saw_insert):
+        raise SqlDmlError(
+            "MERGE runs as a CDC upsert: include BOTH `WHEN MATCHED "
+            "THEN UPDATE SET *` and `WHEN NOT MATCHED THEN INSERT *` "
+            "(or neither — the upsert is the default)"
+        )
+
+    tdir = _resolve(target, tables)
+    version = M.merge_into(
+        spark, tdir, source, keys, delete_col=delete_col, txn=txn
+    )
+    return {"op": "merge", "table": target, "version": version}
+
+
+def _matching_paren(s: str) -> int:
+    """Index of the ')' closing the '(' at s[0]."""
+    depth, q = 0, None
+    for i, c in enumerate(s):
+        if q:
+            if c == q and not (i + 1 < len(s) and s[i + 1] == q):
+                q = None
+        elif c in ("'", '"'):
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise SqlDmlError(f"unbalanced parentheses in {s[:60]!r}...")
+
+
+def execute_dml(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, str],
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Execute one DML statement against the manifest tables in
+    ``tables`` ({view name: table dir}).  Returns {op, table,
+    version}.  Raises ``SqlDmlError`` for statements outside the
+    subset, and propagates ``ConcurrentTableModificationError`` from
+    the underlying operators (conflict-abort: re-run against the new
+    snapshot).  ``txn=(app_id, version)`` applies to MERGE only —
+    the idempotent-replay stamp of ``merge_into``."""
+    verb = statement.lstrip().split(None, 1)
+    verb = verb[0].upper() if verb else ""
+    if verb == "DELETE":
+        return _exec_delete(spark, statement, tables)
+    if verb == "UPDATE":
+        return _exec_update(spark, statement, tables)
+    if verb == "MERGE":
+        return _exec_merge(spark, statement, tables, txn=txn)
+    raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")

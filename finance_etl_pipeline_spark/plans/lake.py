@@ -500,3 +500,123 @@ def manifest_compacted_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_sql_merge_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey % 5 = 0
+                         THEN {sql_igrid('o_totalprice * 2.0', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+                AS BIGINT) AS sum_price_e2
+    FROM orders
+    WHERE (o_orderkey % 2 = 0 OR o_orderkey % 5 = 0)
+      AND NOT (o_orderkey % 10 = 0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_sql_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a SQL STATEMENT (operators/sqldml.py — the
+    Delta/Iceberg statement surface on the manifest log): commit
+    even-key orders, then merge a doubled-price key%5 source with
+    key%10 flagged DELETE through ``execute_dml`` text — update
+    (even ∩ %5), insert (odd ∩ %5), delete (%10) in one
+    conflict-aborting version.  Diverges if the statement parser
+    mis-binds the ON keys, drops a WHEN clause, or the underlying
+    file-granular merge mis-applies."""
+    from finance_etl_pipeline_spark.operators.sqldml import execute_dml
+
+    t = tempfile.mkdtemp(prefix="mlake_sqlmrg_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        t,
+    )
+    (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("is_del", F.col("o_orderkey") % 10 == 0)
+        .createOrReplaceTempView("mlake_sqlmrg_src")
+    )
+    execute_dml(
+        spark,
+        """MERGE INTO tgt USING mlake_sqlmrg_src AS s
+           ON tgt.o_orderkey = s.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *
+           WHEN MATCHED AND s.is_del THEN DELETE""",
+        {"tgt": t},
+    )
+    return (
+        M.read_version(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "manifest_sql_update_delete_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('p', 2)}) AS BIGINT) AS sum_price_e2
+    FROM (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'O'
+                    THEN o_totalprice * 1.5 ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey % 4 = 0
+    ) u
+    WHERE NOT (p < 5000.0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_sql_update_delete_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE then DELETE as SQL statements, composing on the log:
+    the UPDATE rewrites status-'O' rows at 1.5× into a new dir with a
+    scoped tombstone; the DELETE tombstones by POST-update price —
+    its predicate must see the rewritten values (rewrite dir included
+    in the tombstone scope) and the pre-update copies must stay dead
+    under the first tombstone.  Wrong scoping double-counts or
+    resurrects rows and diverges from the symbolic recompute."""
+    from finance_etl_pipeline_spark.operators.sqldml import execute_dml
+
+    t = tempfile.mkdtemp(prefix="mlake_squd_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(o.filter(F.col("o_orderkey") % 4 == 0), t)
+    execute_dml(
+        spark,
+        "UPDATE tgt SET o_totalprice = o_totalprice * 1.5 "
+        "WHERE o_orderstatus = 'O'",
+        {"tgt": t},
+    )
+    execute_dml(
+        spark, "DELETE FROM tgt WHERE o_totalprice < 5000.0", {"tgt": t}
+    )
+    return (
+        M.read_version(spark, t)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
