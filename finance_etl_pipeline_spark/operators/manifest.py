@@ -778,6 +778,149 @@ def _publish_dir(
         return latest_version(table_dir)
 
 
+def _entry_partition_combo(entry: dict, partition_by: list[str]):
+    """The exact partition-value tuple of one file entry, read from
+    the per-file stats (hive partition values record min = max = v,
+    all-NULL records min None — see ``_harvest_one``), or None when
+    any value is not exactly known."""
+    combo = []
+    for c in partition_by:
+        st = entry.get("stats", {}).get(c)
+        if st is None:
+            return None
+        if st["min"] is None and st["nulls"] == entry["rows"]:
+            combo.append(None)  # __HIVE_DEFAULT_PARTITION__
+        elif st["min"] is not None and st["min"] == st["max"]:
+            combo.append(st["min"])
+        else:
+            return None
+    return tuple(combo)
+
+
+def publish_dynamic_overwrite(
+    table_dir: str,
+    rel: str,
+    file_entries: list[dict],
+    schema: StructType,
+    partition_by: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Dynamic partition overwrite as ONE manifest version (Spark's
+    ``partitionOverwriteMode=dynamic`` / Hive's insert-overwrite
+    semantics on the log): the partitions PRESENT in the newly
+    written dir replace their prior files; every other partition is
+    carried untouched — by shard reference, so the publish cost is
+    O(dirs that lost a file), never O(table).
+
+    Replacement is decided from the manifest's exact partition-value
+    stats (hive path values record min = max by construction), which
+    requires every PRIOR dir to be partitioned by the same columns —
+    an unpartitioned dir cannot be partition-replaced and aborts the
+    publish loudly, matching the guardrail of the big formats.
+    Time travel to the pre-overwrite version sees the replaced
+    partitions again; vacuum reclaims their files after retention."""
+    written = {_entry_partition_combo(e, partition_by) for e in file_entries}
+    if None in written:
+        raise ValueError(
+            "a written file lacks exact partition-value stats — "
+            "dynamic overwrite cannot decide what it replaces"
+        )
+    if txn is not None:
+        tip = latest_version(table_dir)
+        if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
+            return tip
+    abs_dir = os.path.join(table_dir, rel)
+    schema_json = schema.jsonValue()
+
+    def build(prev: int) -> dict:
+        m = _read_manifest(table_dir, prev) if prev > 0 else None
+        if _txn_seen(m, txn):
+            raise _TxnAlreadyApplied()
+        if m is None:
+            dirs: list[str] = []
+            files: dict = {}
+            dir_schemas: dict = {}
+            part_dirs: dict = {}
+            deletes: list[dict] = []
+            merged_schema = schema
+        else:
+            dirs = list(m["dirs"])
+            files = _carry_files(table_dir, m)
+            dir_schemas = _load_dir_schemas(m)
+            part_dirs = dict(m.get("partitioned_dirs", {}))
+            deletes = list(m.get("deletes", []))
+            merged_schema = (
+                _merge_schema(m["schema"], schema)
+                if "schema" in m
+                else schema
+            )
+            for d in dirs:
+                if part_dirs.get(d) != list(partition_by):
+                    raise ValueError(
+                        "dynamic partition overwrite requires every "
+                        f"prior dir to be partitioned by {partition_by}; "
+                        f"dir {d} is partitioned by {part_dirs.get(d)} — "
+                        "use mode=overwrite (whole table) instead"
+                    )
+                entries = _dir_entries(table_dir, m, d)
+                kept = []
+                for e in entries:
+                    combo = _entry_partition_combo(e, partition_by)
+                    if combo is None:
+                        raise ValueError(
+                            f"file {d}/{e['path']} has no exact "
+                            "partition-value stats; cannot prove it "
+                            "outside the replaced partitions"
+                        )
+                    if combo not in written:
+                        kept.append(e)
+                if len(kept) != len(entries):
+                    files[d] = kept  # re-shard only dirs that changed
+        dirs.append(rel)
+        files[rel] = file_entries
+        dir_schemas[rel] = schema_json
+        part_dirs[rel] = list(partition_by)
+        return {
+            "dirs": dirs,
+            "mode": "dynpart_overwrite",
+            "files": files,
+            "dir_schemas": dir_schemas,
+            "partitioned_dirs": part_dirs,
+            "deletes": deletes,
+            "schema": merged_schema.jsonValue(),
+            "txns": _carry_txns(m, txn),
+        }
+
+    try:
+        return _publish(table_dir, build)
+    except _TxnAlreadyApplied:
+        shutil.rmtree(abs_dir, ignore_errors=True)
+        return latest_version(table_dir)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    table_dir: str,
+    partition_by: list[str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Python-API form of dynamic partition overwrite: write ``df``
+    hive-partitioned and publish one version replacing exactly the
+    partitions it contains (see ``publish_dynamic_overwrite``)."""
+    if txn is not None:
+        tip = latest_version(table_dir)
+        if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
+            return tip
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA, f"commit-{token}")
+    abs_dir = os.path.join(table_dir, rel)
+    df.write.partitionBy(*partition_by).parquet(abs_dir)
+    file_entries = _harvest_stats(abs_dir, df.sparkSession)
+    return publish_dynamic_overwrite(
+        table_dir, rel, file_entries, df.schema, partition_by, txn=txn
+    )
+
+
 def _normalize_pred(p) -> tuple[str, str, object]:
     """(col, op) or (col, op, value) → canonical triple, validated."""
     if len(p) == 2:

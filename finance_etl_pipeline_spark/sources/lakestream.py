@@ -214,7 +214,37 @@ class ManifestTableDataSource(DataSource):
             raise ValueError("txn_app_id and txn_version go together")
         if app is not None:
             txn = (app, int(ver))
-        return ManifestBatchWriter(self._table_dir(), schema, overwrite, txn)
+        pb = self.options.get("partition_by")
+        partition_by = (
+            [c.strip() for c in pb.split(",") if c.strip()] if pb else []
+        )
+        missing = [c for c in partition_by if c not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"partition_by columns not in schema: {missing}")
+        if partition_by and len(partition_by) == len(schema.fieldNames()):
+            raise ValueError("cannot partition by every column")
+        pom = str(self.options.get("partition_overwrite_mode", "")).lower()
+        if pom and pom not in ("static", "dynamic"):
+            raise ValueError(
+                f"partition_overwrite_mode must be static|dynamic, got {pom!r}"
+            )
+        dynamic = pom == "dynamic"
+        if dynamic and not overwrite:
+            raise ValueError(
+                "partition_overwrite_mode=dynamic needs mode('overwrite')"
+            )
+        if dynamic and not partition_by:
+            raise ValueError(
+                "partition_overwrite_mode=dynamic needs partition_by"
+            )
+        return ManifestBatchWriter(
+            self._table_dir(),
+            schema,
+            overwrite,
+            txn,
+            partition_by=partition_by,
+            dynamic=dynamic,
+        )
 
     def streamReader(self, schema) -> "ManifestStreamReader":
         return ManifestStreamReader(
@@ -502,7 +532,10 @@ class ManifestBatchPushdownReader(ManifestBatchReader):
 
 @dataclass
 class _WroteFile(WriterCommitMessage):
-    rel: str  # filename relative to the commit data dir ("" = empty)
+    #: file paths relative to the commit data dir — one per task for
+    #: plain writes, one per PARTITION the task saw for hive-
+    #: partitioned writes (empty = the task had no rows)
+    rels: tuple = ()
 
 
 class ManifestBatchWriter(DataSourceArrowWriter):
@@ -520,7 +553,18 @@ class ManifestBatchWriter(DataSourceArrowWriter):
 
     Options ``txn_app_id`` + ``txn_version`` thread the exactly-once
     writer txn through the SQL write path (replayed jobs become
-    no-ops), same contract as ``commit(txn=...)``."""
+    no-ops), same contract as ``commit(txn=...)``.
+
+    Option ``partition_by`` (comma-separated columns — the Python
+    DataSource API does not receive ``partitionBy()``) writes the
+    commit hive-partitioned: each task streams its batches into one
+    parquet file PER PARTITION VALUE it sees, under ``col=value/``
+    paths with the partition columns stripped from the files (the
+    hive layout ``read_version`` and the batch reader already prune
+    and reconstruct).  ``mode("overwrite")`` plus option
+    ``partition_overwrite_mode=dynamic`` replaces only the partitions
+    present in the written data, as one conflict-free version
+    (``manifest.publish_dynamic_overwrite``)."""
 
     def __init__(
         self,
@@ -528,14 +572,30 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         schema: StructType,
         overwrite: bool,
         txn: tuple[str, int] | None = None,
+        partition_by: list[str] | None = None,
+        dynamic: bool = False,
     ):
         self.table_dir = table_dir
         self.schema = schema
         self.mode = "overwrite" if overwrite else "append"
         self.txn = txn
+        self.partition_by = partition_by or []
+        self.dynamic = dynamic
         token = uuid.uuid4().hex[:12]
         self.rel = os.path.join("data", f"commit-{token}")
         self.abs_dir = os.path.join(table_dir, self.rel)
+
+    @staticmethod
+    def _fmt_part(v) -> str:
+        """One partition value as its hive path component — Spark's
+        convention: NULL sentinel dir, everything else str() with
+        path-hostile characters percent-escaped (the read side
+        unquotes; see ``manifest._parse_partition_value``)."""
+        from urllib.parse import quote
+
+        if v is None:
+            return "__HIVE_DEFAULT_PARTITION__"
+        return quote(str(v), safe="")
 
     def write(self, iterator) -> _WroteFile:
         import pyarrow as pa
@@ -543,28 +603,82 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         os.makedirs(self.abs_dir, exist_ok=True)
-        target = to_arrow_schema(self.schema)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        writer = None
+        full = to_arrow_schema(self.schema)
+        part_cols = self.partition_by
+        data_idx = [
+            i for i, f in enumerate(full) if f.name not in part_cols
+        ]
+        target = pa.schema([full.field(i) for i in data_idx])
+        #: combo tuple -> (ParquetWriter, rel path); plain writes use
+        #: the single () combo — one file per task either way
+        writers: dict[tuple, tuple] = {}
+
+        def _sink(combo) -> "pq.ParquetWriter":
+            got = writers.get(combo)
+            if got is not None:
+                return got[0]
+            sub = "".join(
+                f"{c}={self._fmt_part(v)}{os.sep}"
+                for c, v in zip(part_cols, combo)
+            )
+            rel = f"{sub}part-{uuid.uuid4().hex}.parquet"
+            os.makedirs(
+                os.path.dirname(os.path.join(self.abs_dir, rel)) or ".",
+                exist_ok=True,
+            )
+            w = pq.ParquetWriter(os.path.join(self.abs_dir, rel), target)
+            writers[combo] = (w, rel)
+            return w
+
         try:
             for batch in iterator:
-                if writer is None:
-                    writer = pq.ParquetWriter(
-                        os.path.join(self.abs_dir, name), target
-                    )
-                writer.write_batch(
-                    pa.RecordBatch.from_arrays(
-                        [
-                            batch.column(i).cast(target.field(i).type)
-                            for i in range(batch.num_columns)
-                        ],
-                        schema=target,
-                    )
+                aligned = pa.RecordBatch.from_arrays(
+                    [
+                        batch.column(i).cast(full.field(i).type)
+                        for i in range(batch.num_columns)
+                    ],
+                    schema=full,
                 )
+                if not part_cols:
+                    _sink(()).write_batch(
+                        aligned.select([f.name for f in target])
+                    )
+                    continue
+                # split the Arrow batch by partition tuple — vectorized
+                # masks per distinct combo (combos per batch are few;
+                # rows per combo are many — the right split of work)
+                import pyarrow.compute as pc
+
+                tbl = pa.Table.from_batches([aligned])
+                combos = (
+                    tbl.select(part_cols)
+                    .group_by(part_cols)
+                    .aggregate([])
+                    .to_pylist()
+                )
+                data_tbl = tbl.select([f.name for f in target])
+                for row in combos:
+                    combo = tuple(row[c] for c in part_cols)
+                    mask = None
+                    for c, v in zip(part_cols, combo):
+                        col = tbl.column(c)
+                        m = (
+                            pc.is_null(col)
+                            if v is None
+                            else pc.equal(col, pa.scalar(v, col.type))
+                        )
+                        mask = m if mask is None else pc.and_kleene(mask, m)
+                    part = data_tbl.filter(
+                        pc.fill_null(mask, False)
+                    )
+                    w = _sink(combo)
+                    for b in part.to_batches():
+                        if b.num_rows:
+                            w.write_batch(b)
         finally:
-            if writer is not None:
-                writer.close()
-        return _WroteFile(rel=name if writer is not None else "")
+            for w, _ in writers.values():
+                w.close()
+        return _WroteFile(rels=tuple(rel for _, rel in writers.values()))
 
     def commit(self, messages) -> None:
         # harvest ONLY the files the successful task attempts named:
@@ -573,17 +687,30 @@ class ManifestBatchWriter(DataSourceArrowWriter):
         # the manifest (it stays unreferenced — readers never see it,
         # and the file-granular vacuum reclaims it after retention)
         entries = [
-            M._harvest_one(self.abs_dir, m.rel)
+            M._harvest_one(self.abs_dir, rel)
             for m in messages
-            if m is not None and m.rel
+            if m is not None
+            for rel in m.rels
         ]
         os.makedirs(self.abs_dir, exist_ok=True)  # 0-row writes
+        entries = sorted(entries, key=lambda e: e["path"])
+        if self.dynamic:
+            M.publish_dynamic_overwrite(
+                self.table_dir,
+                self.rel,
+                entries,
+                self.schema,
+                self.partition_by,
+                txn=self.txn,
+            )
+            return
         M._publish_dir(
             self.table_dir,
             self.rel,
-            sorted(entries, key=lambda e: e["path"]),
+            entries,
             self.schema,
             self.mode,
+            partition_by=self.partition_by or None,
             txn=self.txn,
         )
 
