@@ -1391,6 +1391,7 @@ def merge_into(
     delete_col: str | None = None,
     order_col: str | None = None,
     txn: tuple[str, int] | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Row-level MERGE as ONE conflict-aborting manifest version —
     copy-on-write at FILE granularity, the Delta/Iceberg MERGE INTO
@@ -1417,6 +1418,17 @@ def merge_into(
     * ``txn=(app_id, version)`` makes the merge idempotent under
       micro-batch replay (see ``commit``) — the streaming CDC sink's
       exactly-once primitive.
+
+    ``evolve_schema=True`` is Delta's autoMerge for the CDC pipeline
+    whose upstream added a column: NEW source payload columns widen
+    the version's logical schema (appended in source order, the same
+    ``_merge_schema`` rule as append evolution); untouched files keep
+    their physical schema and read the new columns as NULLs through
+    the existing ``dir_schemas`` machinery, and time travel to a
+    pre-merge version still returns the old schema.  Without the
+    flag, new columns abort loudly (the default, because a typo'd
+    source column silently widening a table is worse than a re-run).
+    Type changes to EXISTING columns are always rejected.
 
     Time travel composes: the pre-merge version still reads the old
     file set; ``vacuum`` reclaims rewritten files after retention."""
@@ -1480,11 +1492,18 @@ def merge_into(
                 f"type mismatch on {f.name}: table {f.dataType} vs "
                 f"source {src_types[f.name]}"
             )
-    if set(src_types) - set(logical.fieldNames()):
+    new_cols = set(src_types) - set(logical.fieldNames())
+    if new_cols and not evolve_schema:
         raise ValueError(
-            "MERGE cannot add columns: "
-            f"{sorted(set(src_types) - set(logical.fieldNames()))}"
+            f"MERGE cannot add columns: {sorted(new_cols)} "
+            "(pass evolve_schema=True to widen the table — Delta's "
+            "autoMerge — or drop them in the source)"
         )
+    if new_cols:
+        src_payload = StructType(
+            [f for f in source.schema.fields if f.name not in aux]
+        )
+        logical = _merge_schema(m0["schema"], src_payload)
 
     # find the touched files: key semi-join over the snapshot, file
     # list stats-pruned by the source key envelope first (a small
@@ -1526,6 +1545,10 @@ def merge_into(
     tgt_touched = tgt.filter(
         F.col("__file").isin(raw_files) if raw_files else F.lit(False)
     ).drop("__file")
+    # under evolution the touched rows align to the WIDENED logical
+    # schema (new columns as typed NULLs) so the upsert emits the full
+    # column set; without evolution this is the identity projection
+    tgt_touched = _align_to(tgt_touched, logical)
     merged = upsert(
         tgt_touched, source, keys, delete_col=delete_col, order_col=order_col
     )
@@ -1594,7 +1617,9 @@ def merge_into(
             "dir_schemas": dir_schemas,
             "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
             "deletes": list(m.get("deletes", [])),
-            "schema": m["schema"],
+            # widened under evolve_schema, otherwise byte-identical to
+            # the previous version's schema
+            "schema": logical.jsonValue(),
             "txns": _carry_txns(m, txn),
         }
 

@@ -435,3 +435,72 @@ def test_insert_heavy_merge_does_not_collapse_to_one_file(
     assert (
         got.groupBy("o_orderkey").count().filter("count > 1").count() == 0
     )
+
+
+def test_merge_evolve_schema_widens_table(spark, sf_dir, tmp_path):
+    """evolve_schema=True (Delta autoMerge): new source payload
+    columns widen the logical schema; untouched files read them as
+    NULL; time travel to the pre-merge version returns the OLD
+    schema."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    lo = o.agg(F.min("o_orderkey")).first()[0]
+    hi = o.agg(F.max("o_orderkey")).first()[0]
+    mid = (lo + hi) // 2
+    # two range-disjoint files so one stays UNTOUCHED by the merge
+    M.commit(o.filter(F.col("o_orderkey") <= mid).coalesce(1), t)
+    M.commit(o.filter(F.col("o_orderkey") > mid).coalesce(1), t)
+
+    src = (
+        o.filter(F.col("o_orderkey") == lo)
+        .withColumn("o_channel", F.lit("web"))
+    )
+    # without the flag: loud abort, nothing published
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        M.merge_into(spark, t, src, ["o_orderkey"])
+    assert M.latest_version(t) == 2
+
+    v = M.merge_into(spark, t, src, ["o_orderkey"], evolve_schema=True)
+    assert v == 3
+    got = M.read_version(spark, t)
+    assert "o_channel" in got.columns
+    assert got.count() == o.count()
+    assert got.filter(F.col("o_orderkey") == lo).first()["o_channel"] == "web"
+    # rows from the untouched file and unmatched rewritten rows: NULL
+    assert got.filter(F.col("o_channel").isNull()).count() == o.count() - 1
+    # pre-merge version keeps the old schema
+    assert "o_channel" not in M.read_version(spark, t, 2).columns
+    # type changes to existing columns still abort under the flag
+    bad = src.withColumn("o_totalprice", F.lit("oops"))
+    with pytest.raises(ValueError, match="type"):
+        M.merge_into(spark, t, bad, ["o_orderkey"], evolve_schema=True)
+
+
+def test_merge_evolve_insert_only_and_delete_col(spark, sf_dir, tmp_path):
+    """Evolution composes with the CDC clauses: inserts carry the new
+    column; delete-flagged keys vanish; the flag column itself is
+    bookkeeping, never part of the widened schema."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    base = o.filter(F.col("o_orderkey") % 2 == 0)
+    M.commit(base, t)
+    src = (
+        o.filter(F.col("o_orderkey") % 10 <= 1)  # evens matched + odds new
+        .withColumn("region", (F.col("o_orderkey") % 3).cast("long"))
+        .withColumn("__del", F.col("o_orderkey") % 20 == 0)
+    )
+    M.merge_into(
+        spark, t, src, ["o_orderkey"], delete_col="__del",
+        evolve_schema=True,
+    )
+    got = M.read_version(spark, t)
+    assert "region" in got.columns and "__del" not in got.columns
+    exp_n = o.filter(
+        ((F.col("o_orderkey") % 2 == 0) | (F.col("o_orderkey") % 10 <= 1))
+        & ~(F.col("o_orderkey") % 20 == 0)
+    ).count()
+    assert got.count() == exp_n
+    n_src_kept = o.filter(
+        (F.col("o_orderkey") % 10 <= 1) & ~(F.col("o_orderkey") % 20 == 0)
+    ).count()
+    assert got.filter(F.col("region").isNotNull()).count() == n_src_kept

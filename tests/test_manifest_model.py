@@ -1,7 +1,7 @@
 """Model-based check of the manifest DML surface: a seeded random
 sequence of commit/overwrite/delete_where/update_where/compact_table/
-merge_into ops runs against both the real versioned table and a pure-Python
-dict model; after EVERY op the latest read must equal the model, a
+merge_into (plain and schema-EVOLVING) ops runs against both the real
+versioned table and a pure-Python dict model; after EVERY op the latest read must equal the model, a
 stats-pruned read must equal the model filter, and a random historical
 version must still equal its recorded snapshot (time travel under
 churn).  Interactions (a delete over an update over an append, a
@@ -22,7 +22,13 @@ N_OPS = 12
 
 
 def _to_model(rows):
-    return {int(r.k): int(r.p) for r in rows}
+    # value = (p, q) — q is the column an evolving merge may add
+    # mid-sequence; None before evolution / for NULL-filled old rows
+    out = {}
+    for r in rows:
+        q = int(r.q) if "q" in r.__fields__ and r.q is not None else None
+        out[int(r.k)] = (int(r.p), q)
+    return out
 
 
 def _read_model(spark, t, version=None):
@@ -59,44 +65,74 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
         del unused[:n]
         return got
 
-    # v1: initial commit
-    model: dict[int, int] = {}
+    # v1: initial commit.  model value = (p, q); q is None until an
+    # evolving merge adds the column (and resets on overwrite, which
+    # starts a fresh schema)
+    model: dict[int, tuple] = {}
     first = take(120)
-    model.update({k: universe[k] for k in first})
+    model.update({k: (universe[k], None) for k in first})
     M.commit(frame(first).repartition(3), t)
     history = {1: dict(model)}
+    evolved = False
 
     for step in range(N_OPS):
         op = rng.choice(
-            ["append", "delete", "update", "compact", "overwrite", "merge"]
+            [
+                "append",
+                "delete",
+                "update",
+                "compact",
+                "overwrite",
+                "merge",
+                "evolve",
+            ]
         )
-        if op == "merge" and model:
+        if op in ("merge", "evolve") and model:
             upd = rng.sample(
                 sorted(model), min(len(model), rng.randint(5, 25))
             )
             ins = take(rng.randint(0, 15))
             delta = rng.randint(1, 999)
-            rows = [(k, model[k] + delta) for k in upd] + [
-                (k, universe[k]) for k in ins
-            ]
-            src = spark.createDataFrame(sorted(rows), "k long, p long")
-            v = M.merge_into(spark, t, src, ["k"])
-            model.update(dict(rows))
+            if op == "evolve" or evolved:
+                # 3-column source: the first such merge WIDENS the
+                # table (evolve_schema=True); later ones must supply
+                # q like any post-evolution writer
+                rows = [
+                    (k, model[k][0] + delta, k % 7) for k in upd
+                ] + [(k, universe[k], k % 7) for k in ins]
+                src = spark.createDataFrame(
+                    sorted(rows), "k long, p long, q long"
+                )
+                v = M.merge_into(
+                    spark, t, src, ["k"], evolve_schema=True
+                )
+                evolved = True
+                model.update({k: (p, q) for k, p, q in rows})
+            else:
+                rows = [(k, model[k][0] + delta) for k in upd] + [
+                    (k, universe[k]) for k in ins
+                ]
+                src = spark.createDataFrame(sorted(rows), "k long, p long")
+                v = M.merge_into(spark, t, src, ["k"])
+                model.update({k: (p, None) for k, p in rows})
         elif op == "append" and unused:
             ks = take(rng.randint(10, 60))
-            model.update({k: universe[k] for k in ks})
+            # appends stay 2-column even after evolution: the new
+            # dir's rows read q as NULL (dir_schemas NULL fill)
+            model.update({k: (universe[k], None) for k in ks})
             v = M.commit(frame(ks).repartition(2), t)
         elif op == "overwrite":
             ks = rng.sample(all_keys, rng.randint(30, 90))
-            model = {k: universe[k] for k in ks}
+            model = {k: (universe[k], None) for k in ks}
             v = M.commit(frame(ks).repartition(2), t, mode="overwrite")
+            evolved = False  # overwrite starts a fresh schema
         elif op == "delete" and model:
             cut = rng.choice(sorted(model))
             which = rng.choice(["<=", ">"])
             v = M.delete_where(t, [("k", which, int(cut))])
             model = {
-                k: p
-                for k, p in model.items()
+                k: pq
+                for k, pq in model.items()
                 if not (k <= cut if which == "<=" else k > cut)
             }
         elif op == "update" and model:
@@ -106,7 +142,8 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 spark, t, [("k", ">=", int(cut))], {"p": F.col("p") + delta}
             )
             model = {
-                k: (p + delta if k >= cut else p) for k, p in model.items()
+                k: ((p + delta if k >= cut else p), q)
+                for k, (p, q) in model.items()
             }
         elif op == "compact":
             v = M.compact_table(spark, t, target_bytes=32 * 1024)
@@ -125,7 +162,7 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 M.read_version(spark, t, where=[("k", ">=", int(cut))])
                 .collect()
             )
-            assert pruned == {k: p for k, p in model.items() if k >= cut}
+            assert pruned == {k: pq for k, pq in model.items() if k >= cut}
 
         # time travel: one random recorded version still matches
         hv = rng.choice(sorted(history))
