@@ -620,3 +620,95 @@ def manifest_sql_update_delete_read(
         )
         .orderBy("o_orderstatus")
     )
+
+
+#: 200-file range-clustered lineitem snapshot (same bytes as the
+#: 16-file bench table — more, smaller files): the non-toy scale for
+#: manifest metadata cost, where the sharded log and the skipping
+#: proofs process a file population instead of a handful.  Built once
+#: per (process, sf_dir) like _BENCH_TBL.
+_BENCH_WIDE_TBL: dict[str, str] = {}
+
+#: dedicated merge-bench table (orders, unique keys, 200 files) — kept
+#: separate from the read-bench tables because each merge run PUBLISHES
+#: versions; the read benches must stay single-version snapshots
+_BENCH_MERGE_TBL: dict[str, str] = {}
+
+
+def _bench_wide_table(spark: SparkSession, sf_dir: str) -> str:
+    t = _BENCH_WIDE_TBL.get(sf_dir)
+    if t is not None:
+        return t
+    t = tempfile.mkdtemp(prefix="mlake_wide_") + "/tbl"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    M.commit(li.repartitionByRange(200, "l_shipdate"), t)
+    _BENCH_WIDE_TBL[sf_dir] = t
+    return t
+
+
+def _bench_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    t = _BENCH_MERGE_TBL.get(sf_dir)
+    if t is not None:
+        return t
+    t = tempfile.mkdtemp(prefix="mlake_mdelta_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.repartitionByRange(200, "o_orderkey"), t)
+    _BENCH_MERGE_TBL[sf_dir] = t
+    return t
+
+
+@register("manifest_pruned_read_200f", _BENCH_SQL, "lake", "bench")
+def manifest_pruned_read_200f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``manifest_pruned_read`` at a NON-TOY file population: the same
+    sf bytes clustered into 200 files, so the timed quantity includes
+    resolving a 200-entry shard, proving ~170 of 200 files out against
+    their stats, and scanning the ~30 survivors.  Tracks the metadata
+    path's scaling with #files round over round — the 16-file pair
+    alone cannot distinguish per-file metadata cost from fixed
+    overhead."""
+    import datetime
+
+    t = _bench_wide_table(spark, sf_dir)
+    cut = datetime.datetime.strptime(_BENCH_CUT, "%Y-%m-%d %H:%M:%S")
+    df = M.read_version(spark, t, where=[("l_shipdate", "<", cut)])
+    return _bench_agg(df)
+
+
+@register(
+    "manifest_merge_small_delta",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey <= 256
+                         THEN {sql_igrid('42.0', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+                AS BIGINT) AS sum_price_e2
+    FROM orders
+    """,
+    "lake",
+    "bench",
+)
+def manifest_merge_small_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-delta MERGE INTO a 200-file table, timed end to end:
+    source-key-envelope stats pruning must touch ~1 of 200 range-
+    clustered files, rewrite it, and publish one version whose
+    manifest carries the other ~199 entries by shard REFERENCE — then
+    the post-merge read aggregates the whole table.  The merge is
+    content-idempotent (same keys, fixed value), so repeated bench
+    iterations and the oracle see one stable answer while versions
+    stack; a merge that rewrites more than the touched file or a
+    publish that re-serializes the full file map shows up as timing
+    growth here long before correctness breaks."""
+    t = _bench_merge_table(spark, sf_dir)
+    o = table(spark, sf_dir, "orders")
+    src = (
+        o.filter(F.col("o_orderkey") <= 256)
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(42.0))
+    )
+    M.merge_into(spark, t, src, ["o_orderkey"])
+    return M.read_version(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )
