@@ -7,12 +7,14 @@ stages over ``mapInPandas`` — the only place Python touches the data,
 and it touches it one Arrow batch (not one row) at a time.
 
 Decode is REAL for the formats a stdlib+numpy container can honestly
-parse: BMP (``decode_bmp`` — header/stride/bottom-up/BGR) and PNG
+parse: BMP (``decode_bmp`` — header/stride/bottom-up/BGR), PNG
 (``decode_png`` — CRC-checked chunks, zlib inflate, all five scanline
-filters), both value-verified against symbolic DuckDB oracles
-(mm_bmp_decode_stats, mm_png_decode_stats).  ``decode_features``
-dispatches on magic bytes; only codec-library formats (JPEG/WebP/...)
-fall back to ``_fake_decode``'s deterministic pseudo-features, with
+filters), and baseline JPEG (``operators/jpeg.py::decode_jpeg`` —
+canonical Huffman, dequantize, IDCT), each value-verified against a
+symbolic DuckDB oracle (mm_bmp_decode_stats, mm_png_decode_stats,
+mm_jpeg_decode_stats).  ``decode_features`` dispatches on magic
+bytes; only codec-library formats (WebP/AVIF/...) fall back to
+``_fake_decode``'s deterministic pseudo-features, with
 ``decode_image_real`` raising honestly where Pillow would be called.
 Schema, batch iteration, partition behavior, and column pruning are
 identical across real and stubbed paths (tests/test_multimodal.py).
@@ -66,9 +68,10 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
     """Codec-library decode for formats this container cannot handle
-    natively (JPEG/WebP/...).  PNG and BMP do NOT land here — they
-    have real pure-numpy decoders (``decode_png``, ``decode_bmp``)
-    that ``decode_features`` dispatches to by magic bytes."""
+    natively (WebP/AVIF/...).  PNG, BMP, and baseline JPEG do NOT
+    land here — they have real pure-numpy decoders (``decode_png``,
+    ``decode_bmp``, ``operators/jpeg.py::decode_jpeg``) that
+    ``decode_features`` dispatches to by magic bytes."""
     raise NotImplementedError("image decoding libraries not installed")
 
 
@@ -87,9 +90,13 @@ def _fake_decode(payload: bytes | None) -> tuple[int, int, int]:
 
 def _dispatch_decode(payload: bytes | None) -> tuple[int, int, int]:
     """Magic-byte dispatch: REAL decode for the formats with pure-numpy
-    decoders (PNG, BMP — width/height from actual pixel parsing,
-    checksum = pixel sum), deterministic pseudo-features for anything
-    else (where ``decode_image_real`` would need a codec library)."""
+    decoders (PNG, BMP, baseline JPEG — width/height from actual pixel
+    parsing, checksum = pixel sum), deterministic pseudo-features for
+    anything else (where ``decode_image_real`` would need a codec
+    library).  Note for the ``mm_decode_features`` oracle: the corpus
+    that query synthesizes carries text bytes and none of these magic
+    prefixes, so every row still takes the ``_fake_decode`` twin path
+    the oracle mirrors."""
     if payload:
         if payload[: len(PNG_SIG)] == PNG_SIG:
             rgb = decode_png(payload)
@@ -97,6 +104,11 @@ def _dispatch_decode(payload: bytes | None) -> tuple[int, int, int]:
         if payload[:2] == b"BM":
             rgb = decode_bmp(payload)
             return rgb.shape[1], rgb.shape[0], int(rgb.sum()) % 1_000_000_007
+        if payload[:2] == b"\xff\xd8":
+            from finance_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
+            return px.shape[1], px.shape[0], int(px.sum()) % 1_000_000_007
     return _fake_decode(payload)
 
 
@@ -772,3 +784,117 @@ def bmp_resize_stats(payloads: DataFrame) -> DataFrame:
             yield pdf_out
 
     return payloads.mapInPandas(batches, BMP_RESIZE_SCHEMA)
+
+
+# --- JPEG family (round 8): real baseline JFIF bytes per doc --------
+#
+# Same twin pattern as the PNG/BMP families: a deterministic encoder
+# whose pixel values are pure arithmetic in (doc_id, block_x, block_y),
+# so the DuckDB oracle recomputes the decode statistics without
+# touching a byte.  The images are built from CONSTANT 8×8 blocks with
+# an all-ones quant table, which makes the baseline round trip
+# BIT-EXACT (a constant block has only a DC coefficient; 8·(v−128) is
+# integral, so quantize→dequantize→IDCT reproduces v exactly) — the
+# property that lets a LOSSY format carry a value-hash oracle.  The
+# decoder itself is general (tests/test_multimodal.py exercises
+# gradient/noise/color content under an error envelope).
+
+
+def _jpeg_dims(doc_id: int) -> tuple[int, int]:
+    """Block-grid dims: width 16/24/32, height 8/16 — multiples of 8
+    (constant-block exactness needs whole blocks), and a third grid
+    distinct from the PNG and BMP families."""
+    return 8 * (2 + doc_id % 3), 8 * (1 + doc_id % 2)
+
+
+def _jpeg_block_value(doc_id: int, bx, by):
+    """Pixel value of block (bx, by) — the formula the oracle mirrors
+    with x//8, y//8."""
+    return (7 * doc_id + 13 * bx + 29 * by) % 256
+
+
+def encode_jpeg_doc(doc_id: int) -> bytes:
+    """A real, decodable baseline grayscale JFIF whose 8×8 blocks are
+    constant at ``_jpeg_block_value`` — openable by any JPEG decoder,
+    bit-exact under ours."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import encode_jpeg
+
+    w, h = _jpeg_dims(doc_id)
+    bx = np.arange(w // 8, dtype=np.int64)[None, :]
+    by = np.arange(h // 8, dtype=np.int64)[:, None]
+    vals = _jpeg_block_value(doc_id, bx, by)
+    img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    return encode_jpeg([img])
+
+
+def with_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Arrow-batched synth stage: one real baseline JPEG per doc_id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [encode_jpeg_doc(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_pixels", LongType()),
+        StructField("sum_v", LongType()),
+        StructField("wsum_y", LongType()),
+        StructField("wxsum_x", LongType()),
+    ]
+)
+
+
+def jpeg_decode_stats(payloads: DataFrame) -> DataFrame:
+    """REAL compressed-image decode (huffman + dequantize + IDCT) +
+    grayscale statistics: the plain sum breaks on any DC/quant error;
+    the y-weighted sum breaks if MCU row order is wrong; the
+    x-weighted sum breaks on a transposed IDCT or block-column
+    mix-up.  Arrow mapInPandas, binary in / 7 scalars out — payloads
+    never shuffle."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "sum_v", "wsum_y", "wxsum_x",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["sum_v"].append(int(px.sum()))
+                out["wsum_y"].append(int((ys * px).sum()))
+                out["wxsum_x"].append(int((xs * px).sum()))
+            pdf_out = pd.DataFrame(out)
+            pdf_out["width"] = pdf_out["width"].astype("int32")
+            pdf_out["height"] = pdf_out["height"].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, JPEG_STATS_SCHEMA)

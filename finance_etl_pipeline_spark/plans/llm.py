@@ -1604,3 +1604,63 @@ def tx_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus median."""
     docs = spread(table(spark, sf_dir, "documents"))
     return T.compression_ratio(docs).orderBy("doc_id")
+
+
+@register(
+    "mm_jpeg_decode_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (2 + doc_id % 3) AS INTEGER) AS w,
+             CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims),
+    px AS (
+      SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y,
+      FROM xs
+    ),
+    v AS (
+      SELECT doc_id, w, h, x, y,
+             (7 * doc_id + 13 * (x // 8) + 29 * (y // 8)) % 256 AS val
+      FROM px
+    )
+    SELECT doc_id,
+           w AS width,
+           h AS height,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(sum(val) AS BIGINT) AS sum_v,
+           CAST(sum(y * val) AS BIGINT) AS wsum_y,
+           CAST(sum(x * val) AS BIGINT) AS wxsum_x
+    FROM v
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-verified LOSSY-format decode (round-7 verdict item 7 —
+    the JPEG gap, closed): each doc gets a real baseline-sequential
+    grayscale JFIF (operators/jpeg.py — canonical Huffman from DHT,
+    byte-unstuffing, dequantize, inverse zigzag, separable IDCT)
+    whose 8×8 blocks are CONSTANT at an arithmetic function of
+    (doc_id, block_x, block_y) under an all-ones quant table — the
+    construction that makes a lossy round trip bit-exact (only the
+    integral DC coefficient survives), so the oracle can recompute
+    the decode statistics symbolically with x//8, y//8.  The plain
+    sum breaks on any DC/dequant error, the y-weighted sum on MCU row
+    order, the x-weighted sum on a transposed IDCT.  The decoder is
+    general (gradient/noise/color content is pytest-verified under an
+    error envelope); this entry pins the exact path.
+
+    Scale: same Arrow posture as the PNG/BMP families — two chained
+    mapInPandas stages, payloads never shuffle."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        jpeg_decode_stats,
+        with_jpeg_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return jpeg_decode_stats(with_jpeg_payload(docs)).orderBy("doc_id")

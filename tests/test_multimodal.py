@@ -347,3 +347,126 @@ def test_decode_features_dispatches_to_real_decoders(spark, sf_dir):
         r, g, b = _pixel_channels(i, w, h)
         pixel_sum = int(r.astype(np.int64).sum() + g.astype(np.int64).sum() + b.astype(np.int64).sum())
         assert feats[i].checksum == pixel_sum % 1_000_000_007
+
+
+# ------------------------------- JPEG codec (operators/jpeg.py) -----
+
+
+def test_jpeg_constant_blocks_bit_exact():
+    """The oracle construction: constant 8×8 blocks under an all-ones
+    quant table round-trip BIT-EXACTLY through the lossy format."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(4):
+        bh, bw = rng.randint(1, 4), rng.randint(1, 5)
+        vals = rng.randint(0, 256, (bh, bw))
+        img = np.kron(vals, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg([img]))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_jpeg_general_content_error_envelope():
+    """The decoder is GENERAL, not a constant-block special case:
+    gradients and noise (non-multiple-of-8 dims — edge-replicated
+    padding + crop) reconstruct within the coefficient-rounding
+    envelope; 4:4:4 color adds YCbCr rounding."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.RandomState(13)
+    for h, w in [(5, 37), (23, 9), (16, 16)]:
+        y, x = np.mgrid[0:h, 0:w]
+        img = ((2 * x + 3 * y) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg([img]))
+        assert out.shape == (h, w)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+    noise = rng.randint(0, 256, (24, 16)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg([noise]))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 2
+    rgb = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_rgb(rgb))
+    assert out.shape == rgb.shape
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_quantized_path_and_huffman_generality():
+    """A coarse quant table exercises real dequantization (decoded
+    coefficients ≠ stored ones), and noisy content populates wide
+    Huffman symbol sets — the decoder rebuilds whatever canonical
+    tables the DHT declares."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    y, x = np.mgrid[0:32, 0:32]
+    img = ((5 * x) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg([img], quant=q))
+    # lossy but bounded: smooth content under q=16 stays within ~q/2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
+
+
+def test_jpeg_loud_rejects():
+    """Unsupported shapes raise with the feature NAMED — never a
+    silently wrong image."""
+    import numpy as np
+    import pytest as _pytest
+
+    from finance_etl_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    good = bytearray(encode_jpeg([img]))
+    i = bytes(good).find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[i + 1] = 0xC2  # SOF2: progressive
+    with _pytest.raises(ValueError, match="SOF.*unsupported"):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(good)
+    # FFC0 len(2) prec(1) h(2) w(2) ncomp(1) id(1) SAMPLING(1) ...
+    sub[i + 11] = 0x22  # sampling 2x2 on component 1
+    with _pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    with _pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"RIFFxxxxWEBP")
+
+
+def test_dispatch_decode_routes_jpeg(spark, sf_dir):
+    """decode_features' magic-byte dispatch takes the REAL decode path
+    for JPEG payloads: width/height from actual pixel parsing,
+    checksum = pixel sum — distinguishable from the _fake_decode
+    stand-in by construction."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import decode_jpeg
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        _dispatch_decode,
+        encode_jpeg_doc,
+    )
+
+    for doc_id in (0, 1, 2, 3, 4, 5):
+        payload = encode_jpeg_doc(doc_id)
+        w, h, checksum = _dispatch_decode(payload)
+        px = decode_jpeg(payload)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert checksum == int(px.sum()) % 1_000_000_007
+        # and the dims follow the documented grid
+        assert w == 8 * (2 + doc_id % 3) and h == 8 * (1 + doc_id % 2)
