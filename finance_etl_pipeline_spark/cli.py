@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
         help="idempotency stamp for MERGE INTO (writer txn — a replay "
         "with the same or older version becomes a no-op)",
     )
+    sql_p.add_argument(
+        "--evolve-schema",
+        action="store_true",
+        help="let MERGE INTO widen the table with new source columns "
+        "(Delta autoMerge semantics); off = new columns abort loudly",
+    )
 
     tbl_p = sub.add_parser(
         "table",
@@ -205,7 +211,6 @@ def main(argv: list[str] | None = None) -> int:
                     dml_tables[name] = tdir
                 reader.load().createOrReplaceTempView(name)
         from finance_etl_pipeline_spark.operators.sqldml import (
-            SqlDmlError,
             execute_dml,
             is_dml,
         )
@@ -227,13 +232,22 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             try:
-                res = execute_dml(spark, args.statement, dml_tables, txn=txn)
-            except SqlDmlError as e:
-                print(f"DML error: {e}", file=sys.stderr)
-                return 2
+                res = execute_dml(
+                    spark,
+                    args.statement,
+                    dml_tables,
+                    txn=txn,
+                    evolve_schema=args.evolve_schema,
+                )
             except ConcurrentTableModificationError as e:
                 print(f"conflict: {e}", file=sys.stderr)
                 return 3
+            except ValueError as e:
+                # SqlDmlError (parse subset) and operator-level aborts
+                # (schema evolution, dup keys, ...) both land here —
+                # a clean exit with the reason, not a traceback
+                print(f"DML error: {e}", file=sys.stderr)
+                return 2
             print(f"{res['table']} -> v{res['version']} ({res['op']})")
             return 0
         df = spark.sql(args.statement)

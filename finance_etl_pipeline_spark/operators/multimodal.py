@@ -898,3 +898,54 @@ def jpeg_decode_stats(payloads: DataFrame) -> DataFrame:
             yield pdf_out
 
     return payloads.mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+JPEG_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("dst_w", IntegerType()),
+        StructField("dst_h", IntegerType()),
+        StructField("rsum_v", LongType()),
+        StructField("rwsum_y", LongType()),
+    ]
+)
+
+
+def jpeg_resize_stats(payloads: DataFrame) -> DataFrame:
+    """Decode the real JPEG bytes + nearest-neighbor resize to the
+    fixed RESIZE grid + statistics of the RESIZED grayscale image —
+    the lossy-codec twin of ``png_resize_stats``, sharing the same
+    floor-index convention ((x·src_w)//dst_w) so the oracle verifies
+    decode AND resample through the third codec."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import decode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                "rsum_v", "rwsum_y",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg(bytes(payload))
+                h, w = px.shape
+                resized = resize_nearest(
+                    px[:, :, None], RESIZE_W, RESIZE_H
+                )[:, :, 0].astype(np.int64)
+                ys = np.arange(RESIZE_H, dtype=np.int64)[:, None]
+                out["doc_id"].append(int(doc_id))
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(RESIZE_W)
+                out["dst_h"].append(RESIZE_H)
+                out["rsum_v"].append(int(resized.sum()))
+                out["rwsum_y"].append(int((ys * resized).sum()))
+            pdf_out = pd.DataFrame(out)
+            for c in ("src_w", "src_h", "dst_w", "dst_h"):
+                pdf_out[c] = pdf_out[c].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, JPEG_RESIZE_SCHEMA)

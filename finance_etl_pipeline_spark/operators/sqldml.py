@@ -285,7 +285,11 @@ _MERGE_HEAD = re.compile(
 
 
 def _exec_merge(
-    spark: SparkSession, stmt: str, tables: dict[str, str], txn=None
+    spark: SparkSession,
+    stmt: str,
+    tables: dict[str, str],
+    txn=None,
+    evolve_schema: bool = False,
 ) -> dict:
     s = stmt.strip().rstrip(";")
     mh = _MERGE_HEAD.match(s)
@@ -399,7 +403,13 @@ def _exec_merge(
 
     tdir = _resolve(target, tables)
     version = M.merge_into(
-        spark, tdir, source, keys, delete_col=delete_col, txn=txn
+        spark,
+        tdir,
+        source,
+        keys,
+        delete_col=delete_col,
+        txn=txn,
+        evolve_schema=evolve_schema,
     )
     return {"op": "merge", "table": target, "version": version}
 
@@ -427,14 +437,16 @@ def execute_dml(
     statement: str,
     tables: dict[str, str],
     txn: tuple[str, int] | None = None,
+    evolve_schema: bool = False,
 ) -> dict:
     """Execute one DML statement against the manifest tables in
     ``tables`` ({view name: table dir}).  Returns {op, table,
     version}.  Raises ``SqlDmlError`` for statements outside the
     subset, and propagates ``ConcurrentTableModificationError`` from
     the underlying operators (conflict-abort: re-run against the new
-    snapshot).  ``txn=(app_id, version)`` applies to MERGE only —
-    the idempotent-replay stamp of ``merge_into``."""
+    snapshot).  ``txn=(app_id, version)`` and ``evolve_schema`` apply
+    to MERGE only — the idempotent-replay stamp and autoMerge flag of
+    ``merge_into``."""
     verb = statement.lstrip().split(None, 1)
     verb = verb[0].upper() if verb else ""
     if verb == "DELETE":
@@ -442,5 +454,7 @@ def execute_dml(
     if verb == "UPDATE":
         return _exec_update(spark, statement, tables)
     if verb == "MERGE":
-        return _exec_merge(spark, statement, tables, txn=txn)
+        return _exec_merge(
+            spark, statement, tables, txn=txn, evolve_schema=evolve_schema
+        )
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")

@@ -1664,3 +1664,52 @@ def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(table(spark, sf_dir, "documents"))
     return jpeg_decode_stats(with_jpeg_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_jpeg_resize_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (2 + doc_id % 3) AS INTEGER) AS w,
+             CAST(8 * (1 + doc_id % 2) AS INTEGER) AS h
+      FROM documents
+    ),
+    xs AS (SELECT doc_id, w, h, unnest(generate_series(0, 3)) AS x FROM dims),
+    px AS (SELECT doc_id, w, h, x, unnest(generate_series(0, 2)) AS y FROM xs),
+    v AS (
+      SELECT doc_id, w, h, x, y,
+             (7 * doc_id
+              + 13 * (((x * w) // 4) // 8)
+              + 29 * (((y * h) // 3) // 8)) % 256 AS val
+      FROM px
+    )
+    SELECT doc_id,
+           w AS src_w,
+           h AS src_h,
+           CAST(4 AS INTEGER) AS dst_w,
+           CAST(3 AS INTEGER) AS dst_h,
+           CAST(sum(val) AS BIGINT) AS rsum_v,
+           CAST(sum(y * val) AS BIGINT) AS rwsum_y
+    FROM v
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_jpeg_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG decode + REAL nearest-neighbor resize, value-verified: the
+    oracle composes the constant-block pixel formula with the resample
+    convention (src = (dst·src_dim)//dst_dim, then block = src//8), so
+    a wrong floor direction, a transposed resize, or any decode error
+    diverges.  Completes the decode→resize verification matrix across
+    all three pure-numpy codecs (BMP, PNG, JPEG)."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        jpeg_resize_stats,
+        with_jpeg_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return jpeg_resize_stats(with_jpeg_payload(docs)).orderBy("doc_id")

@@ -229,3 +229,36 @@ def test_partitioned_append_via_datasource_then_sql_read(
         .collect()
     )
     assert got == want
+
+
+def test_vacuum_reclaims_replaced_partition_files(spark, sf_dir, tmp_path):
+    """Dynamic overwrite drops the replaced partition's entries while
+    its dir stays live — the FILE-granular vacuum must reclaim those
+    bytes once the pre-overwrite version expires."""
+    tbl = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    _write(o, tbl, partition_by="o_orderstatus")
+    dead = {
+        f for f in M.files_for_version(tbl, 1) if "o_orderstatus=F" in f
+    }
+    assert dead
+    _write(
+        o.filter(F.col("o_orderstatus") == "F").limit(5),
+        tbl,
+        mode="overwrite",
+        partition_by="o_orderstatus",
+        partition_overwrite_mode="dynamic",
+    )
+    # v1 retained: replaced files must survive for time travel
+    assert M.vacuum(tbl, keep_last=2, retention_seconds=0.0) == []
+    assert all(os.path.exists(f) for f in dead)
+    # v1 expired: the old F-partition files are reclaimed
+    removed = set(M.vacuum(tbl, keep_last=1, retention_seconds=0.0))
+    dead_rel = {os.path.relpath(f, tbl) for f in dead}
+    assert dead_rel <= removed
+    got = M.read_version(spark, tbl)
+    assert got.filter(F.col("o_orderstatus") == "F").count() == 5
+    assert (
+        got.count()
+        == o.filter(F.col("o_orderstatus") != "F").count() + 5
+    )

@@ -284,3 +284,30 @@ def test_execute_dml_merge_view_source_and_alias_checks(
             "ON tg.o_orderkey = s.o_totalprice",
             {"tgt": t},
         )
+
+
+def test_cli_sql_merge_evolve_schema_flag(spark, sf_dir, tmp_path, capsys):
+    t = str(tmp_path / "tbl")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.limit(40), t)
+    stmt = (
+        "MERGE INTO tgt USING "
+        "(SELECT o_orderkey, o_totalprice, 'web' AS channel "
+        "FROM orders WHERE o_orderkey % 9 = 0) AS s "
+        "ON tgt.o_orderkey = s.o_orderkey"
+    )
+    # without the flag: loud abort, nothing published
+    assert cli_main(["sql", "--manifest-table", f"tgt={t}", stmt]) != 0
+    assert "evolve_schema" in capsys.readouterr().err
+    assert M.latest_version(t) == 1
+    # with the flag: the table widens
+    assert (
+        cli_main(
+            ["sql", "--manifest-table", f"tgt={t}", "--evolve-schema", stmt]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    got = M.read_version(spark, t)
+    assert "channel" in got.columns
+    assert got.filter(F.col("channel") == "web").count() > 0
