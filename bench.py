@@ -29,12 +29,16 @@ added the manifest read-path pair — ``manifest_pruned_read`` (stats-
 pruned ``read_version(where=...)``) vs ``manifest_plain_scan`` (same
 files, Spark-only filtering) — so the table-format tax and the file-
 skipping win are tracked round over round (the bench table is built
-once per process; the timed quantity is the read path).  Budget: the
-full suite (21 batch entries + 1 streaming) targets ≤ ~25 s total
-at sf0.1 on an idle local[32] box; per-entry baselines live in
-SCALE.md.  The JSON also records host-load context (``loadavg``
-before/after, iteration count) so the next reader can tell noise from
-regression without re-running — the round-5 lesson.
+once per process; the timed quantity is the read path).  Round 8 made
+the manifest bench non-toy: ``manifest_pruned_read_200f`` (same bytes,
+200 range-clustered files — per-file metadata cost vs fixed overhead)
+and ``manifest_merge_small_delta`` (content-idempotent small-delta
+MERGE into a 200-file table + full read).  Budget: the full suite
+(23 batch entries + 1 streaming) targets ≤ ~27 s total at sf0.1 on an
+idle local[32] box; per-entry baselines live in SCALE.md.  The JSON
+also records host-load context (``loadavg`` before/after, iteration
+count) so the next reader can tell noise from regression without
+re-running — the round-5 lesson.
 """
 
 from __future__ import annotations

@@ -1813,7 +1813,13 @@ def vacuum(
             r["shard"] for r in m.get("files_ref", {}).values()
         )
         for d in m["dirs"]:
-            entries = _dir_entries(table_dir, m, d)
+            try:
+                entries = _dir_entries(table_dir, m, d)
+            except FileNotFoundError:
+                # a concurrent vacuum with a shorter keep_last swept a
+                # shard this run still considers retained — degrade to
+                # "no proof" (the dir is never file-swept), never crash
+                entries = None
             if entries is None:
                 no_proof.add(d)
             else:
