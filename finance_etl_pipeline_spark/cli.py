@@ -127,7 +127,8 @@ def main(argv: list[str] | None = None) -> int:
         "(history / vacuum / compact / count)",
     )
     tbl_p.add_argument(
-        "action", choices=["history", "vacuum", "compact", "count"]
+        "action",
+        choices=["history", "vacuum", "compact", "count", "changes"],
     )
     tbl_p.add_argument("dir", help="table root directory")
     tbl_p.add_argument("--keep-last", type=int, default=1)
@@ -136,6 +137,24 @@ def main(argv: list[str] | None = None) -> int:
     tbl_p.add_argument(
         "--zorder", default=None, help="comma-separated z-order columns"
     )
+    tbl_p.add_argument(
+        "--keys",
+        default=None,
+        help="comma-separated key columns (required for `changes`)",
+    )
+    tbl_p.add_argument(
+        "--from-version",
+        type=int,
+        default=None,
+        help="changefeed start (exclusive; 0 = bootstrap full snapshot)",
+    )
+    tbl_p.add_argument(
+        "--to-version",
+        type=int,
+        default=None,
+        help="changefeed end (inclusive; default latest)",
+    )
+    tbl_p.add_argument("--limit", type=int, default=20)
 
     args = parser.parse_args(argv)
 
@@ -295,6 +314,26 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{n} (scan — tombstones or legacy manifest)")
             else:
                 print(f"{n} (metadata-only)")
+            return 0
+        if args.action == "changes":
+            if not args.keys or args.from_version is None:
+                print(
+                    "table changes requires --keys COL[,COL...] and "
+                    "--from-version N (0 = bootstrap full snapshot)",
+                    file=sys.stderr,
+                )
+                return 2
+            from finance_etl_pipeline_spark.session import get_spark
+
+            spark = get_spark(app_name="table-changes")
+            feed = M.changefeed_rows(
+                spark,
+                args.dir,
+                [k.strip() for k in args.keys.split(",") if k.strip()],
+                args.from_version,
+                args.to_version,
+            )
+            feed.show(args.limit, truncate=False)
             return 0
         if args.action == "compact":
             from finance_etl_pipeline_spark.session import get_spark

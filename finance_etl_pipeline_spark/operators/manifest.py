@@ -1958,7 +1958,16 @@ def compact_table(
     a commit landing between the read and the publish makes OPTIMIZE
     conflict-abort instead of silently dropping the interleaved rows
     from the compacted manifest — the same lost-update guard as
-    ``update_where``."""
+    ``update_where``.
+
+    Partition preservation: when EVERY dir of the snapshot is hive-
+    partitioned by the same columns, the compacted rewrite keeps that
+    layout (repartitioned on the partition columns so each task
+    writes whole partitions, then ``partitionBy`` on the commit) —
+    compaction must not silently destroy the partition pruning a
+    table was designed around.  Explicit ``zorder_cols`` override
+    this: the caller is choosing stats-clustering as the layout, and
+    the rewrite is unpartitioned Morton order."""
     from finance_etl_pipeline_spark.operators.compact import (
         DEFAULT_TARGET_BYTES,
     )
@@ -1968,12 +1977,32 @@ def compact_table(
     v = latest_version(table_dir)
     on_disk = sum(os.path.getsize(f) for f in files_for_version(table_dir, v))
     n_files = max(1, -(-on_disk // tgt))
+    m = _read_manifest(table_dir, v)
+    part_dirs = m.get("partitioned_dirs", {})
+    shared = (
+        part_dirs.get(m["dirs"][0])
+        if m["dirs"] and all(d in part_dirs for d in m["dirs"])
+        else None
+    )
+    if shared is not None and any(
+        part_dirs[d] != shared for d in m["dirs"]
+    ):
+        shared = None  # mixed layouts: compact to unpartitioned
     df = read_version(spark, table_dir, v)
     if zorder_cols:
         df = zorder_by(df, zorder_cols, num_partitions=n_files)
-    else:
-        df = df.coalesce(n_files)
-    return commit(df, table_dir, mode="overwrite", expected_base=v)
+        return commit(df, table_dir, mode="overwrite", expected_base=v)
+    if shared:
+        df = df.repartition(n_files, *[F.col(c) for c in shared])
+        return commit(
+            df,
+            table_dir,
+            mode="overwrite",
+            partition_by=list(shared),
+            expected_base=v,
+        )
+    return commit(df.coalesce(n_files), table_dir, mode="overwrite",
+                  expected_base=v)
 
 
 def changefeed_rows(

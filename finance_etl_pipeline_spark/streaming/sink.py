@@ -126,7 +126,12 @@ def apply_changefeed_each_batch(
     return stream.writeStream.foreachBatch(_process)
 
 
-def append_stream_to_manifest(stream: DataFrame, table_dir: str, app_id: str):
+def append_stream_to_manifest(
+    stream: DataFrame,
+    table_dir: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+):
     """writeStream query that appends every micro-batch to a manifest
     table (operators/manifest.py) EXACTLY ONCE.
 
@@ -139,7 +144,12 @@ def append_stream_to_manifest(stream: DataFrame, table_dir: str, app_id: str):
     version per batch, no duplicate rows, no dedup state in the
     query.  ``app_id`` must be stable across restarts (use the
     checkpoint's identity, e.g. a pipeline name — NOT the run id,
-    which changes per restart)."""
+    which changes per restart).
+
+    ``partition_by`` writes each batch hive-partitioned — the
+    streaming-ingest-into-partitioned-table shape (e.g. by event
+    date), so downstream ``read_version(where=...)`` prunes whole
+    partitions from metadata while the stream keeps appending."""
     from finance_etl_pipeline_spark.operators import manifest as M
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -147,7 +157,13 @@ def append_stream_to_manifest(stream: DataFrame, table_dir: str, app_id: str):
             return  # idle micro-batch: no version spam.  Safe with
             # txn monotonicity: a later batch's stamp covers this id,
             # and replaying an empty batch is a no-op by definition.
-        M.commit(batch_df, table_dir, mode="append", txn=(app_id, batch_id))
+        M.commit(
+            batch_df,
+            table_dir,
+            mode="append",
+            partition_by=partition_by,
+            txn=(app_id, batch_id),
+        )
 
     return stream.writeStream.foreachBatch(_process)
 

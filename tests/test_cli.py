@@ -170,3 +170,32 @@ def test_table_subcommand_history_vacuum_count(tmp_path):
     r = _run("table", "vacuum", tbl, "--retention-seconds", "0")
     assert r.returncode == 0
     assert "removed 1 path(s)" in r.stdout
+
+
+def test_table_changes_subcommand(tmp_path):
+    """table changes DIR --keys k --from-version N prints the
+    changefeed (bootstrap at 0, delta thereafter)."""
+    import pyspark.sql.functions as F
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+    from finance_etl_pipeline_spark.session import get_spark
+    from finance_etl_pipeline_spark.sources.readers import table as t_
+
+    spark = get_spark(app_name="tests")
+    tbl = str(tmp_path / "tbl")
+    o = t_(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    M.commit(o.limit(20), tbl)
+    M.commit(o.limit(30).subtract(o.limit(20)), tbl)
+
+    r = _run(
+        "table", "changes", tbl,
+        "--keys", "o_orderkey", "--from-version", "1", "--limit", "50",
+    )
+    assert r.returncode == 0
+    assert "added" in r.stdout and "change_type" in r.stdout
+    # missing required args: loud usage error, not a traceback
+    r2 = _run("table", "changes", tbl)
+    assert r2.returncode == 2
+    assert "--keys" in r2.stderr

@@ -504,3 +504,70 @@ def test_merge_evolve_insert_only_and_delete_col(spark, sf_dir, tmp_path):
         (F.col("o_orderkey") % 10 <= 1) & ~(F.col("o_orderkey") % 20 == 0)
     ).count()
     assert got.filter(F.col("region").isNotNull()).count() == n_src_kept
+
+
+def test_append_stream_partitioned_ingest(spark, sf_dir, tmp_path):
+    """Streaming ingest into a hive-partitioned manifest table: each
+    micro-batch commits partition_by dirs, and the partition column
+    prunes whole partitions from metadata while the stream appends."""
+    src_dir = str(tmp_path / "in")
+    t = str(tmp_path / "tbl")
+    os.makedirs(src_dir)
+    o = _orders(spark, sf_dir).limit(300)
+    o.coalesce(1).write.parquet(os.path.join(src_dir, "f0"))
+
+    stream = spark.readStream.schema(o.schema).parquet(src_dir + "/f*")
+    q = (
+        append_stream_to_manifest(
+            stream, t, "part-ingest", partition_by=["o_orderstatus"]
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    assert M.latest_version(t) == 1
+    got = M.read_version(spark, t)
+    assert got.count() == 300
+    assert sorted(got.columns) == sorted(o.columns)
+    fs = M.files_for_version(t)
+    assert fs and all("o_orderstatus=" in f for f in fs)
+    pruned = M.files_for_version(t, where=[("o_orderstatus", "==", "F")])
+    assert pruned and len(pruned) < len(fs)
+
+
+def test_compact_preserves_partition_layout(spark, sf_dir, tmp_path):
+    """OPTIMIZE on a fully hive-partitioned table keeps the layout:
+    the compacted dir is partitioned by the same columns, pruning
+    still answers from metadata, and rows are untouched.  Explicit
+    zorder_cols override (caller chose stats-clustering)."""
+    t = str(tmp_path / "tbl")
+    o = _orders(spark, sf_dir)
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4),
+        t,
+        partition_by=["o_orderstatus"],
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 1).repartition(4),
+        t,
+        partition_by=["o_orderstatus"],
+    )
+    v = M.compact_table(spark, t, target_bytes=256 * 1024)
+    m = M._read_manifest(t, v)
+    assert len(m["dirs"]) == 1
+    assert m["partitioned_dirs"][m["dirs"][0]] == ["o_orderstatus"]
+    got = M.read_version(spark, t)
+    assert got.count() == o.count()
+    fs = M.files_for_version(t)
+    pruned = M.files_for_version(t, where=[("o_orderstatus", "==", "F")])
+    assert pruned and all("o_orderstatus=F" in f for f in pruned)
+    assert len(pruned) < len(fs)
+    # zorder overrides: layout becomes unpartitioned Morton clustering
+    v2 = M.compact_table(
+        spark, t, target_bytes=256 * 1024, zorder_cols=["o_orderkey"]
+    )
+    m2 = M._read_manifest(t, v2)
+    assert m2["partitioned_dirs"] == {}
+    assert M.read_version(spark, t).count() == o.count()
