@@ -98,14 +98,16 @@ def main(argv: list[str] | None = None) -> int:
         "--manifest-table",
         action="append",
         default=[],
-        metavar="NAME=DIR[@VERSION]",
+        metavar="NAME=DIR[@VERSION|@TIMESTAMP]",
         help="register a versioned manifest table as a temp view "
-        "(repeatable); @VERSION time-travels, default latest. "
-        "Reads go through the manifest_table DataSource with "
-        "filter pushdown into footer-stats file skipping. "
-        "UPDATE/DELETE/MERGE INTO statements against these names "
-        "publish a new table version (see operators/sqldml.py for "
-        "the supported subset).",
+        "(repeatable); @N time-travels to version N, @<ISO-8601 or "
+        "decimal epoch seconds> to the latest version at that "
+        "instant (all-digits pins read as versions); default "
+        "latest. Reads go through the manifest_table "
+        "DataSource with filter pushdown into footer-stats file "
+        "skipping. UPDATE/DELETE/MERGE INTO statements against "
+        "UN-pinned names publish a new table version (see "
+        "operators/sqldml.py for the supported subset).",
     )
     sql_p.add_argument(
         "--txn",
@@ -223,7 +225,12 @@ def main(argv: list[str] | None = None) -> int:
                     .option("pushdown", "true")
                 )
                 if ver:
-                    reader = reader.option("version", int(ver))
+                    # digits = version number; anything else is a
+                    # timestamp (ISO-8601 or epoch seconds) for as_of
+                    if ver.isdigit():
+                        reader = reader.option("version", int(ver))
+                    else:
+                        reader = reader.option("as_of", ver)
                 else:
                     # DML always applies to the TIP; a @VERSION-pinned
                     # view is a read-only snapshot by construction

@@ -157,7 +157,14 @@ def _harvest_one(data_dir: str, rel: str) -> dict:
             name = col.path_in_schema
             if "." in name:
                 continue  # nested leaf: no file-level pruning
-            st = col.statistics
+            try:
+                st = col.statistics
+            except Exception:
+                # pyarrow cannot extract stats for some physical types
+                # (e.g. certain decimals) — stats are an OPTIMIZATION,
+                # so the column just loses skipping, never the commit
+                bad.add(name)
+                continue
             if st is None or st.null_count is None:
                 bad.add(name)
                 continue
@@ -635,6 +642,149 @@ def _carry_txns(m: dict | None, txn=None) -> dict:
     return txns
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a table CHECK constraint —
+    nothing was published."""
+
+
+def _carry_constraints(m: dict | None) -> dict:
+    """CHECK constraints carry through every commit mode including
+    overwrite — they are table PROPERTIES (the Delta model), not
+    snapshot data; only ``drop_constraint`` removes one."""
+    return dict(m.get("constraints", {})) if m else {}
+
+
+def table_constraints(table_dir: str, version: int | None = None) -> dict:
+    """{name: spark-sql expression} in force at ``version`` (default
+    latest); {} for an empty table."""
+    v = latest_version(table_dir) if version is None else version
+    if v == 0:
+        return {}
+    return dict(_read_manifest(table_dir, v).get("constraints", {}))
+
+
+def _validate_new_dir(
+    cons: dict, abs_dir: str, has_files: bool, schema: StructType
+) -> None:
+    """Constraint-check the freshly written data dir INSIDE the
+    publish (build() scope), so the check is race-free against a
+    concurrent ``add_constraint``: the constraints validated are
+    exactly the tip's at publish time, re-read on every retry.  Costs
+    one scan of the NEW dir only, and only when constraints exist.
+    The read is aligned to the version's LOGICAL schema first, so a
+    commit that omits an evolved column contributes typed NULLs to
+    the check — which pass, per SQL CHECK semantics.  On violation
+    the publish aborts with nothing referenced — the orphaned dir is
+    reclaimed by vacuum like any failed commit."""
+    if not cons or not has_files:
+        return
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        # belt and braces behind the DataSource-writer plan-time
+        # refusal: never publish rows a constraint could not vet
+        raise RuntimeError(
+            "no active SparkSession to validate CHECK constraints — "
+            "this write path cannot enforce them; use manifest.commit"
+        )
+    df = _align_to(spark.read.parquet(abs_dir), schema)
+    _check_constraints(df, cons, f"write into {abs_dir}")
+
+
+def _check_constraints(df: DataFrame, cons: dict, context: str) -> None:
+    """Raise ``ConstraintViolationError`` when any row of ``df``
+    violates any constraint.  SQL-standard CHECK semantics: only rows
+    where the expression is FALSE violate — NULL passes (so a
+    constraint on an evolved column never rejects old NULL-filled
+    rows).  One action over the conjunction; zero cost when no
+    constraints exist."""
+    if not cons:
+        return
+    viol = None
+    for name, expr in cons.items():
+        c = F.expr(expr) == F.lit(False)
+        viol = c if viol is None else viol | c
+    bad = df.filter(viol).limit(1).collect()
+    if bad:
+        detail = ", ".join(f"{n}: ({e})" for n, e in cons.items())
+        raise ConstraintViolationError(
+            f"{context} violates a CHECK constraint [{detail}]; "
+            f"first offending row: {bad[0].asDict()}"
+        )
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates the
+    EXISTING data first (a constraint the current rows already break
+    would make every future write ambiguous), then publishes a
+    metadata-only version carrying it.  Every subsequent write path —
+    commit, DataSource writes, update_where, merge_into, dynamic
+    partition overwrite — validates its new/rewritten rows against
+    the constraints in force and conflict-aborts the publish on
+    violation, leaving no published version and no referenced files
+    (the write dir is reclaimed by vacuum)."""
+    tip = latest_version(table_dir)
+    if tip == 0:
+        raise ValueError("cannot add a constraint to an empty table")
+    existing = table_constraints(table_dir, tip)
+    if name in existing:
+        raise ValueError(f"constraint {name!r} already exists")
+    _check_constraints(
+        read_version(spark, table_dir, tip),
+        {name: expr},
+        "existing table data",
+    )
+
+    def build(prev: int) -> dict:
+        m = _read_manifest(table_dir, prev)
+        cons = _carry_constraints(m)
+        cons[name] = expr
+        return {
+            "dirs": list(m["dirs"]),
+            "mode": "set_constraint",
+            "files": _carry_files(table_dir, m),
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+            "constraints": cons,
+            "txns": _carry_txns(m),
+        }
+
+    return _publish(table_dir, build)
+
+
+def drop_constraint(table_dir: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only version without
+    it; unknown names raise (a typo'd drop silently succeeding would
+    leave the caller believing enforcement stopped)."""
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("empty table has no constraints")
+        m = _read_manifest(table_dir, prev)
+        cons = _carry_constraints(m)
+        if name not in cons:
+            raise ValueError(
+                f"no constraint {name!r} (have: {sorted(cons) or 'none'})"
+            )
+        del cons[name]
+        return {
+            "dirs": list(m["dirs"]),
+            "mode": "set_constraint",
+            "files": _carry_files(table_dir, m),
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+            "constraints": cons,
+            "txns": _carry_txns(m),
+        }
+
+    return _publish(table_dir, build)
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -760,6 +910,8 @@ def _publish_dir(
         dir_schemas[rel] = schema_json
         if partition_by:
             part_dirs[rel] = list(partition_by)
+        cons = _carry_constraints(m)
+        _validate_new_dir(cons, abs_dir, bool(file_entries), merged_schema)
         return {
             "dirs": dirs,
             "mode": mode,
@@ -768,6 +920,7 @@ def _publish_dir(
             "partitioned_dirs": part_dirs,
             "deletes": deletes,
             "schema": merged_schema.jsonValue(),
+            "constraints": cons,
             "txns": _carry_txns(m, txn),
         }
 
@@ -880,6 +1033,8 @@ def publish_dynamic_overwrite(
         files[rel] = file_entries
         dir_schemas[rel] = schema_json
         part_dirs[rel] = list(partition_by)
+        cons = _carry_constraints(m)
+        _validate_new_dir(cons, abs_dir, bool(file_entries), merged_schema)
         return {
             "dirs": dirs,
             "mode": "dynpart_overwrite",
@@ -888,6 +1043,7 @@ def publish_dynamic_overwrite(
             "partitioned_dirs": part_dirs,
             "deletes": deletes,
             "schema": merged_schema.jsonValue(),
+            "constraints": cons,
             "txns": _carry_txns(m, txn),
         }
 
@@ -1277,6 +1433,7 @@ def delete_where(table_dir: str, where: list[tuple]) -> int:
         dels = list(m.get("deletes", []))
         dels.append({"preds": stored, "dirs": list(m["dirs"])})
         payload["deletes"] = dels
+        payload["constraints"] = _carry_constraints(m)  # deletes add no rows
         payload["txns"] = _carry_txns(m)
         return payload
 
@@ -1320,7 +1477,15 @@ def update_where(
     bad = set(set_exprs) - set(matching.columns)
     if bad:
         raise ValueError(f"SET on unknown column(s): {sorted(bad)}")
-    updated = matching.withColumns(dict(set_exprs))
+    # SQL UPDATE assignment semantics: the SET expression CASTS to the
+    # column's existing type.  Without this, an innocuous literal like
+    # `-1.0` (a DECIMAL(1,1) in ANSI parsing) would silently change
+    # the rewritten dir's physical type for that column — a schema
+    # drift no one asked for.
+    types = {f.name: f.dataType for f in matching.schema.fields}
+    updated = matching.withColumns(
+        {c: e.cast(types[c]) for c, e in set_exprs.items()}
+    )
 
     token = uuid.uuid4().hex[:12]
     rel = os.path.join(_DATA, f"commit-{token}")
@@ -1360,6 +1525,10 @@ def update_where(
         # lakestream source) must reject it loudly — publishing it as
         # 'append' would stream the rewritten copies as plain inserts
         # while the consumer keeps the stale originals it already saw
+        cons = _carry_constraints(m)
+        _validate_new_dir(
+            cons, abs_dir, bool(file_entries), StructType.fromJson(m["schema"])
+        )
         return {
             "dirs": dirs,
             "mode": "update",
@@ -1368,6 +1537,7 @@ def update_where(
             "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
             "deletes": deletes,
             "schema": m["schema"],
+            "constraints": cons,
             "txns": _carry_txns(m),
         }
 
@@ -1610,6 +1780,8 @@ def merge_into(
         dirs.append(rel)
         files[rel] = file_entries
         dir_schemas[rel] = schema_json
+        cons = _carry_constraints(m)
+        _validate_new_dir(cons, abs_dir, bool(file_entries), logical)
         return {
             "dirs": dirs,
             "mode": "merge",
@@ -1620,6 +1792,7 @@ def merge_into(
             # widened under evolve_schema, otherwise byte-identical to
             # the previous version's schema
             "schema": logical.jsonValue(),
+            "constraints": cons,
             "txns": _carry_txns(m, txn),
         }
 

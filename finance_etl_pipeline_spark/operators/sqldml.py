@@ -20,6 +20,11 @@ the manifest log can execute as one atomic version:
   arbitrary expression could not be.
 * ``UPDATE t SET col = <any spark expr>, ... WHERE <conjunction>`` →
   ``update_where`` (one version: scoped tombstone + rewritten rows).
+* ``ALTER TABLE t ADD CONSTRAINT name CHECK (<any spark expr>)`` /
+  ``ALTER TABLE t DROP CONSTRAINT name`` →
+  ``add_constraint`` / ``drop_constraint`` (validated against the
+  existing data on ADD; every later write validates inside its
+  publish).
 * ``MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
   ON a.k = b.k [AND ...]
   [WHEN MATCHED THEN UPDATE SET *]
@@ -53,7 +58,7 @@ class SqlDmlError(ValueError):
     says which production failed and what IS supported."""
 
 
-_VERBS = ("UPDATE", "DELETE", "MERGE")
+_VERBS = ("UPDATE", "DELETE", "MERGE", "ALTER")
 
 
 def is_dml(statement: str) -> bool:
@@ -432,6 +437,42 @@ def _matching_paren(s: str) -> int:
     raise SqlDmlError(f"unbalanced parentheses in {s[:60]!r}...")
 
 
+def _exec_alter(spark, stmt: str, tables: dict[str, str]) -> dict:
+    s = stmt.strip().rstrip(";")
+    m = re.match(
+        r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+        r"CHECK\s*\((.+)\)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        version = M.add_constraint(spark, tdir, m.group(2), m.group(3).strip())
+        return {
+            "op": "add_constraint",
+            "table": m.group(1),
+            "version": version,
+        }
+    m = re.match(
+        r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        version = M.drop_constraint(tdir, m.group(2))
+        return {
+            "op": "drop_constraint",
+            "table": m.group(1),
+            "version": version,
+        }
+    raise SqlDmlError(
+        "malformed ALTER: want `ALTER TABLE <t> ADD CONSTRAINT <name> "
+        "CHECK (<expr>)` or `ALTER TABLE <t> DROP CONSTRAINT <name>` "
+        "(the only ALTER forms the manifest log executes)"
+    )
+
+
 def execute_dml(
     spark: SparkSession,
     statement: str,
@@ -457,4 +498,6 @@ def execute_dml(
         return _exec_merge(
             spark, statement, tables, txn=txn, evolve_schema=evolve_schema
         )
+    if verb == "ALTER":
+        return _exec_alter(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")

@@ -712,3 +712,61 @@ def manifest_merge_small_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_changefeed_rows",
+    f"""
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN change_type = 'removed' THEN 0
+                         WHEN o_orderkey % 7 = 0
+                           THEN {sql_igrid('o_totalprice + 1.0', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+                AS BIGINT) AS sum_price_e2
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               CASE
+                 WHEN o_orderkey % 3 = 1 THEN 'removed'
+                 WHEN o_orderkey % 3 = 2 THEN 'added'
+                 WHEN o_orderkey % 7 = 0 THEN 'changed'
+               END AS change_type
+        FROM orders
+        WHERE o_orderkey % 3 IN (1, 2)
+           OR (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+    ) t
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+    "lake",
+)
+def manifest_changefeed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLYABLE changefeed (``changefeed_rows`` — Delta's
+    table_changes shape): v1 holds keys %3 ∈ {0,1}, v2 overwrites
+    with %3 ∈ {0,2} and bumps %7 prices.  The feed between them must
+    emit 'removed' rows with NULL payloads (delete markers — the
+    price contributes 0), 'added' rows with the v2 payload, and
+    'changed' rows with the bumped price, and must NOT ship
+    'unchanged' rows at all — a feed that leaks snapshots instead of
+    deltas inflates every downstream CDC consumer at scale."""
+    t = tempfile.mkdtemp(prefix="mlake_cfr_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 <= 1), t)
+    v2 = o.filter(F.col("o_orderkey") % 3 != 1).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    M.commit(v2, t, mode="overwrite")
+    feed = M.changefeed_rows(spark, t, ["o_orderkey"], 1, 2)
+    return (
+        feed.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.coalesce(igrid(F.col("o_totalprice"), 2), F.lit(0))
+            ).alias("sum_price_e2"),
+        )
+        .orderBy("change_type")
+    )

@@ -207,6 +207,20 @@ class ManifestTableDataSource(DataSource):
         )
 
     def writer(self, schema, overwrite: bool) -> "ManifestBatchWriter":
+        # CHECK constraints are validated by a Spark job INSIDE the
+        # publish (manifest._validate_new_dir); the Python DataSource
+        # write hooks run in an isolated runner with no SparkSession,
+        # so they cannot run that job.  Refuse loudly rather than
+        # publish unvalidated rows into a constrained table.
+        cons = M.table_constraints(self._table_dir())
+        if cons:
+            raise ValueError(
+                f"table has CHECK constraints {sorted(cons)}: the "
+                "Python DataSource write path cannot run Spark-side "
+                "validation — write via manifest.commit / merge_into "
+                "(they validate inside the publish), or drop the "
+                "constraint first"
+            )
         txn = None
         app = self.options.get("txn_app_id")
         ver = self.options.get("txn_version")
@@ -745,7 +759,10 @@ class ManifestStreamReader(DataSourceStreamReader):
             prev_n_deletes = len(pm.get("deletes", []))
         for v in range(a + 1, b + 1):
             m = _read_manifest_safe(self.table_dir, v)
-            if m.get("mode") != "append":
+            # 'set_constraint' versions are metadata-only (no dirs
+            # added, no tombstone change — both re-proven below), so
+            # the stream passes through them with zero new partitions
+            if m.get("mode") not in ("append", "set_constraint"):
                 raise ValueError(
                     f"version {v} is mode={m.get('mode')!r}: only "
                     "append-only tables stream; use changefeed_rows + "

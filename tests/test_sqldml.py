@@ -311,3 +311,56 @@ def test_cli_sql_merge_evolve_schema_flag(spark, sf_dir, tmp_path, capsys):
     got = M.read_version(spark, t)
     assert "channel" in got.columns
     assert got.filter(F.col("channel") == "web").count() > 0
+
+
+def test_cli_sql_alter_constraint_lifecycle(spark, sf_dir, tmp_path, capsys):
+    t, o = _make_table(spark, sf_dir, tmp_path)
+    mt = ["sql", "--manifest-table", f"tgt={t}"]
+    assert (
+        cli_main(
+            mt
+            + ["ALTER TABLE tgt ADD CONSTRAINT price_pos "
+               "CHECK (o_totalprice > 0)"]
+        )
+        == 0
+    )
+    assert "v2 (add_constraint)" in capsys.readouterr().out
+    assert M.table_constraints(t) == {"price_pos": "o_totalprice > 0"}
+    # a violating UPDATE through the SQL surface now aborts, exit 2
+    assert (
+        cli_main(
+            mt
+            + ["UPDATE tgt SET o_totalprice = -1.0 "
+               "WHERE o_orderstatus = 'F'"]
+        )
+        == 2
+    )
+    assert "price_pos" in capsys.readouterr().err
+    assert M.latest_version(t) == 2
+    assert cli_main(mt + ["ALTER TABLE tgt DROP CONSTRAINT price_pos"]) == 0
+    capsys.readouterr()
+    assert M.table_constraints(t) == {}
+    # malformed ALTER: loud subset message
+    assert cli_main(mt + ["ALTER TABLE tgt RENAME TO other"]) == 2
+    assert "malformed ALTER" in capsys.readouterr().err
+
+
+def test_update_set_preserves_column_type(spark, sf_dir, tmp_path):
+    """SQL UPDATE assignment-casts the SET expression to the column's
+    existing type: a `-1.0` literal (DECIMAL(1,1) under ANSI parsing)
+    must not silently flip the rewritten dir's physical type."""
+    t, o = _make_table(spark, sf_dir, tmp_path)
+    execute_dml(
+        spark,
+        "UPDATE tgt SET o_totalprice = -1.0 WHERE o_orderstatus = 'F'",
+        {"tgt": t},
+    )
+    got = M.read_version(spark, t)
+    assert dict(got.dtypes)["o_totalprice"] == "double"
+    assert (
+        got.filter(F.col("o_orderstatus") == "F")
+        .agg(F.max("o_totalprice"))
+        .first()[0]
+        == -1.0
+    )
+    assert got.count() == o.count()
