@@ -130,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     tbl_p.add_argument(
         "action",
-        choices=["history", "vacuum", "compact", "count", "changes"],
+        choices=["history", "vacuum", "compact", "count", "changes", "clone"],
     )
     tbl_p.add_argument("dir", help="table root directory")
     tbl_p.add_argument("--keep-last", type=int, default=1)
@@ -157,6 +157,17 @@ def main(argv: list[str] | None = None) -> int:
         help="changefeed end (inclusive; default latest)",
     )
     tbl_p.add_argument("--limit", type=int, default=20)
+    tbl_p.add_argument(
+        "--into",
+        default=None,
+        help="clone target directory (required for `clone`)",
+    )
+    tbl_p.add_argument(
+        "--version",
+        type=int,
+        default=None,
+        help="source version to clone (default latest)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -321,6 +332,16 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{n} (scan — tombstones or legacy manifest)")
             else:
                 print(f"{n} (metadata-only)")
+            return 0
+        if args.action == "clone":
+            if not args.into:
+                print(
+                    "table clone requires --into DST_DIR",
+                    file=sys.stderr,
+                )
+                return 2
+            v = M.clone_table(args.dir, args.into, version=args.version)
+            print(f"cloned {args.dir} -> {args.into} v{v} (zero-copy)")
             return 0
         if args.action == "changes":
             if not args.keys or args.from_version is None:

@@ -2178,6 +2178,80 @@ def compact_table(
                   expected_base=v)
 
 
+def clone_table(
+    src_dir: str, dst_dir: str, version: int | None = None
+) -> int:
+    """SHALLOW CLONE (the Delta primitive): publish ``dst_dir`` v1
+    referencing the SOURCE snapshot's data files in place — zero data
+    copied, O(#files) of metadata (fresh shards at the clone).  The
+    clone's dirs are recorded as ABSOLUTE paths into the source, which
+    every reader/writer path already composes with correctly
+    (``os.path.join(table_dir, d)`` returns an absolute ``d``
+    unchanged):
+
+    * reads (incl. skipping, tombstones, partitions) hit the source
+      files directly;
+    * writes to the clone publish NEW local dirs — the source table
+      never observes them;
+    * merge/update on the clone copy-on-write locally: rewritten
+      source files are merely DE-referenced from the clone's manifest;
+    * ``vacuum`` on the clone only ever sweeps its own ``data/``
+      root, so source bytes are structurally out of reach.
+
+    The dev/test-branch shape: experiment against production data
+    with full DML, throw the clone away, nothing shared was touched.
+    Caveat (same as Delta's): vacuum on the SOURCE does not know
+    about clones — hold source retention while clones live.  Writer
+    ``txns`` are NOT carried (they track per-table writer progress;
+    a clone is a new table), and constraints ARE (table properties
+    travel with the data contract)."""
+    src_dir = os.path.realpath(src_dir)
+    v = latest_version(src_dir) if version is None else version
+    m = _read_manifest(src_dir, v)
+    if latest_version(dst_dir) != 0:
+        raise ValueError(f"clone target {dst_dir} is not empty")
+    files = _load_files(src_dir, m)
+    schemas = _load_dir_schemas(m)
+    part_dirs = m.get("partitioned_dirs", {})
+    absd = {d: os.path.join(src_dir, d) for d in m["dirs"]}
+
+    def build(prev: int) -> dict:
+        if prev != 0:
+            raise ConcurrentTableModificationError(
+                f"clone target {dst_dir} gained a version mid-clone"
+            )
+        payload = {
+            "dirs": [absd[d] for d in m["dirs"]],
+            "mode": "clone",
+            # a legacy dir WITHOUT per-file entries stays absent (the
+            # whole-dir read path), never an empty list (zero files)
+            "files": {
+                absd[d]: list(files[d]) for d in m["dirs"] if d in files
+            },
+            "dir_schemas": {
+                absd[d]: schemas[d] for d in m["dirs"] if d in schemas
+            },
+            "partitioned_dirs": {
+                absd[d]: list(cols) for d, cols in part_dirs.items()
+            },
+            # tombstone scopes re-key to the absolute names
+            "deletes": [
+                {
+                    "preds": dl["preds"],
+                    "dirs": [absd.get(d, d) for d in dl["dirs"]],
+                }
+                for dl in m.get("deletes", [])
+            ],
+            "constraints": _carry_constraints(m),
+            "txns": {},
+        }
+        if "schema" in m:
+            payload["schema"] = m["schema"]
+        return payload
+
+    return _publish(dst_dir, build)
+
+
 def changefeed_rows(
     spark: SparkSession,
     table_dir: str,
