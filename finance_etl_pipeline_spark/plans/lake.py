@@ -770,3 +770,115 @@ def manifest_changefeed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "manifest_clone_cow_read",
+    f"""
+    SELECT cohort,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum({sql_igrid('p', 2)}) AS BIGINT) AS sum_price_e2
+    FROM (
+        SELECT 'clone' AS cohort,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 3.0
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT 'source' AS cohort, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 2 = 0
+    ) t
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+    "lake",
+)
+def manifest_clone_cow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE isolation, value-verified end to end: clone an
+    even-key orders table (zero copy), MERGE tripled prices for
+    key%11 into the CLONE, then aggregate CLONE and SOURCE side by
+    side — the clone must show the copy-on-write values while the
+    source reads byte-identical originals through the very files the
+    clone references.  A clone whose DML leaks into the source, or
+    whose reads miss the de-referenced rewrite, diverges."""
+    t_src = tempfile.mkdtemp(prefix="mlake_clsrc_") + "/tbl"
+    t_dst = tempfile.mkdtemp(prefix="mlake_cldst_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+            4, "o_orderkey"
+        ),
+        t_src,
+    )
+    M.clone_table(t_src, t_dst)
+    M.merge_into(
+        spark,
+        t_dst,
+        o.filter(
+            (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 11 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") * 3.0),
+        ["o_orderkey"],
+    )
+    clone = M.read_version(spark, t_dst).select(
+        F.lit("clone").alias("cohort"), F.col("o_totalprice").alias("p")
+    )
+    source = M.read_version(spark, t_src).select(
+        F.lit("source").alias("cohort"), F.col("o_totalprice").alias("p")
+    )
+    return (
+        clone.unionByName(source)
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(igrid(F.col("p"), 2)).alias("sum_price_e2"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@register(
+    "manifest_constraint_gate_read",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+             AS n_violations,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM (
+        SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+    ) t
+    """,
+    "lake",
+)
+def manifest_constraint_gate_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK constraints gating the log, value-verified: commit
+    key%3==0 orders, add ``price > 0``, then attempt a NEGATED-price
+    commit (must abort publishing NOTHING) followed by a clean
+    key%3==1 commit (must land).  The final aggregate equals exactly
+    base + clean — zero violations in the table; a gate that lets the
+    bad commit through (or aborts AFTER referencing its files)
+    diverges on both the violation count and the sum."""
+    t = tempfile.mkdtemp(prefix="mlake_cons_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), t)
+    M.add_constraint(spark, t, "price_pos", "o_totalprice > 0")
+    try:
+        M.commit(
+            o.filter(F.col("o_orderkey") % 3 == 2).withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            ),
+            t,
+        )
+    except M.ConstraintViolationError:
+        pass  # the gate working IS the scenario
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 1), t)
+    return M.read_version(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("o_totalprice") <= 0, F.lit(1))
+        ).alias("n_violations"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )
