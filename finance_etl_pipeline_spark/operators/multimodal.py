@@ -949,3 +949,157 @@ def jpeg_resize_stats(payloads: DataFrame) -> DataFrame:
             yield pdf_out
 
     return payloads.mapInPandas(batches, JPEG_RESIZE_SCHEMA)
+
+
+# --- WAV family (round 8): real RIFF/PCM16 audio bytes per doc ------
+#
+# Closes audio the way PNG/BMP/JPEG closed images: a real, playable
+# WAV container (RIFF header, fmt chunk, little-endian PCM16 data)
+# whose SAMPLES are pure integer arithmetic in (doc_id, i), decoded by
+# a spec-faithful parser — so windowed energy is exactly recomputable
+# by the DuckDB oracle, with zero float anywhere (sums of s and s² are
+# integers).
+
+WAV_RATE = 8000
+WAV_WINDOW = 400  # samples per analysis window (50 ms at 8 kHz)
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 800 + 400 * (doc_id % 3)
+
+
+def _wav_sample(doc_id: int, i):
+    """Sample i of doc doc_id — the formula the oracle mirrors.
+    Range ±2000 fits PCM16 comfortably; the modulus keeps x- and
+    doc-dependence without overflow anywhere."""
+    return ((13 * doc_id + 7 * i) % 4001) - 2000
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """A real, playable mono PCM16 WAV file (RIFF + fmt + data)."""
+    import numpy as np
+
+    n = _wav_n_samples(doc_id)
+    i = np.arange(n, dtype=np.int64)
+    samples = _wav_sample(doc_id, i).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = WAV_RATE * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + WAV_RATE.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits per sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes):
+    """Parse a mono PCM16 RIFF WAV into (sample_rate, int16 array) —
+    chunk walk per the public RIFF spec (unknown chunks skipped, word
+    alignment honored); compressed/multichannel/other-depth forms
+    raise with the feature named."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1:
+                raise ValueError(f"WAV format {audio_fmt} unsupported (PCM only)")
+            if channels != 1:
+                raise ValueError(f"{channels}-channel WAV unsupported (mono only)")
+            if bits != 16:
+                raise ValueError(f"{bits}-bit WAV unsupported (16-bit only)")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return rate, data
+
+
+def with_wav_payload(docs: DataFrame) -> DataFrame:
+    """Arrow-batched synth stage: one real PCM16 WAV per doc_id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return docs.select("doc_id").mapInPandas(batches, schema)
+
+
+WAV_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("sum_s", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("max_win_sq", LongType()),
+    ]
+)
+
+
+def wav_energy_stats(payloads: DataFrame) -> DataFrame:
+    """REAL audio decode + windowed energy, all-integer: per doc the
+    total sample sum, total energy (Σs²), and the loudest window's
+    energy over WAV_WINDOW-sample frames.  The total sum breaks on a
+    byte-order or signedness error; the window max breaks if frame
+    boundaries drift.  Arrow mapInPandas, binary in / 7 scalars out."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "n_windows",
+                "sum_s", "sum_sq", "max_win_sq",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                n = len(s64)
+                n_win = n // WAV_WINDOW
+                win_sq = (
+                    (s64[: n_win * WAV_WINDOW] ** 2)
+                    .reshape(n_win, WAV_WINDOW)
+                    .sum(axis=1)
+                )
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["n_windows"].append(n_win)
+                out["sum_s"].append(int(s64.sum()))
+                out["sum_sq"].append(int((s64 ** 2).sum()))
+                out["max_win_sq"].append(int(win_sq.max()) if n_win else 0)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["sample_rate"] = pdf_out["sample_rate"].astype("int32")
+            pdf_out["n_windows"] = pdf_out["n_windows"].astype("int32")
+            yield pdf_out
+
+    return payloads.mapInPandas(batches, WAV_STATS_SCHEMA)

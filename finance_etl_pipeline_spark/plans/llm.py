@@ -1713,3 +1713,63 @@ def mm_jpeg_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(table(spark, sf_dir, "documents"))
     return jpeg_resize_stats(with_jpeg_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_wav_energy_stats",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(800 + 400 * (doc_id % 3) AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, i,
+             ((13 * doc_id + 7 * i) % 4001) - 2000 AS v
+      FROM (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        FROM dims
+      )
+    ),
+    per_win AS (
+      -- n is always a whole number of 400-sample windows here, so
+      -- the doc aggregates roll up exactly from the window ones
+      SELECT doc_id, n, i // 400 AS win,
+             CAST(sum(v) AS BIGINT) AS wsum,
+             CAST(sum(v * v) AS BIGINT) AS wsq
+      FROM s GROUP BY doc_id, n, i // 400
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           any_value(n) AS n_samples,
+           CAST(count(*) AS INTEGER) AS n_windows,
+           CAST(sum(wsum) AS BIGINT) AS sum_s,
+           CAST(sum(wsq) AS BIGINT) AS sum_sq,
+           CAST(max(wsq) AS BIGINT) AS max_win_sq
+    FROM per_win
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_wav_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-verified AUDIO decode (closes audio the way the codecs
+    closed images): each doc gets a real, playable mono PCM16 RIFF
+    WAV whose samples are pure integer arithmetic in (doc_id, i);
+    the Spark path parses the container (chunk walk, little-endian
+    int16) and computes all-integer windowed energy, while the oracle
+    recomputes sums symbolically.  sum_s breaks on byte order or
+    signedness, max_win_sq on drifted frame boundaries, n_samples on
+    a data-chunk length bug.
+
+    Scale: Arrow mapInPandas, binary in / 7 scalars out — payloads
+    never shuffle."""
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        wav_energy_stats,
+        with_wav_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return wav_energy_stats(with_wav_payload(docs)).orderBy("doc_id")

@@ -470,3 +470,59 @@ def test_dispatch_decode_routes_jpeg(spark, sf_dir):
         assert checksum == int(px.sum()) % 1_000_000_007
         # and the dims follow the documented grid
         assert w == 8 * (2 + doc_id % 3) and h == 8 * (1 + doc_id % 2)
+
+
+# ------------------------------- WAV codec --------------------------
+
+
+def test_wav_roundtrip_exact_and_chunk_walk():
+    """PCM16 samples round-trip bit-exactly, and the chunk walk skips
+    unknown chunks (LIST metadata etc.) with word alignment."""
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        _wav_n_samples,
+        _wav_sample,
+        decode_wav,
+        encode_wav,
+    )
+
+    for d in (0, 1, 2, 5, 17):
+        rate, s = decode_wav(encode_wav(d))
+        assert rate == 8000 and len(s) == _wav_n_samples(d)
+        i = np.arange(len(s), dtype=np.int64)
+        assert (s.astype(np.int64) == _wav_sample(d, i)).all()
+    # inject an odd-length unknown chunk before data: must be skipped
+    raw = bytearray(encode_wav(3))
+    di = bytes(raw).find(b"data")
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded
+    patched = bytes(raw[:di]) + junk + bytes(raw[di:])
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    rate, s = decode_wav(patched)
+    assert len(s) == _wav_n_samples(3)
+
+
+def test_wav_loud_rejects():
+    import pytest as _pytest
+
+    from finance_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    good = bytearray(encode_wav(1))
+    fi = bytes(good).find(b"fmt ")
+    stereo = bytearray(good)
+    stereo[fi + 10] = 2  # channels field
+    with _pytest.raises(ValueError, match="channel"):
+        decode_wav(bytes(stereo))
+    mulaw = bytearray(good)
+    mulaw[fi + 8] = 7  # audio format field
+    with _pytest.raises(ValueError, match="PCM only"):
+        decode_wav(bytes(mulaw))
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
