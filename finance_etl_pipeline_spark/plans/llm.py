@@ -1773,3 +1773,72 @@ def mm_wav_energy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(table(spark, sf_dir, "documents"))
     return wav_energy_stats(with_wav_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "mm_video_frame_sample",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 * (2 + doc_id % 2) AS INTEGER) AS w,
+             CAST(8 * (1 + (doc_id // 2) % 2) AS INTEGER) AS h,
+             CAST(4 + doc_id % 3 AS INTEGER) AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+      FROM dims
+    ),
+    sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+    px AS (
+      SELECT doc_id, w, h, nf, f, x, unnest(generate_series(0, h - 1)) AS y
+      FROM (
+        SELECT doc_id, w, h, nf, f, unnest(generate_series(0, w - 1)) AS x
+        FROM sampled
+      )
+    ),
+    v AS (
+      SELECT doc_id, w, h, nf, f, x, y,
+             (11 * doc_id + 17 * f + 13 * (x // 8) + 29 * (y // 8)) % 256
+               AS val
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_no,
+           nf AS n_frames,
+           w AS width,
+           h AS height,
+           CAST(sum(val) AS BIGINT) AS sum_v,
+           CAST(sum(y * val) AS BIGINT) AS wsum_y
+    FROM v
+    GROUP BY doc_id, f, nf, w, h
+    ORDER BY doc_id, frame_no
+    """,
+    "llm",
+    "multimodal",
+    "arrow",
+)
+def mm_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-verified VIDEO frame sampling (closes video alongside the
+    image codecs and WAV audio): each doc gets a real single-stream
+    MJPG AVI (operators/video.py — RIFF chunk walk, hdrl/strl codec
+    check, word-aligned movi iteration) whose frames are constant-
+    block JPEGs; the Spark path decodes ONLY every 2nd frame (true
+    sampling — unsampled frames are chunk-walk skips, never decodes)
+    and emits per-sampled-frame statistics, while the oracle
+    recomputes them arithmetically with f % 2 = 0 and x//8, y//8.
+    A container walk that drops a frame, mis-orders chunks, or
+    decodes the wrong stride diverges row-for-row.
+
+    Scale: Arrow mapInPandas, binary in / one row per SAMPLED frame
+    out — payloads never shuffle, and sampling cost ∝ sampled
+    frames."""
+    from finance_etl_pipeline_spark.operators.video import (
+        sampled_frame_stats,
+        with_avi_payload,
+    )
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    return sampled_frame_stats(with_avi_payload(docs)).orderBy(
+        "doc_id", "frame_no"
+    )

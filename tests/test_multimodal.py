@@ -526,3 +526,85 @@ def test_wav_loud_rejects():
         decode_wav(bytes(mulaw))
     with _pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"OggS" + b"\x00" * 40)
+
+
+# ------------------------------- AVI/MJPEG video --------------------
+
+
+def test_avi_roundtrip_and_frame_order():
+    import numpy as np
+
+    from finance_etl_pipeline_spark.operators.jpeg import decode_jpeg
+    from finance_etl_pipeline_spark.operators.video import (
+        _avi_dims,
+        _avi_n_frames,
+        _frame_block_value,
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    for d in range(6):
+        frames = decode_avi_frames(encode_avi(d))
+        assert len(frames) == _avi_n_frames(d)
+        w, h = _avi_dims(d)
+        for f, jb in enumerate(frames):
+            px = decode_jpeg(jb)
+            assert px.shape == (h, w)
+            bx = np.arange(w // 8, dtype=np.int64)[None, :]
+            by = np.arange(h // 8, dtype=np.int64)[:, None]
+            want = np.kron(
+                _frame_block_value(d, f, bx, by), np.ones((8, 8), np.int64)
+            ).astype(np.uint8)
+            assert (px == want).all()
+
+
+def test_avi_loud_rejects_and_unknown_chunk_skip():
+    import pytest as _pytest
+
+    from finance_etl_pipeline_spark.operators.video import (
+        _avi_n_frames,
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    good = encode_avi(2)
+    # non-MJPG codec fourcc in strf: rejected with the fourcc named
+    bad = bytearray(good)
+    i = bytes(bad).find(b"MJPG", bytes(bad).find(b"strf"))
+    bad[i : i + 4] = b"H264"
+    with _pytest.raises(ValueError, match="H264"):
+        decode_avi_frames(bytes(bad))
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi_frames(b"\x00" * 32)
+    # an injected unknown top-level chunk (odd length, so alignment
+    # matters) must be skipped, frames intact
+    mi = good.find(b"LIST", 12)
+    junk = b"JUNK" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    patched = good[:mi] + junk + good[mi:]
+    patched = (
+        patched[:4]
+        + (len(patched) - 8).to_bytes(4, "little")
+        + patched[8:]
+    )
+    assert len(decode_avi_frames(patched)) == _avi_n_frames(2)
+
+
+def test_sampled_frame_stats_decodes_only_stride(spark, sf_dir):
+    """One row per SAMPLED frame, stride honored, n_frames exact."""
+    from finance_etl_pipeline_spark.operators.video import (
+        FRAME_STATS_SCHEMA,
+        sampled_frame_stats,
+        with_avi_payload,
+    )
+
+    docs = table(spark, sf_dir, "documents").limit(12)
+    out = sampled_frame_stats(with_avi_payload(docs), stride=2)
+    assert out.schema == FRAME_STATS_SCHEMA
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        nf = 4 + doc_id % 3
+        assert sorted(r.frame_no for r in rs) == list(range(0, nf, 2))
+        assert all(r.n_frames == nf for r in rs)
