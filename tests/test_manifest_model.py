@@ -124,6 +124,13 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
         elif op == "overwrite":
             ks = rng.sample(all_keys, rng.randint(30, 90))
             model = {k: (universe[k], None) for k in ks}
+            # keep the invariant unused ∩ model = ∅: an overwrite may
+            # resurrect never-taken keys, and a later append/merge
+            # re-taking one would give the TABLE duplicate rows for
+            # that key while the dict model silently collapses them
+            # (latent harness bug surfaced by seed-42 fuzzing)
+            ks_set = set(ks)
+            unused[:] = [k for k in unused if k not in ks_set]
             v = M.commit(frame(ks).repartition(2), t, mode="overwrite")
             evolved = False  # overwrite starts a fresh schema
         elif op == "delete" and model:
