@@ -130,7 +130,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     tbl_p.add_argument(
         "action",
-        choices=["history", "vacuum", "compact", "count", "changes", "clone"],
+        choices=[
+            "history",
+            "vacuum",
+            "compact",
+            "count",
+            "changes",
+            "clone",
+            "constraints",
+        ],
     )
     tbl_p.add_argument("dir", help="table root directory")
     tbl_p.add_argument("--keep-last", type=int, default=1)
@@ -332,6 +340,12 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{n} (scan — tombstones or legacy manifest)")
             else:
                 print(f"{n} (metadata-only)")
+            return 0
+        if args.action == "constraints":
+            cons = M.table_constraints(args.dir)
+            for name, expr in sorted(cons.items()):
+                print(f"{name}\tCHECK ({expr})")
+            print(f"{len(cons)} constraint(s)")
             return 0
         if args.action == "clone":
             if not args.into:

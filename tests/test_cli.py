@@ -199,3 +199,23 @@ def test_table_changes_subcommand(tmp_path):
     r2 = _run("table", "changes", tbl)
     assert r2.returncode == 2
     assert "--keys" in r2.stderr
+
+
+def test_table_constraints_subcommand(tmp_path):
+    import pyspark.sql.functions as F
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+    from finance_etl_pipeline_spark.session import get_spark
+    from finance_etl_pipeline_spark.sources.readers import table as t_
+
+    spark = get_spark(app_name="tests")
+    tbl = str(tmp_path / "tbl")
+    o = t_(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    M.commit(o.limit(10), tbl)
+    M.add_constraint(spark, tbl, "price_pos", "o_totalprice > 0")
+    r = _run("table", "constraints", tbl)
+    assert r.returncode == 0
+    assert "price_pos\tCHECK (o_totalprice > 0)" in r.stdout
+    assert "1 constraint(s)" in r.stdout
