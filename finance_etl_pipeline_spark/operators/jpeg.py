@@ -119,7 +119,13 @@ class _BitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        b = (self.acc >> self.nbits) & 1
+        # keep only the live low bits: without this mask the
+        # accumulator grows by 8 bits per byte for the whole entropy
+        # segment, making every shift a progressively larger bignum —
+        # quadratic decode time on non-tiny scans
+        self.acc &= (1 << self.nbits) - 1
+        return b
 
     def bits(self, n: int) -> int:
         v = 0

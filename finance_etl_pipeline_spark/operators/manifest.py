@@ -137,17 +137,25 @@ def _harvest_one(data_dir: str, rel: str) -> dict:
     all-NULL column.  Module-level and argument-pure so the
     distributed harvest can ship it to executors by reference."""
     import pyarrow.parquet as pq
+    from urllib.parse import unquote
 
     part_values: dict[str, object] = {}
+    raw_parts: dict[str, object] = {}
     for comp in rel.split(os.sep)[:-1]:
         if "=" in comp:
             k, _, v = comp.partition("=")
-            part_values[k] = (
-                None
-                if v == "__HIVE_DEFAULT_PARTITION__"
-                else _parse_partition_value(v)
-            )
-    md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                part_values[k] = None
+                raw_parts[k] = None
+            else:
+                part_values[k] = _parse_partition_value(v)
+                # the RAW path component too: type inference collapses
+                # distinct string values with equal numeric forms
+                # ('1' vs '01'), so identity-sensitive consumers
+                # (dynamic partition overwrite) need the exact string
+                raw_parts[k] = unquote(v)
+    abs_path = os.path.join(data_dir, rel)
+    md = pq.ParquetFile(abs_path).metadata
     stats: dict[str, dict] = {}
     bad: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -191,7 +199,18 @@ def _harvest_one(data_dir: str, rel: str) -> dict:
             stats[k] = {"min": None, "max": None, "nulls": md.num_rows}
         elif sv is not None:
             stats[k] = {"min": sv, "max": sv, "nulls": 0}
-    return {"path": rel, "rows": md.num_rows, "stats": stats}
+    entry = {
+        "path": rel,
+        "rows": md.num_rows,
+        # on-disk size: what byte-based stream admission control
+        # (max_bytes_per_trigger) budgets against — one stat call,
+        # harvested alongside the footer read
+        "bytes": os.path.getsize(abs_path),
+        "stats": stats,
+    }
+    if raw_parts:
+        entry["parts"] = raw_parts
+    return entry
 
 
 #: commits with at least this many files harvest their footer stats on
@@ -686,7 +705,21 @@ def _validate_new_dir(
             "no active SparkSession to validate CHECK constraints — "
             "this write path cannot enforce them; use manifest.commit"
         )
-    df = _align_to(spark.read.parquet(abs_dir), schema)
+    # declare the commit's logical schema on the read (as read_version
+    # does): hive partition values parse from the path AS the declared
+    # type instead of through inference — a string '001' must reach the
+    # CHECK expression as '001', not as the int 1 — and evolved columns
+    # the dir lacks surface as typed NULLs without a footer-inference
+    # round trip
+    from pyspark.sql.types import StructField
+
+    declared = StructType(
+        # all-nullable: evolved columns this dir legitimately lacks
+        # read as NULLs, which must not trip a declared not-null field
+        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+    )
+    reader = spark.read.schema(declared).option("basePath", abs_dir)
+    df = _align_to(reader.parquet(abs_dir), schema)
     _check_constraints(df, cons, f"write into {abs_dir}")
 
 
@@ -712,8 +745,67 @@ def _check_constraints(df: DataFrame, cons: dict, context: str) -> None:
         )
 
 
+def _revalidate_moved_tip(
+    spark: SparkSession,
+    table_dir: str,
+    old_tip: int,
+    new_tip: int,
+    cons: dict,
+) -> None:
+    """Constraint-check the DATA ADDED between two snapshots — the
+    re-validation an ``add_constraint`` that lost its publish race
+    needs before retrying over the moved tip.  Row REMOVAL (deletes,
+    tombstones, files dropped by merge/overwrite replacement) can
+    never introduce a violation, so only dirs new since ``old_tip``
+    are scanned; a whole-table 'overwrite' step falls back to
+    re-validating the full new snapshot."""
+    m_old = _read_manifest(table_dir, old_tip)
+    seen = set(m_old["dirs"])
+    new_dirs: list[str] = []
+    for v in range(old_tip + 1, new_tip + 1):
+        m = _read_manifest(table_dir, v)
+        if m.get("mode") == "overwrite":
+            _check_constraints(
+                read_version(spark, table_dir, new_tip),
+                cons,
+                "existing table data (re-validated after a concurrent "
+                "overwrite)",
+            )
+            return
+        for d in m["dirs"]:
+            if d not in seen:
+                new_dirs.append(d)
+                seen.add(d)
+    m_tip = _read_manifest(table_dir, new_tip)
+    live = set(m_tip["dirs"])
+    if "schema" not in m_tip:
+        # legacy manifest without a recorded schema: no per-dir
+        # declared read is possible — re-validate the whole snapshot
+        _check_constraints(
+            read_version(spark, table_dir, new_tip),
+            cons,
+            "existing table data (re-validated, legacy manifest)",
+        )
+        return
+    schema = StructType.fromJson(m_tip["schema"])
+    for d in new_dirs:
+        if d not in live:
+            continue  # already replaced again: its rows are gone or
+            # live in another dir that is itself in new_dirs
+        entries = _dir_entries(table_dir, m_tip, d)
+        if not entries:
+            continue
+        _validate_new_dir(
+            cons, os.path.join(table_dir, d), True, schema
+        )
+
+
 def add_constraint(
-    spark: SparkSession, table_dir: str, name: str, expr: str
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    expr: str,
+    max_retries: int = 5,
 ) -> int:
     """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr): validates the
     EXISTING data first (a constraint the current rows already break
@@ -723,7 +815,16 @@ def add_constraint(
     partition overwrite — validates its new/rewritten rows against
     the constraints in force and conflict-aborts the publish on
     violation, leaving no published version and no referenced files
-    (the write dir is reclaimed by vacuum)."""
+    (the write dir is reclaimed by vacuum).
+
+    The publish is PINNED to the snapshot the validation read
+    (expected_base-style): a concurrent commit landing between the
+    validation scan and the publish was itself vetted against the
+    constraint set WITHOUT this one, so its rows are unvetted — on a
+    moved tip the publish aborts internally, the delta (new dirs
+    only; removals cannot violate) is re-validated, and the publish
+    retries against the new snapshot, up to ``max_retries`` before
+    surfacing ``ConcurrentTableModificationError``."""
     tip = latest_version(table_dir)
     if tip == 0:
         raise ValueError("cannot add a constraint to an empty table")
@@ -736,23 +837,44 @@ def add_constraint(
         "existing table data",
     )
 
-    def build(prev: int) -> dict:
-        m = _read_manifest(table_dir, prev)
-        cons = _carry_constraints(m)
-        cons[name] = expr
-        return {
-            "dirs": list(m["dirs"]),
-            "mode": "set_constraint",
-            "files": _carry_files(table_dir, m),
-            "dir_schemas": _load_dir_schemas(m),
-            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
-            "deletes": list(m.get("deletes", [])),
-            **({"schema": m["schema"]} if "schema" in m else {}),
-            "constraints": cons,
-            "txns": _carry_txns(m),
-        }
+    validated = tip
+    for _ in range(max_retries):
 
-    return _publish(table_dir, build)
+        def build(prev: int, pin: int = validated) -> dict:
+            if prev != pin:
+                raise ConcurrentTableModificationError(
+                    f"table advanced to v{prev} while the constraint "
+                    f"was validated against v{pin}"
+                )
+            m = _read_manifest(table_dir, prev)
+            cons = _carry_constraints(m)
+            if name in cons:
+                raise ValueError(f"constraint {name!r} already exists")
+            cons[name] = expr
+            return {
+                "dirs": list(m["dirs"]),
+                "mode": "set_constraint",
+                "files": _carry_files(table_dir, m),
+                "dir_schemas": _load_dir_schemas(m),
+                "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+                "deletes": list(m.get("deletes", [])),
+                **({"schema": m["schema"]} if "schema" in m else {}),
+                "constraints": cons,
+                "txns": _carry_txns(m),
+            }
+
+        try:
+            return _publish(table_dir, build)
+        except ConcurrentTableModificationError:
+            new_tip = latest_version(table_dir)
+            _revalidate_moved_tip(
+                spark, table_dir, validated, new_tip, {name: expr}
+            )
+            validated = new_tip
+    raise ConcurrentTableModificationError(
+        f"add_constraint lost the publish race {max_retries} times "
+        f"under sustained concurrent commits; re-run"
+    )
 
 
 def drop_constraint(table_dir: str, name: str) -> int:
@@ -931,14 +1053,57 @@ def _publish_dir(
         return latest_version(table_dir)
 
 
-def _entry_partition_combo(entry: dict, partition_by: list[str]):
-    """The exact partition-value tuple of one file entry, read from
-    the per-file stats (hive partition values record min = max = v,
-    all-NULL records min None — see ``_harvest_one``), or None when
-    any value is not exactly known."""
+def _string_typed(schema: StructType | None) -> frozenset:
+    """Field names whose declared type is a string flavor — the
+    columns where path type inference can CHANGE identity ('1' vs
+    '01' are distinct string partitions but equal after inference)."""
+    if schema is None:
+        return frozenset()
+    return frozenset(
+        f.name
+        for f in schema.fields
+        if f.dataType.typeName() in ("string", "char", "varchar")
+    )
+
+
+def _entry_partition_combo(
+    entry: dict, partition_by: list[str], string_cols: frozenset = frozenset()
+):
+    """The exact partition-value tuple of one file entry, or None when
+    any value is not exactly known.
+
+    Identity follows the column's DECLARED type, matching read-path
+    semantics: for ``string_cols`` the value is the RAW path component
+    (``entry['parts']``, recorded by ``_harvest_one`` — '1' and '01'
+    stay distinct), for everything else the stats value (hive partition
+    values record min = max = v; inference canonicalizes numerics,
+    which is correct equality for numeric declared types).  A legacy
+    entry without ``parts`` whose string value LOOKS numeric is
+    ambiguous ('1' on disk could have been '1' or '01' pre-inference)
+    and returns None — callers abort loudly rather than guess."""
     combo = []
+    parts = entry.get("parts")
     for c in partition_by:
         st = entry.get("stats", {}).get(c)
+        if c in string_cols:
+            if parts is not None and c in parts:
+                combo.append(parts[c])
+                continue
+            # legacy entry: the stats value is the value only when
+            # inference was a no-op (it stayed a string)
+            if st is not None and st["min"] is None:
+                if st["nulls"] == entry["rows"]:
+                    combo.append(None)
+                    continue
+                return None
+            if (
+                st is not None
+                and isinstance(st["min"], str)
+                and st["min"] == st["max"]
+            ):
+                combo.append(st["min"])
+                continue
+            return None
         if st is None:
             return None
         if st["min"] is None and st["nulls"] == entry["rows"]:
@@ -972,10 +1137,15 @@ def publish_dynamic_overwrite(
     publish loudly, matching the guardrail of the big formats.
     Time travel to the pre-overwrite version sees the replaced
     partitions again; vacuum reclaims their files after retention."""
-    written = {_entry_partition_combo(e, partition_by) for e in file_entries}
+    new_strings = _string_typed(schema)
+    written = {
+        _entry_partition_combo(e, partition_by, new_strings)
+        for e in file_entries
+    }
     if None in written:
         raise ValueError(
-            "a written file lacks exact partition-value stats — "
+            "a written file lacks exact partition-value identity "
+            "(no stats, or an ambiguous legacy string value) — "
             "dynamic overwrite cannot decide what it replaces"
         )
     if txn is not None:
@@ -1016,14 +1186,25 @@ def publish_dynamic_overwrite(
                         "use mode=overwrite (whole table) instead"
                     )
                 entries = _dir_entries(table_dir, m, d)
+                if entries is None:
+                    raise ValueError(
+                        f"dir {d} has no per-file manifest entries "
+                        "(legacy manifest); rewrite the table before "
+                        "a dynamic partition overwrite"
+                    )
+                sj = dir_schemas.get(d)
+                d_strings = _string_typed(
+                    StructType.fromJson(sj) if sj else None
+                )
                 kept = []
                 for e in entries:
-                    combo = _entry_partition_combo(e, partition_by)
+                    combo = _entry_partition_combo(e, partition_by, d_strings)
                     if combo is None:
                         raise ValueError(
                             f"file {d}/{e['path']} has no exact "
-                            "partition-value stats; cannot prove it "
-                            "outside the replaced partitions"
+                            "partition-value identity (no stats, or an "
+                            "ambiguous legacy string value); cannot "
+                            "prove it outside the replaced partitions"
                         )
                     if combo not in written:
                         kept.append(e)
