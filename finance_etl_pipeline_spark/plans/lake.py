@@ -882,3 +882,68 @@ def manifest_constraint_gate_read(
         ).alias("n_violations"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_stream_capped_drain",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    """,
+    "lake",
+    "streaming",
+)
+def manifest_stream_capped_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Admission-controlled streaming drain, end to end: orders land
+    in a manifest table as a 3-version backlog, a capped stream
+    (``max_files_per_trigger=3`` — Delta maxFilesPerTrigger semantics
+    on the version-offset log) drains it in bounded micro-batches
+    through the exactly-once manifest sink, and the sink table must
+    reproduce the batch table bit-for-bit: same row count, same key
+    count (no replay duplicates across the capped batch boundaries),
+    same price sum.  The cap forces mid-version offset splits
+    ({{"version": v, "index": i}}), so this certifies the split
+    bookkeeping, not just the happy path."""
+    from finance_etl_pipeline_spark.sources.lakestream import (
+        ManifestTableDataSource,
+    )
+    from finance_etl_pipeline_spark.streaming.sink import (
+        append_stream_to_manifest,
+    )
+
+    spark.dataSource.register(ManifestTableDataSource)
+    root = tempfile.mkdtemp(prefix="mlake_drain_")
+    src, sink_t, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ck"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # 3 versions x 4 files: the cap of 3 cannot align with version
+    # boundaries, so at least one offset lands mid-version
+    for r in range(3):
+        M.commit(o.filter(F.col("o_orderkey") % 3 == r).repartition(4), src)
+
+    stream = (
+        spark.readStream.format("manifest_table")
+        .option("table_dir", src)
+        .option("max_files_per_trigger", "3")
+        .load()
+    )
+    q = (
+        append_stream_to_manifest(stream, sink_t, app_id="capped_drain")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+
+    return M.read_version(spark, sink_t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from collections import OrderedDict
 from collections.abc import Iterator, Sequence
 
 from dataclasses import dataclass
@@ -100,7 +101,10 @@ class ManifestTableDataSource(DataSource):
     (``df.write.format("manifest_table")``, mode append/overwrite)
     add ``txn_app_id`` + ``txn_version`` for exactly-once replayed
     jobs; streaming reads add ``starting_version`` or
-    ``starting_timestamp``."""
+    ``starting_timestamp``, plus admission control via
+    ``max_files_per_trigger`` (hard per-batch file cap, >= 1) and
+    ``max_bytes_per_trigger`` (soft per-batch byte cap; accepts
+    '64m'-style suffixes) — see ``ManifestStreamReader``."""
 
     @classmethod
     def name(cls) -> str:
@@ -260,9 +264,29 @@ class ManifestTableDataSource(DataSource):
             dynamic=dynamic,
         )
 
+    @staticmethod
+    def _parse_size(s) -> int:
+        """'10k' / '64m' / '1g' / plain int → bytes."""
+        s = str(s).strip().lower()
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1:], None)
+        n = int(s[:-1]) * mult if mult else int(s)
+        if n <= 0:
+            raise ValueError(f"size option must be positive, got {s!r}")
+        return n
+
     def streamReader(self, schema) -> "ManifestStreamReader":
+        mf = self.options.get("max_files_per_trigger")
+        mb = self.options.get("max_bytes_per_trigger")
+        max_files = int(mf) if mf is not None else None
+        if max_files is not None and max_files < 1:
+            raise ValueError("max_files_per_trigger must be >= 1")
+        max_bytes = self._parse_size(mb) if mb is not None else None
         return ManifestStreamReader(
-            self._table_dir(), schema, self._starting_version()
+            self._table_dir(),
+            schema,
+            self._starting_version(),
+            max_files=max_files,
+            max_bytes=max_bytes,
         )
 
 
@@ -735,79 +759,250 @@ class ManifestBatchWriter(DataSourceArrowWriter):
 
 
 class ManifestStreamReader(DataSourceStreamReader):
+    """Streaming half of the source; see the module docstring for the
+    offset model (version numbers = offsets, a version is an immutable
+    file set).
+
+    ADMISSION CONTROL (``max_files_per_trigger`` /
+    ``max_bytes_per_trigger``): without caps, a restarted stream
+    facing an N-version backlog gets it as ONE arbitrarily large
+    micro-batch — at 100 TB that is an OOM, not a slowdown, which is
+    why every public lakehouse stream source rate-limits admission
+    (Delta maxFilesPerTrigger / maxBytesPerTrigger semantics).  With a
+    cap set, ``latestOffset`` walks forward from the last planned
+    position and admits whole FILES until the cap is reached (always
+    at least one file per batch, so a single file larger than
+    ``max_bytes_per_trigger`` still flows; bytes are a soft max, files
+    a hard max).  Versions split mid-way extend the offset to
+    ``{"version": v, "index": i}`` — "the first i files of version
+    v's appended dirs are consumed" — with the file order pinned by
+    the manifest (dirs in manifest order, entries in immutable shard
+    order), so a replayed batch re-reads the same files bit-for-bit
+    and exactly-once is preserved.  Plain ``{"version": v}`` (old
+    checkpoints, uncapped runs) means "consumed THROUGH v" — capped
+    and uncapped runs interoperate on one checkpoint.
+
+    Position tracking across restarts: the engine implements
+    ``AcceptsLatestSeenOffset`` for Python sources by probing
+    ``partitions(checkpointed, checkpointed)`` before the first
+    ``latestOffset`` of a restarted run, so the reader always knows
+    where the previous run left off; a fresh query learns it from
+    ``initialOffset``.  Belt and braces: with no known position the
+    reader admits everything (correct, merely unbounded).
+
+    Caveat: ``Trigger.AvailableNow`` pins the FIRST ``latestOffset``
+    as the whole run's end offset (the engine-side wrapper for
+    sources without native AvailableNow support), so a capped stream
+    run that way processes exactly one capped batch and stops.  Use
+    the default / processingTime trigger (each trigger advances the
+    cap window) for capped draining."""
+
     def __init__(
-        self, table_dir: str, schema: StructType, starting_version: int = 0
+        self,
+        table_dir: str,
+        schema: StructType,
+        starting_version: int = 0,
+        max_files: int | None = None,
+        max_bytes: int | None = None,
     ):
         self.table_dir = table_dir
         self.schema = schema
         self.starting_version = starting_version
+        self.max_files = max_files
+        self.max_bytes = max_bytes
+        #: last planned/committed offset dict — set by initialOffset,
+        #: partitions (incl. the engine's restart probe) and commit
+        self._pos: dict | None = None
+        #: version -> validated ordered file list [(abs_path, bytes)]
+        self._steps: OrderedDict = OrderedDict()
+
+
+    def _dbg(self, msg):
+        import os as _os
+        f = _os.environ.get("LAKESTREAM_DEBUG_LOG")
+        if f:
+            with open(f, "a") as fh:
+                fh.write(f"pid={_os.getpid()} {msg}\n")
+
+    # -------------------------------------------------- version steps
+
+    def _step_files(self, v: int) -> list:
+        """The ordered [(abs_path, bytes)] list version ``v`` appended,
+        validated for streamability (append-only mode, unchanged
+        tombstones, no hive partitioning, unchanged schema).  The
+        order is pinned by the manifest — dirs in manifest order,
+        entries in immutable shard order — so every caller (admission
+        walk, batch planning, replay after restart) sees the same
+        sequence."""
+        hit = self._steps.get(v)
+        if hit is not None:
+            self._steps.move_to_end(v)
+            return hit
+        m = _read_manifest_safe(self.table_dir, v)
+        prev_dirs: set = set()
+        prev_n_deletes = 0
+        if v > 1:
+            pm = _read_manifest_safe(self.table_dir, v - 1)
+            prev_dirs = set(pm["dirs"])
+            prev_n_deletes = len(pm.get("deletes", []))
+        # 'set_constraint' versions are metadata-only (no dirs added,
+        # no tombstone change — both re-proven below), so the stream
+        # passes through them with zero new partitions
+        if m.get("mode") not in ("append", "set_constraint"):
+            raise ValueError(
+                f"version {v} is mode={m.get('mode')!r}: only "
+                "append-only tables stream; use changefeed_rows + "
+                "the CDC sink for rewrites/deletes/updates"
+            )
+        if len(m.get("deletes", [])) != prev_n_deletes:
+            # belt and braces against manifests published by writers
+            # predating the distinct 'update'/'delete' modes: a version
+            # whose tombstone list changed is not an append no matter
+            # what its mode field claims — streaming its new dir as
+            # plain inserts would leave consumers holding the stale
+            # pre-update copies
+            raise ValueError(
+                f"version {v} changed the tombstone list: only "
+                "append-only tables stream; use changefeed_rows + "
+                "the CDC sink for rewrites/deletes/updates"
+            )
+        new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
+        part_dirs = m.get("partitioned_dirs", {})
+        dir_schemas = M._load_dir_schemas(m)
+        files: list = []
+        for d in new_dirs:
+            if d in part_dirs:
+                raise ValueError(
+                    f"dir {d} is hive-partitioned: leaf files do "
+                    "not carry the partition columns; stream the "
+                    "changefeed instead"
+                )
+            sj = dir_schemas.get(d)
+            if sj is not None and [
+                (f.name, f.dataType)
+                for f in StructType.fromJson(sj).fields
+            ] != [(f.name, f.dataType) for f in self.schema.fields]:
+                raise ValueError(
+                    f"dir {d} was committed with a different "
+                    "schema than the stream started with; "
+                    "restart the stream to pick up the evolution"
+                )
+            for e in M._dir_entries(self.table_dir, m, d) or []:
+                p = os.path.join(self.table_dir, d, e["path"])
+                nb = e.get("bytes")
+                if nb is None:  # entry predates byte records
+                    nb = os.path.getsize(p)
+                files.append((p, nb))
+        self._steps[v] = files
+        if len(self._steps) > 256:
+            self._steps.popitem(last=False)
+        return files
+
+    @staticmethod
+    def _key(off: dict) -> tuple:
+        """Total order over offsets: {"version": v} (all of v
+        consumed) sorts after every partial {"version": v, "index":
+        i} of the same version."""
+        i = off.get("index")
+        return (int(off["version"]), float("inf") if i is None else int(i))
+
+    def _advance(self, off: dict) -> None:
+        """Track the furthest position ever planned/committed —
+        monotone, so an engine-side replay of an old batch can never
+        drag the admission floor backwards."""
+        if self._pos is None or self._key(off) > self._key(self._pos):
+            self._pos = dict(off)
+
+    @staticmethod
+    def _offset(version: int, index) -> dict:
+        """Canonical offset dict — key order is fixed because the
+        engine round-trips offsets as JSON strings; 'fully consumed'
+        is always the plain {"version": v} form so capped and
+        uncapped runs agree on one representation per position."""
+        if index is None:
+            return {"version": version}
+        return {"version": version, "index": index}
+
+    # ------------------------------------------------ offset protocol
 
     def initialOffset(self) -> dict:
+        self._dbg(f"initialOffset start={self.starting_version}")
+        self._advance({"version": self.starting_version})
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
-        return {"version": M.latest_version(self.table_dir)}
+        tip = M.latest_version(self.table_dir)
+        self._dbg(f"latestOffset tip={tip} pos={self._pos}")
+        if self.max_files is None and self.max_bytes is None:
+            return {"version": tip}
+        # the engine calls latestOffset BEFORE initialOffset on a
+        # fresh query, so an unknown position means exactly that: a
+        # fresh query, whose floor is starting_version.  A RESTARTED
+        # query always probes partitions(ckpt, ckpt) first
+        # (AcceptsLatestSeenOffset), which sets the position.
+        pos = self._pos or {"version": self.starting_version}
+        pv, pi = int(pos["version"]), pos.get("index")
+        n_files = 0
+        n_bytes = 0
+        end_v, end_i = pv, pi
+        # resume point: mid-version when the position carries an index,
+        # else the next version
+        v, j = (pv, int(pi)) if pi is not None else (pv + 1, 0)
+        while v <= tip:
+            files = self._step_files(v)
+            total = len(files)
+            while j < total:
+                _, nb = files[j]
+                over_f = (
+                    self.max_files is not None
+                    and n_files + 1 > self.max_files
+                )
+                over_b = (
+                    self.max_bytes is not None
+                    and n_bytes + nb > self.max_bytes
+                )
+                if n_files > 0 and (over_f or over_b):
+                    return self._offset(end_v, end_i)
+                n_files += 1
+                n_bytes += nb
+                j += 1
+                end_v, end_i = v, (j if j < total else None)
+            end_v, end_i = v, None  # version drained (or had no files)
+            v += 1
+            j = 0
+        return self._offset(end_v, end_i)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        a, b = int(start["version"]), int(end["version"])
-        parts: list[InputPartition] = []
-        prev_dirs: set[str] = set()
-        prev_n_deletes = 0
-        if a > 0:
-            pm = _read_manifest_safe(self.table_dir, a)
-            prev_dirs = set(pm["dirs"])
-            prev_n_deletes = len(pm.get("deletes", []))
-        for v in range(a + 1, b + 1):
-            m = _read_manifest_safe(self.table_dir, v)
-            # 'set_constraint' versions are metadata-only (no dirs
-            # added, no tombstone change — both re-proven below), so
-            # the stream passes through them with zero new partitions
-            if m.get("mode") not in ("append", "set_constraint"):
-                raise ValueError(
-                    f"version {v} is mode={m.get('mode')!r}: only "
-                    "append-only tables stream; use changefeed_rows + "
-                    "the CDC sink for rewrites/deletes/updates"
-                )
-            if len(m.get("deletes", [])) != prev_n_deletes:
-                # belt and braces against manifests published by
-                # writers predating the distinct 'update'/'delete'
-                # modes: a version whose tombstone list changed is not
-                # an append no matter what its mode field claims —
-                # streaming its new dir as plain inserts would leave
-                # consumers holding the stale pre-update copies
-                raise ValueError(
-                    f"version {v} changed the tombstone list: only "
-                    "append-only tables stream; use changefeed_rows + "
-                    "the CDC sink for rewrites/deletes/updates"
-                )
-            new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
-            part_dirs = m.get("partitioned_dirs", {})
-            dir_schemas = M._load_dir_schemas(m)
-            for d in new_dirs:
-                if d in part_dirs:
-                    raise ValueError(
-                        f"dir {d} is hive-partitioned: leaf files do "
-                        "not carry the partition columns; stream the "
-                        "changefeed instead"
-                    )
-                sj = dir_schemas.get(d)
-                if sj is not None and [
-                    (f.name, f.dataType)
-                    for f in StructType.fromJson(sj).fields
-                ] != [(f.name, f.dataType) for f in self.schema.fields]:
-                    raise ValueError(
-                        f"dir {d} was committed with a different "
-                        "schema than the stream started with; "
-                        "restart the stream to pick up the evolution"
-                    )
-                for e in M._dir_entries(self.table_dir, m, d) or []:
-                    parts.append(
-                        _FilePart(
-                            os.path.join(self.table_dir, d, e["path"])
-                        )
-                    )
-            prev_dirs = set(m["dirs"])
-            prev_n_deletes = len(m.get("deletes", []))
+        a, ia = int(start["version"]), start.get("index")
+        b, ib = int(end["version"]), end.get("index")
+        self._dbg(f"partitions start={start} end={end}")
+        if self._key(end) < self._key(start):
+            # belt and braces: planning a batch that moves backwards
+            # would re-emit consumed files as duplicates — refuse
+            raise ValueError(
+                f"offset regression: batch ({start}, {end}] ends "
+                "before it starts; the checkpoint and the table "
+                "history disagree"
+            )
+        self._advance(end)
+        if (a, ia) == (b, ib):
+            # degenerate range — includes the engine's restart probe
+            # partitions(checkpointed, checkpointed), which exists to
+            # hand the reader its position (recorded above)
+            return [_FilePart("")]
+        parts: list = []
+        if ia is not None:
+            files = self._step_files(a)
+            hi = (
+                len(files)
+                if a < b
+                else int(ib) if ib is not None else len(files)
+            )
+            parts.extend(_FilePart(p) for p, _ in files[int(ia):hi])
+        for w in range(a + 1, b + 1):
+            files = self._step_files(w)
+            hi = len(files) if (w < b or ib is None) else int(ib)
+            parts.extend(_FilePart(p) for p, _ in files[:hi])
         return parts if parts else [_FilePart("")]
 
     def read(self, part: _FilePart) -> Iterator:
@@ -824,4 +1019,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             yield batch.select(names)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are version numbers; nothing external to ack
+        # offsets are version (+ optional intra-version file index)
+        # positions; nothing external to ack — but remember where the
+        # engine got to: the admission walk's floor
+        self._dbg(f"commit end={end}")
+        self._advance(end)
