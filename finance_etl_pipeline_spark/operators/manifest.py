@@ -1299,6 +1299,8 @@ def _file_may_match(
     the conjunction of ``preds``; unknown stats keep the file
     (skipping is an optimization, never a semantics change — the
     residual filter re-applies every predicate exactly)."""
+    if entry.get("rows", 1) == 0:
+        return False  # a 0-row file matches nothing, stats or not
     for col, op, value in preds:
         if present is not None and col not in present:
             # column absent from this file's physical schema: every
@@ -1683,11 +1685,23 @@ def update_where(
             # snapshot; publishing over a different tip could
             # tombstone concurrently-appended rows without a
             # rewritten copy (a lost update) or stack onto an
-            # overwrite.  Conflict-abort, like the big formats.
-            raise ConcurrentTableModificationError(
-                f"table advanced to v{prev} while update_where was "
-                f"computing against v{base_version}; re-run the update"
+            # overwrite.  BUT a tip moved only by appends whose files
+            # provably contain no row matching ``where`` (the
+            # update's exact read set) cannot be harmed: the
+            # tombstone is a no-op over them and the rewrite misses
+            # nothing — rebase instead of aborting (logical conflict
+            # resolution; unprovable cases still abort like the big
+            # formats).
+            ok, why = _interleaved_appends_disjoint(
+                table_dir, base_version, prev, preds
             )
+            if not ok:
+                raise ConcurrentTableModificationError(
+                    f"table advanced to v{prev} while update_where "
+                    f"was computing against v{base_version}, and the "
+                    f"interleaved commits are not provably disjoint "
+                    f"({why}); re-run the update"
+                )
         m = _read_manifest(table_dir, prev)
         dirs = list(m["dirs"])
         # prior dirs carry their shards by name; only the rewritten
@@ -1723,6 +1737,54 @@ def update_where(
         }
 
     return _publish(table_dir, build)
+
+
+def _interleaved_appends_disjoint(
+    table_dir: str, base: int, prev: int, read_preds: list | None
+) -> tuple[bool, str]:
+    """Logical conflict check: can a snapshot-derived write computed
+    at ``base`` be safely REBASED onto ``prev`` instead of aborting?
+
+    True when every interleaved version base+1..prev is a pure append
+    (or a metadata-only constraint version) whose NEW files provably
+    contain no row matching ``read_preds`` — the operation's read set,
+    proven file-by-file against the manifest's footer stats with the
+    same may-match machinery file skipping uses.  This is the
+    Delta/Iceberg logical-conflict shape (file-set / predicate
+    intersection) that stops one busy appender from starving every
+    MERGE on the table; anything unprovable stays a conflict-abort
+    (pruning-grade proofs never guess)."""
+    if read_preds is None:
+        return False, "the operation's read set has no pruning envelope"
+    m_base = _read_manifest(table_dir, base)
+    n_del = len(m_base.get("deletes", []))
+    seen = set(m_base["dirs"])
+    for v in range(base + 1, prev + 1):
+        m = _read_manifest(table_dir, v)
+        mode = m.get("mode")
+        if mode not in ("append", "set_constraint"):
+            return False, f"version {v} is mode={mode!r}, not an append"
+        if len(m.get("deletes", [])) != n_del:
+            return False, f"version {v} changed the tombstone list"
+        dir_schemas = _load_dir_schemas(m)
+        for d in m["dirs"]:
+            if d in seen:
+                continue
+            seen.add(d)
+            sj = dir_schemas.get(d)
+            present = (
+                set(StructType.fromJson(sj).fieldNames()) if sj else None
+            )
+            entries = _dir_entries(table_dir, m, d)
+            if entries is None:
+                return False, f"dir {d} has no per-file entries"
+            for e in entries:
+                if _file_may_match(e, read_preds, present):
+                    return False, (
+                        f"file {d}/{e['path']} (appended by v{v}) may "
+                        "contain rows matching the operation's read set"
+                    )
+    return True, ""
 
 
 def _strip_file_uri(u: str) -> str:
@@ -1941,16 +2003,32 @@ def merge_into(
 
     def build(prev: int) -> dict:
         if prev != base:
-            raise ConcurrentTableModificationError(
-                f"table advanced to v{prev} while merge_into was "
-                f"computing against v{base}; re-run the merge"
+            # logical conflict resolution (the Delta/Iceberg shape):
+            # a tip moved ONLY by appends whose files provably hold no
+            # source key lets the merge REBASE — the rewritten dir is
+            # still exact (no interleaved row could have matched or
+            # collided with an insert), the interleaved dirs carry
+            # over untouched, and both writes land.  Anything
+            # unprovable aborts as before.
+            ok, why = _interleaved_appends_disjoint(
+                table_dir, base, prev, where
             )
+            if not ok:
+                raise ConcurrentTableModificationError(
+                    f"table advanced to v{prev} while merge_into was "
+                    f"computing against v{base}, and the interleaved "
+                    f"commits are not provably disjoint ({why}); "
+                    "re-run the merge"
+                )
         m = _read_manifest(table_dir, prev)
         if _txn_seen(m, txn):
             raise _TxnAlreadyApplied()
         dirs = list(m["dirs"])
         files = _carry_files(table_dir, m)
-        for d in touched_dirs:  # prev == base, so m0's set is exact
+        # touched_dirs/touched were computed at base; a rebase is only
+        # reachable over pure appends, which never reshape existing
+        # dirs, so the base-time sets remain exact at prev
+        for d in touched_dirs:
             files[d] = [
                 e
                 for e in _dir_entries(table_dir, m, d)
@@ -1962,7 +2040,16 @@ def merge_into(
         files[rel] = file_entries
         dir_schemas[rel] = schema_json
         cons = _carry_constraints(m)
-        _validate_new_dir(cons, abs_dir, bool(file_entries), logical)
+        # under a rebase the tip schema may have widened (an evolving
+        # append is still an append): the published schema is the
+        # union, never a silent narrowing that would drop the
+        # interleaved column
+        pub_schema = (
+            logical
+            if prev == base
+            else _merge_schema(m["schema"], logical)
+        )
+        _validate_new_dir(cons, abs_dir, bool(file_entries), pub_schema)
         return {
             "dirs": dirs,
             "mode": "merge",
@@ -1972,7 +2059,7 @@ def merge_into(
             "deletes": list(m.get("deletes", [])),
             # widened under evolve_schema, otherwise byte-identical to
             # the previous version's schema
-            "schema": logical.jsonValue(),
+            "schema": pub_schema.jsonValue(),
             "constraints": cons,
             "txns": _carry_txns(m, txn),
         }

@@ -1,0 +1,193 @@
+"""Logical conflict resolution: snapshot-derived writes (MERGE INTO /
+update_where) REBASE over interleaved commits that are provably
+disjoint appends, and still conflict-abort on anything unprovable —
+the Delta/Iceberg file-set/predicate intersection shape, so one busy
+appender no longer starves every MERGE on the table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from finance_etl_pipeline_spark.operators import manifest as M
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, amt double")
+
+
+def _interleave(payload_fn):
+    """A _publish hook that lands one interleaved commit right before
+    the guarded publish runs — deterministically simulating a
+    concurrent writer that wins the race."""
+    orig = M._publish
+    state = {"armed": True}
+
+    def hooked(table_dir, build):
+        if state["armed"]:
+            state["armed"] = False
+            payload_fn(table_dir)
+        return orig(table_dir, build)
+
+    return hooked, orig
+
+
+def test_merge_rebases_over_disjoint_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0), (3, 30.0)]), t)
+    source = _df(spark, [(2, 99.0), (4, 40.0)])  # key range [2, 4]
+
+    # keys 100+ are provably outside the merge's key envelope
+    hooked, orig = _interleave(
+        lambda td: M.commit(_df(spark, [(100, 1.0), (101, 2.0)]), td)
+    )
+    M._publish = hooked
+    try:
+        v = M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    # both writes landed: the append became its own version, the
+    # merge rebased on top of it
+    assert v == 3
+    got = {
+        (r["id"], r["amt"]) for r in M.read_version(spark, t).collect()
+    }
+    assert got == {
+        (1, 10.0),
+        (2, 99.0),
+        (3, 30.0),
+        (4, 40.0),
+        (100, 1.0),
+        (101, 2.0),
+    }
+
+
+def test_merge_aborts_on_overlapping_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]), t)
+    source = _df(spark, [(2, 99.0), (5, 50.0)])
+
+    # key 3 sits inside the merge's [2, 5] envelope: an insert-only
+    # merge could have collided with it — must abort
+    hooked, orig = _interleave(
+        lambda td: M.commit(_df(spark, [(3, 33.0)]), td)
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    # the interleaved append survives untouched; the merge left nothing
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (3, 33.0)}
+
+
+def test_merge_aborts_on_interleaved_delete(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0), (900, 5.0)]), t)
+    source = _df(spark, [(2, 99.0)])
+
+    hooked, orig = _interleave(
+        lambda td: M.delete_where(td, [("id", "==", 900)])
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+
+
+def test_merge_rebase_keeps_interleaved_evolved_column(spark, tmp_path):
+    """An interleaved append that WIDENED the schema must not have its
+    new column silently dropped by the rebased merge's manifest."""
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]), t)
+    source = _df(spark, [(2, 99.0)])
+
+    wide = spark.createDataFrame(
+        [(500, 5.0, "x")], "id int, amt double, note string"
+    )
+    hooked, orig = _interleave(lambda td: M.commit(wide, td))
+    M._publish = hooked
+    try:
+        M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    got = M.read_version(spark, t)
+    assert set(got.columns) == {"id", "amt", "note"}
+    rows = {(r["id"], r["amt"], r["note"]) for r in got.collect()}
+    assert rows == {(1, 10.0, None), (2, 99.0, None), (500, 5.0, "x")}
+
+
+def test_update_where_rebases_over_disjoint_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]), t)
+
+    hooked, orig = _interleave(
+        lambda td: M.commit(_df(spark, [(300, 3.0)]), td)
+    )
+    M._publish = hooked
+    try:
+        v = M.update_where(
+            spark,
+            t,
+            [("id", "<=", 2)],
+            {"amt": F.col("amt") * 10},
+        )
+    finally:
+        M._publish = orig
+    assert v == 3
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 100.0), (2, 200.0), (300, 3.0)}
+
+
+def test_update_where_aborts_when_append_matches_predicate(
+    spark, tmp_path
+):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]), t)
+
+    # id=0 matches the update predicate: updating around it would
+    # silently miss a row the caller meant to update
+    hooked, orig = _interleave(
+        lambda td: M.commit(_df(spark, [(0, 1.0)]), td)
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.update_where(
+                spark, t, [("id", "<=", 2)], {"amt": F.lit(0.0)}
+            )
+    finally:
+        M._publish = orig
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (0, 1.0)}
+
+
+def test_merge_multi_key_still_aborts(spark, tmp_path):
+    """Multi-column keys have no single-column envelope: no proof, so
+    the pessimistic abort remains (never guess)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id int, k string, amt double"
+    )
+    M.commit(df, t)
+    source = spark.createDataFrame(
+        [(2, "b", 99.0)], "id int, k string, amt double"
+    )
+    hooked, orig = _interleave(
+        lambda td: M.commit(
+            spark.createDataFrame(
+                [(700, "z", 7.0)], "id int, k string, amt double"
+            ),
+            td,
+        )
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.merge_into(spark, t, source, ["id", "k"])
+    finally:
+        M._publish = orig

@@ -85,9 +85,59 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 "overwrite",
                 "merge",
                 "evolve",
+                "merge_race",
             ]
         )
-        if op in ("merge", "evolve") and model:
+        if op == "merge_race" and model:
+            # CONCURRENT WRITER: a disjoint append (huge keys, far
+            # outside the merge's key envelope) lands between the
+            # merge's compute and its publish; logical conflict
+            # resolution must land BOTH — the append as its own
+            # version, the merge rebased on top
+            pre = dict(model)
+            upd = rng.sample(
+                sorted(model), min(len(model), rng.randint(3, 15))
+            )
+            delta = rng.randint(1, 999)
+            big = 10_000_000 + step * 100
+            race_rows = [
+                (big + i, big + i) for i in range(rng.randint(1, 4))
+            ]
+            race_df = spark.createDataFrame(race_rows, "k long, p long")
+            orig_pub = M._publish
+            state = {"armed": True}
+
+            def hooked(table_dir, build, _o=orig_pub, _s=state, _r=race_df):
+                if _s["armed"]:
+                    _s["armed"] = False
+                    M.commit(_r, table_dir)
+                return _o(table_dir, build)
+
+            M._publish = hooked
+            try:
+                if evolved:
+                    rows = [(k, model[k][0] + delta, k % 7) for k in upd]
+                    src = spark.createDataFrame(
+                        sorted(rows), "k long, p long, q long"
+                    )
+                    v = M.merge_into(
+                        spark, t, src, ["k"], evolve_schema=True
+                    )
+                    merged = {k: (p, q) for k, p, q in rows}
+                else:
+                    rows = [(k, model[k][0] + delta) for k in upd]
+                    src = spark.createDataFrame(
+                        sorted(rows), "k long, p long"
+                    )
+                    v = M.merge_into(spark, t, src, ["k"])
+                    merged = {k: (p, None) for k, p in rows}
+            finally:
+                M._publish = orig_pub
+            race_model = {k: (p, None) for k, p in race_rows}
+            # v-1 = the interleaved append's own snapshot
+            history[v - 1] = {**pre, **race_model}
+            model = {**pre, **race_model, **merged}
+        elif op in ("merge", "evolve") and model:
             upd = rng.sample(
                 sorted(model), min(len(model), rng.randint(5, 25))
             )
