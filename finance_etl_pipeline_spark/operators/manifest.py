@@ -271,6 +271,263 @@ def _merge_schema(prev_json: dict, new_schema: StructType) -> StructType:
     return StructType(fields)
 
 
+# --------------------------------------------------------------------
+# Column mapping (RENAME / DROP COLUMN without rewriting data)
+#
+# The public pattern (Delta's columnMapping, Iceberg's field ids,
+# reduced to its core): data files always store PHYSICAL column
+# names; the manifest's logical schema maps each logical name to its
+# physical one via ``column_mapping`` ({logical: physical}; identity
+# entries omitted, so the map is empty — and every code path
+# zero-cost — until the first rename/collision).  RENAME changes only
+# the logical name (physical stays, zero data movement); DROP removes
+# the logical field and retires its physical name
+# (``retired_physical``) so a later re-add of the same logical name
+# gets a FRESH physical name instead of resurrecting the dropped
+# bytes.  Per-version mapping means time travel shows each version
+# under its own names; per-file stats, tombstone predicates, and
+# partition path components are all keyed PHYSICAL (stable forever),
+# so skipping and merge-on-read survive any number of renames.
+
+
+def _load_mapping(m: dict | None) -> tuple[dict, list]:
+    """(column_mapping, retired_physical) of a manifest — ({}, [])
+    when absent: identity mapping, the zero-overhead common case."""
+    if not m:
+        return {}, []
+    return (
+        dict(m.get("column_mapping", {})),
+        list(m.get("retired_physical", [])),
+    )
+
+
+def _carry_mapping(m: dict | None) -> dict:
+    """The mapping keys for the next manifest payload, carried
+    verbatim — spliced into every metadata-preserving build()."""
+    mapping, retired = _load_mapping(m)
+    out = {}
+    if mapping:
+        out["column_mapping"] = mapping
+    if retired:
+        out["retired_physical"] = retired
+    return out
+
+
+def _phys_preds(mapping: dict, preds: list) -> list:
+    """Predicate triples translated logical → physical for the stats
+    / tombstone layer (both are keyed by physical names)."""
+    if not mapping:
+        return preds
+    return [(mapping.get(c, c), o, v) for c, o, v in preds]
+
+
+def _physical_schema(schema: StructType, mapping: dict) -> StructType:
+    """``schema`` with field names translated logical → physical."""
+    if not mapping:
+        return schema
+    from pyspark.sql.types import StructField
+
+    return StructType(
+        [
+            StructField(
+                mapping.get(f.name, f.name),
+                f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_physical_df(df: DataFrame, mapping: dict) -> DataFrame:
+    if not mapping or not any(c in mapping for c in df.columns):
+        return df  # identity: keep the plan untouched
+    return df.select(
+        *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+    )
+
+
+def _to_logical_df(df: DataFrame, mapping: dict) -> DataFrame:
+    if not mapping:
+        return df
+    inv = {p: l for l, p in mapping.items()}
+    if not any(c in inv for c in df.columns):
+        return df
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+
+def _assign_physical(
+    new_cols: list[str],
+    mapping: dict,
+    retired: list,
+    existing_logical: list[str],
+) -> dict:
+    """Mapping extended with physical names for NEW logical columns:
+    identity unless the name is already a live or retired physical
+    name (then a fresh suffixed physical, so the new column can never
+    read the old column's bytes)."""
+    taken = (
+        set(retired)
+        | {mapping.get(c, c) for c in existing_logical}
+        | set(mapping.values())
+    )
+    out = dict(mapping)
+    for c in new_cols:
+        p = c
+        if p in taken:
+            p = f"{c}__{uuid.uuid4().hex[:8]}"
+        if p != c:
+            out[c] = p
+        taken.add(p)
+    return out
+
+
+def table_column_mapping(
+    table_dir: str, version: int | None = None
+) -> dict:
+    """{logical: physical} in force at ``version`` (default latest);
+    identity entries omitted; {} for an unmapped or empty table."""
+    v = latest_version(table_dir) if version is None else version
+    if v == 0:
+        return {}
+    return _load_mapping(_read_manifest(table_dir, v))[0]
+
+
+def _constraint_references(cons: dict, column: str) -> list[str]:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(column)}\b")
+    return sorted(n for n, e in cons.items() if pat.search(e))
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN old TO new — a metadata-only
+    version: the logical field is renamed, the physical name (what
+    the data files store) is unchanged, so no byte of data moves and
+    every file-level stat keeps pruning.  Time travel to pre-rename
+    versions shows the old name.  Refused while a CHECK constraint
+    references the column (the expression would silently stop
+    matching rows — drop/re-add the constraint around the rename)."""
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("cannot rename a column of an empty table")
+        m = _read_manifest(table_dir, prev)
+        if "schema" not in m:
+            raise ValueError(
+                "manifest predates schema records; rewrite the table"
+            )
+        schema = StructType.fromJson(m["schema"])
+        names = schema.fieldNames()
+        if old not in names:
+            raise ValueError(f"no column {old!r} (have: {names})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        cons = _carry_constraints(m)
+        refs = _constraint_references(cons, old)
+        if refs:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{refs}; drop them before renaming"
+            )
+        mapping, retired = _load_mapping(m)
+        phys = mapping.pop(old, old)
+        if phys != new:  # renaming back to the physical name is identity
+            mapping[new] = phys
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                from pyspark.sql.types import StructField
+
+                fields.append(
+                    StructField(new, f.dataType, f.nullable, f.metadata)
+                )
+            else:
+                fields.append(f)
+        payload = {
+            "dirs": list(m["dirs"]),
+            "mode": "set_schema",
+            "files": _carry_files(table_dir, m),
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            "schema": StructType(fields).jsonValue(),
+            "constraints": cons,
+            "txns": _carry_txns(m),
+        }
+        if mapping:
+            payload["column_mapping"] = mapping
+        if retired:
+            payload["retired_physical"] = retired
+        return payload
+
+    return _publish(table_dir, build)
+
+
+def drop_column(table_dir: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — a metadata-only version: the
+    logical field disappears (reads never select it again — column
+    pruning makes the dropped bytes free); the physical name is
+    RETIRED so a future column re-using the logical name gets a fresh
+    physical name and can never resurrect the dropped data.  Refused
+    for partition columns of live dirs and constraint-referenced
+    columns; vacuum of historical versions eventually reclaims the
+    bytes with the files that hold them."""
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("cannot drop a column of an empty table")
+        m = _read_manifest(table_dir, prev)
+        if "schema" not in m:
+            raise ValueError(
+                "manifest predates schema records; rewrite the table"
+            )
+        schema = StructType.fromJson(m["schema"])
+        names = schema.fieldNames()
+        if name not in names:
+            raise ValueError(f"no column {name!r} (have: {names})")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        cons = _carry_constraints(m)
+        refs = _constraint_references(cons, name)
+        if refs:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{refs}; drop them first"
+            )
+        mapping, retired = _load_mapping(m)
+        phys = mapping.pop(name, name)
+        for d, cols in m.get("partitioned_dirs", {}).items():
+            if d in m["dirs"] and phys in cols:
+                raise ValueError(
+                    f"column {name!r} is a partition column of live "
+                    f"dir {d}; rewrite the table to drop it"
+                )
+        if phys not in retired:
+            retired.append(phys)
+        payload = {
+            "dirs": list(m["dirs"]),
+            "mode": "set_schema",
+            "files": _carry_files(table_dir, m),
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            "schema": StructType(
+                [f for f in schema.fields if f.name != name]
+            ).jsonValue(),
+            "constraints": cons,
+            "txns": _carry_txns(m),
+        }
+        if mapping:
+            payload["column_mapping"] = mapping
+        if retired:
+            payload["retired_physical"] = retired
+        return payload
+
+    return _publish(table_dir, build)
+
+
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, _MANIFESTS, f"v{version:06d}.json")
 
@@ -683,7 +940,11 @@ def table_constraints(table_dir: str, version: int | None = None) -> dict:
 
 
 def _validate_new_dir(
-    cons: dict, abs_dir: str, has_files: bool, schema: StructType
+    cons: dict,
+    abs_dir: str,
+    has_files: bool,
+    schema: StructType,
+    mapping: dict | None = None,
 ) -> None:
     """Constraint-check the freshly written data dir INSIDE the
     publish (build() scope), so the check is race-free against a
@@ -713,13 +974,17 @@ def _validate_new_dir(
     # round trip
     from pyspark.sql.types import StructField
 
+    # the files store PHYSICAL names; constraints are written against
+    # LOGICAL names — declare physical, then rename for the check
+    phys = _physical_schema(schema, mapping or {})
     declared = StructType(
         # all-nullable: evolved columns this dir legitimately lacks
         # read as NULLs, which must not trip a declared not-null field
-        [StructField(f.name, f.dataType, True, f.metadata) for f in schema.fields]
+        [StructField(f.name, f.dataType, True, f.metadata) for f in phys.fields]
     )
     reader = spark.read.schema(declared).option("basePath", abs_dir)
-    df = _align_to(reader.parquet(abs_dir), schema)
+    df = _to_logical_df(reader.parquet(abs_dir), mapping or {})
+    df = _align_to(df, schema)
     _check_constraints(df, cons, f"write into {abs_dir}")
 
 
@@ -788,6 +1053,7 @@ def _revalidate_moved_tip(
         )
         return
     schema = StructType.fromJson(m_tip["schema"])
+    tip_mapping, _ = _load_mapping(m_tip)
     for d in new_dirs:
         if d not in live:
             continue  # already replaced again: its rows are gone or
@@ -796,7 +1062,8 @@ def _revalidate_moved_tip(
         if not entries:
             continue
         _validate_new_dir(
-            cons, os.path.join(table_dir, d), True, schema
+            cons, os.path.join(table_dir, d), True, schema,
+            mapping=tip_mapping,
         )
 
 
@@ -861,6 +1128,7 @@ def add_constraint(
                 **({"schema": m["schema"]} if "schema" in m else {}),
                 "constraints": cons,
                 "txns": _carry_txns(m),
+                **_carry_mapping(m),
             }
 
         try:
@@ -902,6 +1170,7 @@ def drop_constraint(table_dir: str, name: str) -> int:
             **({"schema": m["schema"]} if "schema" in m else {}),
             "constraints": cons,
             "txns": _carry_txns(m),
+            **_carry_mapping(m),
         }
 
     return _publish(table_dir, build)
@@ -950,18 +1219,46 @@ def commit(
     progress, not data."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
-    if txn is not None:
-        tip = latest_version(table_dir)
-        if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
-            return tip  # replay detected before any data was written
+    tip = latest_version(table_dir)
+    m_tip = _read_manifest(table_dir, tip) if tip > 0 else None
+    if txn is not None and _txn_seen(m_tip, txn):
+        return tip  # replay detected before any data was written
+    # column mapping: data files always store PHYSICAL names.  An
+    # overwrite starts a fresh file set, so it resets to identity;
+    # an append maps existing logical columns through the tip mapping
+    # and assigns fresh physical names to new columns whose name
+    # would collide with a live or retired physical.  Unmapped tables
+    # ({} mapping, the common case) skip all of this.
+    mapping, retired = _load_mapping(m_tip)
+    if mode == "overwrite":
+        mapping_used: dict = {}
+    elif mapping or retired:
+        existing = (
+            StructType.fromJson(m_tip["schema"]).fieldNames()
+            if m_tip is not None and "schema" in m_tip
+            else []
+        )
+        new_cols = [c for c in df.columns if c not in existing]
+        full = _assign_physical(new_cols, mapping, retired, existing)
+        # restricted to this df's columns: tip entries carry for
+        # existing columns, fresh entries cover the new ones
+        mapping_used = {c: p for c, p in full.items() if c in df.columns}
+    else:
+        mapping_used = {}
+    phys_df = _to_physical_df(df, mapping_used)
+    phys_partition_by = (
+        [mapping_used.get(c, c) for c in partition_by]
+        if partition_by
+        else None
+    )
     token = uuid.uuid4().hex[:12]
     # data dir name carries no version: the version is assigned at
     # publish time, after the (possibly contended) race
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
-    writer = df.write
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    writer = phys_df.write
+    if phys_partition_by:
+        writer = writer.partitionBy(*phys_partition_by)
     writer.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, df.sparkSession)
     return _publish_dir(
@@ -970,9 +1267,10 @@ def commit(
         file_entries,
         df.schema,
         mode,
-        partition_by=partition_by,
+        partition_by=phys_partition_by,
         expected_base=expected_base,
         txn=txn,
+        mapping_used=mapping_used,
     )
 
 
@@ -985,13 +1283,24 @@ def _publish_dir(
     partition_by: list[str] | None = None,
     expected_base: int | None = None,
     txn: tuple[str, int] | None = None,
+    mapping_used: dict | None = None,
 ) -> int:
     """Publish an already-written data dir as the next version — the
     shared back half of ``commit`` and the DataSource write path
     (``ManifestBatchWriter.commit``), which produces its files on the
-    executors and hands the driver only the dir + entries."""
+    executors and hands the driver only the dir + entries.
+
+    ``schema`` is the LOGICAL schema of the write; ``mapping_used``
+    the {logical: physical} map the files were written under (what
+    ``commit`` resolved at write time).  ``None`` marks a
+    mapping-unaware caller (the DataSource writer), which is refused
+    on mapped tables; a mapping that changed concurrently between
+    write and publish conflict-aborts (the files carry stale physical
+    names)."""
     abs_dir = os.path.join(table_dir, rel)
-    schema_json = schema.jsonValue()
+    phys_schema_json = _physical_schema(
+        schema, mapping_used or {}
+    ).jsonValue()
 
     def build(prev: int) -> dict:
         if expected_base is not None and prev != expected_base:
@@ -1005,6 +1314,13 @@ def _publish_dir(
             # a concurrent instance of the same writer published this
             # txn between the early check and here — replay, back out
             raise _TxnAlreadyApplied()
+        mapping_prev, retired_prev = _load_mapping(m)
+        if mapping_used is None and (mapping_prev or retired_prev):
+            raise ValueError(
+                "this write path is column-mapping-unaware and the "
+                "table has renamed/dropped columns — write via "
+                "manifest.commit"
+            )
         if mode == "overwrite" or prev == 0:
             dirs: list[str] = []
             files: dict[str, list] = {}
@@ -1012,6 +1328,11 @@ def _publish_dir(
             part_dirs: dict[str, list] = {}
             deletes: list[dict] = []  # overwrite materializes/clears
             merged_schema = schema
+            # fresh file set: mapping resets to identity (the new
+            # files were written with mapping_used, which commit
+            # resolves to {} for overwrites)
+            pub_mapping: dict = dict(mapping_used or {})
+            pub_retired: list = []
         else:
             dirs = list(m["dirs"])
             # carried dirs keep their existing shard by NAME — this
@@ -1027,14 +1348,41 @@ def _publish_dir(
                 if "schema" in m
                 else schema
             )
+            used = mapping_used or {}
+            prev_names = (
+                set(StructType.fromJson(m["schema"]).fieldNames())
+                if "schema" in m
+                else set()
+            )
+            for c in schema.fieldNames():
+                # guard only columns the table already has: NEW
+                # columns legitimately carry fresh physical names
+                if c in prev_names and mapping_prev.get(c, c) != used.get(
+                    c, c
+                ):
+                    raise ConcurrentTableModificationError(
+                        f"column mapping for {c!r} changed while the "
+                        "commit was writing (concurrent RENAME); "
+                        "re-run against the new snapshot"
+                    )
+            pub_mapping = dict(mapping_prev)
+            for c, p in used.items():
+                pub_mapping.setdefault(c, p)
+            pub_retired = retired_prev
         dirs.append(rel)
         files[rel] = file_entries
-        dir_schemas[rel] = schema_json
+        dir_schemas[rel] = phys_schema_json
         if partition_by:
             part_dirs[rel] = list(partition_by)
         cons = _carry_constraints(m)
-        _validate_new_dir(cons, abs_dir, bool(file_entries), merged_schema)
-        return {
+        _validate_new_dir(
+            cons,
+            abs_dir,
+            bool(file_entries),
+            merged_schema,
+            mapping=pub_mapping,
+        )
+        payload = {
             "dirs": dirs,
             "mode": mode,
             "files": files,
@@ -1045,6 +1393,11 @@ def _publish_dir(
             "constraints": cons,
             "txns": _carry_txns(m, txn),
         }
+        if pub_mapping:
+            payload["column_mapping"] = pub_mapping
+        if pub_retired:
+            payload["retired_physical"] = pub_retired
+        return payload
 
     try:
         return _publish(table_dir, build)
@@ -1122,6 +1475,7 @@ def publish_dynamic_overwrite(
     schema: StructType,
     partition_by: list[str],
     txn: tuple[str, int] | None = None,
+    mapping_used: dict | None = None,
 ) -> int:
     """Dynamic partition overwrite as ONE manifest version (Spark's
     ``partitionOverwriteMode=dynamic`` / Hive's insert-overwrite
@@ -1137,7 +1491,9 @@ def publish_dynamic_overwrite(
     publish loudly, matching the guardrail of the big formats.
     Time travel to the pre-overwrite version sees the replaced
     partitions again; vacuum reclaims their files after retention."""
-    new_strings = _string_typed(schema)
+    # entries / paths / partition_by are PHYSICAL; ``schema`` is the
+    # LOGICAL write schema (identical for unmapped tables)
+    new_strings = _string_typed(_physical_schema(schema, mapping_used or {}))
     written = {
         _entry_partition_combo(e, partition_by, new_strings)
         for e in file_entries
@@ -1153,12 +1509,32 @@ def publish_dynamic_overwrite(
         if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
             return tip
     abs_dir = os.path.join(table_dir, rel)
-    schema_json = schema.jsonValue()
+    schema_json = _physical_schema(schema, mapping_used or {}).jsonValue()
 
     def build(prev: int) -> dict:
         m = _read_manifest(table_dir, prev) if prev > 0 else None
         if _txn_seen(m, txn):
             raise _TxnAlreadyApplied()
+        mapping_prev, retired_prev = _load_mapping(m)
+        if mapping_used is None and (mapping_prev or retired_prev):
+            raise ValueError(
+                "this write path is column-mapping-unaware and the "
+                "table has renamed/dropped columns — write via "
+                "manifest.overwrite_partitions"
+            )
+        used = mapping_used or {}
+        prev_names = (
+            set(StructType.fromJson(m["schema"]).fieldNames())
+            if m is not None and "schema" in m
+            else set()
+        )
+        for c in schema.fieldNames():
+            if c in prev_names and mapping_prev.get(c, c) != used.get(c, c):
+                raise ConcurrentTableModificationError(
+                    f"column mapping for {c!r} changed while the "
+                    "dynamic overwrite was writing (concurrent "
+                    "RENAME); re-run"
+                )
         if m is None:
             dirs: list[str] = []
             files: dict = {}
@@ -1215,8 +1591,14 @@ def publish_dynamic_overwrite(
         dir_schemas[rel] = schema_json
         part_dirs[rel] = list(partition_by)
         cons = _carry_constraints(m)
-        _validate_new_dir(cons, abs_dir, bool(file_entries), merged_schema)
-        return {
+        pub_mapping = dict(mapping_prev)
+        for c, p in used.items():
+            pub_mapping.setdefault(c, p)
+        _validate_new_dir(
+            cons, abs_dir, bool(file_entries), merged_schema,
+            mapping=pub_mapping,
+        )
+        payload = {
             "dirs": dirs,
             "mode": "dynpart_overwrite",
             "files": files,
@@ -1227,6 +1609,11 @@ def publish_dynamic_overwrite(
             "constraints": cons,
             "txns": _carry_txns(m, txn),
         }
+        if pub_mapping:
+            payload["column_mapping"] = pub_mapping
+        if retired_prev:
+            payload["retired_physical"] = retired_prev
+        return payload
 
     try:
         return _publish(table_dir, build)
@@ -1244,17 +1631,42 @@ def overwrite_partitions(
     """Python-API form of dynamic partition overwrite: write ``df``
     hive-partitioned and publish one version replacing exactly the
     partitions it contains (see ``publish_dynamic_overwrite``)."""
-    if txn is not None:
-        tip = latest_version(table_dir)
-        if tip > 0 and _txn_seen(_read_manifest(table_dir, tip), txn):
-            return tip
+    tip = latest_version(table_dir)
+    m_tip = _read_manifest(table_dir, tip) if tip > 0 else None
+    if txn is not None and _txn_seen(m_tip, txn):
+        return tip
+    mapping, _retired = _load_mapping(m_tip)
+    if mapping or _retired:
+        existing = (
+            StructType.fromJson(m_tip["schema"]).fieldNames()
+            if m_tip is not None and "schema" in m_tip
+            else []
+        )
+        full = _assign_physical(
+            [c for c in df.columns if c not in existing],
+            mapping,
+            _retired,
+            existing,
+        )
+        mapping_used = {c: p for c, p in full.items() if c in df.columns}
+    else:
+        mapping_used = {}
+    phys_partition_by = [mapping_used.get(c, c) for c in partition_by]
     token = uuid.uuid4().hex[:12]
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
-    df.write.partitionBy(*partition_by).parquet(abs_dir)
+    _to_physical_df(df, mapping_used).write.partitionBy(
+        *phys_partition_by
+    ).parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, df.sparkSession)
     return publish_dynamic_overwrite(
-        table_dir, rel, file_entries, df.schema, partition_by, txn=txn
+        table_dir,
+        rel,
+        file_entries,
+        df.schema,
+        phys_partition_by,
+        txn=txn,
+        mapping_used=mapping_used,
     )
 
 
@@ -1394,6 +1806,14 @@ def read_version(
     schema = (
         StructType.fromJson(m["schema"]) if "schema" in m else None
     )
+    # column mapping: stats / tombstones / file columns are PHYSICAL;
+    # predicates and the returned frame are LOGICAL.  Empty mapping
+    # (unmapped table) makes every step below the identity.
+    mapping, _retired = _load_mapping(m)
+    skip_preds = _phys_preds(mapping, preds)
+    phys_target = (
+        _physical_schema(schema, mapping) if schema is not None else None
+    )
     files_meta = _load_files(table_dir, m)
     dir_schemas = _load_dir_schemas(m)
 
@@ -1431,7 +1851,7 @@ def read_version(
         kept = [
             os.path.join(table_dir, d, e["path"])
             for e in entries
-            if (not preds or _file_may_match(e, preds, present))
+            if (not skip_preds or _file_may_match(e, skip_preds, present))
             and not any(_file_all_match(e, dp, present) for dp in del_preds)
         ]
         if not kept:
@@ -1464,9 +1884,11 @@ def read_version(
             # of the measured format tax on small reads)
             reader = reader.schema(StructType.fromJson(json.loads(key)))
         b = reader.parquet(*paths)
-        if schema is not None:
-            b = _align_to(b, schema)
-        branches.append(_tombstone_filter(b, del_ids))
+        if phys_target is not None:
+            b = _align_to(b, phys_target)
+        # tombstone predicates are stored under PHYSICAL names: apply
+        # them on the physical frame, then surface logical names
+        branches.append(_to_logical_df(_tombstone_filter(b, del_ids), mapping))
     for base, paths, del_ids, key in part_scans:
         reader = spark.read.option("basePath", base)
         if key:
@@ -1478,9 +1900,9 @@ def read_version(
             # 1, silently corrupting a numeric-looking string column
             reader = reader.schema(StructType.fromJson(json.loads(key)))
         b = reader.parquet(*paths)
-        if schema is not None:
-            b = _align_to(b, schema)
-        branches.append(_tombstone_filter(b, del_ids))
+        if phys_target is not None:
+            b = _align_to(b, phys_target)
+        branches.append(_to_logical_df(_tombstone_filter(b, del_ids), mapping))
     if not branches:
         out = spark.createDataFrame([], schema or StructType([]))
     else:
@@ -1596,12 +2018,19 @@ def delete_where(table_dir: str, where: list[tuple]) -> int:
     preds = [_normalize_pred(p) for p in where]
     if not preds:
         raise ValueError("delete_where requires at least one predicate")
-    stored = [[c, o, _store_value(o, v)] for c, o, v in preds]
 
     def build(prev: int) -> dict:
         if prev == 0:
             raise ValueError("cannot delete from an empty table")
         m = _read_manifest(table_dir, prev)
+        # tombstones persist under PHYSICAL names (stable across any
+        # later rename), translated under the manifest the publish
+        # actually lands on
+        mapping, _ = _load_mapping(m)
+        stored = [
+            [c, o, _store_value(o, v)]
+            for c, o, v in _phys_preds(mapping, preds)
+        ]
         # pure metadata commit: every dir carries its shard by name —
         # ZERO file entries are re-serialized for a DELETE
         payload = {
@@ -1609,6 +2038,7 @@ def delete_where(table_dir: str, where: list[tuple]) -> int:
             "files": _carry_files(table_dir, m),
             "dir_schemas": _load_dir_schemas(m),
             "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            **_carry_mapping(m),
         }
         if "schema" in m:
             payload["schema"] = m["schema"]
@@ -1653,9 +2083,15 @@ def update_where(
         raise ValueError("update_where requires at least one predicate")
     if not set_exprs:
         raise ValueError("update_where requires at least one SET column")
-    stored = [[c, o, _store_value(o, v)] for c, o, v in preds]
 
     base_version = latest_version(table_dir)
+    base_mapping, _ = _load_mapping(
+        _read_manifest(table_dir, base_version) if base_version else None
+    )
+    stored = [
+        [c, o, _store_value(o, v)]
+        for c, o, v in _phys_preds(base_mapping, preds)
+    ]
     matching = read_version(spark, table_dir, base_version, where=where)
     bad = set(set_exprs) - set(matching.columns)
     if bad:
@@ -1673,9 +2109,10 @@ def update_where(
     token = uuid.uuid4().hex[:12]
     rel = os.path.join(_DATA, f"commit-{token}")
     abs_dir = os.path.join(table_dir, rel)
-    updated.write.parquet(abs_dir)
+    # the rewritten dir stores PHYSICAL names like every data dir
+    _to_physical_df(updated, base_mapping).write.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, spark)
-    schema_json = updated.schema.jsonValue()
+    schema_json = _physical_schema(updated.schema, base_mapping).jsonValue()
 
     def build(prev: int) -> dict:
         if prev == 0:
@@ -1703,6 +2140,11 @@ def update_where(
                     f"({why}); re-run the update"
                 )
         m = _read_manifest(table_dir, prev)
+        if _load_mapping(m)[0] != base_mapping:
+            raise ConcurrentTableModificationError(
+                "column mapping changed while update_where was "
+                "computing (concurrent RENAME); re-run the update"
+            )
         dirs = list(m["dirs"])
         # prior dirs carry their shards by name; only the rewritten
         # dir's entries are serialized
@@ -1722,7 +2164,11 @@ def update_where(
         # while the consumer keeps the stale originals it already saw
         cons = _carry_constraints(m)
         _validate_new_dir(
-            cons, abs_dir, bool(file_entries), StructType.fromJson(m["schema"])
+            cons,
+            abs_dir,
+            bool(file_entries),
+            StructType.fromJson(m["schema"]),
+            mapping=base_mapping,
         )
         return {
             "dirs": dirs,
@@ -1734,6 +2180,7 @@ def update_where(
             "schema": m["schema"],
             "constraints": cons,
             "txns": _carry_txns(m),
+            **_carry_mapping(m),
         }
 
     return _publish(table_dir, build)
@@ -1757,6 +2204,10 @@ def _interleaved_appends_disjoint(
     if read_preds is None:
         return False, "the operation's read set has no pruning envelope"
     m_base = _read_manifest(table_dir, base)
+    # stats are keyed by PHYSICAL names; interleaved appends cannot
+    # change the mapping (a rename is mode='set_schema', rejected by
+    # the mode check below), so the base mapping is authoritative
+    read_preds = _phys_preds(_load_mapping(m_base)[0], read_preds)
     n_del = len(m_base.get("deletes", []))
     seen = set(m_base["dirs"])
     for v in range(base + 1, prev + 1):
@@ -1997,9 +2448,19 @@ def merge_into(
     est_rows = touched_rows + n_src_keys
     n_out = max(1, min(4096, est_rows // rows_per_file))
     merged = merged.repartition(n_out)
-    merged.write.parquet(abs_dir)
+    base_mapping, base_retired = _load_mapping(m0)
+    if new_cols:
+        # evolved columns need physical names too (fresh on collision
+        # with live/retired physicals)
+        base_mapping = _assign_physical(
+            [c for c in logical.fieldNames() if c in new_cols],
+            base_mapping,
+            base_retired,
+            m0 and StructType.fromJson(m0["schema"]).fieldNames() or [],
+        )
+    _to_physical_df(merged, base_mapping).write.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, spark)
-    schema_json = merged.schema.jsonValue()
+    schema_json = _physical_schema(merged.schema, base_mapping).jsonValue()
 
     def build(prev: int) -> dict:
         if prev != base:
@@ -2023,6 +2484,15 @@ def merge_into(
         m = _read_manifest(table_dir, prev)
         if _txn_seen(m, txn):
             raise _TxnAlreadyApplied()
+        prev_mapping, prev_retired = _load_mapping(m)
+        prev_names = set(StructType.fromJson(m["schema"]).fieldNames())
+        for c in logical.fieldNames():
+            # new (evolved) columns legitimately carry fresh physicals
+            if c in prev_names and prev_mapping.get(c, c) != base_mapping.get(c, c):
+                raise ConcurrentTableModificationError(
+                    f"column mapping for {c!r} changed while merge_into "
+                    "was computing (concurrent RENAME); re-run the merge"
+                )
         dirs = list(m["dirs"])
         files = _carry_files(table_dir, m)
         # touched_dirs/touched were computed at base; a rebase is only
@@ -2049,8 +2519,14 @@ def merge_into(
             if prev == base
             else _merge_schema(m["schema"], logical)
         )
-        _validate_new_dir(cons, abs_dir, bool(file_entries), pub_schema)
-        return {
+        pub_mapping = dict(prev_mapping)
+        for c, p in base_mapping.items():
+            pub_mapping.setdefault(c, p)
+        _validate_new_dir(
+            cons, abs_dir, bool(file_entries), pub_schema,
+            mapping=pub_mapping,
+        )
+        payload = {
             "dirs": dirs,
             "mode": "merge",
             "files": files,
@@ -2063,6 +2539,11 @@ def merge_into(
             "constraints": cons,
             "txns": _carry_txns(m, txn),
         }
+        if pub_mapping:
+            payload["column_mapping"] = pub_mapping
+        if prev_retired:
+            payload["retired_physical"] = prev_retired
+        return payload
 
     try:
         return _publish(table_dir, build)
@@ -2111,6 +2592,8 @@ def column_bounds(
     files = _load_files(table_dir, m)
     if not files or set(m["dirs"]) - set(files) or m.get("deletes"):
         return None
+    # stats are keyed physical; the caller asks by logical name
+    column = _load_mapping(m)[0].get(column, column)
     schemas = _load_dir_schemas(m)
     mn = mx = None
     for d in m["dirs"]:
@@ -2429,6 +2912,12 @@ def compact_table(
         part_dirs[d] != shared for d in m["dirs"]
     ):
         shared = None  # mixed layouts: compact to unpartitioned
+    if shared is not None:
+        # partitioned_dirs record PHYSICAL column names; the rewrite
+        # operates on the logical frame (and, being an overwrite,
+        # resets the mapping — OPTIMIZE doubles as a mapping purge)
+        inv = {p: l for l, p in _load_mapping(m)[0].items()}
+        shared = [inv.get(c, c) for c in shared]
     df = read_version(spark, table_dir, v)
     if zorder_cols:
         df = zorder_by(df, zorder_cols, num_partitions=n_files)
@@ -2512,6 +3001,7 @@ def clone_table(
             ],
             "constraints": _carry_constraints(m),
             "txns": {},
+            **_carry_mapping(m),
         }
         if "schema" in m:
             payload["schema"] = m["schema"]

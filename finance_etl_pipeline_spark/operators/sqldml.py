@@ -466,9 +466,36 @@ def _exec_alter(spark, stmt: str, tables: dict[str, str]) -> dict:
             "table": m.group(1),
             "version": version,
         }
+    m = re.match(
+        r"^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        version = M.rename_column(tdir, m.group(2), m.group(3))
+        return {
+            "op": "rename_column",
+            "table": m.group(1),
+            "version": version,
+        }
+    m = re.match(
+        r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        version = M.drop_column(tdir, m.group(2))
+        return {
+            "op": "drop_column",
+            "table": m.group(1),
+            "version": version,
+        }
     raise SqlDmlError(
         "malformed ALTER: want `ALTER TABLE <t> ADD CONSTRAINT <name> "
-        "CHECK (<expr>)` or `ALTER TABLE <t> DROP CONSTRAINT <name>` "
+        "CHECK (<expr>)`, `... DROP CONSTRAINT <name>`, "
+        "`... RENAME COLUMN <a> TO <b>`, or `... DROP COLUMN <c>` "
         "(the only ALTER forms the manifest log executes)"
     )
 

@@ -947,3 +947,59 @@ def manifest_stream_capped_drain(
         F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_rename_drop_read",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('price', 2)}) AS BIGINT) AS sum_price_e2,
+           CAST(count(note) AS BIGINT) AS n_notes
+    FROM (
+        SELECT o_totalprice AS price,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS note
+        FROM orders
+    ) t
+    WHERE price >= 1000.0
+    """,
+    "lake",
+)
+def manifest_rename_drop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping end to end: commit orders, RENAME
+    o_totalprice→price (metadata-only — the files keep the physical
+    name), DROP o_orderdate, append post-rename rows under the NEW
+    logical names, and read back with a stats-pruned predicate on the
+    RENAMED column.  Old rows surface the renamed values, the dropped
+    column is gone for every row, the re-added 'note' column reads
+    NULL for pre-add rows (no resurrection of dropped bytes), and
+    file skipping still prunes on the renamed column's physical
+    stats."""
+    t = tempfile.mkdtemp(prefix="mlake_ren_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"
+    )
+    # half the rows pre-rename (even keys)
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4), t
+    )
+    M.rename_column(t, "o_totalprice", "price")
+    M.drop_column(t, "o_orderdate")
+    # the other half post-rename, under the new logical names, with a
+    # 'note' column that only post-rename rows populate
+    post = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderstatus",
+            F.col("o_orderstatus").alias("note"),
+        )
+        .repartition(4)
+    )
+    M.commit(post, t)
+    got = M.read_version(spark, t, where=[("price", ">=", 1000.0)])
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("price"), 2)).alias("sum_price_e2"),
+        F.count(F.col("note")).alias("n_notes"),
+    )

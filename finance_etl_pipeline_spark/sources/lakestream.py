@@ -75,8 +75,11 @@ from finance_etl_pipeline_spark.operators import manifest as M
 
 
 class _FilePart(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, phys_names: list | None = None):
         self.path = path
+        #: physical column names to read, in the stream schema's
+        #: logical order (None = logical == physical, the common case)
+        self.phys_names = phys_names
 
 
 def _read_manifest_safe(table_dir: str, version: int) -> dict:
@@ -224,6 +227,13 @@ class ManifestTableDataSource(DataSource):
                 "validation — write via manifest.commit / merge_into "
                 "(they validate inside the publish), or drop the "
                 "constraint first"
+            )
+        if M.table_column_mapping(self._table_dir()):
+            raise ValueError(
+                "table has renamed columns (column mapping): the "
+                "DataSource write path writes logical names — write "
+                "via manifest.commit / overwrite_partitions, which "
+                "translate to the physical layout"
             )
         txn = None
         app = self.options.get("txn_app_id")
@@ -373,6 +383,12 @@ class ManifestBatchReader(DataSourceReader):
         self.table_dir = table_dir
         self.schema = schema
         self.version = version
+        #: {logical: physical} column mapping of the snapshot —
+        #: loaded here (driver side) so executors get it via pickle;
+        #: {} for unmapped tables (every use below is then identity)
+        self.mapping = M._load_mapping(
+            _read_manifest_safe(table_dir, version) if version else None
+        )[0]
         #: predicates available for file skipping (populated by the
         #: pushdown subclass; pruning-only — Spark re-applies them)
         self._skip_preds: list[tuple] = []
@@ -389,12 +405,14 @@ class ManifestBatchReader(DataSourceReader):
         # logical string partition columns keep the RAW path component
         # — int/float inference would turn '001' into 1 and the Arrow
         # constant materialization would either raise (int into a
-        # string array) or silently drop the leading zeros
+        # string array) or silently drop the leading zeros.  Path
+        # components carry PHYSICAL names, so map before comparing.
         string_cols = {
-            f.name
+            self.mapping.get(f.name, f.name)
             for f in self.schema.fields
             if isinstance(f.dataType, StringType)
         }
+        skip_preds = M._phys_preds(self.mapping, self._skip_preds)
         parts: list[InputPartition] = []
         for d in m["dirs"]:
             entries = files_meta.get(d)
@@ -413,8 +431,8 @@ class ManifestBatchReader(DataSourceReader):
                 if d in dl["dirs"]
             ]
             for e in entries:
-                if self._skip_preds and not M._file_may_match(
-                    e, self._skip_preds, present
+                if skip_preds and not M._file_may_match(
+                    e, skip_preds, present
                 ):
                     continue
                 if any(
@@ -458,7 +476,9 @@ class ManifestBatchReader(DataSourceReader):
         target = to_arrow_schema(self.schema)
         pf = pq.ParquetFile(part.path)
         physical = set(pf.schema_arrow.names)
-        want = [n for n in target.names if n in physical]
+        # logical field -> the PHYSICAL column name the file stores
+        pname = {n: self.mapping.get(n, n) for n in target.names}
+        want = [pname[n] for n in target.names if pname[n] in physical]
 
         def tombstone_mask(batch: pa.RecordBatch):
             """AND-of-ORs is not needed — each tombstone is a
@@ -522,11 +542,12 @@ class ManifestBatchReader(DataSourceReader):
             n = batch.num_rows
             arrays = []
             for field in target:
-                if field.name in physical:
-                    arrays.append(batch.column(field.name).cast(field.type))
-                elif field.name in part.part_values:
+                p = pname[field.name]
+                if p in physical:
+                    arrays.append(batch.column(p).cast(field.type))
+                elif p in part.part_values:
                     v = _coerce_for_arrow(
-                        part.part_values[field.name], field.type
+                        part.part_values[p], field.type
                     )
                     arrays.append(pa.array([v] * n, type=field.type))
                 else:
@@ -869,6 +890,15 @@ class ManifestStreamReader(DataSourceStreamReader):
         new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
         part_dirs = m.get("partitioned_dirs", {})
         dir_schemas = M._load_dir_schemas(m)
+        # column mapping is constant across streamable versions (a
+        # rename is mode='set_schema', rejected above), so files store
+        # these physical names in the stream schema's logical order
+        mapping = M._load_mapping(m)[0]
+        phys_names = (
+            [mapping.get(f.name, f.name) for f in self.schema.fields]
+            if mapping
+            else None
+        )
         files: list = []
         for d in new_dirs:
             if d in part_dirs:
@@ -881,7 +911,10 @@ class ManifestStreamReader(DataSourceStreamReader):
             if sj is not None and [
                 (f.name, f.dataType)
                 for f in StructType.fromJson(sj).fields
-            ] != [(f.name, f.dataType) for f in self.schema.fields]:
+            ] != [
+                (mapping.get(f.name, f.name), f.dataType)
+                for f in self.schema.fields
+            ]:
                 raise ValueError(
                     f"dir {d} was committed with a different "
                     "schema than the stream started with; "
@@ -892,7 +925,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                 nb = e.get("bytes")
                 if nb is None:  # entry predates byte records
                     nb = os.path.getsize(p)
-                files.append((p, nb))
+                files.append((p, nb, phys_names))
         self._steps[v] = files
         if len(self._steps) > 256:
             self._steps.popitem(last=False)
@@ -952,7 +985,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             files = self._step_files(v)
             total = len(files)
             while j < total:
-                _, nb = files[j]
+                nb = files[j][1]
                 over_f = (
                     self.max_files is not None
                     and n_files + 1 > self.max_files
@@ -998,25 +1031,34 @@ class ManifestStreamReader(DataSourceStreamReader):
                 if a < b
                 else int(ib) if ib is not None else len(files)
             )
-            parts.extend(_FilePart(p) for p, _ in files[int(ia):hi])
+            parts.extend(_FilePart(p, pn) for p, _, pn in files[int(ia):hi])
         for w in range(a + 1, b + 1):
             files = self._step_files(w)
             hi = len(files) if (w < b or ib is None) else int(ib)
-            parts.extend(_FilePart(p) for p, _ in files[:hi])
+            parts.extend(_FilePart(p, pn) for p, _, pn in files[:hi])
         return parts if parts else [_FilePart("")]
 
     def read(self, part: _FilePart) -> Iterator:
         if not part.path:
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         names = self.schema.fieldNames()
+        phys = part.phys_names or names
         pf = pq.ParquetFile(part.path)
         for batch in pf.iter_batches():
             # project to the declared column order (parquet files may
-            # store columns in any order) and ship Arrow batches
-            # straight through — no per-row Python
-            yield batch.select(names)
+            # store columns in any order; renamed columns live under
+            # their physical names) and ship Arrow batches straight
+            # through — no per-row Python
+            sel = batch.select(phys)
+            if phys is not names:
+                sel = pa.RecordBatch.from_arrays(
+                    [sel.column(i) for i in range(sel.num_columns)],
+                    names=names,
+                )
+            yield sel
 
     def commit(self, end: dict) -> None:
         # offsets are version (+ optional intra-version file index)

@@ -29,18 +29,27 @@ def _mk_versions(spark, tbl, n_versions, files_per_version, start=0):
         M.commit(df, tbl)
 
 
-def _run_capped(spark, tbl, ckpt, batches, seen, caps, stop_after=None):
+def _run_capped(
+    spark, tbl, ckpt, batches, seen, caps, crash_after=None
+):
     """Drain the table through a capped stream into driver-side
-    accumulators; returns after processAllAvailable (or after
-    ``stop_after`` completed batches)."""
+    accumulators; returns after processAllAvailable.  With
+    ``crash_after=N``, the sink raises on batch N+1 BEFORE recording
+    it — a deterministic mid-backlog kill with that batch's offsets
+    already in the WAL but uncommitted (the engine replays it on
+    restart)."""
     reader = (
         spark.readStream.format("manifest_table").option("table_dir", tbl)
     )
     for k, v in caps.items():
         reader = reader.option(k, v)
+    done = set()
 
     def sink(df, batch_id):
         rows = df.collect()
+        if crash_after is not None and len(done | {batch_id}) > crash_after:
+            raise RuntimeError("injected mid-backlog crash")
+        done.add(batch_id)
         batches.append((batch_id, len(rows)))
         seen.update((batch_id, r["id"]) for r in rows)
 
@@ -51,18 +60,19 @@ def _run_capped(spark, tbl, ckpt, batches, seen, caps, stop_after=None):
         .start()
     )
     try:
-        if stop_after is None:
-            q.processAllAvailable()
-        else:
-            deadline = time.time() + 180
-            while (
-                len(batches) < stop_after and time.time() < deadline
-            ):
-                time.sleep(0.2)
-            assert len(batches) >= stop_after, "stream made no progress"
+        q.processAllAvailable()
+        if q.exception() is not None and crash_after is None:
+            raise q.exception()
+    except Exception:
+        if crash_after is None:
+            raise
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:
+            if crash_after is None:
+                raise  # the injected crash also surfaces here
 
 
 def _distinct_ids(seen):
@@ -197,7 +207,7 @@ def test_mid_version_offset_survives_restart(spark, tmp_path):
         batches,
         seen,
         {"max_files_per_trigger": "3"},
-        stop_after=2,  # stop with the version partially consumed
+        crash_after=2,  # die with the version partially consumed
     )
     assert 0 < len(_distinct_ids(seen)) < 10
 
