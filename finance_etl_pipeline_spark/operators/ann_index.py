@@ -1,0 +1,219 @@
+"""PERSISTED IVF index for ANN search — the 100 TB posture the
+inline ``plans/ivf.py`` path lacks: centroids + cell assignments are
+MATERIALIZED once as manifest tables (operators/manifest.py), searches
+read the index and probe ``nprobe`` cells without ever re-running
+training, and appends assign ONLY the new vectors (cost O(|new| ×
+n_cells), never a rebuild).
+
+Layout under ``index_dir``:
+
+    centroids/     manifest table (cell_id, cv array<double>, cn)
+    assignments/   manifest table (vec_id, v array<double>, nrm),
+                   hive-partitioned by cell_id
+
+Partitioning the assignment table by ``cell_id`` IS the IVF storage
+layout: a search that probes ``nprobe`` of ``n_cells`` cells reads
+``nprobe / n_cells`` of the corpus — enforced by the manifest's
+partition-level file skipping (``read_version(where=('cell_id','in',
+...))`` prunes whole cells from METADATA, no directory listing).
+
+Centroids are deterministic (the vectors with id < n_cells), matching
+``plans/ivf.py`` so the DuckDB oracle can mirror the assignment; a
+real deployment swaps in k-means (operators/kmeans.py) without
+touching the index layout.  Rounding is identical to the inline path
+(fround 6 for centroid similarity, igrid 4 for result cosine), so the
+persisted search returns bit-identical results to the inline IVF —
+the equivalence tests/test_ann_index.py pins.
+
+Reference parity: Chezhira/finance-etl-pipeline has no ANN surface; this
+follows the public IVF/Faiss + Delta-table composition pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from finance_etl_pipeline_spark.functions.scalars import fround, igrid
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.operators.similarity import (
+    as_double,
+    dot,
+    norm,
+)
+
+N_CELLS = 8
+NPROBE = 2
+
+
+def _centroids_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "centroids")
+
+
+def _assignments_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "assignments")
+
+
+def _base(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    v = as_double(F.col(vec_col))
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        norm(v).alias("nrm"),
+    )
+
+
+def _centroid_sim() -> F.Column:
+    return fround(
+        dot(F.col("v"), F.col("cv"))
+        / F.nullif(F.col("nrm") * F.col("cn"), F.lit(0.0)),
+        6,
+    )
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame, top: int) -> DataFrame:
+    """(vec_id, cell_id, rn) — each vector ranked against every
+    centroid; rn=1 is its home cell.  One broadcast pass over the
+    corpus: |cells| is small by construction, so the crossJoin is
+    corpus × broadcast, never a shuffle of the corpus."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("centroid_sim"), F.col("cell_id")
+    )
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "cell_id", _centroid_sim().alias("centroid_sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .select("vec_id", "cell_id", "rn")
+    )
+
+
+def ivf_build_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = N_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Materialize the IVF index: centroids table + cell-partitioned
+    assignment table, each one manifest version.  Returns the
+    assignment table's published version.  Idempotent per call
+    (overwrite): rebuilding refreshes both tables atomically for
+    readers (snapshot isolation per table)."""
+    base = _base(emb, id_col, vec_col)
+    cents = base.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    M.commit(cents.coalesce(1), _centroids_dir(index_dir), mode="overwrite")
+    assigned = (
+        _assign_cells(base, cents, top=1)
+        .select("vec_id", "cell_id")
+        .join(base, "vec_id")
+        .select("vec_id", "v", "nrm", "cell_id")
+    )
+    # one output file per cell: the write is repartitioned ON the
+    # partition column so each task owns whole cells
+    assigned = assigned.repartition(n_cells, "cell_id")
+    return M.commit(
+        assigned,
+        _assignments_dir(index_dir),
+        mode="overwrite",
+        partition_by=["cell_id"],
+    )
+
+
+def ivf_index_append(
+    spark: SparkSession,
+    new_emb: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental maintenance: assign ONLY the appended vectors
+    against the PERSISTED centroids (cost O(|new| × n_cells)) and
+    append them to the assignment table — training is never re-run.
+    The append is one manifest version; concurrent searches keep
+    their snapshot."""
+    cents = M.read_version(spark, _centroids_dir(index_dir))
+    base = _base(new_emb, id_col, vec_col)
+    assigned = (
+        _assign_cells(base, cents, top=1)
+        .select("vec_id", "cell_id")
+        .join(base, "vec_id")
+        .select("vec_id", "v", "nrm", "cell_id")
+    )
+    n_cells = cents.count()  # tiny table; bounded by construction
+    assigned = assigned.repartition(int(n_cells), "cell_id")
+    return M.commit(
+        assigned,
+        _assignments_dir(index_dir),
+        mode="append",
+        partition_by=["cell_id"],
+    )
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = NPROBE,
+) -> DataFrame:
+    """Top-``k`` neighbors per query from the PERSISTED index:
+    (query_id, vec_id, cosine_e4, rank).  ``queries`` is
+    (query_id, qv array<double>, qn) — small by contract (the capped
+    query-set shape of operators/similarity.py).
+
+    Cost shape at scale: centroids are a tiny broadcast; the probed
+    cell set (≤ |queries| × nprobe distinct values, ≤ n_cells — a
+    BOUNDED driver collect) prunes the assignment scan to
+    nprobe/n_cells of the corpus via partition-level file skipping;
+    the candidate join is broadcast(queries × cells) → cell members.
+    Training never runs here — the 'index built per query' gap this
+    module closes."""
+    adir = _assignments_dir(index_dir)
+    cents = M.read_version(spark, _centroids_dir(index_dir))
+    qbase = queries.select(
+        F.col("query_id").alias("vec_id"),
+        F.col("qv").alias("v"),
+        F.col("qn").alias("nrm"),
+    )
+    qcells = _assign_cells(qbase, cents, top=nprobe).select(
+        F.col("vec_id").alias("query_id"), "cell_id"
+    )
+    # bounded collect: at most n_cells distinct values — this is the
+    # partition-pruning predicate, the point of the layout
+    probed = sorted(
+        r["cell_id"] for r in qcells.select("cell_id").distinct().collect()
+    )
+    members = M.read_version(
+        spark, adir, where=[("cell_id", "in", probed)]
+    )
+    q = queries.select("query_id", "qv", "qn")
+    cosine = igrid(
+        dot(F.col("qv"), F.col("v"))
+        / F.nullif(F.col("qn") * F.col("nrm"), F.lit(0.0)),
+        4,
+    )
+    pairs = (
+        F.broadcast(q.join(qcells, "query_id"))
+        .join(members, "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cosine.alias("cosine_e4"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_e4"), F.col("vec_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -340,3 +340,59 @@ def ann_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+#: persisted index roots, built once per (process, sf_dir) — repeated
+#: invocations (bench warm-up + timed runs) time the SEARCH half only,
+#: which is the point of a persisted index
+_INDEX_DIRS: dict[str, str] = {}
+
+
+def _persisted_index(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    got = _INDEX_DIRS.get(sf_dir)
+    if got is not None:
+        return got
+    from finance_etl_pipeline_spark.operators.ann_index import (
+        ivf_build_index,
+        ivf_index_append,
+    )
+
+    idx = tempfile.mkdtemp(prefix="ann_ivf_idx_") + "/index"
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    # build on ~80% of the corpus (keeping the deterministic centroid
+    # vectors vec_id < N_CELLS in the build half), then APPEND the
+    # rest: the published index only matches the full-corpus oracle
+    # if incremental maintenance assigns appended vectors correctly
+    in_build = (F.col("vec_id") % 5 != 0) | (F.col("vec_id") < N_CELLS)
+    ivf_build_index(spark, emb.filter(in_build), idx)
+    ivf_index_append(spark, emb.filter(~in_build), idx)
+    _INDEX_DIRS[sf_dir] = idx
+    return idx
+
+
+@register("ann_ivf_persisted_topk", _IVF_SQL, "llm", "similarity", "bench")
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 from the PERSISTED index (operators/ann_index.py):
+    centroids + cell-partitioned assignments live as manifest tables
+    (built once: 80% bulk build + 20% incremental append), and the
+    search half reads the index, probes nprobe=2 cells via
+    partition-pruned manifest reads, and never touches training —
+    the 100 TB posture the inline ann_ivf_topk lacks.  Same
+    deterministic centroids and rounding as the inline path, so the
+    same DuckDB oracle certifies both."""
+    from finance_etl_pipeline_spark.operators.ann_index import ivf_search
+
+    idx = _persisted_index(spark, sf_dir)
+    base = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    q = query_set(base, F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    return ivf_search(spark, idx, q, k=3, nprobe=NPROBE)
