@@ -272,6 +272,199 @@ def _merge_schema(prev_json: dict, new_schema: StructType) -> StructType:
 
 
 # --------------------------------------------------------------------
+# Per-file bloom filters (point-lookup skipping beyond min/max)
+#
+# min/max stats are useless for equality probes on high-cardinality
+# UNSORTED ids (every file's range covers every key).  A per-file
+# bloom over the column's values — the public pattern of Parquet's
+# bloom filters / Delta's bloom index, lifted to the manifest so
+# pruning happens before any file is opened — turns an id-equality
+# read into opening ~1 file instead of all of them.  Opt-in
+# (``commit(bloom_cols=...)`` or ``add_bloom_index``) because
+# building one costs a column read per file; consulted automatically
+# by ``_file_may_match`` for == and IN.  No-false-negative is the
+# contract: a bloom that cannot promise it (un-normalizable value)
+# is simply not built / not consulted.
+
+_BLOOM_K = 8  # double-hashing probes per key
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB bitset cap per (file, column)
+
+
+def _bloom_key(v) -> str | None:
+    """The canonical hash string of one value — NUMERIC identity is
+    collapsed (int 5, long 5, double 5.0 hash alike) because equality
+    predicates compare numerically; None = value outside the bloom
+    contract (no filter built / probe passes)."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:  # NaN never equals anything
+            return None
+        return (
+            str(int(v))
+            if v.is_integer() and abs(v) < 2**53
+            else repr(v)
+        )
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _bloom_positions(key: str, m: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _build_bloom(values) -> dict | None:
+    """{"m", "k", "b64"} over the column's non-null values, or None
+    when any value falls outside the bloom contract (a partial bloom
+    would produce false negatives — wrong answers, not slow ones)."""
+    import base64
+
+    keys = []
+    for v in values:
+        if v is None:
+            continue
+        sv = _json_safe(v)
+        key = _bloom_key(sv) if sv is not None else None
+        if key is None:
+            return None
+        keys.append(key)
+    n = max(64, len(keys) * 12)
+    m = 64
+    while m < n and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for key in keys:
+        for pos in _bloom_positions(key, m):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return {
+        "m": m,
+        "k": _BLOOM_K,
+        "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+    }
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    """False only when the bloom PROVES the value is absent from the
+    file; anything outside the contract passes (never a wrong skip)."""
+    import base64
+
+    sv = _json_safe(value)
+    key = _bloom_key(sv) if sv is not None else None
+    if key is None:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    m = int(bloom["m"])
+    for pos in _bloom_positions(key, m):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def _bloom_one(data_dir: str, entry: dict, cols: list[str]) -> dict:
+    """The entry enriched with blooms for ``cols`` (those present in
+    the file's physical schema) — one column read per file, module-
+    level and argument-pure so the distributed build ships it by
+    reference."""
+    import pyarrow.parquet as pq
+
+    if not entry.get("rows"):
+        return entry
+    path = os.path.join(data_dir, entry["path"])
+    pf = pq.ParquetFile(path)
+    present = [c for c in cols if c in pf.schema_arrow.names]
+    if not present:
+        return entry
+    t = pf.read(columns=present)
+    blooms = dict(entry.get("bloom", {}))
+    for c in present:
+        b = _build_bloom(t[c].to_pylist())
+        if b is not None:
+            blooms[c] = b
+    out = dict(entry)
+    if blooms:
+        out["bloom"] = blooms
+    return out
+
+
+def _harvest_blooms(
+    data_dir: str,
+    entries: list[dict],
+    cols: list[str],
+    spark: SparkSession | None = None,
+) -> list[dict]:
+    """Entries enriched with per-file blooms; distributed over the
+    executors for large commits (same fan-out rule as the stats
+    harvest — the driver must not serially re-read every file)."""
+    if spark is not None and len(entries) >= _DISTRIBUTED_HARVEST_MIN_FILES:
+        sc = spark.sparkContext
+        out = (
+            sc.parallelize(entries, min(len(entries), 256))
+            .map(lambda e: _bloom_one(data_dir, e, cols))
+            .collect()
+        )
+        return sorted(out, key=lambda e: e["path"])
+    return [_bloom_one(data_dir, e, cols) for e in entries]
+
+
+def add_bloom_index(
+    spark: SparkSession, table_dir: str, cols: list[str]
+) -> int:
+    """Backfill per-file blooms for ``cols`` over EVERY live file and
+    publish a metadata-only version carrying them (Delta's bloom
+    index shape).  Costs one column read per file — say so, don't
+    hide it — after which every == / IN read on those columns prunes
+    to the files that can actually contain the key.  Columns are
+    LOGICAL names; blooms key the physical layout like all stats."""
+    if not cols:
+        raise ValueError("add_bloom_index requires at least one column")
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("cannot bloom-index an empty table")
+        m = _read_manifest(table_dir, prev)
+        mapping, _ = _load_mapping(m)
+        phys_cols = [mapping.get(c, c) for c in cols]
+        if "schema" in m:
+            have = set(StructType.fromJson(m["schema"]).fieldNames())
+            missing = [c for c in cols if c not in have]
+            if missing:
+                raise ValueError(f"no such column(s): {missing}")
+        files: dict[str, list] = {}
+        for d in m["dirs"]:
+            entries = _dir_entries(table_dir, m, d)
+            if entries is None:
+                raise ValueError(
+                    f"dir {d} has no per-file manifest entries (legacy "
+                    "manifest); rewrite the table first"
+                )
+            files[d] = _harvest_blooms(
+                os.path.join(table_dir, d), entries, phys_cols, spark
+            )
+        return {
+            "dirs": list(m["dirs"]),
+            "mode": "set_bloom",
+            "files": files,  # every dir re-shards: blooms are payload
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            **({"schema": m["schema"]} if "schema" in m else {}),
+            "constraints": _carry_constraints(m),
+            "txns": _carry_txns(m),
+            **_carry_mapping(m),
+        }
+
+    return _publish(table_dir, build)
+
+
+# --------------------------------------------------------------------
 # Column mapping (RENAME / DROP COLUMN without rewriting data)
 #
 # The public pattern (Delta's columnMapping, Iceberg's field ids,
@@ -1183,6 +1376,7 @@ def commit(
     partition_by: list[str] | None = None,
     expected_base: int | None = None,
     txn: tuple[str, int] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and publish the next
     version.  ``mode='append'`` extends the previous file set (and may
@@ -1261,6 +1455,15 @@ def commit(
         writer = writer.partitionBy(*phys_partition_by)
     writer.parquet(abs_dir)
     file_entries = _harvest_stats(abs_dir, df.sparkSession)
+    if bloom_cols:
+        # per-file point-lookup blooms for the named LOGICAL columns
+        # (one column read per file, executor-distributed when large)
+        file_entries = _harvest_blooms(
+            abs_dir,
+            file_entries,
+            [mapping_used.get(c, c) for c in bloom_cols],
+            df.sparkSession,
+        )
     return _publish_dir(
         table_dir,
         rel,
@@ -1737,6 +1940,11 @@ def _file_may_match(
             # (incl. != and in) can be satisfied by any row
             return False
         if op == "in":
+            bl = entry.get("bloom", {}).get(col)
+            if bl is not None and not any(
+                _bloom_may_contain(bl, x) for x in value
+            ):
+                return False
             vs = [x for x in (_json_safe(v) for v in value) if x is not None]
             if len(vs) != len(list(value)):
                 continue  # un-normalizable member: keep the file
@@ -1749,6 +1957,10 @@ def _file_may_match(
         v = _json_safe(value)
         if v is None:
             continue
+        if op == "==":
+            bl = entry.get("bloom", {}).get(col)
+            if bl is not None and not _bloom_may_contain(bl, value):
+                return False
         try:
             if op == "==" and (v < mn or v > mx):
                 return False
@@ -2213,7 +2425,7 @@ def _interleaved_appends_disjoint(
     for v in range(base + 1, prev + 1):
         m = _read_manifest(table_dir, v)
         mode = m.get("mode")
-        if mode not in ("append", "set_constraint"):
+        if mode not in ("append", "set_constraint", "set_bloom"):
             return False, f"version {v} is mode={mode!r}, not an append"
         if len(m.get("deletes", [])) != n_del:
             return False, f"version {v} changed the tombstone list"

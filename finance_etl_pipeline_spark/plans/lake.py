@@ -1003,3 +1003,54 @@ def manifest_rename_drop_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(igrid(F.col("price"), 2)).alias("sum_price_e2"),
         F.count(F.col("note")).alias("n_notes"),
     )
+
+
+_BLOOM_TBL: dict[str, str] = {}
+
+
+def _bloom_table(spark: SparkSession, sf_dir: str) -> str:
+    """lineitem striped ROUND-ROBIN across 16 files (every file's
+    l_orderkey range covers every key — min/max skipping is useless
+    by construction) with a per-file bloom on l_orderkey; built once
+    per (process, sf_dir) so the bench times the READ."""
+    t = _BLOOM_TBL.get(sf_dir)
+    if t is not None:
+        return t
+    t = tempfile.mkdtemp(prefix="mlake_bloom_") + "/tbl"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    M.commit(li.repartition(16), t, bloom_cols=["l_orderkey"])
+    _BLOOM_TBL[sf_dir] = t
+    return t
+
+
+@register(
+    "manifest_bloom_point_read",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum({sql_igrid('l_extendedprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM lineitem
+    WHERE l_orderkey IN (1, 7, 32)
+    """,
+    "lake",
+    "bench",
+)
+def manifest_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a high-cardinality UNSORTED id where min/max
+    stats prune nothing: the per-file bloom index
+    (``commit(bloom_cols=...)`` / ``add_bloom_index``) proves the
+    keys absent from all but ~1 file per key BEFORE any file is
+    opened — the id-equality shape that otherwise scans the whole
+    table at 100 TB."""
+    t = _bloom_table(spark, sf_dir)
+    got = M.read_version(
+        spark, t, where=[("l_orderkey", "in", [1, 7, 32])]
+    )
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(igrid(F.col("l_extendedprice"), 2)).alias("sum_price_e2"),
+    )

@@ -869,7 +869,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         # 'set_constraint' versions are metadata-only (no dirs added,
         # no tombstone change — both re-proven below), so the stream
         # passes through them with zero new partitions
-        if m.get("mode") not in ("append", "set_constraint"):
+        if m.get("mode") not in ("append", "set_constraint", "set_bloom"):
             raise ValueError(
                 f"version {v} is mode={m.get('mode')!r}: only "
                 "append-only tables stream; use changefeed_rows + "
