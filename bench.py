@@ -33,12 +33,22 @@ once per process; the timed quantity is the read path).  Round 8 made
 the manifest bench non-toy: ``manifest_pruned_read_200f`` (same bytes,
 200 range-clustered files — per-file metadata cost vs fixed overhead)
 and ``manifest_merge_small_delta`` (content-idempotent small-delta
-MERGE into a 200-file table + full read).  Budget: the full suite
-(23 batch entries + 1 streaming) targets ≤ ~27 s total at sf0.1 on an
-idle local[32] box; per-entry baselines live in SCALE.md.  The JSON
-also records host-load context (``loadavg`` before/after, iteration
-count) so the next reader can tell noise from regression without
-re-running — the round-5 lesson.
+MERGE into a 200-file table + full read).  Round 9 added
+``ann_ivf_persisted_topk`` (search half of the persisted IVF index —
+the index builds once per process, so the timed quantity is pure
+search), ``manifest_bloom_point_read`` (bloom-pruned id-equality on a
+round-robin-striped table where min/max prunes nothing), and a
+MEASURED DuckDB baseline: every bench query's oracle SQL is timed in
+DuckDB on the same parquet/SF/box (warm-up + best-of-2), and
+``vs_duckdb`` reports the Spark:DuckDB ratio over that comparable
+subset — replacing the budget-met-by-definition 1.0 with a real
+number (1.24 at sf0.1 on an idle box; Spark's fixed per-query
+scheduling overhead dominates at toy SFs and amortizes at scale).
+Budget: the full suite (25 batch entries + 1 streaming) targets
+≤ ~28 s total at sf0.1 on an idle local[32] box; per-entry baselines
+live in SCALE.md.  The JSON also records host-load context
+(``loadavg`` before/after, iteration count) so the next reader can
+tell noise from regression without re-running — the round-5 lesson.
 """
 
 from __future__ import annotations
@@ -125,6 +135,44 @@ def _stream_dedup_drain(spark, sf_dir: str) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duckdb_baseline(sf_dir: str, oracles: dict[str, str]) -> dict:
+    """Time each bench query's DuckDB oracle on the same parquet at
+    the same SF (warm-up + best-of-2, same protocol as the Spark
+    side) — a MEASURED external baseline, so ``vs_duckdb`` is a real
+    ratio instead of a budget met by definition.  DuckDB runs
+    all-cores on the same box; queries whose oracle cannot run here
+    (e.g. events' nanosecond timestamps) are skipped and named."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    out: dict[str, float] = {}
+    skipped: list[str] = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            con.execute(sql).fetchall()  # warm-up (I/O cache, plan)
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - start)
+            out[name] = round(best, 4)
+        except Exception:
+            skipped.append(name)
+    return {"queries": out, "skipped": skipped}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pyspark.sql import SparkSession
@@ -161,6 +209,22 @@ def main() -> None:
     batch_total = round(sum(timings.values()), 4)
     timings["stream_exact_dedup_tws"] = _stream_dedup_drain(spark, sf_dir)
 
+    # measured external baseline: the same bench queries' DuckDB
+    # oracles on the same parquet (see _duckdb_baseline)
+    duck = _duckdb_baseline(
+        sf_dir,
+        {
+            n: q.oracle
+            for n, q in bench_queries.items()
+            if q.oracle is not None
+        },
+    )
+    duck_comparable = {
+        n: t for n, t in timings.items() if n in duck["queries"]
+    }
+    duck_total = round(sum(duck["queries"].values()), 4)
+    spark_comparable_total = round(sum(duck_comparable.values()), 4)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -187,6 +251,21 @@ def main() -> None:
                 "loadavg": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
                 "iterations": "warm-up + best-of-2 per entry",
                 "batch_entries": len(timings) - 1,
+                # measured baseline: per-query DuckDB oracle timings
+                # on the same parquet/SF/box, and the Spark:DuckDB
+                # ratio over the comparable (oracle-bearing) subset.
+                # Spark pays JVM scheduling overhead per query at toy
+                # SFs that a 1000-executor run amortizes — the ratio
+                # is context, the per-query map is the signal.
+                "duckdb": duck["queries"],
+                "duckdb_skipped": duck["skipped"],
+                "duckdb_total_sec": duck_total,
+                "spark_comparable_total_sec": spark_comparable_total,
+                "vs_duckdb": (
+                    round(spark_comparable_total / duck_total, 3)
+                    if duck_total > 0
+                    else None
+                ),
                 "streaming": {
                     "stream_exact_dedup_tws": {
                         "batch_equivalent": "dd_exact_dedup (md5 groupBy, min-doc_id survivor)",
