@@ -138,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
             "changes",
             "clone",
             "constraints",
+            "columns",
         ],
     )
     tbl_p.add_argument("dir", help="table root directory")
@@ -346,6 +347,40 @@ def main(argv: list[str] | None = None) -> int:
             for name, expr in sorted(cons.items()):
                 print(f"{name}\tCHECK ({expr})")
             print(f"{len(cons)} constraint(s)")
+            return 0
+        if args.action == "columns":
+            # logical schema + physical layout name + per-file bloom
+            # coverage (how many live files carry a bloom per column)
+            from pyspark.sql.types import StructType
+
+            v = M.latest_version(args.dir)
+            if v == 0:
+                print("empty table")
+                return 0
+            m = M._read_manifest(args.dir, v)
+            mapping = M._load_mapping(m)[0]
+            bloom_cover: dict[str, int] = {}
+            n_files = 0
+            files = M._load_files(args.dir, m)
+            for d in m["dirs"]:
+                for e in files.get(d) or []:
+                    n_files += 1
+                    for c in e.get("bloom", {}):
+                        bloom_cover[c] = bloom_cover.get(c, 0) + 1
+            if "schema" not in m:
+                print("manifest predates schema records")
+                return 0
+            for f in StructType.fromJson(m["schema"]).fields:
+                phys = mapping.get(f.name, f.name)
+                extra = "" if phys == f.name else f"\tphysical={phys}"
+                nb = bloom_cover.get(phys, 0)
+                bl = f"\tbloom={nb}/{n_files}" if nb else ""
+                print(
+                    f"{f.name}\t{f.dataType.simpleString()}{extra}{bl}"
+                )
+            retired = M._load_mapping(m)[1]
+            if retired:
+                print(f"retired physical: {sorted(retired)}")
             return 0
         if args.action == "clone":
             if not args.into:
