@@ -3067,6 +3067,101 @@ def changes(
     return table_diff(old, new, keys)
 
 
+def _commit_replace(
+    df: DataFrame,
+    table_dir: str,
+    base: int,
+    partition_by: list[str] | None = None,
+) -> int:
+    """compact_table's publish: the compacted rewrite of snapshot
+    ``base`` REPLACES base's dirs, and dirs appended since base carry
+    over untouched — compaction COMMUTES with appends (the
+    Delta/Iceberg OPTIMIZE conflict rule), so a busy appender no
+    longer aborts every OPTIMIZE.  Anything else interleaving
+    (deletes, updates, merges, renames, another compaction, or any
+    interleave on a column-mapped table) still conflict-aborts: those
+    change rows or layout the rewrite already materialized."""
+    m_base = _read_manifest(table_dir, base)
+    base_dirs = set(m_base["dirs"])
+    base_mapping, _ = _load_mapping(m_base)
+    spark = df.sparkSession
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA, f"commit-{token}")
+    abs_dir = os.path.join(table_dir, rel)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(abs_dir)
+    file_entries = _harvest_stats(abs_dir, spark)
+    schema_json = df.schema.jsonValue()
+
+    def build(prev: int) -> dict:
+        m = _read_manifest(table_dir, prev)
+        if prev != base:
+            if base_mapping:
+                raise ConcurrentTableModificationError(
+                    f"table advanced to v{prev} while OPTIMIZE was "
+                    f"rewriting v{base} of a column-mapped table; "
+                    "re-run the compaction"
+                )
+            n_del = len(m_base.get("deletes", []))
+            for w in range(base + 1, prev + 1):
+                mw = _read_manifest(table_dir, w)
+                mode = mw.get("mode")
+                if mode not in ("append", "set_constraint", "set_bloom"):
+                    raise ConcurrentTableModificationError(
+                        f"table advanced to v{prev} while OPTIMIZE "
+                        f"was rewriting v{base}, and version {w} is "
+                        f"mode={mode!r} (not an append); re-run the "
+                        "compaction"
+                    )
+                if len(mw.get("deletes", [])) != n_del:
+                    raise ConcurrentTableModificationError(
+                        f"version {w} changed the tombstone list "
+                        "while OPTIMIZE was rewriting; re-run the "
+                        "compaction"
+                    )
+        inter_dirs = [d for d in m["dirs"] if d not in base_dirs]
+        carried = _carry_files(table_dir, m)
+        files = {rel: file_entries}
+        dir_schemas_prev = _load_dir_schemas(m)
+        dir_schemas = {rel: schema_json}
+        part_prev = m.get("partitioned_dirs", {})
+        part_dirs = {}
+        if partition_by:
+            part_dirs[rel] = list(partition_by)
+        for d in inter_dirs:
+            files[d] = carried[d]
+            if d in dir_schemas_prev:
+                dir_schemas[d] = dir_schemas_prev[d]
+            if d in part_prev:
+                part_dirs[d] = list(part_prev[d])
+        merged_schema = (
+            _merge_schema(m["schema"], df.schema)
+            if "schema" in m
+            else df.schema
+        )
+        cons = _carry_constraints(m)
+        _validate_new_dir(cons, abs_dir, bool(file_entries), merged_schema)
+        return {
+            "dirs": [rel] + inter_dirs,
+            "mode": "overwrite" if not inter_dirs else "compact",
+            "files": files,
+            "dir_schemas": dir_schemas,
+            "partitioned_dirs": part_dirs,
+            # base tombstones are MATERIALIZED in the rewrite, and
+            # appends-only interleaves cannot have added one (checked
+            # above) nor be subject to the old ones (scoped at delete
+            # time): the replaced snapshot starts clean
+            "deletes": [],
+            "schema": merged_schema.jsonValue(),
+            "constraints": cons,
+            "txns": _carry_txns(m),
+        }
+
+    return _publish(table_dir, build)
+
+
 def compact_table(
     spark: SparkSession,
     table_dir: str,
@@ -3133,18 +3228,13 @@ def compact_table(
     df = read_version(spark, table_dir, v)
     if zorder_cols:
         df = zorder_by(df, zorder_cols, num_partitions=n_files)
-        return commit(df, table_dir, mode="overwrite", expected_base=v)
+        return _commit_replace(df, table_dir, base=v)
     if shared:
         df = df.repartition(n_files, *[F.col(c) for c in shared])
-        return commit(
-            df,
-            table_dir,
-            mode="overwrite",
-            partition_by=list(shared),
-            expected_base=v,
+        return _commit_replace(
+            df, table_dir, base=v, partition_by=list(shared)
         )
-    return commit(df.coalesce(n_files), table_dir, mode="overwrite",
-                  expected_base=v)
+    return _commit_replace(df.coalesce(n_files), table_dir, base=v)
 
 
 def clone_table(

@@ -191,3 +191,78 @@ def test_merge_multi_key_still_aborts(spark, tmp_path):
             M.merge_into(spark, t, source, ["id", "k"])
     finally:
         M._publish = orig
+
+
+def test_optimize_rebases_over_disjoint_append(spark, tmp_path):
+    """Compaction COMMUTES with appends: an append landing mid-OPTIMIZE
+    must survive alongside the compacted rewrite, not abort it."""
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(i, float(i)) for i in range(50)]).repartition(5), t)
+    M.delete_where(t, [("id", "<", 10)])  # tombstone to materialize
+
+    hooked, orig = _interleave(
+        lambda td: M.commit(_df(spark, [(800, 8.0), (801, 9.0)]), td)
+    )
+    M._publish = hooked
+    try:
+        v = M.compact_table(spark, t, target_bytes=1 << 20)
+    finally:
+        M._publish = orig
+    assert v == 4  # delete v2, interleaved append v3, compaction v4
+    got = {r["id"] for r in M.read_version(spark, t).collect()}
+    # compacted rows (tombstone materialized) + the interleaved append
+    assert got == set(range(10, 50)) | {800, 801}
+    # the pre-compaction snapshot is still time-travelable
+    assert {r["id"] for r in M.read_version(spark, t, 2).collect()} == set(
+        range(10, 50)
+    )
+    # and the compacted version carries no stale tombstones
+    assert M._read_manifest(t, v).get("deletes") == []
+    assert M.count_rows(t) == 42
+
+
+def test_optimize_aborts_on_interleaved_delete(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(i, float(i)) for i in range(30)]).repartition(3), t)
+
+    hooked, orig = _interleave(
+        lambda td: M.delete_where(td, [("id", "==", 5)])
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.compact_table(spark, t, target_bytes=1 << 20)
+    finally:
+        M._publish = orig
+    # the delete survives; nothing was lost
+    got = {r["id"] for r in M.read_version(spark, t).collect()}
+    assert got == set(range(30)) - {5}
+
+
+def test_optimize_keeps_interleaved_partitioned_append(spark, tmp_path):
+    """The interleaved dir may be hive-partitioned: its layout (and
+    partition pruning) must survive the compaction rebase."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(40)],
+        "id int, grp string",
+    )
+    M.commit(df, t)
+
+    def interleave(td):
+        M.commit(
+            spark.createDataFrame([(900, "z")], "id int, grp string"),
+            td,
+            partition_by=["grp"],
+        )
+
+    hooked, orig = _interleave(interleave)
+    M._publish = hooked
+    try:
+        M.compact_table(spark, t, target_bytes=1 << 20)
+    finally:
+        M._publish = orig
+    got = {(r["id"], r["grp"]) for r in M.read_version(spark, t).collect()}
+    assert (900, "z") in got and len(got) == 41
+    pruned = M.read_version(spark, t, where=[("grp", "==", "z")])
+    assert [(r["id"], r["grp"]) for r in pruned.collect()] == [(900, "z")]

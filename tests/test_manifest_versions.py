@@ -655,14 +655,13 @@ def test_concurrent_readers_never_see_torn_state(spark, sf_dir, tmp_path):
     assert M.read_version(spark, t).count() == sum(sizes)
 
 
-def test_compact_conflict_aborts_on_interleaved_commit(spark, sf_dir, tmp_path):
-    """OPTIMIZE has the same lost-update exposure as update_where: it
-    snapshots the tip, rewrites, then publishes.  An append landing in
-    between must make the publish conflict-abort — an unconditional
-    overwrite would silently drop the interleaved rows from the
-    compacted manifest."""
-    import pytest as _pytest
-
+def test_compact_commutes_with_interleaved_append(spark, sf_dir, tmp_path):
+    """OPTIMIZE snapshots the tip, rewrites, then publishes.  An
+    append landing in between must NOT be lost: since round 9 the
+    publish REBASES (compaction commutes with appends — the compacted
+    dir replaces the snapshot it read, the appended dir carries over),
+    so both writes land in one pass; an unconditional overwrite would
+    have silently dropped the interleaved rows."""
     t = str(tmp_path / "tbl")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     even = o.filter(F.col("o_orderkey") % 2 == 0)
@@ -678,14 +677,14 @@ def test_compact_conflict_aborts_on_interleaved_commit(spark, sf_dir, tmp_path):
 
     M._publish = racing_publish
     try:
-        with _pytest.raises(M.ConcurrentTableModificationError):
-            M.compact_table(spark, t, target_bytes=64 * 1024)
+        v = M.compact_table(spark, t, target_bytes=64 * 1024)
     finally:
         M._publish = real_publish
-    # the interleaved append survived; no rows vanished at the tip
+    # append = v2, rebased compaction = v3; no rows vanished
+    assert v == 3
     got = M.read_version(spark, t)
     assert got.count() == even.count() + late.count()
-    # a re-run against the new snapshot succeeds and keeps everything
+    # a follow-up compaction folds everything into one clean layout
     M.compact_table(spark, t, target_bytes=64 * 1024)
     assert M.read_version(spark, t).count() == even.count() + late.count()
 
