@@ -86,9 +86,43 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 "merge",
                 "evolve",
                 "merge_race",
+                "compact_race",
             ]
         )
-        if op == "merge_race" and model:
+        if op == "compact_race":
+            # CONCURRENT WRITER under OPTIMIZE: compaction must rebase
+            # over the interleaved append (commutes), landing both —
+            # the compacted rewrite of what it read plus the new rows
+            pre = dict(model)
+            # strictly increasing per step: a LATER race op may sample
+            # an earlier race key into its own read set, so new race
+            # keys must sort above everything already in the model
+            big = 10_000_000 * (step + 2)
+            race_rows = [
+                (big + i, big + i) for i in range(rng.randint(1, 3))
+            ]
+            race_df = spark.createDataFrame(race_rows, "k long, p long")
+            orig_pub = M._publish
+            state = {"armed": True}
+
+            def hooked(table_dir, build, _o=orig_pub, _s=state, _r=race_df):
+                if _s["armed"]:
+                    _s["armed"] = False
+                    M.commit(_r, table_dir)
+                return _o(table_dir, build)
+
+            M._publish = hooked
+            try:
+                v = M.compact_table(spark, t, target_bytes=32 * 1024)
+            finally:
+                M._publish = orig_pub
+            race_model = {k: (p, None) for k, p in race_rows}
+            history[v - 1] = {**pre, **race_model}
+            model = {**pre, **race_model}
+            # the interleaved rows were 2-column; compaction carried
+            # their dir verbatim, so q stays NULL for them regardless
+            # of the table's evolution state
+        elif op == "merge_race" and model:
             # CONCURRENT WRITER: a disjoint append (huge keys, far
             # outside the merge's key envelope) lands between the
             # merge's compute and its publish; logical conflict
@@ -99,7 +133,8 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 sorted(model), min(len(model), rng.randint(3, 15))
             )
             delta = rng.randint(1, 999)
-            big = 10_000_000 + step * 100
+            # see compact_race: race keys sort above all prior keys
+            big = 10_000_000 * (step + 2)
             race_rows = [
                 (big + i, big + i) for i in range(rng.randint(1, 4))
             ]
