@@ -139,6 +139,7 @@ def main(argv: list[str] | None = None) -> int:
             "clone",
             "constraints",
             "columns",
+            "bloom",
         ],
     )
     tbl_p.add_argument("dir", help="table root directory")
@@ -152,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
         "--keys",
         default=None,
         help="comma-separated key columns (required for `changes`)",
+    )
+    tbl_p.add_argument(
+        "--cols",
+        default=None,
+        help="comma-separated columns (required for `bloom`)",
     )
     tbl_p.add_argument(
         "--from-version",
@@ -347,6 +353,23 @@ def main(argv: list[str] | None = None) -> int:
             for name, expr in sorted(cons.items()):
                 print(f"{name}\tCHECK ({expr})")
             print(f"{len(cons)} constraint(s)")
+            return 0
+        if args.action == "bloom":
+            if not args.cols:
+                print(
+                    "table bloom requires --cols COL[,COL...]",
+                    file=sys.stderr,
+                )
+                return 2
+            from finance_etl_pipeline_spark.session import get_spark
+
+            spark = get_spark(app_name="table-bloom")
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            v = M.add_bloom_index(spark, args.dir, cols)
+            print(
+                f"v{v}: bloom index on {cols} "
+                "(point lookups now prune per file)"
+            )
             return 0
         if args.action == "columns":
             # logical schema + physical layout name + per-file bloom
