@@ -3237,6 +3237,184 @@ def compact_table(
     return _commit_replace(df.coalesce(n_files), table_dir, base=v)
 
 
+def compact_where(
+    spark: SparkSession,
+    table_dir: str,
+    where: list[tuple],
+    target_bytes: int | None = None,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """Scoped OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``): compact ONLY
+    the files matching ``where`` — at 100 TB you compact the hot
+    partition that fragmented today, not the table.
+
+    File-granular replacement: the predicate must align with file
+    boundaries (every file that MAY contain a matching row must
+    provably contain ONLY matching rows — true by construction for
+    partition-column predicates on hive-partitioned commits, and for
+    any predicate over range-clustered files with disjoint stats);
+    a predicate cutting through a file raises loudly, because
+    rewriting its matching rows while the file stays referenced would
+    duplicate them.  Matched files' live rows (merge-on-read
+    tombstones applied) are rewritten into one fresh dir; every other
+    file is untouched and carried by shard reference.  Cost ∝ matched
+    bytes, never the table.  The publish rebases over interleaved
+    pure appends (compaction commutes with appends) and
+    conflict-aborts on anything else, like ``compact_table``.
+    Unlike a full OPTIMIZE, the column mapping is KEPT (untouched
+    files still use their physical names; the rewrite writes the same
+    physical layout)."""
+    from finance_etl_pipeline_spark.operators.compact import (
+        DEFAULT_TARGET_BYTES,
+    )
+    from finance_etl_pipeline_spark.operators.zorder import zorder_by
+
+    preds = [_normalize_pred(p) for p in where]
+    if not preds:
+        raise ValueError("compact_where requires at least one predicate")
+    tgt = DEFAULT_TARGET_BYTES if target_bytes is None else target_bytes
+    base = latest_version(table_dir)
+    if base == 0:
+        raise ValueError("cannot compact an empty table")
+    m0 = _read_manifest(table_dir, base)
+    base_mapping, _ = _load_mapping(m0)
+    phys = _phys_preds(base_mapping, preds)
+    dir_schemas0 = _load_dir_schemas(m0)
+    replaced: dict[str, set] = {}
+    n_bytes = 0
+    for d in m0["dirs"]:
+        entries = _dir_entries(table_dir, m0, d)
+        if entries is None:
+            raise ValueError(
+                f"dir {d} has no per-file manifest entries (legacy "
+                "manifest); rewrite the table first"
+            )
+        sj = dir_schemas0.get(d)
+        present = (
+            set(StructType.fromJson(sj).fieldNames()) if sj else None
+        )
+        sel = set()
+        for e in entries:
+            if not _file_may_match(e, phys, present):
+                continue
+            if not _file_all_match(e, phys, present):
+                raise ValueError(
+                    f"file {d}/{e['path']} may contain both matching "
+                    "and non-matching rows — the predicate does not "
+                    "align with file boundaries; use a partition "
+                    "predicate or compact_table (whole table)"
+                )
+            sel.add(e["path"])
+            nb = e.get("bytes")
+            if nb is None:
+                nb = os.path.getsize(os.path.join(table_dir, d, e["path"]))
+            n_bytes += nb
+        if sel:
+            replaced[d] = sel
+    if not replaced:
+        return base  # nothing matches: no version spam
+    n_files = max(1, -(-n_bytes // tgt))
+
+    # the matched files' live rows — tombstones applied, logical names
+    df = read_version(spark, table_dir, base, where=where)
+    part_dirs0 = m0.get("partitioned_dirs", {})
+    shared = None
+    if all(d in part_dirs0 for d in replaced):
+        layouts = {tuple(part_dirs0[d]) for d in replaced}
+        if len(layouts) == 1:
+            shared = list(layouts.pop())  # physical names
+    if zorder_cols:
+        df = zorder_by(df, zorder_cols, num_partitions=n_files)
+        out_partition_by = None
+    elif shared:
+        inv = {p: l for l, p in base_mapping.items()}
+        logical_shared = [inv.get(c, c) for c in shared]
+        df = df.repartition(n_files, *[F.col(c) for c in logical_shared])
+        out_partition_by = shared  # physical, for the manifest record
+    else:
+        df = df.coalesce(n_files)
+        out_partition_by = None
+
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA, f"commit-{token}")
+    abs_dir = os.path.join(table_dir, rel)
+    phys_df = _to_physical_df(df, base_mapping)
+    writer = phys_df.write
+    if out_partition_by:
+        writer = writer.partitionBy(*out_partition_by)
+    writer.parquet(abs_dir)
+    file_entries = _harvest_stats(abs_dir, spark)
+    phys_schema_json = phys_df.schema.jsonValue()
+
+    def build(prev: int) -> dict:
+        m = _read_manifest(table_dir, prev)
+        if prev != base:
+            n_del = len(m0.get("deletes", []))
+            for w in range(base + 1, prev + 1):
+                mw = _read_manifest(table_dir, w)
+                mode = mw.get("mode")
+                if mode not in ("append", "set_constraint", "set_bloom"):
+                    raise ConcurrentTableModificationError(
+                        f"version {w} is mode={mode!r} (not an "
+                        "append); re-run the scoped compaction"
+                    )
+                if len(mw.get("deletes", [])) != n_del:
+                    raise ConcurrentTableModificationError(
+                        f"version {w} changed the tombstone list; "
+                        "re-run the scoped compaction"
+                    )
+            if _load_mapping(m)[0] != base_mapping:
+                raise ConcurrentTableModificationError(
+                    "column mapping changed mid-compaction; re-run"
+                )
+        dirs = list(m["dirs"])
+        files = _carry_files(table_dir, m)
+        for d, sel in replaced.items():
+            files[d] = [
+                e
+                for e in _dir_entries(table_dir, m, d)
+                if e["path"] not in sel
+            ]
+        dir_schemas = _load_dir_schemas(m)
+        dirs.append(rel)
+        files[rel] = file_entries
+        dir_schemas[rel] = phys_schema_json
+        part_dirs = dict(m.get("partitioned_dirs", {}))
+        if out_partition_by:
+            part_dirs[rel] = list(out_partition_by)
+        cons = _carry_constraints(m)
+        merged_schema = (
+            _merge_schema(m["schema"], df.schema)
+            if "schema" in m
+            else df.schema
+        )
+        _validate_new_dir(
+            cons,
+            abs_dir,
+            bool(file_entries),
+            merged_schema,
+            mapping=base_mapping,
+        )
+        return {
+            "dirs": dirs,
+            "mode": "compact",
+            "files": files,
+            "dir_schemas": dir_schemas,
+            "partitioned_dirs": part_dirs,
+            # the rewrite materialized the tombstones for ITS files;
+            # the carried list still governs the untouched remainder
+            # of its scoped dirs, and never the new dir (delete scopes
+            # are pinned at delete time)
+            "deletes": list(m.get("deletes", [])),
+            "schema": merged_schema.jsonValue(),
+            "constraints": cons,
+            "txns": _carry_txns(m),
+            **_carry_mapping(m),
+        }
+
+    return _publish(table_dir, build)
+
+
 def clone_table(
     src_dir: str, dst_dir: str, version: int | None = None
 ) -> int:

@@ -1054,3 +1054,57 @@ def manifest_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
         F.sum(igrid(F.col("l_extendedprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_compact_where_read",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE NOT (o_orderkey < 1000 AND o_orderstatus = 'F')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_compact_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoped OPTIMIZE end to end: orders land hive-partitioned by
+    status across TWO fragmented appends, a merge-on-read delete
+    tombstones a slice of the 'F' partition, and ``compact_where``
+    rewrites ONLY that partition (materializing its tombstones; every
+    other partition's files carry by reference).  The read must see
+    the delete applied exactly once and every other row untouched —
+    and the 'F' partition must hold fewer files than before while the
+    others hold exactly the same ones (asserted in
+    tests/test_compact_where.py; here the oracle certifies values)."""
+    t = tempfile.mkdtemp(prefix="mlake_cw_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        t,
+        partition_by=["o_orderstatus"],
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 1),
+        t,
+        partition_by=["o_orderstatus"],
+    )
+    M.delete_where(
+        t,
+        [("o_orderkey", "<", 1000), ("o_orderstatus", "==", "F")],
+    )
+    M.compact_where(spark, t, [("o_orderstatus", "==", "F")])
+    got = M.read_version(spark, t)
+    return (
+        got.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+        )
+        .orderBy("o_orderstatus")
+    )
