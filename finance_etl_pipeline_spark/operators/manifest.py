@@ -2582,19 +2582,33 @@ def merge_into(
         logical = _merge_schema(m0["schema"], src_payload)
 
     # find the touched files: key semi-join over the snapshot, file
-    # list stats-pruned by the source key envelope first (a small
-    # delta against a big clustered table touches few files)
+    # list stats-pruned by the source key ENVELOPE first (a small
+    # delta against a big clustered table touches few files).  Multi-
+    # column keys take the conjunction of per-column envelopes — a
+    # sound over-approximation of the key set (every matching row
+    # satisfies every column's [min, max]), which both prunes the
+    # probe and gives the rebase-on-disjoint-append proof a predicate
+    # to work with (one aggregate over the source either way).
     where = None
-    if len(keys) == 1:
-        b = source.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-        ).first()
+    aggs = []
+    for i, k in enumerate(keys):
+        aggs.append(F.min(k).alias(f"lo{i}"))
+        aggs.append(F.max(k).alias(f"hi{i}"))
+    b = source.agg(*aggs).first()
+    env = []
+    for i, k in enumerate(keys):
+        lo, hi = b[f"lo{i}"], b[f"hi{i}"]
         if (
-            b["lo"] is not None
-            and _json_safe(b["lo"]) is not None
-            and _json_safe(b["hi"]) is not None
+            lo is None
+            or _json_safe(lo) is None
+            or _json_safe(hi) is None
         ):
-            where = [(keys[0], ">=", b["lo"]), (keys[0], "<=", b["hi"])]
+            env = None  # a column without a sound envelope: no proof
+            break
+        env.append((k, ">=", lo))
+        env.append((k, "<=", hi))
+    if env:
+        where = env
     probe = read_version(spark, table_dir, base, where=where).withColumn(
         "__file", F.input_file_name()
     )
@@ -3059,9 +3073,25 @@ def changes(
             table_dir,
             latest_version(table_dir) if to_version is None else to_version,
         )
-        union = _merge_schema(
-            mo["schema"], StructType.fromJson(mn["schema"])
-        )
+        # RENAMES across the span: a column's identity is its PHYSICAL
+        # name, so map the old snapshot's logical names through
+        # physical identity into the to-version's logical names — the
+        # feed (like the ``keys`` argument) speaks the CURRENT names.
+        # A column renamed between the versions then diffs as itself,
+        # not as one drop plus one unrelated add.
+        map_o = _load_mapping(mo)[0]
+        inv_n = {p: l for l, p in _load_mapping(mn)[0].items()}
+        rename = {}
+        for l_o in old.columns:
+            p = map_o.get(l_o, l_o)
+            l_n = inv_n.get(p, p)
+            if l_n != l_o:
+                rename[l_o] = l_n
+        if rename:
+            old = old.select(
+                *[F.col(c).alias(rename.get(c, c)) for c in old.columns]
+            )
+        union = _merge_schema(old.schema.jsonValue(), new.schema)
         old = _align_to(old, union)
         new = _align_to(new, union)
     return table_diff(old, new, keys)

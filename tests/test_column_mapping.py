@@ -258,3 +258,48 @@ def test_rename_partition_column(spark, tmp_path):
     assert sorted(
         (r.id, r.zone) for r in M.read_version(spark, t).collect()
     ) == [(1, "x"), (2, "y"), (3, "x"), (4, "z")]
+
+
+def test_changefeed_across_rename(spark, tmp_path):
+    """A feed straddling a RENAME must diff the column as ITSELF (by
+    physical identity) under the CURRENT names — not as a drop plus an
+    unrelated add, which would flag every row changed."""
+    t = str(tmp_path / "tbl")
+    _base(spark, t)  # v1: (id, amt, tag)
+    M.rename_column(t, "amt", "price")  # v2
+    # v3: change one row's price, add a row (under current names)
+    M.update_where(spark, t, [("id", "==", 2)], {"price": F.lit(99.0)})
+    M.commit(
+        spark.createDataFrame(
+            [(4, 40.0, "d")], "id int, price double, tag string"
+        ),
+        t,
+    )
+    feed = M.changefeed_rows(spark, t, ["id"], 1, 4)
+    got = {
+        (r["change_type"], r["id"], r["price"]) for r in feed.collect()
+    }
+    # ONLY the genuinely changed/added rows ship; renamed-but-equal
+    # rows are 'unchanged' and dropped from the feed
+    assert got == {("changed", 2, 99.0), ("added", 4, 40.0)}
+
+
+def test_changefeed_rename_plus_fresh_same_named_column(spark, tmp_path):
+    """rename a->b then ADD a new column named a: the feed must track
+    OLD a into b (physical identity) and treat the fresh a as a new
+    column that flags rows only where it is non-NULL."""
+    t = str(tmp_path / "tbl")
+    _base(spark, t)
+    M.rename_column(t, "amt", "price")
+    M.commit(
+        spark.createDataFrame(
+            [(9, 90.0, "z", 1.5)],
+            "id int, price double, tag string, amt double",
+        ),
+        t,
+    )
+    feed = M.changefeed_rows(spark, t, ["id"], 1, 3)
+    got = {(r["change_type"], r["id"]) for r in feed.collect()}
+    # rows 1-3 are unchanged (their renamed price is equal, their new
+    # amt is NULL); only the appended row ships
+    assert got == {("added", 9)}

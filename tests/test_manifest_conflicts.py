@@ -166,21 +166,45 @@ def test_update_where_aborts_when_append_matches_predicate(
     assert got == {(1, 10.0), (2, 20.0), (0, 1.0)}
 
 
-def test_merge_multi_key_still_aborts(spark, tmp_path):
-    """Multi-column keys have no single-column envelope: no proof, so
-    the pessimistic abort remains (never guess)."""
+def test_merge_multi_key_envelope(spark, tmp_path):
+    """Multi-column keys prove disjointness with the CONJUNCTION of
+    per-column envelopes: an append outside any column's [min, max]
+    rebases; one inside every envelope aborts even when its exact key
+    tuple is absent from the source (the proof is an
+    over-approximation, never a guess)."""
     t = str(tmp_path / "tbl")
     df = spark.createDataFrame(
-        [(1, "a", 10.0), (2, "b", 20.0)], "id int, k string, amt double"
+        [(1, "a", 10.0), (5, "m", 20.0)], "id int, k string, amt double"
     )
     M.commit(df, t)
     source = spark.createDataFrame(
-        [(2, "b", 99.0)], "id int, k string, amt double"
+        [(1, "a", 99.0), (5, "m", 77.0)], "id int, k string, amt double"
     )
+
+    # id=700 is outside the id envelope [1, 5]: provably disjoint
     hooked, orig = _interleave(
         lambda td: M.commit(
             spark.createDataFrame(
-                [(700, "z", 7.0)], "id int, k string, amt double"
+                [(700, "c", 7.0)], "id int, k string, amt double"
+            ),
+            td,
+        )
+    )
+    M._publish = hooked
+    try:
+        v = M.merge_into(spark, t, source, ["id", "k"])
+    finally:
+        M._publish = orig
+    assert v == 3
+    got = {(r.id, r.k, r.amt) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, "a", 99.0), (5, "m", 77.0), (700, "c", 7.0)}
+
+    # (3, 'c') sits inside BOTH envelopes (id in [1,5], k in [a,m]):
+    # not provably disjoint even though the tuple is not a source key
+    hooked, orig = _interleave(
+        lambda td: M.commit(
+            spark.createDataFrame(
+                [(3, "c", 3.0)], "id int, k string, amt double"
             ),
             td,
         )
