@@ -160,6 +160,13 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated columns (required for `bloom`)",
     )
     tbl_p.add_argument(
+        "--where",
+        default=None,
+        help="scoped OPTIMIZE predicate for `compact`: "
+        "col=value[,col=value...] (file-aligned, e.g. partition "
+        "columns) — compacts only the matching files",
+    )
+    tbl_p.add_argument(
         "--from-version",
         type=int,
         default=None,
@@ -439,11 +446,34 @@ def main(argv: list[str] | None = None) -> int:
             from finance_etl_pipeline_spark.session import get_spark
 
             spark = get_spark(app_name="table-compact")
+            zo = args.zorder.split(",") if args.zorder else None
+            if args.where:
+                preds = []
+                for term in args.where.split(","):
+                    col, _, val = term.partition("=")
+                    if not col or not val:
+                        print(
+                            "--where wants col=value[,col=value...]",
+                            file=sys.stderr,
+                        )
+                        return 2
+                    preds.append(
+                        (col.strip(), "==", M._parse_partition_value(val.strip()))
+                    )
+                v = M.compact_where(
+                    spark,
+                    args.dir,
+                    preds,
+                    target_bytes=args.target_bytes,
+                    zorder_cols=zo,
+                )
+                print(f"compacted {args.where!r} as v{v}")
+                return 0
             v = M.compact_table(
                 spark,
                 args.dir,
                 target_bytes=args.target_bytes,
-                zorder_cols=args.zorder.split(",") if args.zorder else None,
+                zorder_cols=zo,
             )
             print(f"compacted as v{v}")
             return 0

@@ -177,3 +177,27 @@ def test_bloom_respects_column_mapping(spark, tmp_path):
     assert kept <= 2 < total or total <= 2
     got = M.read_version(spark, t, where=[("key", "==", 42)]).collect()
     assert [r.key for r in got] == [42]
+
+
+def test_pushdown_reader_consults_blooms(spark, tmp_path):
+    """The SQL-surface pushdown path (ManifestBatchPushdownReader)
+    rides the same _file_may_match proofs, so an id-equality filter
+    through spark.read plans only the bloom-surviving files."""
+    from finance_etl_pipeline_spark.sources.lakestream import (
+        ManifestBatchPushdownReader,
+    )
+    from pyspark.sql.types import StructType
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(3000)], "id long, grp int"
+    ).repartition(6)
+    M.commit(df, t, bloom_cols=["id"])
+    m = M._read_manifest(t, 1)
+    schema = StructType.fromJson(m["schema"])
+    rdr = ManifestBatchPushdownReader(t, schema, 1)
+    total = len([p for p in rdr.partitions() if p.path])
+    rdr2 = ManifestBatchPushdownReader(t, schema, 1)
+    rdr2._skip_preds.append(("id", "==", 777))
+    kept = len([p for p in rdr2.partitions() if p.path])
+    assert kept <= 2 < total

@@ -303,3 +303,24 @@ def test_changefeed_rename_plus_fresh_same_named_column(spark, tmp_path):
     # rows 1-3 are unchanged (their renamed price is equal, their new
     # amt is NULL); only the appended row ships
     assert got == {("added", 9)}
+
+
+def test_merge_evolution_avoids_retired_physical(spark, tmp_path):
+    """An evolving MERGE whose new column name matches a RETIRED
+    physical name must take a fresh physical name — never resurrect
+    the dropped column's bytes in old files."""
+    t = str(tmp_path / "tbl")
+    _base(spark, t)  # (id, amt, tag)
+    M.drop_column(t, "tag")
+    src = spark.createDataFrame(
+        [(1, 11.0, "fresh")], "id int, amt double, tag string"
+    )
+    M.merge_into(spark, t, src, ["id"], evolve_schema=True)
+    got = {r.id: (r.amt, r.tag) for r in M.read_version(spark, t).collect()}
+    # old rows: tag NULL (not the dropped 'a'/'b'/'c' bytes)
+    assert got == {
+        1: (11.0, "fresh"),
+        2: (20.0, None),
+        3: (30.0, None),
+    }
+    assert M.table_column_mapping(t)["tag"] != "tag"
