@@ -140,6 +140,7 @@ def main(argv: list[str] | None = None) -> int:
             "constraints",
             "columns",
             "bloom",
+            "partitions",
         ],
     )
     tbl_p.add_argument("dir", help="table root directory")
@@ -377,6 +378,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{v}: bloom index on {cols} "
                 "(point lookups now prune per file)"
             )
+            return 0
+        if args.action == "partitions":
+            parts = M.table_partitions(args.dir)
+            for p in parts:
+                vals = ", ".join(f"{k}={v}" for k, v in p["values"].items())
+                star = "~" if p["approx"] else ""
+                print(
+                    f"{vals}\tfiles={p['n_files']}\t"
+                    f"rows={star}{p['n_rows']}"
+                )
+            print(f"{len(parts)} partition(s), from metadata only")
             return 0
         if args.action == "columns":
             # logical schema + physical layout name + per-file bloom

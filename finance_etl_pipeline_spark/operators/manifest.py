@@ -2842,6 +2842,70 @@ def column_bounds(
     return None if mn is None else (mn, mx)
 
 
+def table_partitions(
+    table_dir: str, version: int | None = None
+) -> list[dict]:
+    """SHOW PARTITIONS from METADATA only — one dict per live
+    partition combo: {values: {logical col: value}, n_files, n_rows}
+    (row counts are upper bounds when merge-on-read tombstones are
+    outstanding; the ``approx`` flag says so).  Answered from the
+    manifest's exact partition-value identities (raw path strings for
+    string columns, stats for the rest) without listing a directory
+    or opening a file; raises for tables with unpartitioned dirs —
+    they have no partition inventory to show."""
+    v = latest_version(table_dir) if version is None else version
+    if v == 0:
+        return []
+    m = _read_manifest(table_dir, v)
+    part_dirs = m.get("partitioned_dirs", {})
+    mapping, _ = _load_mapping(m)
+    inv = {p: l for l, p in mapping.items()}
+    approx = bool(m.get("deletes"))
+    out: dict[tuple, dict] = {}
+    dir_schemas = _load_dir_schemas(m)
+    for d in m["dirs"]:
+        cols = part_dirs.get(d)
+        if cols is None:
+            raise ValueError(
+                f"dir {d} is not hive-partitioned; the table has no "
+                "partition inventory (partition only some commits is "
+                "fine for reads, but SHOW PARTITIONS needs all)"
+            )
+        entries = _dir_entries(table_dir, m, d)
+        if entries is None:
+            raise ValueError(
+                f"dir {d} has no per-file manifest entries (legacy "
+                "manifest); rewrite the table first"
+            )
+        sj = dir_schemas.get(d)
+        strings = _string_typed(StructType.fromJson(sj) if sj else None)
+        for e in entries:
+            combo = _entry_partition_combo(e, list(cols), strings)
+            if combo is None:
+                raise ValueError(
+                    f"file {d}/{e['path']} has no exact partition "
+                    "identity; rewrite the table first"
+                )
+            key = (tuple(cols), combo)
+            slot = out.setdefault(
+                key,
+                {
+                    "values": {
+                        inv.get(c, c): val for c, val in zip(cols, combo)
+                    },
+                    "n_files": 0,
+                    "n_rows": 0,
+                    "approx": approx,
+                },
+            )
+            slot["n_files"] += 1
+            slot["n_rows"] += e.get("rows", 0)
+    return [
+        out[k]
+        for k in sorted(out, key=lambda kk: (kk[0], str(kk[1])))
+    ]
+
+
 def history(table_dir: str) -> list[dict]:
     """DESCRIBE HISTORY: one dict per RETAINED version, newest first —
     version, commit timestamp, mode, file/dir counts, metadata row

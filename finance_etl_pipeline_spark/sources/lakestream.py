@@ -134,6 +134,11 @@ class ManifestTableDataSource(DataSource):
             raise ValueError(
                 "pass starting_version OR starting_timestamp, not both"
             )
+        if isinstance(sv, str) and sv.strip().lower() == "latest":
+            # Delta's startingVersion=latest: only data committed
+            # AFTER the stream starts — everything current is treated
+            # as consumed
+            return M.latest_version(self._table_dir())
         if st is not None:
             try:
                 st = float(st)

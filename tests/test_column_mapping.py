@@ -324,3 +324,31 @@ def test_merge_evolution_avoids_retired_physical(spark, tmp_path):
         3: (30.0, None),
     }
     assert M.table_column_mapping(t)["tag"] != "tag"
+
+
+def test_table_partitions_metadata_only(spark, tmp_path):
+    """SHOW PARTITIONS from the manifest: exact combos (string
+    identity preserved), per-partition file/row counts, rename-aware
+    logical names, no file opened."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "01"), (2, "1"), (3, "1"), (4, "x")], "id int, mkey string"
+    )
+    M.commit(df, t, partition_by=["mkey"])
+    M.commit(
+        spark.createDataFrame([(5, "1")], "id int, mkey string"),
+        t,
+        partition_by=["mkey"],
+    )
+    M.rename_column(t, "mkey", "bucket")
+    parts = M.table_partitions(t)
+    got = {p["values"]["bucket"]: p for p in parts}
+    # '01' and '1' stay distinct; the second commit added files to '1'
+    assert got["01"]["n_rows"] == 1
+    assert got["1"]["n_rows"] == 3 and got["1"]["n_files"] >= 2
+    assert got["x"]["n_rows"] == 1
+    assert not got["1"]["approx"]
+    with pytest.raises(ValueError, match="not hive-partitioned"):
+        t2 = str(tmp_path / "plain")
+        M.commit(spark.createDataFrame([(1,)], "id int"), t2)
+        M.table_partitions(t2)

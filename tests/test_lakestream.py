@@ -245,3 +245,44 @@ def test_starting_timestamp_skips_history(spark, sf_dir, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out3")).count() == o.filter(
         F.col("o_orderkey") % 3 <= 1
     ).count()
+
+
+def test_starting_version_latest_streams_only_new_data(
+    spark, sf_dir, tmp_path
+):
+    """starting_version=latest (Delta's startingVersion=latest):
+    everything already committed is treated as consumed; only commits
+    landing after the stream starts flow."""
+    from finance_etl_pipeline_spark.operators import manifest as M2
+
+    spark.dataSource.register(ManifestTableDataSource)
+    tbl, ckpt = str(tmp_path / "tbl"), str(tmp_path / "ck")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M2.commit(o.limit(20), tbl)
+    M2.commit(o.limit(40), tbl)
+
+    seen = []
+
+    def sink(df, _bid):
+        seen.extend(r["o_orderkey"] for r in df.collect())
+
+    q = (
+        spark.readStream.format("manifest_table")
+        .option("table_dir", tbl)
+        .option("starting_version", "latest")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert seen == []  # history is consumed by definition
+        late = o.filter(F.col("o_orderkey") > 100).limit(5)
+        n_late = late.count()
+        M2.commit(late, tbl)
+        q.processAllAvailable()
+        assert len(seen) == n_late
+    finally:
+        q.stop()
+        q.awaitTermination(60)
