@@ -460,6 +460,19 @@ def main(argv: list[str] | None = None) -> int:
             spark = get_spark(app_name="table-compact")
             zo = args.zorder.split(",") if args.zorder else None
             if args.where:
+                # resolve each value against the DECLARED column type:
+                # a string-typed column keeps the raw text ('01' and
+                # '1' are distinct partitions, matching the read-path
+                # identity of _entry_partition_combo) — numeric
+                # inference only applies to non-string declared types
+                from pyspark.sql.types import StringType, StructType
+
+                m = M._read_manifest(args.dir, M.latest_version(args.dir))
+                str_cols = set()
+                if "schema" in m:
+                    for f in StructType.fromJson(m["schema"]).fields:
+                        if isinstance(f.dataType, StringType):
+                            str_cols.add(f.name)
                 preds = []
                 for term in args.where.split(","):
                     col, _, val = term.partition("=")
@@ -469,8 +482,15 @@ def main(argv: list[str] | None = None) -> int:
                             file=sys.stderr,
                         )
                         return 2
+                    col, val = col.strip(), val.strip()
                     preds.append(
-                        (col.strip(), "==", M._parse_partition_value(val.strip()))
+                        (
+                            col,
+                            "==",
+                            val
+                            if col in str_cols
+                            else M._parse_partition_value(val),
+                        )
                     )
                 v = M.compact_where(
                     spark,

@@ -294,7 +294,15 @@ def _bloom_key(v) -> str | None:
     """The canonical hash string of one value — NUMERIC identity is
     collapsed (int 5, long 5, double 5.0 hash alike) because equality
     predicates compare numerically; None = value outside the bloom
-    contract (no filter built / probe passes)."""
+    contract (no filter built / probe passes).
+
+    Integral floats with abs >= 2**53 are OUTSIDE the contract on both
+    build and probe sides: above 2**53 doubles are not exact over the
+    integers, so a double predicate value can equal MANY distinct int
+    column values after Spark's widening cast (e.g. 2**53 and 2**53+1
+    both cast to the same double) — no single hash key can collapse
+    that identity, and hashing repr() would false-negative against an
+    equal int's str() key."""
     if isinstance(v, bool):
         return None
     if isinstance(v, int):
@@ -302,13 +310,26 @@ def _bloom_key(v) -> str | None:
     if isinstance(v, float):
         if v != v:  # NaN never equals anything
             return None
-        return (
-            str(int(v))
-            if v.is_integer() and abs(v) < 2**53
-            else repr(v)
-        )
+        if v.is_integer():
+            return str(int(v)) if abs(v) < 2**53 else None
+        return repr(v)
     if isinstance(v, str):
         return v
+    return None
+
+
+def _bloom_kind(v) -> str | None:
+    """'num' / 'str' type-class of one _json_safe value.  Probes whose
+    class differs from the column's stored class (e.g. numeric probe
+    against string keys) are outside the contract: Spark's residual
+    filter compares them after an implicit cast ('01' == 1 matches),
+    which the literal hash cannot model."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
     return None
 
 
@@ -322,12 +343,15 @@ def _bloom_positions(key: str, m: int) -> list[int]:
 
 
 def _build_bloom(values) -> dict | None:
-    """{"m", "k", "b64"} over the column's non-null values, or None
-    when any value falls outside the bloom contract (a partial bloom
-    would produce false negatives — wrong answers, not slow ones)."""
+    """{"m", "k", "kind", "b64"} over the column's non-null values, or
+    None when any value falls outside the bloom contract (a partial
+    bloom would produce false negatives — wrong answers, not slow
+    ones).  ``kind`` records the column's value class so mismatched-
+    type probes can be recognised as outside the contract."""
     import base64
 
     keys = []
+    kind = None
     for v in values:
         if v is None:
             continue
@@ -335,6 +359,11 @@ def _build_bloom(values) -> dict | None:
         key = _bloom_key(sv) if sv is not None else None
         if key is None:
             return None
+        k = _bloom_kind(sv)
+        if kind is None:
+            kind = k
+        elif k != kind:
+            return None  # mixed-class column: no single probe class
         keys.append(key)
     n = max(64, len(keys) * 12)
     m = 64
@@ -347,18 +376,25 @@ def _build_bloom(values) -> dict | None:
     return {
         "m": m,
         "k": _BLOOM_K,
+        "kind": kind or "num",
         "b64": base64.b64encode(bytes(bits)).decode("ascii"),
     }
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
     """False only when the bloom PROVES the value is absent from the
-    file; anything outside the contract passes (never a wrong skip)."""
+    file; anything outside the contract passes (never a wrong skip).
+    Outside the contract: un-normalizable values, integral doubles
+    >= 2**53, probes whose type class differs from the column's
+    stored class, and legacy blooms that never recorded a class."""
     import base64
 
     sv = _json_safe(value)
     key = _bloom_key(sv) if sv is not None else None
     if key is None:
+        return True
+    kind = bloom.get("kind")
+    if kind is None or _bloom_kind(sv) != kind:
         return True
     bits = base64.b64decode(bloom["b64"])
     m = int(bloom["m"])
@@ -3152,6 +3188,21 @@ def changes(
             if l_n != l_o:
                 rename[l_o] = l_n
         if rename:
+            # a rename landing on a concurrently DROPPED column's name
+            # (old has a,b; span drops b and renames a->b) would alias
+            # two old-snapshot columns to the same name — the feed has
+            # no unambiguous current-name representation for the
+            # dropped column's data, so fail specifically rather than
+            # let Spark throw an ambiguous-reference error downstream
+            final = [rename.get(c, c) for c in old.columns]
+            dupes = sorted({n for n in final if final.count(n) > 1})
+            if dupes:
+                raise ValueError(
+                    f"changes({from_version}->{to_version}): rename "
+                    f"collides with dropped column(s) {dupes} across "
+                    "the span; diff the sub-spans on either side of "
+                    "the rename instead"
+                )
             old = old.select(
                 *[F.col(c).alias(rename.get(c, c)) for c in old.columns]
             )
@@ -3374,6 +3425,47 @@ def compact_where(
     base_mapping, _ = _load_mapping(m0)
     phys = _phys_preds(base_mapping, preds)
     dir_schemas0 = _load_dir_schemas(m0)
+    # string-DECLARED columns (physical names): predicates on them are
+    # decided against the RAW hive path value when the file records
+    # one ('1' and '01' are distinct partitions) — the stats value is
+    # the inferred numeric and would collapse numerically-equal
+    # string partitions (read-path identity of _entry_partition_combo)
+    str_phys: set[str] = set()
+    if "schema" in m0:
+        for f in StructType.fromJson(m0["schema"]).fields:
+            if f.dataType.typeName() == "string":
+                str_phys.add(base_mapping.get(f.name, f.name))
+
+    def _raw_part_decide(e: dict, col: str, op: str, value) -> bool | None:
+        """Exact tri-state decision for one predicate against the
+        file's raw partition-path value; None = not decidable here
+        (fall through to the stats proofs)."""
+        parts = e.get("parts") or {}
+        if col not in parts:
+            return None
+        raw = parts[col]
+        if op == "is_null":
+            return raw is None
+        if op == "is_not_null":
+            return raw is not None
+        if raw is None:
+            return False  # NULL partition never satisfies comparisons
+        if op == "in":
+            vs = list(value)
+            if not all(isinstance(x, str) for x in vs):
+                return None
+            return raw in vs
+        if not isinstance(value, str):
+            return None
+        return {
+            "==": raw == value,
+            "!=": raw != value,
+            "<": raw < value,
+            "<=": raw <= value,
+            ">": raw > value,
+            ">=": raw >= value,
+        }.get(op)
+
     replaced: dict[str, set] = {}
     n_bytes = 0
     for d in m0["dirs"]:
@@ -3389,15 +3481,30 @@ def compact_where(
         )
         sel = set()
         for e in entries:
-            if not _file_may_match(e, phys, present):
-                continue
-            if not _file_all_match(e, phys, present):
-                raise ValueError(
-                    f"file {d}/{e['path']} may contain both matching "
-                    "and non-matching rows — the predicate does not "
-                    "align with file boundaries; use a partition "
-                    "predicate or compact_table (whole table)"
+            residual = []
+            skip = False
+            for p in phys:
+                dec = (
+                    _raw_part_decide(e, *p) if p[0] in str_phys else None
                 )
+                if dec is False:
+                    skip = True
+                    break
+                if dec is None:
+                    residual.append(p)
+            if skip:
+                continue
+            if residual:
+                if not _file_may_match(e, residual, present):
+                    continue
+                if not _file_all_match(e, residual, present):
+                    raise ValueError(
+                        f"file {d}/{e['path']} may contain both "
+                        "matching and non-matching rows — the "
+                        "predicate does not align with file "
+                        "boundaries; use a partition predicate or "
+                        "compact_table (whole table)"
+                    )
             sel.add(e["path"])
             nb = e.get("bytes")
             if nb is None:

@@ -1108,3 +1108,57 @@ def manifest_compact_where_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "manifest_stream_drain_availablenow",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    """,
+    "lake",
+    "streaming",
+)
+def manifest_stream_drain_availablenow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain-then-stop with admission control (``lakestream.drain``):
+    orders land as a 3-version backlog, ``drain`` pulls it through the
+    exactly-once manifest sink in bounded micro-batches
+    (``max_files_per_trigger=3`` forces mid-version offset splits) and
+    STOPS at the tip pinned at call time — Delta's
+    maxFilesPerTrigger-under-availableNow semantics, which the
+    engine's AvailableNow wrapper for Python sources cannot express
+    (it would stop after ONE capped batch).  The sink must reproduce
+    the batch table bit-for-bit: same rows, same distinct keys (no
+    replay duplicates across capped boundaries), same price sum."""
+    from finance_etl_pipeline_spark.sources.lakestream import drain
+    from finance_etl_pipeline_spark.streaming.sink import (
+        append_stream_to_manifest,
+    )
+
+    root = tempfile.mkdtemp(prefix="mlake_drainan_")
+    src, sink_t, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ck"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for r in range(3):
+        M.commit(o.filter(F.col("o_orderkey") % 3 == r).repartition(4), src)
+
+    out = drain(
+        spark,
+        src,
+        lambda df: append_stream_to_manifest(
+            df, sink_t, app_id="drain_an"
+        ),
+        ckpt,
+        max_files_per_trigger=3,
+    )
+    assert out["reached_tip"] and out["batches"] >= 4, out
+
+    return M.read_version(spark, sink_t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )

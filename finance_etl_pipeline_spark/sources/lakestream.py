@@ -819,9 +819,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     Caveat: ``Trigger.AvailableNow`` pins the FIRST ``latestOffset``
     as the whole run's end offset (the engine-side wrapper for
     sources without native AvailableNow support), so a capped stream
-    run that way processes exactly one capped batch and stops.  Use
-    the default / processingTime trigger (each trigger advances the
-    cap window) for capped draining."""
+    run that way processes exactly one capped batch and stops.  For
+    "drain the backlog in bounded batches, then stop" (Delta's
+    maxFilesPerTrigger-under-availableNow semantics) use ``drain()``
+    below; for long-lived streams use the default / processingTime
+    trigger (each trigger advances the cap window)."""
 
     def __init__(
         self,
@@ -841,14 +843,6 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._pos: dict | None = None
         #: version -> validated ordered file list [(abs_path, bytes)]
         self._steps: OrderedDict = OrderedDict()
-
-
-    def _dbg(self, msg):
-        import os as _os
-        f = _os.environ.get("LAKESTREAM_DEBUG_LOG")
-        if f:
-            with open(f, "a") as fh:
-                fh.write(f"pid={_os.getpid()} {msg}\n")
 
     # -------------------------------------------------- version steps
 
@@ -964,13 +958,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     # ------------------------------------------------ offset protocol
 
     def initialOffset(self) -> dict:
-        self._dbg(f"initialOffset start={self.starting_version}")
         self._advance({"version": self.starting_version})
         return {"version": self.starting_version}
 
     def latestOffset(self) -> dict:
         tip = M.latest_version(self.table_dir)
-        self._dbg(f"latestOffset tip={tip} pos={self._pos}")
         if self.max_files is None and self.max_bytes is None:
             return {"version": tip}
         # the engine calls latestOffset BEFORE initialOffset on a
@@ -1013,7 +1005,6 @@ class ManifestStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         a, ia = int(start["version"]), start.get("index")
         b, ib = int(end["version"]), end.get("index")
-        self._dbg(f"partitions start={start} end={end}")
         if self._key(end) < self._key(start):
             # belt and braces: planning a batch that moves backwards
             # would re-emit consumed files as duplicates — refuse
@@ -1069,5 +1060,141 @@ class ManifestStreamReader(DataSourceStreamReader):
         # offsets are version (+ optional intra-version file index)
         # positions; nothing external to ack — but remember where the
         # engine got to: the admission walk's floor
-        self._dbg(f"commit end={end}")
         self._advance(end)
+
+
+# --------------------------------------------------------------------
+# Bounded drain-then-stop (AvailableNow x admission control)
+# --------------------------------------------------------------------
+
+
+def drain(
+    spark,
+    table_dir: str,
+    writer,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | str | None = None,
+    starting_version: int | str | None = None,
+    transform=None,
+    max_batches: int | None = None,
+    timeout_secs: float = 600.0,
+    poll_secs: float = 0.1,
+) -> dict:
+    """Drain a manifest-table backlog in BOUNDED micro-batches, then
+    stop — ``Trigger.AvailableNow`` semantics composed with admission
+    control, which the engine-side AvailableNow wrapper for Python
+    sources cannot express (it pins the FIRST ``latestOffset`` as the
+    run's end, so a capped stream run that way processes exactly one
+    capped batch; see ``ManifestStreamReader``).  This is Delta's
+    "maxFilesPerTrigger under availableNow" shape: the most common
+    lakehouse ingest pattern — catch up on whatever landed since the
+    last run without ever materializing the whole backlog as one
+    micro-batch — run as a helper loop instead of a trigger.
+
+    The TIP IS PINNED at call time: versions committed while the
+    drain runs are left for the next call, exactly like AvailableNow.
+    Exactly-once across restarts/kills rides the source's offset
+    model (version+index offsets, bit-identical replays) plus the
+    sink's own idempotence — interrupt the drain anywhere and calling
+    it again with the same checkpoint resumes, never replays into a
+    committed sink twice.
+
+    Args:
+        writer: callable ``(streaming DataFrame) -> DataStreamWriter``
+            — configure format/options/foreachBatch, NOT the trigger
+            or checkpointLocation (the drain owns those).
+        transform: optional ``(DataFrame) -> DataFrame`` applied
+            between source and writer.
+        max_batches: stop once at least this many DATA micro-batches
+            have committed this call (bounded work per run; the next
+            call resumes from the checkpoint).  The query free-runs
+            while the drain polls, so a batch or two more may commit
+            while stopping — each is still exactly-once.
+        starting_version: forwarded to the source on a FRESH
+            checkpoint (ignored once the checkpoint has offsets).
+
+    Returns dict: ``batches`` (data micro-batches this call),
+    ``tip`` (the pinned end version), ``reached_tip`` (False only
+    when ``max_batches``/interruption stopped the drain early).
+    """
+    import json
+    import time
+
+    spark.dataSource.register(ManifestTableDataSource)
+    tip = M.latest_version(table_dir)
+    reader = spark.readStream.format("manifest_table").option(
+        "table_dir", table_dir
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "max_files_per_trigger", str(max_files_per_trigger)
+        )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option(
+            "max_bytes_per_trigger", str(max_bytes_per_trigger)
+        )
+    if starting_version is not None:
+        reader = reader.option("starting_version", str(starting_version))
+    df = reader.load()
+    if transform is not None:
+        df = transform(df)
+    q = (
+        writer(df)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def _end_key(progress) -> tuple | None:
+        try:
+            eo = progress["sources"][0]["endOffset"]
+        except (KeyError, IndexError, TypeError):
+            return None
+        if eo is None:
+            return None
+        if isinstance(eo, str):
+            try:
+                eo = json.loads(eo)
+            except json.JSONDecodeError:
+                # the engine may surface the Python offset dict's repr
+                import ast
+
+                eo = ast.literal_eval(eo)
+        return ManifestStreamReader._key(eo)
+
+    target = (tip, float("inf"))
+    n_data_batches = 0
+    seen_batch_ids: set = set()
+    reached = tip == 0
+    deadline = time.monotonic() + timeout_secs
+    try:
+        while True:
+            if q.exception() is not None:
+                raise q.exception()
+            for p in q.recentProgress:
+                bid = p.get("batchId")
+                if bid in seen_batch_ids:
+                    continue
+                seen_batch_ids.add(bid)
+                if p.get("numInputRows", 0) > 0:
+                    n_data_batches += 1
+                k = _end_key(p)
+                if k is not None and k >= target:
+                    reached = True
+            if reached:
+                break
+            if max_batches is not None and n_data_batches >= max_batches:
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"drain of {table_dir} did not reach v{tip} in "
+                    f"{timeout_secs}s ({n_data_batches} data batches "
+                    "completed)"
+                )
+            time.sleep(poll_secs)
+    finally:
+        q.stop()
+        q.awaitTermination(120)
+    return {"batches": n_data_batches, "tip": tip, "reached_tip": reached}

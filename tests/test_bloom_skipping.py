@@ -201,3 +201,48 @@ def test_pushdown_reader_consults_blooms(spark, tmp_path):
     rdr2._skip_preds.append(("id", "==", 777))
     kept = len([p for p in rdr2.partitions() if p.path])
     assert kept <= 2 < total
+
+
+# --------------------------------------------- contract edges (r10)
+
+
+def test_big_integral_float_probe_never_skips():
+    """Above 2**53 doubles are not exact over the integers, so an
+    equal (int, float) pair cannot share one hash key — such probes
+    are OUTSIDE the contract and must pass (ADVICE r9)."""
+    n = 2**53 + 8
+    bloom = M._build_bloom([n])  # int keys build fine
+    assert bloom is not None
+    assert M._bloom_may_contain(bloom, float(n))  # probe passes
+    assert M._bloom_may_contain(bloom, float(n + 16))
+    # a float column with >= 2**53 integral values builds NO bloom
+    assert M._build_bloom([float(n)]) is None
+    assert M._build_bloom([1.5, float(n)]) is None
+
+
+def test_cross_typed_probe_never_skips():
+    """Numeric probe on string keys (and vice versa) must pass: the
+    residual filter compares after an implicit cast ('01' == 1), which
+    literal hashing cannot model."""
+    sb = M._build_bloom(["01", "02"])
+    assert sb is not None and sb["kind"] == "str"
+    assert M._bloom_may_contain(sb, 1)
+    assert M._bloom_may_contain(sb, 1.0)
+    assert not M._bloom_may_contain(sb, "03")  # same-class still skips
+    nb = M._build_bloom([1, 2])
+    assert nb is not None and nb["kind"] == "num"
+    assert M._bloom_may_contain(nb, "01")
+    assert not M._bloom_may_contain(nb, 3)
+
+
+def test_mixed_class_column_builds_no_bloom():
+    assert M._build_bloom([1, "a"]) is None
+
+
+def test_legacy_bloom_without_kind_passes():
+    """Pre-r10 persisted blooms never recorded a value class; they are
+    treated as outside the contract (pass) rather than risking a
+    cross-typed false negative."""
+    bloom = M._build_bloom([1, 2, 3])
+    legacy = {k: v for k, v in bloom.items() if k != "kind"}
+    assert M._bloom_may_contain(legacy, 999)
