@@ -2377,7 +2377,7 @@ def update_where(
             # nothing — rebase instead of aborting (logical conflict
             # resolution; unprovable cases still abort like the big
             # formats).
-            ok, why = _interleaved_appends_disjoint(
+            ok, why = _interleaved_commits_disjoint(
                 table_dir, base_version, prev, preds
             )
             if not ok:
@@ -2434,56 +2434,156 @@ def update_where(
     return _publish(table_dir, build)
 
 
-def _interleaved_appends_disjoint(
+#: interleaved version modes a snapshot-derived write can try to
+#: rebase over; everything else (overwrite, set_schema, clone,
+#: dynpart_overwrite) restructures history or identity and always
+#: conflict-aborts
+_REBASEABLE_MODES = frozenset(
+    ("append", "set_constraint", "set_bloom", "compact", "delete",
+     "update", "merge")
+)
+
+
+def _interleaved_commits_disjoint(
     table_dir: str, base: int, prev: int, read_preds: list | None
 ) -> tuple[bool, str]:
     """Logical conflict check: can a snapshot-derived write computed
     at ``base`` be safely REBASED onto ``prev`` instead of aborting?
 
-    True when every interleaved version base+1..prev is a pure append
-    (or a metadata-only constraint version) whose NEW files provably
-    contain no row matching ``read_preds`` — the operation's read set,
-    proven file-by-file against the manifest's footer stats with the
-    same may-match machinery file skipping uses.  This is the
-    Delta/Iceberg logical-conflict shape (file-set / predicate
-    intersection) that stops one busy appender from starving every
-    MERGE on the table; anything unprovable stays a conflict-abort
-    (pruning-grade proofs never guess)."""
+    This is the Delta/Iceberg file-set/predicate-intersection shape,
+    proven per file against the manifest's footer stats with the same
+    may-match machinery file skipping uses; anything unprovable stays
+    a conflict-abort (pruning-grade proofs never guess).  Per
+    interleaved version, by what it did to the file set:
+
+    * pure appends (+ metadata-only constraint/bloom versions): every
+      NEW file must provably contain no row matching ``read_preds``;
+    * file rewrites (``compact`` — scoped or full OPTIMIZE — and COW
+      ``merge``): every file REMOVED **and** every file ADDED must
+      provably miss the read set — two disjoint scoped compactions
+      commute, and a MERGE whose touched files miss ours does too;
+    * MoR tombstones (``delete``, and the tombstone half of
+      ``update``): no file live when the tombstone landed may match
+      BOTH the tombstone's predicates and the read set — row-level
+      disjointness at file granularity, so the interleaved delete
+      cannot have removed a row this operation read or rewrote (a
+      rewritten dir sits outside the tombstone's pinned dir scope, so
+      an overlap would resurrect deleted rows);
+    * anything else (overwrite, rename, clone) aborts.
+
+    One busy appender — or a concurrent OPTIMIZE of a cold partition,
+    the thing that runs concurrently with everything on a real table —
+    no longer starves every MERGE."""
     if read_preds is None:
         return False, "the operation's read set has no pruning envelope"
     m_base = _read_manifest(table_dir, base)
-    # stats are keyed by PHYSICAL names; interleaved appends cannot
-    # change the mapping (a rename is mode='set_schema', rejected by
-    # the mode check below), so the base mapping is authoritative
+    # stats are keyed by PHYSICAL names; interleaved rebaseable modes
+    # cannot change the mapping (a rename is mode='set_schema',
+    # rejected below), so the base mapping is authoritative
     read_preds = _phys_preds(_load_mapping(m_base)[0], read_preds)
-    n_del = len(m_base.get("deletes", []))
-    seen = set(m_base["dirs"])
+
+    def _dir_present(m: dict, cache: dict) -> dict:
+        if id(m) not in cache:
+            ds = _load_dir_schemas(m)
+            cache[id(m)] = {
+                d: (
+                    set(StructType.fromJson(sj).fieldNames())
+                    if (sj := ds.get(d))
+                    else None
+                )
+                for d in m["dirs"]
+            }
+        return cache[id(m)]
+
+    pres_cache: dict = {}
+    m_a = m_base
     for v in range(base + 1, prev + 1):
-        m = _read_manifest(table_dir, v)
-        mode = m.get("mode")
-        if mode not in ("append", "set_constraint", "set_bloom"):
-            return False, f"version {v} is mode={mode!r}, not an append"
-        if len(m.get("deletes", [])) != n_del:
+        m_b = _read_manifest(table_dir, v)
+        mode = m_b.get("mode")
+        if mode not in _REBASEABLE_MODES:
+            return False, f"version {v} is mode={mode!r}, not rebaseable"
+        dels_a = m_a.get("deletes", [])
+        dels_b = m_b.get("deletes", [])
+        # ---- tombstone-list evolution ----
+        if mode in ("delete", "update"):
+            if (
+                len(dels_b) != len(dels_a) + 1
+                or dels_b[: len(dels_a)] != dels_a
+            ):
+                return False, (
+                    f"version {v} restructured the tombstone list"
+                )
+            new_del = [tuple(p) for p in dels_b[-1].get("preds", [])]
+            if not new_del:
+                return False, f"version {v} tombstone has no predicates"
+            # no file live at v-1 may hold a row matching BOTH the
+            # tombstone and the operation's read set
+            pres_a = _dir_present(m_a, pres_cache)
+            for d in m_a["dirs"]:
+                entries = _dir_entries(table_dir, m_a, d)
+                if entries is None:
+                    return False, f"dir {d} has no per-file entries"
+                pr = pres_a.get(d)
+                for e in entries:
+                    if _file_may_match(e, new_del, pr) and _file_may_match(
+                        e, read_preds, pr
+                    ):
+                        return False, (
+                            f"file {d}/{e['path']} may hold rows "
+                            f"matching both v{v}'s delete predicate "
+                            "and the operation's read set"
+                        )
+        elif dels_b != dels_a:
             return False, f"version {v} changed the tombstone list"
-        dir_schemas = _load_dir_schemas(m)
-        for d in m["dirs"]:
-            if d in seen:
-                continue
-            seen.add(d)
-            sj = dir_schemas.get(d)
-            present = (
-                set(StructType.fromJson(sj).fieldNames()) if sj else None
+        # ---- file-set evolution (added / removed entries) ----
+        refs_a = m_a.get("files_ref") or {}
+        refs_b = m_b.get("files_ref") or {}
+        # dirs whose shard ref is byte-identical have identical
+        # entries: only changed/new/dropped dirs are opened — the
+        # walk stays O(changed files), not O(table)
+        changed = set()
+        for d in set(m_a["dirs"]) | set(m_b["dirs"]):
+            ra, rb = refs_a.get(d), refs_b.get(d)
+            if ra is None or rb is None or ra.get("shard") != rb.get("shard"):
+                changed.add(d)
+        pres_a = _dir_present(m_a, pres_cache)
+        pres_b = _dir_present(m_b, pres_cache)
+        for d in changed:
+            ea = (
+                {x["path"]: x for x in _dir_entries(table_dir, m_a, d) or []}
+                if d in set(m_a["dirs"])
+                else {}
             )
-            entries = _dir_entries(table_dir, m, d)
-            if entries is None:
-                return False, f"dir {d} has no per-file entries"
-            for e in entries:
-                if _file_may_match(e, read_preds, present):
+            eb = (
+                {x["path"]: x for x in _dir_entries(table_dir, m_b, d) or []}
+                if d in set(m_b["dirs"])
+                else {}
+            )
+            added = [(eb[p], pres_b.get(d)) for p in eb.keys() - ea.keys()]
+            removed = [(ea[p], pres_a.get(d)) for p in ea.keys() - eb.keys()]
+            if removed and mode not in ("compact", "merge"):
+                return False, (
+                    f"version {v} (mode={mode!r}) removed file entries"
+                )
+            for e, pr in added:
+                if _file_may_match(e, read_preds, pr):
                     return False, (
-                        f"file {d}/{e['path']} (appended by v{v}) may "
+                        f"file {d}/{e['path']} (added by v{v}) may "
                         "contain rows matching the operation's read set"
                     )
+            for e, pr in removed:
+                if _file_may_match(e, read_preds, pr):
+                    return False, (
+                        f"file {d}/{e['path']} (removed by v{v}) may "
+                        "have contained rows matching the operation's "
+                        "read set"
+                    )
+        m_a = m_b
     return True, ""
+
+
+#: historical name (rounds 8-9 grew the pure-append form first)
+_interleaved_appends_disjoint = _interleaved_commits_disjoint
 
 
 def _strip_file_uri(u: str) -> str:
@@ -2733,7 +2833,7 @@ def merge_into(
             # collided with an insert), the interleaved dirs carry
             # over untouched, and both writes land.  Anything
             # unprovable aborts as before.
-            ok, why = _interleaved_appends_disjoint(
+            ok, why = _interleaved_commits_disjoint(
                 table_dir, base, prev, where
             )
             if not ok:
@@ -2757,9 +2857,11 @@ def merge_into(
                 )
         dirs = list(m["dirs"])
         files = _carry_files(table_dir, m)
-        # touched_dirs/touched were computed at base; a rebase is only
-        # reachable over pure appends, which never reshape existing
-        # dirs, so the base-time sets remain exact at prev
+        # touched_dirs/touched were computed at base; a rebase is
+        # reachable only over interleaves provably disjoint from the
+        # merge's read set — and touched files DO match it (they hold
+        # matched target rows), so no interleaved rewrite can have
+        # replaced one: the base-time sets remain exact at prev
         for d in touched_dirs:
             files[d] = [
                 e
@@ -3550,20 +3652,23 @@ def compact_where(
     def build(prev: int) -> dict:
         m = _read_manifest(table_dir, prev)
         if prev != base:
-            n_del = len(m0.get("deletes", []))
-            for w in range(base + 1, prev + 1):
-                mw = _read_manifest(table_dir, w)
-                mode = mw.get("mode")
-                if mode not in ("append", "set_constraint", "set_bloom"):
-                    raise ConcurrentTableModificationError(
-                        f"version {w} is mode={mode!r} (not an "
-                        "append); re-run the scoped compaction"
-                    )
-                if len(mw.get("deletes", [])) != n_del:
-                    raise ConcurrentTableModificationError(
-                        f"version {w} changed the tombstone list; "
-                        "re-run the scoped compaction"
-                    )
+            # rebase over provably-disjoint interleaves: pure appends
+            # outside the compaction's read set (compaction commutes
+            # with appends), a second scoped OPTIMIZE of DISJOINT
+            # files, a MERGE/delete that provably missed ours —
+            # anything unprovable aborts (an overlapping delete would
+            # have its rows resurrected by this rewrite, whose dir
+            # sits outside the tombstone's pinned scope)
+            ok, why = _interleaved_commits_disjoint(
+                table_dir, base, prev, preds
+            )
+            if not ok:
+                raise ConcurrentTableModificationError(
+                    f"table advanced to v{prev} while compact_where "
+                    f"was rewriting v{base}, and the interleaved "
+                    f"commits are not provably disjoint ({why}); "
+                    "re-run the scoped compaction"
+                )
             if _load_mapping(m)[0] != base_mapping:
                 raise ConcurrentTableModificationError(
                     "column mapping changed mid-compaction; re-run"

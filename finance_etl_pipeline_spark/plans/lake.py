@@ -1162,3 +1162,92 @@ def manifest_stream_drain_availablenow(
         F.count_distinct(F.col("o_orderkey")).alias("n_keys"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_conflict_rebase_rewrites",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_abs_e2,
+           CAST(sum(CASE WHEN o_orderkey % 3 = 0
+                         THEN -{sql_igrid('o_totalprice', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+             AS BIGINT) AS sum_signed_e2
+    FROM orders
+    WHERE o_orderkey % 5 <> 4
+    """,
+    "lake",
+)
+def manifest_conflict_rebase_rewrites(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generalized logical conflict resolution (r10), end to end:
+    orders land partitioned by ``bucket = o_orderkey % 5`` in two
+    fragmented appends; an UPDATE of buckets <= 3 (negate key%3==0
+    prices — sign-exact under the integer-cent grid) publishes while
+    a DISJOINT ``delete_where(bucket == 4)`` wins the race, then a
+    scoped OPTIMIZE of bucket 1 publishes while a scoped OPTIMIZE of
+    bucket 2 wins its race.  Both rebases must land BOTH writers
+    (file-set intersection proofs: the hive partitioning makes every
+    pair provably disjoint).  The final aggregates equal the symbolic
+    oracle — a lost update, a resurrected bucket-4 row, or a dropped
+    compaction row all diverge."""
+    t = tempfile.mkdtemp(prefix="mlake_rebase_") + "/tbl"
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", (F.col("o_orderkey") % 5).cast("int"))
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(2),
+        t,
+        partition_by=["bucket"],
+    )
+    M.commit(
+        o.filter(F.col("o_orderkey") % 2 == 1).repartition(2),
+        t,
+        partition_by=["bucket"],
+    )
+
+    def _race(action):
+        orig = M._publish
+        state = {"armed": True}
+
+        def hooked(table_dir, build):
+            if state["armed"]:
+                state["armed"] = False
+                action(table_dir)
+            return orig(table_dir, build)
+
+        M._publish = hooked
+        return orig
+
+    orig = _race(lambda td: M.delete_where(td, [("bucket", "==", 4)]))
+    try:
+        M.update_where(
+            spark,
+            t,
+            [("bucket", "<=", 3)],
+            {
+                "o_totalprice": F.when(
+                    F.col("o_orderkey") % 3 == 0,
+                    -F.col("o_totalprice"),
+                ).otherwise(F.col("o_totalprice"))
+            },
+        )
+    finally:
+        M._publish = orig
+    orig = _race(
+        lambda td: M.compact_where(spark, td, [("bucket", "==", 2)])
+    )
+    try:
+        M.compact_where(spark, t, [("bucket", "==", 1)])
+    finally:
+        M._publish = orig
+
+    return M.read_version(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.abs(F.col("o_totalprice")), 2)).alias("sum_abs_e2"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_signed_e2"),
+    )

@@ -1,8 +1,12 @@
 """Logical conflict resolution: snapshot-derived writes (MERGE INTO /
-update_where) REBASE over interleaved commits that are provably
-disjoint appends, and still conflict-abort on anything unprovable —
-the Delta/Iceberg file-set/predicate intersection shape, so one busy
-appender no longer starves every MERGE on the table."""
+update_where / compact_where) REBASE over interleaved commits that are
+provably disjoint — pure appends outside the read set, scoped
+OPTIMIZEs whose replaced+added files miss it, MoR deletes whose
+tombstone is file-disjoint from it — and still conflict-abort on
+anything unprovable (overlaps, overwrites, renames): the
+Delta/Iceberg file-set/predicate intersection shape, so one busy
+appender (or a cold-partition OPTIMIZE) no longer starves every MERGE
+on the table."""
 
 from __future__ import annotations
 
@@ -83,9 +87,37 @@ def test_merge_aborts_on_overlapping_append(spark, tmp_path):
     assert got == {(1, 10.0), (2, 20.0), (3, 33.0)}
 
 
-def test_merge_aborts_on_interleaved_delete(spark, tmp_path):
+def test_merge_rebases_over_file_disjoint_delete(spark, tmp_path):
+    """r10: a MERGE rebases over an interleaved delete_where whose
+    tombstone provably hits no file the merge read — both writes
+    land (Delta/Iceberg file-set intersection)."""
     t = str(tmp_path / "tbl")
-    M.commit(_df(spark, [(1, 10.0), (2, 20.0), (900, 5.0)]), t)
+    # two files: keys {1,2} and {900} — the delete's file is disjoint
+    # from the merge's read set
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]).coalesce(1), t)
+    M.commit(_df(spark, [(900, 5.0)]).coalesce(1), t)
+    source = _df(spark, [(2, 99.0)])
+
+    hooked, orig = _interleave(
+        lambda td: M.delete_where(td, [("id", "==", 900)])
+    )
+    M._publish = hooked
+    try:
+        v = M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    assert v == 4  # base 2 + interleaved delete + rebased merge
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 99.0)}  # updated AND deleted
+
+
+def test_merge_aborts_on_overlapping_delete(spark, tmp_path):
+    """A delete whose tombstone may hit a file inside the merge's read
+    set still aborts: rebasing would resurrect the deleted rows (the
+    merge's rewritten dir sits outside the tombstone's dir scope)."""
+    t = str(tmp_path / "tbl")
+    # ONE file holds both the merge target and the delete target
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0), (900, 5.0)]).coalesce(1), t)
     source = _df(spark, [(2, 99.0)])
 
     hooked, orig = _interleave(
@@ -97,6 +129,9 @@ def test_merge_aborts_on_interleaved_delete(spark, tmp_path):
             M.merge_into(spark, t, source, ["id"])
     finally:
         M._publish = orig
+    # the delete survives; the merge left nothing behind
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
 
 
 def test_merge_rebase_keeps_interleaved_evolved_column(spark, tmp_path):
@@ -290,3 +325,213 @@ def test_optimize_keeps_interleaved_partitioned_append(spark, tmp_path):
     assert (900, "z") in got and len(got) == 41
     pruned = M.read_version(spark, t, where=[("grp", "==", "z")])
     assert [(r["id"], r["grp"]) for r in pruned.collect()] == [(900, "z")]
+
+
+# ------------------------------------------------ r10: rewrite modes
+
+
+def _part_tbl(spark, t, n_appends=3):
+    """Hive-partitioned table with fragmented grp='a' and grp='b'."""
+    for i in range(n_appends):
+        df = spark.createDataFrame(
+            [
+                (i * 10 + j, "a" if j < 4 else "b", float(j))
+                for j in range(8)
+            ],
+            "id int, grp string, amt double",
+        ).coalesce(1)
+        M.commit(df, t, partition_by=["grp"])
+
+
+def test_disjoint_scoped_optimizes_both_land(spark, tmp_path):
+    """Two compact_where on DISJOINT partitions commute — the thing
+    that runs concurrently with everything on a busy table."""
+    t = str(tmp_path / "tbl")
+    _part_tbl(spark, t)
+    before = {
+        (r["id"], r["grp"], r["amt"])
+        for r in M.read_version(spark, t).collect()
+    }
+
+    hooked, orig = _interleave(
+        lambda td: M.compact_where(spark, td, [("grp", "==", "b")])
+    )
+    M._publish = hooked
+    try:
+        v = M.compact_where(spark, t, [("grp", "==", "a")])
+    finally:
+        M._publish = orig
+    assert v == 5  # 3 appends + interleaved compact + rebased compact
+    m = M._read_manifest(t, v)
+    files = M._load_files(t, m)
+    by_part = {}
+    for d, es in files.items():
+        for e in es:
+            by_part.setdefault(e["parts"]["grp"], []).append(e)
+    assert len(by_part["a"]) == 1 and len(by_part["b"]) == 1
+    after = {
+        (r["id"], r["grp"], r["amt"])
+        for r in M.read_version(spark, t).collect()
+    }
+    assert after == before
+
+
+def test_scoped_optimize_aborts_on_overlapping_optimize(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _part_tbl(spark, t)
+    hooked, orig = _interleave(
+        lambda td: M.compact_where(spark, td, [("grp", "==", "a")])
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.compact_where(spark, t, [("grp", "==", "a")])
+    finally:
+        M._publish = orig
+    # the interleaved compaction landed; content intact
+    assert M.count_rows(t) == 24
+
+
+def test_merge_rebases_over_disjoint_scoped_optimize(spark, tmp_path):
+    """MERGE computed at base lands over an interleaved scoped
+    OPTIMIZE whose replaced+added files provably miss the merge's
+    read set."""
+    t = str(tmp_path / "tbl")
+    # file A: keys 1-2 (merge's target); files B: keys 100+ fragmented
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]).coalesce(1), t)
+    M.commit(_df(spark, [(100, 1.0)]).coalesce(1), t)
+    M.commit(_df(spark, [(101, 2.0)]).coalesce(1), t)
+    source = _df(spark, [(2, 99.0), (3, 30.0)])
+
+    hooked, orig = _interleave(
+        lambda td: M.compact_where(spark, td, [("id", ">=", 100)])
+    )
+    M._publish = hooked
+    try:
+        v = M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    assert v == 5
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 99.0), (3, 30.0), (100, 1.0), (101, 2.0)}
+
+
+def test_merge_aborts_on_overlapping_scoped_optimize(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]).coalesce(1), t)
+    M.commit(_df(spark, [(100, 1.0)]).coalesce(1), t)
+    source = _df(spark, [(2, 99.0)])
+
+    hooked, orig = _interleave(
+        lambda td: M.compact_where(spark, td, [("id", "<=", 50)])
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 20.0), (100, 1.0)}
+
+
+def test_scoped_optimize_rebases_over_disjoint_delete(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _part_tbl(spark, t)
+
+    hooked, orig = _interleave(
+        lambda td: M.delete_where(td, [("grp", "==", "b")])
+    )
+    M._publish = hooked
+    try:
+        v = M.compact_where(spark, t, [("grp", "==", "a")])
+    finally:
+        M._publish = orig
+    assert v == 5
+    got = {(r["id"], r["grp"]) for r in M.read_version(spark, t).collect()}
+    assert {g for _, g in got} == {"a"}  # delete held
+    assert len(got) == 12
+
+
+def test_scoped_optimize_aborts_on_overlapping_delete(spark, tmp_path):
+    """A delete whose tombstone may hit the compaction's files aborts
+    the rewrite — rebasing would resurrect the deleted rows (the
+    compacted dir is outside the tombstone's pinned dir scope)."""
+    t = str(tmp_path / "tbl")
+    _part_tbl(spark, t)
+    hooked, orig = _interleave(
+        lambda td: M.delete_where(td, [("id", "==", 1)])  # grp='a' row
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.compact_where(spark, t, [("grp", "==", "a")])
+    finally:
+        M._publish = orig
+    got = {r["id"] for r in M.read_version(spark, t).collect()}
+    assert 1 not in got and len(got) == 23
+
+
+def test_update_where_rebases_over_disjoint_delete(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]).coalesce(1), t)
+    M.commit(_df(spark, [(900, 5.0)]).coalesce(1), t)
+
+    hooked, orig = _interleave(
+        lambda td: M.delete_where(td, [("id", "==", 900)])
+    )
+    M._publish = hooked
+    try:
+        v = M.update_where(
+            spark, t, [("id", "==", 2)], {"amt": F.lit(99.0)}
+        )
+    finally:
+        M._publish = orig
+    assert v == 4
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 99.0)}
+
+
+def test_update_where_rebases_over_disjoint_update(spark, tmp_path):
+    """Two file-disjoint MoR updates land; the second rebases over the
+    first's tombstone+dir pair."""
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0), (2, 20.0)]).coalesce(1), t)
+    M.commit(_df(spark, [(900, 5.0)]).coalesce(1), t)
+
+    hooked, orig = _interleave(
+        lambda td: M.update_where(
+            spark, td, [("id", "==", 900)], {"amt": F.lit(55.0)}
+        )
+    )
+    M._publish = hooked
+    try:
+        v = M.update_where(
+            spark, t, [("id", "==", 2)], {"amt": F.lit(99.0)}
+        )
+    finally:
+        M._publish = orig
+    assert v == 4
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 99.0), (900, 55.0)}
+
+
+def test_merge_still_aborts_on_interleaved_overwrite(spark, tmp_path):
+    """Overwrite restructures history: never rebaseable."""
+    t = str(tmp_path / "tbl")
+    M.commit(_df(spark, [(1, 10.0)]).coalesce(1), t)
+    source = _df(spark, [(1, 99.0)])
+
+    hooked, orig = _interleave(
+        lambda td: M.commit(
+            _df(spark, [(700, 7.0)]), td, mode="overwrite"
+        )
+    )
+    M._publish = hooked
+    try:
+        with pytest.raises(M.ConcurrentTableModificationError):
+            M.merge_into(spark, t, source, ["id"])
+    finally:
+        M._publish = orig
+    got = {(r["id"], r["amt"]) for r in M.read_version(spark, t).collect()}
+    assert got == {(700, 7.0)}

@@ -87,9 +87,62 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 "evolve",
                 "merge_race",
                 "compact_race",
+                "delete_race",
             ]
         )
-        if op == "compact_race":
+        if op == "delete_race" and model:
+            # CONCURRENT WRITER #3 (r10): a file-disjoint delete_where
+            # lands between a merge's compute and its publish — the
+            # generalized rebase must land BOTH (delete held, merge
+            # exact), because no file can hold rows matching both the
+            # tombstone and the merge's key envelope
+            big = 10_000_000 * (step + 2)
+            sac_rows = [(big + i, big + i) for i in range(2)]
+            sac = spark.createDataFrame(
+                sac_rows, "k long, p long"
+            ).coalesce(1)
+            v_sac = M.commit(sac, t)  # the delete's own single file
+            pre = dict(model)
+            history[v_sac] = {
+                **pre,
+                **{k: (p, None) for k, p in sac_rows},
+            }
+            upd = rng.sample(
+                sorted(model), min(len(model), rng.randint(3, 12))
+            )
+            delta = rng.randint(1, 999)
+            orig_pub = M._publish
+            state = {"armed": True}
+
+            def hooked(table_dir, build, _o=orig_pub, _s=state, _b=big):
+                if _s["armed"]:
+                    _s["armed"] = False
+                    M.delete_where(table_dir, [("k", ">=", int(_b))])
+                return _o(table_dir, build)
+
+            M._publish = hooked
+            try:
+                if evolved:
+                    rows = [(k, model[k][0] + delta, k % 7) for k in upd]
+                    src = spark.createDataFrame(
+                        sorted(rows), "k long, p long, q long"
+                    )
+                    v = M.merge_into(
+                        spark, t, src, ["k"], evolve_schema=True
+                    )
+                    merged = {k: (p, q) for k, p, q in rows}
+                else:
+                    rows = [(k, model[k][0] + delta) for k in upd]
+                    src = spark.createDataFrame(
+                        sorted(rows), "k long, p long"
+                    )
+                    v = M.merge_into(spark, t, src, ["k"])
+                    merged = {k: (p, None) for k, p in rows}
+            finally:
+                M._publish = orig_pub
+            history[v - 1] = dict(pre)  # the interleaved delete's snap
+            model = {**pre, **merged}
+        elif op == "compact_race":
             # CONCURRENT WRITER under OPTIMIZE: compaction must rebase
             # over the interleaved append (commutes), landing both —
             # the compacted rewrite of what it read plus the new rows
