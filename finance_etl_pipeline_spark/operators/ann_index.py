@@ -17,10 +17,17 @@ layout: a search that probes ``nprobe`` of ``n_cells`` cells reads
 partition-level file skipping (``read_version(where=('cell_id','in',
 ...))`` prunes whole cells from METADATA, no directory listing).
 
-Centroids are deterministic (the vectors with id < n_cells), matching
-``plans/ivf.py`` so the DuckDB oracle can mirror the assignment; a
-real deployment swaps in k-means (operators/kmeans.py) without
-touching the index layout.  Rounding is identical to the inline path
+Centroids train two ways (``method=``): ``'first_k'`` — the vectors
+with id < n_cells, deterministic, matching ``plans/ivf.py`` so the
+DuckDB oracle can mirror the assignment — or ``'kmeans'`` (Lloyd's
+via operators/kmeans.py, the real coarse quantizer, itself
+oracle-mirrored CTE-for-CTE).  Index BALANCE is monitored from
+metadata alone (``ivf_cell_counts`` / ``ivf_skew`` — manifest
+per-file stats, no data file opened), and ``ivf_maybe_recluster``
+retrains + reassigns when drift skews cells past a bound — the
+missing half of incremental maintenance, since appends only ever
+assign into the ORIGINAL cells.  Rounding is identical to the inline
+path
 (fround 6 for centroid similarity, igrid 4 for result cosine), so the
 persisted search returns bit-identical results to the inline IVF —
 the equivalence tests/test_ann_index.py pins.
@@ -92,6 +99,10 @@ def _assign_cells(base: DataFrame, cents: DataFrame, top: int) -> DataFrame:
     )
 
 
+def _meta_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "meta")
+
+
 def ivf_build_index(
     spark: SparkSession,
     emb: DataFrame,
@@ -99,19 +110,51 @@ def ivf_build_index(
     n_cells: int = N_CELLS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "first_k",
+    iterations: int = 3,
 ) -> int:
     """Materialize the IVF index: centroids table + cell-partitioned
-    assignment table, each one manifest version.  Returns the
-    assignment table's published version.  Idempotent per call
-    (overwrite): rebuilding refreshes both tables atomically for
-    readers (snapshot isolation per table)."""
+    assignment table + a 1-row meta table (n_cells/method/iterations —
+    what ``ivf_maybe_recluster`` needs to rebuild), each one manifest
+    version.  Returns the assignment table's published version.
+    Idempotent per call (overwrite): rebuilding refreshes each table
+    atomically for readers (snapshot isolation per table).
+
+    ``method``: ``'first_k'`` (deterministic — the vectors with
+    id < n_cells, mirrored by the DuckDB oracle) or ``'kmeans'``
+    (Lloyd's via operators/kmeans.py — the real coarse quantizer; the
+    centroid COUNT may come back < n_cells when a cell empties)."""
     base = _base(emb, id_col, vec_col)
-    cents = base.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
+    if method == "kmeans":
+        from finance_etl_pipeline_spark.operators.kmeans import kmeans
+
+        train = base.select("vec_id", "v").cache()
+        try:
+            _, centroids = kmeans(train, k=n_cells, iterations=iterations)
+        finally:
+            train.unpersist()
+        cents = spark.createDataFrame(
+            [(int(i), [float(x) for x in cv]) for i, (_, cv) in
+             enumerate(centroids)],
+            "cell_id long, cv array<double>",
+        ).withColumn("cn", norm(F.col("cv")))
+    elif method == "first_k":
+        cents = base.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    else:
+        raise ValueError(f"unknown IVF training method: {method!r}")
     M.commit(cents.coalesce(1), _centroids_dir(index_dir), mode="overwrite")
+    M.commit(
+        spark.createDataFrame(
+            [(int(n_cells), method, int(iterations))],
+            "n_cells long, method string, iterations long",
+        ),
+        _meta_dir(index_dir),
+        mode="overwrite",
+    )
     assigned = (
         _assign_cells(base, cents, top=1)
         .select("vec_id", "cell_id")
@@ -216,4 +259,87 @@ def ivf_search(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def ivf_cell_counts(index_dir: str) -> dict[int, int]:
+    """Per-cell row counts answered from the assignment table's
+    MANIFEST (per-file stats grouped by the hive partition value) — no
+    data file is opened, so monitoring index balance is O(#files) of
+    metadata even at 100 TB.  The assignment table is append-only by
+    construction (build overwrites, appends append; no tombstones), so
+    the per-file counts are exact."""
+    adir = _assignments_dir(index_dir)
+    m = M._read_manifest(adir, M.latest_version(adir))
+    counts: dict[int, int] = {}
+    for d in m["dirs"]:
+        for e in M._dir_entries(adir, m, d) or []:
+            cid = (e.get("parts") or {}).get("cell_id")
+            if cid is None:
+                continue
+            counts[int(cid)] = counts.get(int(cid), 0) + int(e["rows"])
+    return counts
+
+
+def ivf_skew(index_dir: str) -> float:
+    """Balance factor of the index: max cell rows / ideal-even rows
+    (1.0 = perfectly balanced, n_cells = everything in one cell).
+    Computed metadata-only via ``ivf_cell_counts``; the declared
+    n_cells (meta table at build time) is the denominator's cell
+    count, so cells EMPTIED by drift count against balance too."""
+    counts = ivf_cell_counts(index_dir)
+    total = sum(counts.values())
+    if not total:
+        return 1.0
+    # declared cell count from the meta table's manifest stats —
+    # metadata-only like the counts themselves
+    mdir = _meta_dir(index_dir)
+    mm = M._read_manifest(mdir, M.latest_version(mdir))
+    declared = None
+    for d in mm["dirs"]:
+        for e in M._dir_entries(mdir, mm, d) or []:
+            st = e.get("stats", {}).get("n_cells")
+            if st and st.get("max") is not None:
+                declared = int(st["max"])
+    n = declared or len(counts)
+    return max(counts.values()) / (total / n)
+
+
+def ivf_maybe_recluster(
+    spark: SparkSession,
+    index_dir: str,
+    skew_threshold: float = 2.0,
+    iterations: int | None = None,
+) -> int | None:
+    """Re-cluster the index when distribution drift has skewed it past
+    ``skew_threshold`` (balance factor, see ``ivf_skew``); returns the
+    rebuilt assignment table's version, or None when the index is
+    still balanced (O(#files) metadata check, nothing else runs).
+
+    The rebuild trains k-means over the CURRENT vectors (regardless of
+    the original build method — re-running 'first_k' would reproduce
+    the same drifted centroids) with the meta table's n_cells, then
+    overwrites centroids + assignments atomically per table.  This is
+    the missing half of incremental maintenance: appends only ever
+    assign into the ORIGINAL cells, so under drift cells skew — a
+    probed giant cell approaches a full scan and recall decays for
+    queries whose true neighbors straddle stale boundaries."""
+    if ivf_skew(index_dir) <= skew_threshold:
+        return None
+    mdir = _meta_dir(index_dir)
+    meta = M.read_version(spark, mdir).collect()[0]
+    vecs = M.read_version(spark, _assignments_dir(index_dir)).select(
+        "vec_id", "v"
+    )
+    return ivf_build_index(
+        spark,
+        vecs,
+        index_dir,
+        n_cells=int(meta["n_cells"]),
+        id_col="vec_id",
+        vec_col="v",
+        method="kmeans",
+        iterations=int(
+            meta["iterations"] if iterations is None else iterations
+        ),
     )

@@ -12,6 +12,8 @@ nprobe=2 is what keeps recall useful; see tests/test_ann_recall.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -396,3 +398,101 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
     )
     return ivf_search(spark, idx, q, k=3, nprobe=NPROBE)
+
+
+def _recluster_sql() -> str:
+    from finance_etl_pipeline_spark.functions.scalars import sql_round
+    from finance_etl_pipeline_spark.plans.kmeans_sql import kmeans_ctes
+
+    ctes, _, cfinal = kmeans_ctes("base", 64)
+    sim = sql_round(
+        "list_dot_product(b.v, c.cv) / nullif(b.n * c.cn, 0.0)", 6
+    )
+    return (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings),\n    "
+        + ",\n    ".join(ctes)
+        + f""",
+    cents AS (
+      SELECT row_number() OVER (ORDER BY cluster) - 1 AS cell_id,
+             v AS cv, sqrt(list_dot_product(v, v)) AS cn
+      FROM {cfinal}
+    ),
+    nb AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM base
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY {sim} DESC, c.cell_id) AS rn
+        FROM nb b CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell_id AS BIGINT) AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM assign GROUP BY cell_id ORDER BY cell_id"""
+    )
+
+
+@register(
+    "ann_ivf_reclustered_cells",
+    _recluster_sql(),
+    "llm",
+    "similarity",
+    "iterative",
+)
+def ann_ivf_reclustered_cells(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index re-clustering end to end (r10): build the persisted IVF
+    index with K-MEANS centroids on 2/3 of the corpus, append the
+    rest against the frozen centroids, then force
+    ``ivf_maybe_recluster`` — the rebuild must retrain Lloyd's over
+    the FULL corpus (seed = 8 lowest vec_ids, the deterministic
+    contract of operators/kmeans.py) and reassign every vector by
+    rounded cosine.  The oracle recomputes the same recurrence
+    CTE-for-CTE in DuckDB; the per-cell (count, sum of ids) pair
+    diverges on any training, reindexing, or assignment drift.  The
+    emitted counts are additionally asserted equal to the
+    METADATA-ONLY ``ivf_cell_counts`` (manifest per-file stats — the
+    balance monitor never opens a data file)."""
+    import tempfile
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+    from finance_etl_pipeline_spark.operators.ann_index import (
+        ivf_build_index,
+        ivf_cell_counts,
+        ivf_index_append,
+        ivf_maybe_recluster,
+    )
+
+    idx = tempfile.mkdtemp(prefix="ann_ivf_rc_") + "/index"
+    emb = spread(table(spark, sf_dir, "embeddings"))
+    in_build = F.col("vec_id") % 3 != 2
+    ivf_build_index(spark, emb.filter(in_build), idx, method="kmeans")
+    ivf_index_append(spark, emb.filter(~in_build), idx)
+    assert ivf_maybe_recluster(spark, idx, skew_threshold=0.0) is not None
+
+    out = (
+        M.read_version(spark, os.path.join(idx, "assignments"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .orderBy("cell_id")
+    )
+    meta_counts = ivf_cell_counts(idx)
+    content_counts = {
+        int(r["cell_id"]): int(r["n_rows"]) for r in out.collect()
+    }
+    assert meta_counts == content_counts, (meta_counts, content_counts)
+    return out

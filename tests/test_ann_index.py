@@ -128,3 +128,167 @@ def test_recall_floor_vs_exact(spark, sf_dir, tmp_path):
     }
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.25, recall
+# ------------------------------------------- r10: k-means + recluster
+
+
+def _unit(v):
+    import numpy as np
+
+    v = np.asarray(v, dtype=float)
+    return (v / np.linalg.norm(v)).tolist()
+
+
+def _drift_corpus():
+    """8 anchored clusters of 10 (ids 0-7 ARE the centers, so both
+    'first_k' and the k-means seed start exact) — cluster 2's center
+    is a DECOY direction d with cos(m, d) slightly above cos(m, e0):
+    for a query near the drift center m (midway e0/e1), the FROZEN
+    probe order is (d, e0-or-e1), so nprobe=2 fetches the decoy cell
+    plus ONE half of the drift ball — recall ~0.5.  The 200-vector
+    drift ball (ids 1000+, lean 0.06 toward e0/e1 alternating, noise
+    0.015) splits 50/50 between stale cells 0 and 1.  After
+    re-clustering, centroids 0 and 1 migrate INTO the ball (cos ~0.99
+    to its queries), the decoy ranks third, and nprobe=2 covers the
+    whole ball."""
+    import numpy as np
+
+    eye = np.eye(4)
+    m = _unit(eye[0] + eye[1])
+    # cos(m, decoy) ≈ 0.7155 — above cos(m, e0) = 0.7071, so a query
+    # AT m ranks the decoy's cell first under the frozen centroids
+    decoy = _unit([0.506, 0.506, 0.494, 0.494])
+    centers = [
+        eye[0].tolist(),
+        eye[1].tolist(),
+        decoy,
+        eye[3].tolist(),
+        (-eye[0]).tolist(),
+        (-eye[1]).tolist(),
+        (-eye[2]).tolist(),
+        (-eye[3]).tolist(),
+    ]
+    rows = [(i, centers[i]) for i in range(8)]
+    rng = np.random.default_rng(7)
+    nid = 8
+    for c in centers:
+        for _ in range(9):
+            rows.append(
+                (nid, _unit(np.asarray(c) + rng.normal(0, 0.02, 4)))
+            )
+            nid += 1
+    drift = []
+    for i in range(200):
+        lean = eye[0] if i % 2 == 0 else eye[1]
+        drift.append(
+            (
+                1000 + i,
+                _unit(
+                    np.asarray(m)
+                    + 0.06 * lean
+                    + rng.normal(0, 0.015, 4)
+                ),
+            )
+        )
+    queries = [
+        (2000 + j, _unit(np.asarray(m) + rng.normal(0, 0.003, 4)))
+        for j in range(8)
+    ]
+    return rows, drift, queries
+
+
+def _exact_topk(corpus, qv, k):
+    """Brute-force oracle at the SAME quantization + tie rule as
+    ivf_search (igrid 4, ties to lowest vec_id), so recall measures
+    probe coverage, not 1e-4 tie shuffling."""
+    import math
+
+    import numpy as np
+
+    qv = np.asarray(qv)
+    sims = [
+        (
+            math.floor(
+                float(
+                    np.dot(qv, v)
+                    / (np.linalg.norm(qv) * np.linalg.norm(v))
+                )
+                * 10**4
+                + 0.5001
+            ),
+            i,
+        )
+        for i, v in corpus
+    ]
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return {i for _, i in sims[:k]}
+
+
+def _recall(spark, idx, corpus, queries, k=10, nprobe=NPROBE):
+    q = spark.createDataFrame(
+        queries, "query_id long, qv array<double>"
+    ).withColumn("qn", F.expr("sqrt(aggregate(qv, 0d, (a, x) -> a + x*x))"))
+    got = ivf_search(spark, idx, q, k=k, nprobe=nprobe).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    recs = []
+    for qid, qv in queries:
+        exact = _exact_topk(corpus, qv, k)
+        recs.append(len(by_q.get(qid, set()) & exact) / k)
+    return sum(recs) / len(recs)
+
+
+def test_kmeans_build_and_metadata_counts(spark, tmp_path):
+    from finance_etl_pipeline_spark.operators.ann_index import (
+        ivf_cell_counts,
+        ivf_skew,
+    )
+
+    rows, _, _ = _drift_corpus()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "index")
+    ivf_build_index(spark, emb, idx, method="kmeans")
+    counts = ivf_cell_counts(idx)
+    assert sum(counts.values()) == 80
+    # metadata counts equal a real group-by of the assignment table
+    real = {
+        int(r.cell_id): r.n
+        for r in M.read_version(spark, idx + "/assignments")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts == real
+    # 8 clean anchored clusters: balanced
+    assert ivf_skew(idx) <= 1.5
+
+
+def test_recluster_restores_recall_after_drift(spark, tmp_path):
+    from finance_etl_pipeline_spark.operators.ann_index import (
+        ivf_cell_counts,
+        ivf_maybe_recluster,
+        ivf_skew,
+    )
+
+    rows, drift, queries = _drift_corpus()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "index")
+    ivf_build_index(spark, emb, idx, method="kmeans")
+    assert ivf_maybe_recluster(spark, idx, skew_threshold=2.0) is None
+
+    # drift lands: appends assign into the FROZEN cells only, recall
+    # for drift-center queries decays (decoy cell outranks one half)
+    new = spark.createDataFrame(
+        drift, "vec_id long, embedding array<double>"
+    )
+    ivf_index_append(spark, new, idx)
+    corpus = rows + drift
+    frozen = _recall(spark, idx, corpus, queries)
+    assert frozen < 0.8, frozen
+    assert ivf_skew(idx) > 2.0
+
+    v = ivf_maybe_recluster(spark, idx, skew_threshold=2.0)
+    assert v is not None
+    after = _recall(spark, idx, corpus, queries)
+    assert after >= 0.9, (frozen, after)
+    assert sum(ivf_cell_counts(idx).values()) == 280
