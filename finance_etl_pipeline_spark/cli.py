@@ -122,6 +122,16 @@ def main(argv: list[str] | None = None) -> int:
         help="let MERGE INTO widen the table with new source columns "
         "(Delta autoMerge semantics); off = new columns abort loudly",
     )
+    sql_p.add_argument(
+        "--warehouse",
+        default=None,
+        metavar="ROOT",
+        help="warehouse root with a name catalog (operators/"
+        "catalog.py): every cataloged table is pre-registered as a "
+        "temp view AND as a DML target by NAME, and CREATE TABLE "
+        "[AS] / DROP TABLE [PURGE] / SHOW TABLES statements manage "
+        "the catalog",
+    )
 
     tbl_p = sub.add_parser(
         "table",
@@ -143,7 +153,17 @@ def main(argv: list[str] | None = None) -> int:
             "partitions",
         ],
     )
-    tbl_p.add_argument("dir", help="table root directory")
+    tbl_p.add_argument(
+        "dir", help="table root directory, or a catalog NAME with "
+        "--warehouse"
+    )
+    tbl_p.add_argument(
+        "--warehouse",
+        default=None,
+        metavar="ROOT",
+        help="resolve the positional argument as a catalog table "
+        "NAME under this warehouse root",
+    )
     tbl_p.add_argument("--keep-last", type=int, default=1)
     tbl_p.add_argument("--retention-seconds", type=float, default=3600.0)
     tbl_p.add_argument("--target-bytes", type=int, default=None)
@@ -234,7 +254,7 @@ def main(argv: list[str] | None = None) -> int:
         for t in TABLES:
             table(spark, args.sf_dir, t).createOrReplaceTempView(t)
         dml_tables: dict[str, str] = {}  # un-pinned manifest views
-        if args.manifest_table:
+        if args.manifest_table or args.warehouse:
             from finance_etl_pipeline_spark.sources.lakestream import (
                 ManifestTableDataSource,
             )
@@ -243,6 +263,58 @@ def main(argv: list[str] | None = None) -> int:
             spark.conf.set(
                 "spark.sql.python.filterPushdown.enabled", "true"
             )
+        if args.warehouse:
+            from finance_etl_pipeline_spark.operators import (
+                catalog as _cat,
+            )
+            from finance_etl_pipeline_spark.operators import (
+                manifest as _m,
+            )
+            from finance_etl_pipeline_spark.operators.sqldml import (
+                execute_ddl,
+                is_ddl,
+            )
+
+            if is_ddl(args.statement):
+                try:
+                    res = execute_ddl(
+                        spark, args.statement, args.warehouse
+                    )
+                except ValueError as e:
+                    print(f"DDL error: {e}", file=sys.stderr)
+                    return 2
+                if res["op"] == "show_tables":
+                    for row in res["rows"]:
+                        kind = (
+                            "managed" if row["managed"] else "external"
+                        )
+                        print(f"{row['name']}\t{row['dir']}\t{kind}")
+                elif "version" in res:
+                    print(
+                        f"{res['table']} -> {res['dir']} "
+                        f"v{res['version']} ({res['op']})"
+                    )
+                elif "dir" in res:
+                    print(
+                        f"{res['table']} -> {res['dir']} ({res['op']})"
+                    )
+                else:
+                    print(f"{res['table']} ({res['op']})")
+                return 0
+            # cataloged tables: temp views by NAME + DML targets;
+            # names claimed but not yet committed (CREATE-then-INSERT
+            # window) are DML/INSERT targets without a view
+            for row in _cat.show_tables(args.warehouse):
+                dml_tables[row["name"]] = row["dir"]
+                if _m.latest_version(row["dir"]) > 0:
+                    (
+                        spark.read.format("manifest_table")
+                        .option("table_dir", row["dir"])
+                        .option("pushdown", "true")
+                        .load()
+                        .createOrReplaceTempView(row["name"])
+                    )
+        if args.manifest_table:
             for spec in args.manifest_table:
                 name, _, rest = spec.partition("=")
                 tdir, _, ver = rest.partition("@")
@@ -318,6 +390,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "table":
+        if getattr(args, "warehouse", None):
+            from finance_etl_pipeline_spark.operators import (
+                catalog as _cat,
+            )
+
+            try:
+                args.dir = _cat.resolve(args.warehouse, args.dir)
+            except _cat.CatalogError as e:
+                print(f"catalog error: {e}", file=sys.stderr)
+                return 2
         from finance_etl_pipeline_spark.operators import manifest as M
 
         if args.action == "history":

@@ -1,0 +1,231 @@
+"""Warehouse catalog: NAME → table-dir resolution for manifest tables
+— the first thing a multi-user deployment needs once tables stop
+being filesystem paths (Delta's metastore / Iceberg's catalog role,
+minimally).
+
+Storage is a versioned JSON map under ``<root>/_catalog/``, published
+with the SAME protocol as the manifest log (operators/manifest.py::
+_publish): compose against the tip, write a private temp file, and
+``os.link`` it to ``v{n}.json`` — link(2) fails like O_EXCL when the
+version exists, so two concurrent CREATEs serialize by
+optimistic-concurrency retry and a lost CREATE of the same name
+aborts loudly against the winner's snapshot instead of silently
+overwriting the mapping.  Every catalog version is the FULL map
+(tiny by construction — a map of names), so reads are one file and
+history is free.
+
+Managed vs external: a table created without ``location`` lives under
+``<root>/<name>`` (managed — DROP PURGE deletes its data); a table
+registered at an explicit location outside the root is external —
+DROP only ever unregisters it (the Delta/Hive contract).
+
+Reference parity: the reference pipeline addresses data by
+constructor-injected paths (src/pipeline.py); a catalog has no
+counterpart there — this follows the public lakehouse-catalog shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+_CATALOG = "_catalog"
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+class CatalogError(ValueError):
+    """Name not found / invalid, or a refused DROP."""
+
+
+class TableExistsError(CatalogError):
+    """CREATE of a name the catalog already maps."""
+
+
+def _cat_dir(root: str) -> str:
+    return os.path.join(root, _CATALOG)
+
+
+def _version_path(root: str, v: int) -> str:
+    return os.path.join(_cat_dir(root), f"v{v:08d}.json")
+
+
+def _latest_version(root: str) -> int:
+    d = _cat_dir(root)
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return 0
+    best = 0
+    for n in names:
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                best = max(best, int(n[1:-5]))
+            except ValueError:
+                pass
+    return best
+
+
+def _read(root: str, v: int) -> dict:
+    with open(_version_path(root, v)) as fh:
+        return json.load(fh)
+
+
+def _snapshot(root: str) -> dict:
+    v = _latest_version(root)
+    return _read(root, v) if v else {"version": 0, "tables": {}}
+
+
+def _publish(root: str, build) -> int:
+    """``build(tables: dict) -> (tables, op)`` — same retry/link CAS
+    as the manifest log; build is re-invoked against the winner's
+    snapshot on a lost race."""
+    os.makedirs(_cat_dir(root), exist_ok=True)
+    while True:
+        prev = _latest_version(root)
+        snap = _read(root, prev) if prev else {"tables": {}}
+        tables, op = build(dict(snap["tables"]))
+        payload = {
+            "version": prev + 1,
+            "ts": time.time(),
+            "op": op,
+            "tables": tables,
+        }
+        tmp = os.path.join(_cat_dir(root), f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        try:
+            os.link(tmp, _version_path(root, prev + 1))
+        except FileExistsError:
+            continue  # lost the race: recompose against the new tip
+        finally:
+            os.unlink(tmp)
+        return prev + 1
+
+
+def _to_abs(root: str, stored: str) -> str:
+    return (
+        stored
+        if os.path.isabs(stored)
+        else os.path.join(root, stored)
+    )
+
+
+def create_table(
+    root: str, name: str, location: str | None = None
+) -> str:
+    """Register ``name``; returns the ABSOLUTE table dir.  Managed
+    tables (no ``location``) live at ``<root>/<name>`` and store a
+    root-relative dir so the warehouse can be moved wholesale;
+    ``location`` registers an external path verbatim.  The dir is NOT
+    created or written here — this is the CREATE-then-INSERT shape
+    (use ``create_table_as`` for CTAS)."""
+    if not _NAME_RE.match(name or ""):
+        raise CatalogError(
+            f"invalid table name {name!r} (want [A-Za-z_][A-Za-z0-9_]*)"
+        )
+    stored = name if location is None else os.path.abspath(location)
+
+    def build(tables: dict):
+        if name in tables:
+            raise TableExistsError(
+                f"table {name!r} already exists at "
+                f"{_to_abs(root, tables[name]['dir'])}"
+            )
+        tables[name] = {"dir": stored, "created_ts": time.time()}
+        return tables, f"create {name}"
+
+    _publish(root, build)
+    return _to_abs(root, stored)
+
+
+def create_table_as(
+    spark,
+    root: str,
+    name: str,
+    df,
+    partition_by: list[str] | None = None,
+) -> tuple[str, int]:
+    """CTAS: claim the NAME first (losing a name race aborts before
+    any data is written), then commit ``df`` as the table's v1.
+    Returns (table_dir, manifest version).  A reader resolving the
+    name in the claim→commit window sees a table with no versions —
+    the same window CREATE-then-INSERT exposes."""
+    from finance_etl_pipeline_spark.operators import manifest as M
+
+    tdir = create_table(root, name)
+    try:
+        v = M.commit(df, tdir, partition_by=partition_by)
+    except BaseException:
+        # roll the claim back so a failed CTAS is retryable
+        try:
+            drop_table(root, name, purge=False, force=True)
+        except CatalogError:
+            pass
+        raise
+    return tdir, v
+
+
+def resolve(root: str, name: str) -> str:
+    """ABSOLUTE table dir for ``name``; CatalogError when unknown."""
+    snap = _snapshot(root)
+    ent = snap["tables"].get(name)
+    if ent is None:
+        raise CatalogError(
+            f"unknown table {name!r} (have: "
+            f"{sorted(snap['tables']) or 'none'})"
+        )
+    return _to_abs(root, ent["dir"])
+
+
+def show_tables(root: str) -> list[dict]:
+    """[{name, dir, managed}] sorted by name — ``dir`` absolute."""
+    snap = _snapshot(root)
+    out = []
+    for name, ent in sorted(snap["tables"].items()):
+        out.append(
+            {
+                "name": name,
+                "dir": _to_abs(root, ent["dir"]),
+                "managed": not os.path.isabs(ent["dir"]),
+            }
+        )
+    return out
+
+
+def drop_table(
+    root: str, name: str, purge: bool = False, force: bool = False
+) -> None:
+    """Unregister ``name``.  A MANAGED table holding data refuses
+    without ``purge=True`` (which deletes its directory tree); an
+    external table is only ever unregistered — its data is not ours
+    to delete.  ``force`` skips the data check (internal: CTAS
+    rollback)."""
+    from finance_etl_pipeline_spark.operators import manifest as M
+
+    dropped: dict = {}
+
+    def build(tables: dict):
+        ent = tables.pop(name, None)
+        if ent is None:
+            raise CatalogError(f"unknown table {name!r}")
+        dropped.clear()
+        dropped.update(ent)
+        managed = not os.path.isabs(ent["dir"])
+        if managed and not purge and not force:
+            tdir = _to_abs(root, ent["dir"])
+            if os.path.isdir(tdir) and M.latest_version(tdir) > 0:
+                raise CatalogError(
+                    f"table {name!r} holds data (v"
+                    f"{M.latest_version(tdir)}); DROP TABLE {name} "
+                    "PURGE to delete it, or drop_table(purge=True)"
+                )
+        return tables, f"drop {name}"
+
+    _publish(root, build)
+    if purge and dropped and not os.path.isabs(dropped["dir"]):
+        import shutil
+
+        shutil.rmtree(_to_abs(root, dropped["dir"]), ignore_errors=True)

@@ -528,3 +528,108 @@ def execute_dml(
     if verb == "ALTER":
         return _exec_alter(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")
+
+
+# ------------------------------------------------------------ catalog DDL
+
+_DDL_VERBS = ("CREATE", "DROP", "SHOW")
+
+
+def is_ddl(statement: str) -> bool:
+    head = statement.lstrip().split(None, 1)
+    return bool(head) and head[0].upper() in _DDL_VERBS
+
+
+_CREATE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(\w+)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+    r"(?:\s+LOCATION\s+'([^']+)')?"
+    r"(?:\s+AS\s+(.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^DROP\s+TABLE\s+(\w+)(\s+PURGE)?$", re.IGNORECASE
+)
+
+
+def execute_ddl(
+    spark: SparkSession, statement: str, warehouse_root: str
+) -> dict:
+    """Catalog DDL against a warehouse root (operators/catalog.py):
+
+    * ``CREATE TABLE name`` — register a managed table (no data yet;
+      the CREATE-then-INSERT shape);
+    * ``CREATE TABLE name [PARTITIONED BY (c, ...)] AS <select>`` —
+      CTAS: the SELECT runs through Spark SQL verbatim (temp views
+      registered by the caller are visible) and lands as the table's
+      v1;
+    * ``CREATE TABLE name LOCATION '<dir>'`` — register an EXTERNAL
+      manifest table in place (no data written);
+    * ``DROP TABLE name [PURGE]`` — unregister; a managed table
+      holding data refuses without PURGE, external data is never
+      deleted;
+    * ``SHOW TABLES`` — {op, rows: [{name, dir, managed}]}.
+
+    Returns {op, table?, dir?, version?, rows?}.  Raises SqlDmlError
+    outside the subset; catalog conflicts (duplicate name) raise
+    ``catalog.TableExistsError``."""
+    from finance_etl_pipeline_spark.operators import catalog as C
+
+    stmt = statement.strip().rstrip(";").strip()
+    head = stmt.split(None, 1)[0].upper() if stmt else ""
+    if head == "SHOW":
+        if stmt.upper().split() != ["SHOW", "TABLES"]:
+            raise SqlDmlError(
+                f"unsupported SHOW statement: {stmt[:60]!r} "
+                "(supported: SHOW TABLES)"
+            )
+        return {"op": "show_tables", "rows": C.show_tables(warehouse_root)}
+    if head == "DROP":
+        m = _DROP_RE.match(stmt)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported DROP statement: {stmt[:60]!r} "
+                "(supported: DROP TABLE name [PURGE])"
+            )
+        name, purge = m.group(1), bool(m.group(2))
+        C.drop_table(warehouse_root, name, purge=purge)
+        return {"op": "drop_table", "table": name}
+    if head == "CREATE":
+        m = _CREATE_RE.match(stmt)
+        if not m:
+            raise SqlDmlError(
+                f"unsupported CREATE statement: {stmt[:60]!r} "
+                "(supported: CREATE TABLE name [PARTITIONED BY (...)]"
+                " [LOCATION '<dir>'] [AS <select>])"
+            )
+        name, parts, location, select = m.groups()
+        partition_by = (
+            [c.strip() for c in parts.split(",") if c.strip()]
+            if parts
+            else None
+        )
+        if location and select:
+            raise SqlDmlError(
+                "CREATE TABLE ... LOCATION ... AS is not supported: "
+                "an external location is registered in place, CTAS "
+                "writes managed data — pick one"
+            )
+        if select:
+            df = spark.sql(select)
+            tdir, v = C.create_table_as(
+                spark, warehouse_root, name, df, partition_by=partition_by
+            )
+            return {
+                "op": "create_table_as",
+                "table": name,
+                "dir": tdir,
+                "version": v,
+            }
+        if partition_by:
+            raise SqlDmlError(
+                "PARTITIONED BY without AS has nothing to partition: "
+                "partitioning is recorded per commit"
+            )
+        tdir = C.create_table(warehouse_root, name, location=location)
+        return {"op": "create_table", "table": name, "dir": tdir}
+    raise SqlDmlError(f"not a DDL statement: {statement[:60]!r}")

@@ -1251,3 +1251,54 @@ def manifest_conflict_rebase_rewrites(
         F.sum(igrid(F.abs(F.col("o_totalprice")), 2)).alias("sum_abs_e2"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_signed_e2"),
     )
+
+
+@register(
+    "manifest_catalog_named_table",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0
+                         THEN -{sql_igrid('o_totalprice', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+             AS BIGINT) AS sum_signed_e2
+    FROM orders
+    WHERE o_orderkey % 4 <> 3
+    """,
+    "lake",
+)
+def manifest_catalog_named_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Warehouse catalog end to end (r10, operators/catalog.py):
+    CREATE TABLE ... AS lands an orders slice as a MANAGED table under
+    a fresh warehouse root, an UPDATE addresses it BY NAME (the
+    catalog supplies the dir map to the DML layer), and the final read
+    resolves the name again — name→dir resolution, the CTAS commit,
+    and by-name DML must compose exactly or the signed sum diverges
+    from the symbolic oracle."""
+    from finance_etl_pipeline_spark.operators import catalog as C
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        execute_ddl,
+        execute_dml,
+    )
+
+    root = tempfile.mkdtemp(prefix="mlake_cat_") + "/wh"
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("cat_orders_src")
+    execute_ddl(
+        spark,
+        "CREATE TABLE kept_orders AS SELECT *, CAST(o_orderkey % 7 AS "
+        "INT) AS bucket7 FROM cat_orders_src WHERE o_orderkey % 4 <> 3",
+        root,
+    )
+    execute_dml(
+        spark,
+        "UPDATE kept_orders SET o_totalprice = -o_totalprice "
+        "WHERE bucket7 = 0",
+        {r["name"]: r["dir"] for r in C.show_tables(root)},
+    )
+    return M.read_version(spark, C.resolve(root, "kept_orders")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_signed_e2"),
+    )

@@ -1,0 +1,239 @@
+"""Warehouse catalog (operators/catalog.py + the sqldml DDL subset):
+name→dir resolution published with the manifest log's link-CAS
+protocol — create / CTAS / DML by name / SHOW / DROP-refuses-with-data
+/ DROP PURGE, plus the concurrent-CREATE race."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from finance_etl_pipeline_spark.cli import main as cli_main
+from finance_etl_pipeline_spark.operators import catalog as C
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.operators.sqldml import (
+    execute_ddl,
+    execute_dml,
+    is_ddl,
+)
+
+
+def test_create_resolve_show_drop(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    d = C.create_table(root, "t1")
+    assert d == os.path.join(root, "t1")
+    assert C.resolve(root, "t1") == d
+    with pytest.raises(C.TableExistsError):
+        C.create_table(root, "t1")
+    ext = str(tmp_path / "elsewhere" / "tbl")
+    C.create_table(root, "t2", location=ext)
+    rows = C.show_tables(root)
+    assert [(r["name"], r["managed"]) for r in rows] == [
+        ("t1", True),
+        ("t2", False),
+    ]
+    C.drop_table(root, "t1")  # no data: plain drop fine
+    C.drop_table(root, "t2")
+    assert C.show_tables(root) == []
+    with pytest.raises(C.CatalogError):
+        C.resolve(root, "t1")
+
+
+def test_ctas_dml_by_name_and_drop_purge(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id int, amt double"
+    )
+    df.createOrReplaceTempView("ctas_src")
+    res = execute_ddl(
+        spark, "CREATE TABLE fact AS SELECT * FROM ctas_src", root
+    )
+    assert res["op"] == "create_table_as" and res["version"] == 1
+    tdir = C.resolve(root, "fact")
+    assert M.count_rows(tdir) == 3
+
+    # DML by NAME: the catalog supplies the dir map
+    out = execute_dml(
+        spark,
+        "UPDATE fact SET amt = amt * 10 WHERE id <= 2",
+        {r["name"]: r["dir"] for r in C.show_tables(root)},
+    )
+    assert out["version"] == 2
+    got = {
+        (r.id, r.amt) for r in M.read_version(spark, tdir).collect()
+    }
+    assert got == {(1, 100.0), (2, 200.0), (3, 30.0)}
+
+    # a managed table holding data refuses a plain DROP
+    with pytest.raises(C.CatalogError, match="PURGE"):
+        C.drop_table(root, "fact")
+    assert C.resolve(root, "fact") == tdir  # refusal published nothing
+    C.drop_table(root, "fact", purge=True)
+    assert not os.path.exists(tdir)
+    assert C.show_tables(root) == []
+
+
+def test_drop_external_never_deletes_data(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    ext = str(tmp_path / "ext_tbl")
+    M.commit(spark.createDataFrame([(1,)], "id int"), ext)
+    C.create_table(root, "ext", location=ext)
+    C.drop_table(root, "ext", purge=True)  # purge is a no-op here
+    assert M.latest_version(ext) == 1  # data intact
+
+
+def test_ctas_partitioned(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, grp string"
+    ).createOrReplaceTempView("psrc")
+    execute_ddl(
+        spark,
+        "CREATE TABLE pt PARTITIONED BY (grp) AS SELECT * FROM psrc",
+        root,
+    )
+    tdir = C.resolve(root, "pt")
+    pruned = M.read_version(spark, tdir, where=[("grp", "==", "a")])
+    assert sorted(r.id for r in pruned.collect()) == [1, 3]
+
+
+def test_failed_ctas_rolls_back_the_name(spark, tmp_path):
+    root = str(tmp_path / "wh")
+
+    class Boom(RuntimeError):
+        pass
+
+    class FakeDF:
+        def __getattr__(self, _):
+            raise Boom("no data for you")
+
+    with pytest.raises(Exception):
+        C.create_table_as(spark, root, "ghost", FakeDF())
+    assert C.show_tables(root) == []  # claim rolled back: retryable
+    C.create_table(root, "ghost")  # and the name is free again
+
+
+def test_concurrent_create_race(spark, tmp_path):
+    """Two writers racing on version N+1: the loser recomposes against
+    the winner — same-name CREATE aborts, distinct names both land."""
+    root = str(tmp_path / "wh")
+    orig = C._publish
+
+    def racing(r, build, _armed=[True]):
+        if _armed[0]:
+            _armed[0] = False
+            C.create_table(r, "raced")  # the winner lands first
+        return orig(r, build)
+
+    C._publish = racing
+    try:
+        with pytest.raises(C.TableExistsError):
+            C.create_table(root, "raced")
+    finally:
+        C._publish = orig
+
+    # distinct names: both land via retry
+    orig2 = C._publish
+    armed = [True]
+
+    def racing2(r, build):
+        if armed[0]:
+            armed[0] = False
+            C.create_table(r, "other")
+        return orig2(r, build)
+
+    C._publish = racing2
+    try:
+        C.create_table(root, "mine")
+    finally:
+        C._publish = orig2
+    names = [r["name"] for r in C.show_tables(root)]
+    assert names == ["mine", "other", "raced"]
+
+
+def test_ddl_statement_validation(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    from finance_etl_pipeline_spark.operators.sqldml import SqlDmlError
+
+    assert is_ddl("CREATE TABLE x") and is_ddl("show tables")
+    assert not is_ddl("SELECT 1")
+    with pytest.raises(SqlDmlError, match="SHOW TABLES"):
+        execute_ddl(spark, "SHOW PARTITIONS x", root)
+    with pytest.raises(SqlDmlError, match="pick one"):
+        execute_ddl(
+            spark,
+            "CREATE TABLE x LOCATION '/tmp/x' AS SELECT 1",
+            root,
+        )
+    with pytest.raises(SqlDmlError, match="PARTITIONED"):
+        execute_ddl(spark, "CREATE TABLE x PARTITIONED BY (a)", root)
+    with pytest.raises(C.CatalogError, match="invalid"):
+        execute_ddl(spark, "CREATE TABLE 1bad", root)
+
+
+def test_cli_warehouse_end_to_end(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh")
+    sf = "/root/testdata/sf0.001"
+    rc = cli_main(
+        [
+            "sql",
+            "CREATE TABLE big_orders AS SELECT o_orderkey, "
+            "o_totalprice FROM orders WHERE o_totalprice > 100000",
+            "--sf-dir",
+            sf,
+            "--warehouse",
+            root,
+        ]
+    )
+    assert rc == 0
+    rc = cli_main(
+        ["sql", "SHOW TABLES", "--sf-dir", sf, "--warehouse", root]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "big_orders" in out and "managed" in out
+    # DML by catalog name through the CLI
+    rc = cli_main(
+        [
+            "sql",
+            "DELETE FROM big_orders WHERE o_totalprice <= 200000",
+            "--sf-dir",
+            sf,
+            "--warehouse",
+            root,
+        ]
+    )
+    assert rc == 0
+    # read back by name (temp view via the catalog)
+    rc = cli_main(
+        [
+            "sql",
+            "SELECT count(*) AS n FROM big_orders "
+            "WHERE o_totalprice <= 200000",
+            "--sf-dir",
+            sf,
+            "--warehouse",
+            root,
+        ]
+    )
+    assert rc == 0
+    assert "| 0 " in capsys.readouterr().out.replace("|0", "| 0")
+    # table maintenance by name
+    rc = cli_main(
+        ["table", "history", "big_orders", "--warehouse", root]
+    )
+    assert rc == 0
+    # plain DROP refuses (exit 2), PURGE lands
+    rc = cli_main(
+        ["sql", "DROP TABLE big_orders", "--sf-dir", sf,
+         "--warehouse", root]
+    )
+    assert rc == 2
+    rc = cli_main(
+        ["sql", "DROP TABLE big_orders PURGE", "--sf-dir", sf,
+         "--warehouse", root]
+    )
+    assert rc == 0
+    assert C.show_tables(root) == []
