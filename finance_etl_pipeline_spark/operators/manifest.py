@@ -930,6 +930,89 @@ def _read_last_hint(mdir: str) -> int:
         return 0
 
 
+#: manifest-log checkpoint cadence (Delta writes one every 10
+#: commits): every Nth publish also writes a SUMMARY of the last N
+#: versions (version → ts/mode/counts/txns), so timestamp travel and
+#: history() open O(versions/N) files on long histories instead of
+#: walking every manifest
+_CHECKPOINT_EVERY = 10
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        table_dir, _MANIFESTS, f"ckpt-{version:08d}.json"
+    )
+
+
+def _history_row(table_dir: str, v: int, m: dict) -> dict:
+    """One version's DESCRIBE HISTORY dict — shared by ``history()``
+    (manifest walk) and the checkpoint writer, so a row served from a
+    checkpoint is byte-identical to the linear walk's."""
+    summary = _files_summary(m)
+    return {
+        "version": v,
+        "ts": m.get("ts"),
+        "mode": m.get("mode"),
+        "n_dirs": len(m["dirs"]),
+        "n_files": (
+            sum(n for n, _ in summary.values())
+            if summary is not None
+            else None
+        ),
+        "n_rows": (
+            sum(r for _, r in summary.values())
+            if summary is not None and not m.get("deletes")
+            else None
+        ),
+        "n_tombstones": len(m.get("deletes", [])),
+        "txns": dict(m.get("txns", {})),
+    }
+
+
+def _write_checkpoint(table_dir: str, version: int) -> None:
+    """Best-effort checkpoint covering versions
+    (version - N, version] — written ONLY by the publisher of
+    ``version`` (no race: the version's link already serialized
+    ownership), atomically via temp + replace.  Failure is silent:
+    readers fall back to the per-manifest walk, which is always
+    correct."""
+    try:
+        summaries = {}
+        for w in range(version - _CHECKPOINT_EVERY + 1, version + 1):
+            m = _read_manifest(table_dir, w)
+            row = _history_row(table_dir, w, m)
+            row.pop("version")
+            summaries[str(w)] = row
+        tmp = os.path.join(
+            table_dir, _MANIFESTS, f".tmp-ckpt-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": version,
+                    "every": _CHECKPOINT_EVERY,
+                    "summaries": summaries,
+                },
+                fh,
+            )
+        os.replace(tmp, _checkpoint_path(table_dir, version))
+    except OSError:
+        pass
+    except VersionNotFoundError:
+        pass  # a covered version already vacuumed: skip the ckpt
+
+
+def _read_checkpoint(table_dir: str, version: int) -> dict | None:
+    try:
+        with open(_checkpoint_path(table_dir, version)) as fh:
+            ck = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if ck.get("version") != version or not ck.get("every"):
+        return None
+    return ck
+
+
 def _write_last_hint(table_dir: str, version: int) -> None:
     """Advance the tip-pointer HINT (atomic replace, forward-only).
     Purely an optimization: losers of a concurrent-publish race may
@@ -1016,17 +1099,47 @@ def version_as_of(table_dir: str, as_of) -> int:
         raise VersionNotFoundError(f"no published versions in {table_dir}")
     best = None
     earliest = None
-    for v in range(tip, 0, -1):
+    v = tip
+    while v >= 1:
+        # a checkpoint covering (v - N, v] answers the whole block
+        # from ONE file — the long-history fast path (O(versions/N))
+        ck = (
+            _read_checkpoint(table_dir, v)
+            if v % _CHECKPOINT_EVERY == 0
+            else None
+        )
+        if ck is not None and not os.path.exists(
+            _manifest_path(table_dir, v - int(ck["every"]) + 1)
+        ):
+            ck = None  # stale ckpt: block (partially) vacuumed
+        if ck is not None:
+            block = None
+            for w in range(v, v - int(ck["every"]), -1):
+                s = ck["summaries"].get(str(w))
+                if s is None:
+                    block = w  # partial ckpt: finish per-manifest
+                    break
+                ts = s.get("ts")
+                if ts is None:
+                    continue
+                earliest = (w, ts)
+                if ts <= target:
+                    best = w
+                    break
+            if best is not None:
+                break
+            v = block if block is not None else v - int(ck["every"])
+            continue
         try:
             ts = _read_manifest(table_dir, v).get("ts")
         except VersionNotFoundError:
             break  # versions below this are vacuumed
-        if ts is None:
-            continue
-        earliest = (v, ts)
-        if ts <= target:
-            best = v
-            break
+        if ts is not None:
+            earliest = (v, ts)
+            if ts <= target:
+                best = v
+                break
+        v -= 1
     if best is not None:
         return best
     raise VersionNotFoundError(
@@ -1122,6 +1235,8 @@ def _publish(table_dir: str, build_payload) -> int:
                     pass
             raise
         _write_last_hint(table_dir, prev + 1)
+        if (prev + 1) % _CHECKPOINT_EVERY == 0:
+            _write_checkpoint(table_dir, prev + 1)
         return prev + 1
 
 
@@ -3051,34 +3166,40 @@ def history(table_dir: str) -> list[dict]:
     and the writer txns map.  Driver-side manifest JSON only; no file
     is opened."""
     out = []
-    for v in range(latest_version(table_dir), 0, -1):
+    v = latest_version(table_dir)
+    while v >= 1:
+        # a checkpoint covering (v - N, v] serves the whole block from
+        # one file; rows are byte-identical to the per-manifest walk
+        # (_history_row is shared with the checkpoint writer)
+        ck = (
+            _read_checkpoint(table_dir, v)
+            if v % _CHECKPOINT_EVERY == 0
+            else None
+        )
+        if ck is not None and not os.path.exists(
+            _manifest_path(table_dir, v - int(ck["every"]) + 1)
+        ):
+            ck = None  # stale ckpt: block (partially) vacuumed
+        if ck is not None:
+            broke = None
+            for w in range(v, v - int(ck["every"]), -1):
+                s = ck["summaries"].get(str(w))
+                if s is None:
+                    broke = w
+                    break
+                out.append({"version": w, **s})
+            if broke is None:
+                v -= int(ck["every"])
+                continue
+            v = broke
         try:
             m = _read_manifest(table_dir, v)
         except VersionNotFoundError:
             break  # older versions expired by vacuum
         # per-dir ref summaries answer file/row counts without opening
         # a single shard — history stays O(#versions × #dirs)
-        summary = _files_summary(m)
-        out.append(
-            {
-                "version": v,
-                "ts": m.get("ts"),
-                "mode": m.get("mode"),
-                "n_dirs": len(m["dirs"]),
-                "n_files": (
-                    sum(n for n, _ in summary.values())
-                    if summary is not None
-                    else None
-                ),
-                "n_rows": (
-                    sum(r for _, r in summary.values())
-                    if summary is not None and not m.get("deletes")
-                    else None
-                ),
-                "n_tombstones": len(m.get("deletes", [])),
-                "txns": dict(m.get("txns", {})),
-            }
-        )
+        out.append(_history_row(table_dir, v, m))
+        v -= 1
     return out
 
 
@@ -3209,6 +3330,14 @@ def vacuum(
         path = os.path.join(mdir, f)
         if f.startswith("v") and f.endswith(".json") and int(f[1:7]) not in keep:
             os.remove(path)
+        elif f.startswith("ckpt-") and f.endswith(".json"):
+            # a checkpoint covering ANY expired version goes with the
+            # manifests it summarizes (a partially-covered ckpt would
+            # otherwise resurrect expired versions in history /
+            # timestamp travel); readers fall back per-manifest
+            cv = int(f[5:-5])
+            if cv - _CHECKPOINT_EVERY + 1 not in keep:
+                os.remove(path)
         elif f.startswith(_SHARD_PREFIX) and f.endswith(".json"):
             # reference-counted shard sweep: a shard no retained
             # manifest names is dead — unless it is younger than

@@ -1302,3 +1302,43 @@ def manifest_catalog_named_table(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_signed_e2"),
     )
+
+
+@register(
+    "manifest_checkpointed_travel",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 3 <> 2 AND o_orderkey >= 100
+    """,
+    "lake",
+)
+def manifest_checkpointed_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Manifest-log checkpoints end to end (r10): a 31-version history
+    (2 appends + 27 metadata tombstone versions + a real delete + a
+    late append) resolves TIMESTAMP travel to the pre-late-append
+    instant through block summaries written every 10 commits
+    (_CHECKPOINT_EVERY) — the deep-history path that would otherwise
+    walk every manifest.  The snapshot read must equal the symbolic
+    slice: both appended thirds, minus keys < 100, WITHOUT the late
+    third committed after the travel instant."""
+    t = tempfile.mkdtemp(prefix="mlake_ckpt_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), t)
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 1), t)
+    for i in range(27):  # deep metadata-only history
+        M.delete_where(t, [("o_orderkey", "==", -(10_000 + i))])
+    M.delete_where(t, [("o_orderkey", "<", 100)])  # v30
+    ts_v30 = M._read_manifest(t, 30)["ts"]
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 2), t)  # v31, late
+    assert M.latest_version(t) == 31
+    v = M.version_as_of(t, ts_v30)
+    assert v == 30, v
+    return M.read_version(spark, t, v).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )

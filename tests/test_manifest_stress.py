@@ -11,6 +11,7 @@ import json
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from finance_etl_pipeline_spark.operators import manifest as M
 from finance_etl_pipeline_spark.sources.readers import table
@@ -96,3 +97,90 @@ def test_long_history_with_vacuum_cycles(spark, sf_dir, tmp_path):
         if f.startswith(M._SHARD_PREFIX) and f.endswith(".json")
     }
     assert on_disk2 == live
+
+
+def test_checkpointed_200_version_history(spark, tmp_path):
+    """r10 manifest-log checkpoints: 200+ versions resolve timestamp
+    travel and DESCRIBE HISTORY through block summaries — byte-
+    identical to the per-manifest linear walk, at O(versions/10) file
+    opens — and vacuum prunes checkpoints with the manifests they
+    summarize (stale ones are ignored, never resurrect expired
+    versions)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)], "k int, p double"
+    )
+    for _ in range(4):
+        M.commit(df.coalesce(1), t)
+    # metadata-only versions build deep history fast
+    for i in range(196):
+        M.delete_where(t, [("k", "==", 100000 + i)])  # no-op tombstones
+    tip = M.latest_version(t)
+    assert tip == 200
+    mdir = os.path.join(t, M._MANIFESTS)
+    ckpts = sorted(
+        int(f[5:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("ckpt-")
+    )
+    assert ckpts == list(range(10, 201, 10))
+
+    # history: checkpoint-served rows byte-identical to the linear walk
+    fast = M.history(t)
+    orig_read_ck = M._read_checkpoint
+    M._read_checkpoint = lambda *_a, **_k: None
+    try:
+        linear = M.history(t)
+    finally:
+        M._read_checkpoint = orig_read_ck
+    assert fast == linear and len(fast) == 200
+
+    # timestamp travel resolves identically through checkpoints, and
+    # opens O(versions/10) manifests, not O(versions)
+    ts_of = {
+        v: M._read_manifest(t, v)["ts"] for v in (1, 7, 95, 150, 200)
+    }
+    orig_read = M._read_manifest
+    opens = {"n": 0}
+
+    def counting(table_dir, version):
+        opens["n"] += 1
+        return orig_read(table_dir, version)
+
+    M._read_manifest = counting
+    try:
+        for v, ts in ts_of.items():
+            assert M.version_as_of(t, ts) == v
+            if v > 1:
+                assert M.version_as_of(t, ts - 5e-7) == v - 1
+    finally:
+        M._read_manifest = orig_read
+    # deepest resolution (v1) walked 20 blocks via ckpt files; the
+    # budget is blocks + slack, nowhere near the 200 manifests
+    assert opens["n"] <= 40, opens["n"]
+
+    # a STALE checkpoint (crash window) is ignored, not trusted
+    import json as _json
+
+    fake = M._checkpoint_path(t, 10)
+    with open(fake) as fh:
+        good = _json.load(fh)
+    M.vacuum(t, keep_last=50, retention_seconds=0.0)
+    assert not os.path.exists(fake)  # pruned with its manifests
+    with open(fake, "w") as fh:
+        _json.dump(good, fh)  # resurrect a stale ckpt by hand
+    with pytest.raises(M.VersionNotFoundError):
+        M.version_as_of(t, ts_of[7])  # expired stays expired
+    assert [r["version"] for r in M.history(t)] == list(
+        range(200, 150, -1)
+    )
+    os.unlink(fake)  # drop the hand-resurrected stale ckpt
+    # retained checkpoints still serve the fast path
+    kept_ck = sorted(
+        int(f[5:-5])
+        for f in os.listdir(mdir)
+        if f.startswith("ckpt-")
+    )
+    assert kept_ck and all(cv - 9 >= 151 for cv in kept_ck)
+    assert M.version_as_of(t, ts_of[200]) == 200
+    assert M.read_version(spark, t, 151).count() == 800
