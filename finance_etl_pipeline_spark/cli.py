@@ -133,6 +133,36 @@ def main(argv: list[str] | None = None) -> int:
         "the catalog",
     )
 
+    drain_p = sub.add_parser(
+        "drain",
+        help="drain a manifest table's backlog into another manifest "
+        "table in BOUNDED micro-batches, then stop (AvailableNow x "
+        "admission control — sources/lakestream.py::drain)",
+    )
+    drain_p.add_argument("src", help="source table dir (or NAME with --warehouse)")
+    drain_p.add_argument("sink", help="sink table dir (or NAME with --warehouse)")
+    drain_p.add_argument("--checkpoint", required=True)
+    drain_p.add_argument("--max-files", type=int, default=None)
+    drain_p.add_argument(
+        "--max-bytes", default=None,
+        help="soft per-batch byte cap; accepts '64m'-style suffixes",
+    )
+    drain_p.add_argument(
+        "--max-batches", type=int, default=None,
+        help="stop after ~this many data micro-batches (resume later)",
+    )
+    drain_p.add_argument("--starting-version", default=None)
+    drain_p.add_argument("--timeout-secs", type=float, default=600.0)
+    drain_p.add_argument(
+        "--partition-by", default=None,
+        help="comma-separated hive partition columns for the sink",
+    )
+    drain_p.add_argument(
+        "--warehouse", default=None, metavar="ROOT",
+        help="resolve src/sink as catalog NAMEs under this root "
+        "(the sink is created if missing)",
+    )
+
     tbl_p = sub.add_parser(
         "table",
         help="versioned manifest-table maintenance "
@@ -380,13 +410,80 @@ def main(argv: list[str] | None = None) -> int:
                 # a clean exit with the reason, not a traceback
                 print(f"DML error: {e}", file=sys.stderr)
                 return 2
-            print(f"{res['table']} -> v{res['version']} ({res['op']})")
+            if res["op"] == "describe_history":
+                for row in res["rows"]:
+                    print(
+                        f"v{row['version']}\t{row['mode']}\t"
+                        f"ts={row['ts']}\tdirs={row['n_dirs']}\t"
+                        f"files={row['n_files']}\trows={row['n_rows']}"
+                    )
+            elif res["op"] == "vacuum":
+                print(
+                    f"{res['table']} v{res['version']} "
+                    f"({res['op']}: {res['removed']} removed)"
+                )
+            else:
+                print(
+                    f"{res['table']} -> v{res['version']} ({res['op']})"
+                )
             return 0
         df = spark.sql(args.statement)
         if args.explain:
             df.explain(mode="formatted")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.command == "drain":
+        import os as _os
+
+        from finance_etl_pipeline_spark.session import get_spark
+        from finance_etl_pipeline_spark.sources.lakestream import drain
+        from finance_etl_pipeline_spark.streaming.sink import (
+            append_stream_to_manifest,
+        )
+
+        if args.warehouse:
+            from finance_etl_pipeline_spark.operators import (
+                catalog as _cat,
+            )
+
+            try:
+                args.src = _cat.resolve(args.warehouse, args.src)
+            except _cat.CatalogError as e:
+                print(f"catalog error: {e}", file=sys.stderr)
+                return 2
+            try:
+                args.sink = _cat.resolve(args.warehouse, args.sink)
+            except _cat.CatalogError:
+                args.sink = _cat.create_table(args.warehouse, args.sink)
+        spark = get_spark(app_name="table-drain")
+        part = (
+            [c.strip() for c in args.partition_by.split(",") if c.strip()]
+            if args.partition_by
+            else None
+        )
+        # the app_id must be stable across restarts: derive it from
+        # the sink's identity, not the run
+        app_id = f"drain:{_os.path.abspath(args.sink)}"
+        out = drain(
+            spark,
+            args.src,
+            lambda df: append_stream_to_manifest(
+                df, args.sink, app_id=app_id, partition_by=part
+            ),
+            args.checkpoint,
+            max_files_per_trigger=args.max_files,
+            max_bytes_per_trigger=args.max_bytes,
+            starting_version=args.starting_version,
+            max_batches=args.max_batches,
+            timeout_secs=args.timeout_secs,
+        )
+        state = "drained" if out["reached_tip"] else "paused"
+        print(
+            f"{state} at v{out['tip']}: {out['batches']} data "
+            f"micro-batches this run"
+        )
         return 0
 
     if args.command == "table":

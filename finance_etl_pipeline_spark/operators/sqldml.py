@@ -25,6 +25,13 @@ the manifest log can execute as one atomic version:
   ``add_constraint`` / ``drop_constraint`` (validated against the
   existing data on ADD; every later write validates inside its
   publish).
+* ``INSERT INTO t <select | VALUES ...>`` / ``INSERT OVERWRITE t
+  <select>`` → ``commit`` (append inherits a uniformly-partitioned
+  table's hive layout; by-name column matching; optional ``txn``);
+* ``OPTIMIZE t [WHERE <conjunction>] [ZORDER BY (c, ...)]`` →
+  ``compact_table`` / scoped ``compact_where``;
+* ``VACUUM t [RETAIN n HOURS] [KEEP LAST k]`` → ``vacuum``;
+* ``DESCRIBE HISTORY t`` → ``history()``;
 * ``MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
   ON a.k = b.k [AND ...]
   [WHEN MATCHED THEN UPDATE SET *]
@@ -58,7 +65,10 @@ class SqlDmlError(ValueError):
     says which production failed and what IS supported."""
 
 
-_VERBS = ("UPDATE", "DELETE", "MERGE", "ALTER")
+_VERBS = (
+    "UPDATE", "DELETE", "MERGE", "ALTER", "INSERT", "OPTIMIZE",
+    "VACUUM", "DESCRIBE",
+)
 
 
 def is_dml(statement: str) -> bool:
@@ -512,9 +522,9 @@ def execute_dml(
     version}.  Raises ``SqlDmlError`` for statements outside the
     subset, and propagates ``ConcurrentTableModificationError`` from
     the underlying operators (conflict-abort: re-run against the new
-    snapshot).  ``txn=(app_id, version)`` and ``evolve_schema`` apply
-    to MERGE only — the idempotent-replay stamp and autoMerge flag of
-    ``merge_into``."""
+    snapshot).  ``txn=(app_id, version)`` applies to MERGE and
+    INSERT (the idempotent-replay stamp); ``evolve_schema`` to MERGE
+    only (the autoMerge flag of ``merge_into``)."""
     verb = statement.lstrip().split(None, 1)
     verb = verb[0].upper() if verb else ""
     if verb == "DELETE":
@@ -527,6 +537,14 @@ def execute_dml(
         )
     if verb == "ALTER":
         return _exec_alter(spark, statement, tables)
+    if verb == "INSERT":
+        return _exec_insert(spark, statement, tables, txn=txn)
+    if verb == "OPTIMIZE":
+        return _exec_optimize(spark, statement, tables)
+    if verb == "VACUUM":
+        return _exec_vacuum(spark, statement, tables)
+    if verb == "DESCRIBE":
+        return _exec_describe(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")
 
 
@@ -633,3 +651,156 @@ def execute_ddl(
         tdir = C.create_table(warehouse_root, name, location=location)
         return {"op": "create_table", "table": name, "dir": tdir}
     raise SqlDmlError(f"not a DDL statement: {statement[:60]!r}")
+
+
+# ------------------------------------------- utility / insert verbs
+
+_INSERT_RE = re.compile(
+    r"^INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^OPTIMIZE\s+(\w+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*"
+    r"\(([^)]*)\))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    r"^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+    r"(?:\s+KEEP\s+LAST\s+(\d+))?$",
+    re.IGNORECASE,
+)
+
+
+def _table_partition_layout(tdir: str) -> list[str] | None:
+    """The table's established hive layout, when EVERY data dir of the
+    tip shares one — INSERT inherits it (Delta semantics); mixed or
+    unpartitioned tables insert unpartitioned."""
+    m = M._read_manifest(tdir, M.latest_version(tdir))
+    part_dirs = m.get("partitioned_dirs", {})
+    if not part_dirs or set(part_dirs) != set(m["dirs"]):
+        return None
+    layouts = {tuple(v) for v in part_dirs.values()}
+    return list(layouts.pop()) if len(layouts) == 1 else None
+
+
+def _exec_insert(
+    spark, stmt: str, tables: dict[str, str], txn=None
+) -> dict:
+    """``INSERT INTO t <select|VALUES...>`` appends one version;
+    ``INSERT OVERWRITE t <select>`` replaces the table.  The payload
+    after the table name is handed to Spark SQL verbatim (temp views
+    visible), so ``SELECT ...`` and ``VALUES (...), (...)`` both
+    work.  Column matching is BY NAME against the table's schema
+    (reordered when needed); on a uniformly hive-partitioned table
+    the insert inherits the partition layout."""
+    m = _INSERT_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise SqlDmlError(
+            "malformed INSERT: want `INSERT INTO|OVERWRITE <table> "
+            "<select or VALUES ...>`"
+        )
+    kind, name, payload = m.groups()
+    tdir = _resolve(name, tables)
+    df = spark.sql(payload)
+    mode = "append" if kind.upper() == "INTO" else "overwrite"
+    part = None
+    if M.latest_version(tdir) > 0:
+        from pyspark.sql.types import StructType
+
+        mfest = M._read_manifest(tdir, M.latest_version(tdir))
+        tbl_schema = (
+            StructType.fromJson(mfest["schema"])
+            if "schema" in mfest
+            else None
+        )
+        if tbl_schema is not None:
+            have = set(df.columns)
+            want = [f.name for f in tbl_schema.fields]
+            if all(
+                re.fullmatch(r"col\d+", c) for c in df.columns
+            ) and len(df.columns) == len(want):
+                df = df.toDF(*want)  # bare VALUES: positional
+            elif set(want) == have and df.columns != want:
+                df = df.select(*want)  # named source: by name
+            elif not have.issubset(set(want)) and mode == "append":
+                extra = sorted(have - set(want))
+                raise SqlDmlError(
+                    f"INSERT INTO {name}: source has column(s) "
+                    f"{extra} the table lacks; evolve the schema via "
+                    "MERGE --evolve-schema or overwrite explicitly"
+                )
+        if mode == "append":
+            part = _table_partition_layout(tdir)
+    version = M.commit(df, tdir, mode=mode, partition_by=part, txn=txn)
+    return {"op": f"insert_{mode}", "table": name, "version": version}
+
+
+def _exec_optimize(spark, stmt: str, tables: dict[str, str]) -> dict:
+    """``OPTIMIZE t [WHERE <conjunction>] [ZORDER BY (c, ...)]`` →
+    ``compact_table`` / scoped ``compact_where``."""
+    m = _OPTIMIZE_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise SqlDmlError(
+            "malformed OPTIMIZE: want `OPTIMIZE <table> "
+            "[WHERE <cond>] [ZORDER BY (col, ...)]`"
+        )
+    name, cond, zorder = m.groups()
+    tdir = _resolve(name, tables)
+    zcols = (
+        [c.strip() for c in zorder.split(",") if c.strip()]
+        if zorder
+        else None
+    )
+    if cond:
+        version = M.compact_where(
+            spark, tdir, parse_where(cond), zorder_cols=zcols
+        )
+    else:
+        version = M.compact_table(spark, tdir, zorder_cols=zcols)
+    return {"op": "optimize", "table": name, "version": version}
+
+
+def _exec_vacuum(spark, stmt: str, tables: dict[str, str]) -> dict:
+    """``VACUUM t [RETAIN n HOURS] [KEEP LAST k]`` → ``vacuum``
+    (defaults: 1 hour retention, keep the tip only — the operator's
+    own defaults)."""
+    m = _VACUUM_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise SqlDmlError(
+            "malformed VACUUM: want `VACUUM <table> "
+            "[RETAIN <n> HOURS] [KEEP LAST <k>]`"
+        )
+    name, hours, keep = m.groups()
+    tdir = _resolve(name, tables)
+    removed = M.vacuum(
+        tdir,
+        keep_last=int(keep) if keep else 1,
+        retention_seconds=float(hours) * 3600.0 if hours else 3600.0,
+    )
+    return {
+        "op": "vacuum",
+        "table": name,
+        "version": M.latest_version(tdir),
+        "removed": len(removed),
+    }
+
+
+def _exec_describe(spark, stmt: str, tables: dict[str, str]) -> dict:
+    """``DESCRIBE HISTORY t`` → ``history()`` rows (checkpoint-served
+    on long histories)."""
+    m = re.match(
+        r"^DESCRIBE\s+HISTORY\s+(\w+)$",
+        stmt.strip().rstrip(";"),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise SqlDmlError(
+            "malformed DESCRIBE: want `DESCRIBE HISTORY <table>`"
+        )
+    name = m.group(1)
+    tdir = _resolve(name, tables)
+    return {
+        "op": "describe_history",
+        "table": name,
+        "rows": M.history(tdir),
+    }

@@ -1342,3 +1342,67 @@ def manifest_checkpointed_travel(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_sql_lifecycle",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 9 = 0
+                         THEN -{sql_igrid('o_totalprice', 2)}
+                         ELSE {sql_igrid('o_totalprice', 2)} END)
+             AS BIGINT) AS sum_signed_e2
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderkey % 5 <> 0
+    """,
+    "lake",
+)
+def manifest_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SQL statement surface on one named table (r10):
+    CREATE TABLE AS (even orders), INSERT INTO (a named SELECT,
+    by-name matching), UPDATE (negate key%9==0 — sign-exact under the
+    cent grid), DELETE (key%5==0 via a bucket column), OPTIMIZE
+    (materializes the tombstones), VACUUM (reclaims the pre-compact
+    files), DESCRIBE HISTORY (asserted python-side; served through
+    checkpoints on long logs) — then a read resolved by NAME must
+    equal the symbolic oracle.  One statement chain, six verbs, zero
+    Python-API calls."""
+    from finance_etl_pipeline_spark.operators import catalog as C
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        execute_ddl,
+        execute_dml,
+    )
+
+    root = tempfile.mkdtemp(prefix="mlake_sql_") + "/wh"
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("lc_orders_src")
+    execute_ddl(
+        spark,
+        "CREATE TABLE lc AS SELECT *, CAST(o_orderkey % 9 AS INT) AS "
+        "b9, CAST(o_orderkey % 5 AS INT) AS b5 FROM lc_orders_src "
+        "WHERE o_orderkey % 4 = 0",
+        root,
+    )
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    # the odd-even half arrives by INSERT INTO (by-name matching)
+    execute_dml(
+        spark,
+        "INSERT INTO lc SELECT *, CAST(o_orderkey % 9 AS INT) AS b9, "
+        "CAST(o_orderkey % 5 AS INT) AS b5 FROM lc_orders_src "
+        "WHERE o_orderkey % 4 = 2",
+        names,
+    )
+    execute_dml(
+        spark, "UPDATE lc SET o_totalprice = -o_totalprice WHERE b9 = 0",
+        names,
+    )
+    execute_dml(spark, "DELETE FROM lc WHERE b5 = 0", names)
+    execute_dml(spark, "OPTIMIZE lc", names)
+    execute_dml(spark, "VACUUM lc RETAIN 0 HOURS KEEP LAST 1", names)
+    res = execute_dml(spark, "DESCRIBE HISTORY lc", names)
+    assert [r["version"] for r in res["rows"]] == [5], res["rows"]
+    return M.read_version(spark, C.resolve(root, "lc")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_signed_e2"),
+    )

@@ -237,3 +237,105 @@ def test_cli_warehouse_end_to_end(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert C.show_tables(root) == []
+
+
+# --------------------------------------- r10: utility SQL verbs
+
+
+def test_insert_into_by_name(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    execute_ddl(
+        spark,
+        "CREATE TABLE inv AS SELECT CAST(1 AS INT) AS id, 'a' AS tag",
+        root,
+    )
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    # bare VALUES map positionally onto the table schema
+    res = execute_dml(
+        spark, "INSERT INTO inv VALUES (2, 'b')", names
+    )
+    assert res["op"] == "insert_append" and res["version"] == 2
+    tdir = C.resolve(root, "inv")
+    # a NAMED source in a different column order matches by name
+    spark.createDataFrame(
+        [("c", 3)], "tag string, id int"
+    ).createOrReplaceTempView("ins_src")
+    execute_dml(spark, "INSERT INTO inv SELECT * FROM ins_src", names)
+    got = sorted(
+        (r.id, r.tag) for r in M.read_version(spark, tdir).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # unknown extra column aborts loudly
+    spark.createDataFrame(
+        [(9, "z", 1.0)], "id int, tag string, ghost double"
+    ).createOrReplaceTempView("ins_bad")
+    from finance_etl_pipeline_spark.operators.sqldml import SqlDmlError
+
+    with pytest.raises(SqlDmlError, match="ghost"):
+        execute_dml(spark, "INSERT INTO inv SELECT * FROM ins_bad", names)
+    # OVERWRITE replaces
+    res = execute_dml(
+        spark, "INSERT OVERWRITE inv SELECT CAST(7 AS INT) AS id, "
+        "'x' AS tag", names
+    )
+    assert res["op"] == "insert_overwrite"
+    assert M.count_rows(tdir) == 1
+
+
+def test_insert_inherits_partition_layout(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, grp string"
+    ).createOrReplaceTempView("part_src")
+    execute_ddl(
+        spark,
+        "CREATE TABLE pt2 PARTITIONED BY (grp) AS "
+        "SELECT * FROM part_src",
+        root,
+    )
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    execute_dml(spark, "INSERT INTO pt2 VALUES (3, 'a')", names)
+    tdir = C.resolve(root, "pt2")
+    m = M._read_manifest(tdir, M.latest_version(tdir))
+    assert set(m["partitioned_dirs"]) == set(m["dirs"])  # inherited
+    pruned = M.read_version(spark, tdir, where=[("grp", "==", "a")])
+    assert sorted(r.id for r in pruned.collect()) == [1, 3]
+
+
+def test_optimize_vacuum_describe_by_name(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id int, amt double"
+    ).createOrReplaceTempView("ov_src")
+    execute_ddl(spark, "CREATE TABLE ov AS SELECT * FROM ov_src", root)
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    for _ in range(2):
+        execute_dml(spark, "INSERT INTO ov SELECT * FROM ov_src", names)
+    tdir = C.resolve(root, "ov")
+    res = execute_dml(spark, "OPTIMIZE ov", names)
+    assert res["op"] == "optimize" and res["version"] == 4
+    m = M._read_manifest(tdir, 4)
+    assert len(m["dirs"]) == 1  # compacted
+    res = execute_dml(
+        spark, "VACUUM ov RETAIN 0 HOURS KEEP LAST 1", names
+    )
+    assert res["op"] == "vacuum" and res["removed"] >= 3
+    res = execute_dml(spark, "DESCRIBE HISTORY ov", names)
+    assert [r["version"] for r in res["rows"]] == [4]
+    assert res["rows"][0]["mode"] in ("compact", "overwrite")
+    assert M.count_rows(tdir) == 60
+
+
+def test_insert_txn_idempotent(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    execute_ddl(spark, "CREATE TABLE tx1", root)
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    execute_dml(
+        spark, "INSERT INTO tx1 VALUES (1)", names, txn=("job", 5)
+    )
+    # replay with the same stamp is a no-op
+    execute_dml(
+        spark, "INSERT INTO tx1 VALUES (1)", names, txn=("job", 5)
+    )
+    tdir = C.resolve(root, "tx1")
+    assert M.count_rows(tdir) == 1

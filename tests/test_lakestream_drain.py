@@ -196,3 +196,53 @@ def test_drain_empty_backlog_is_a_noop(spark, tmp_path):
         )
         assert out["reached_tip"] is True
     assert len(_sink_rows(spark, sink_t)) == 12  # second call added 0
+
+
+def test_cli_drain_end_to_end(spark, tmp_path, capsys):
+    from finance_etl_pipeline_spark.cli import main as cli_main
+
+    src = str(tmp_path / "src")
+    sink_t = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+    _backlog(spark, src, n_versions=6, files_per=2)
+    rc = cli_main(
+        [
+            "drain", src, sink_t,
+            "--checkpoint", ckpt,
+            "--max-files", "4",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "drained at v6" in out
+    expected = sorted(
+        (v * 6 + j, f"v{v}") for v in range(6) for j in range(6)
+    )
+    assert _sink_rows(spark, sink_t) == expected
+    # a second run is a no-op drain on the same checkpoint
+    rc = cli_main(
+        ["drain", src, sink_t, "--checkpoint", ckpt, "--max-files", "4"]
+    )
+    assert rc == 0
+    assert _sink_rows(spark, sink_t) == expected
+
+
+def test_cli_drain_by_catalog_name(spark, tmp_path, capsys):
+    from finance_etl_pipeline_spark.cli import main as cli_main
+    from finance_etl_pipeline_spark.operators import catalog as C
+
+    root = str(tmp_path / "wh")
+    src = C.create_table(root, "src_t")
+    _backlog(spark, src, n_versions=3, files_per=1)
+    rc = cli_main(
+        [
+            "drain", "src_t", "sink_t",
+            "--checkpoint", str(tmp_path / "ck"),
+            "--max-files", "2",
+            "--warehouse", root,
+        ]
+    )
+    assert rc == 0
+    assert "drained at v3" in capsys.readouterr().out
+    got = _sink_rows(spark, C.resolve(root, "sink_t"))
+    assert len(got) == 18
