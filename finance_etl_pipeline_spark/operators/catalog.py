@@ -229,3 +229,28 @@ def drop_table(
         import shutil
 
         shutil.rmtree(_to_abs(root, dropped["dir"]), ignore_errors=True)
+
+
+def rename_table(root: str, old: str, new: str) -> None:
+    """Rename the catalog entry — metadata only; the table DIRECTORY
+    is untouched (a managed dir keeps its original path, like a Hive
+    managed rename without the data move; readers resolving the old
+    name fail loudly from the rename's publish on).  Refuses unknown
+    ``old`` and an already-mapped ``new`` atomically against the tip."""
+    if not _NAME_RE.match(new or ""):
+        raise CatalogError(
+            f"invalid table name {new!r} (want [A-Za-z_][A-Za-z0-9_]*)"
+        )
+
+    def build(tables: dict):
+        if old not in tables:
+            raise CatalogError(f"unknown table {old!r}")
+        if new in tables:
+            raise TableExistsError(
+                f"table {new!r} already exists at "
+                f"{_to_abs(root, tables[new]['dir'])}"
+            )
+        tables[new] = tables.pop(old)
+        return tables, f"rename {old} -> {new}"
+
+    _publish(root, build)

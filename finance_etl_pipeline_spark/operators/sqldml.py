@@ -553,9 +553,18 @@ def execute_dml(
 _DDL_VERBS = ("CREATE", "DROP", "SHOW")
 
 
+_RENAME_TBL_RE = re.compile(
+    r"^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def is_ddl(statement: str) -> bool:
     head = statement.lstrip().split(None, 1)
-    return bool(head) and head[0].upper() in _DDL_VERBS
+    if bool(head) and head[0].upper() in _DDL_VERBS:
+        return True
+    # table rename is catalog DDL; every other ALTER stays DML
+    return bool(_RENAME_TBL_RE.match(statement.strip()))
 
 
 _CREATE_RE = re.compile(
@@ -586,6 +595,8 @@ def execute_ddl(
     * ``DROP TABLE name [PURGE]`` — unregister; a managed table
       holding data refuses without PURGE, external data is never
       deleted;
+    * ``ALTER TABLE old RENAME TO new`` — catalog rename (metadata
+      only; the directory is untouched);
     * ``SHOW TABLES`` — {op, rows: [{name, dir, managed}]}.
 
     Returns {op, table?, dir?, version?, rows?}.  Raises SqlDmlError
@@ -595,6 +606,14 @@ def execute_ddl(
 
     stmt = statement.strip().rstrip(";").strip()
     head = stmt.split(None, 1)[0].upper() if stmt else ""
+    m = _RENAME_TBL_RE.match(stmt)
+    if m:
+        C.rename_table(warehouse_root, m.group(1), m.group(2))
+        return {
+            "op": "rename_table",
+            "table": m.group(2),
+            "dir": C.resolve(warehouse_root, m.group(2)),
+        }
     if head == "SHOW":
         if stmt.upper().split() != ["SHOW", "TABLES"]:
             raise SqlDmlError(

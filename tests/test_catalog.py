@@ -339,3 +339,100 @@ def test_insert_txn_idempotent(spark, tmp_path):
     )
     tdir = C.resolve(root, "tx1")
     assert M.count_rows(tdir) == 1
+
+
+def test_rename_table(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView(
+        "rn_src"
+    )
+    execute_ddl(spark, "CREATE TABLE before AS SELECT * FROM rn_src", root)
+    old_dir = C.resolve(root, "before")
+    res = execute_ddl(spark, "ALTER TABLE before RENAME TO after", root)
+    assert res["op"] == "rename_table" and res["dir"] == old_dir
+    with pytest.raises(C.CatalogError):
+        C.resolve(root, "before")
+    assert C.resolve(root, "after") == old_dir  # dir untouched
+    # DML by the NEW name works; renaming onto a taken name refuses
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    execute_dml(spark, "INSERT INTO after VALUES (2)", names)
+    assert M.count_rows(old_dir) == 2
+    C.create_table(root, "squatter")
+    with pytest.raises(C.TableExistsError):
+        C.rename_table(root, "after", "squatter")
+    with pytest.raises(C.CatalogError, match="invalid"):
+        C.rename_table(root, "after", "9bad")
+    # the renamed managed table still PURGEs its (old-named) dir
+    C.drop_table(root, "after", purge=True)
+    assert not os.path.exists(old_dir)
+
+
+def test_catalog_model_fuzz(spark, tmp_path):
+    """Random create/rename/drop sequences against a dict model, with
+    an adversarial interleaved writer racing every 3rd publish — the
+    catalog must match the model exactly after every op (link-CAS
+    recompose, never a lost update)."""
+    import random
+
+    root = str(tmp_path / "wh")
+    rng = random.Random(42)
+    model: dict[str, str] = {}  # name -> stored dir
+    orig = C._publish
+    counter = {"n": 0, "extra": 0}
+
+    def racing(r, build):
+        counter["n"] += 1
+        if counter["n"] % 3 == 0:
+            nm = f"racer_{counter['extra']}"
+            counter["extra"] += 1
+            orig(
+                r,
+                lambda tables: (
+                    {**tables, nm: {"dir": nm, "created_ts": 0.0}},
+                    f"race {nm}",
+                ),
+            )
+            model[nm] = nm
+        return orig(r, build)
+
+    C._publish = racing
+    try:
+        for step in range(60):
+            op = rng.choice(["create", "rename", "drop", "create_ext"])
+            if op == "create":
+                nm = f"t{rng.randint(0, 20)}"
+                if nm in model:
+                    with pytest.raises(C.TableExistsError):
+                        C.create_table(root, nm)
+                else:
+                    C.create_table(root, nm)
+                    model[nm] = nm
+            elif op == "create_ext":
+                nm = f"e{rng.randint(0, 20)}"
+                loc = str(tmp_path / "ext" / nm)
+                if nm in model:
+                    with pytest.raises(C.TableExistsError):
+                        C.create_table(root, nm, location=loc)
+                else:
+                    C.create_table(root, nm, location=loc)
+                    model[nm] = os.path.abspath(loc)
+            elif op == "rename" and model:
+                old_n = rng.choice(sorted(model))
+                new_n = f"t{rng.randint(0, 20)}"
+                if new_n in model:
+                    with pytest.raises(C.TableExistsError):
+                        C.rename_table(root, old_n, new_n)
+                else:
+                    C.rename_table(root, old_n, new_n)
+                    model[new_n] = model.pop(old_n)
+            elif op == "drop" and model:
+                nm = rng.choice(sorted(model))
+                C.drop_table(root, nm)  # none hold data
+                del model[nm]
+            got = {
+                r["name"]: r["dir"] for r in C.show_tables(root)
+            }
+            want = {n: C._to_abs(root, d) for n, d in model.items()}
+            assert got == want, f"step {step} op {op}"
+    finally:
+        C._publish = orig
