@@ -305,12 +305,26 @@ def main(argv: list[str] | None = None) -> int:
                 is_ddl,
             )
 
+            # cataloged tables register FIRST so DDL (a CTAS
+            # selecting from another cataloged table) can see them
+            for row in _cat.show_tables(args.warehouse):
+                dml_tables[row["name"]] = row["dir"]
+                if _m.latest_version(row["dir"]) > 0:
+                    (
+                        spark.read.format("manifest_table")
+                        .option("table_dir", row["dir"])
+                        .option("pushdown", "true")
+                        .load()
+                        .createOrReplaceTempView(row["name"])
+                    )
             if is_ddl(args.statement):
+                from pyspark.errors import AnalysisException
+
                 try:
                     res = execute_ddl(
                         spark, args.statement, args.warehouse
                     )
-                except ValueError as e:
+                except (ValueError, AnalysisException) as e:
                     print(f"DDL error: {e}", file=sys.stderr)
                     return 2
                 if res["op"] == "show_tables":
@@ -331,19 +345,6 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     print(f"{res['table']} ({res['op']})")
                 return 0
-            # cataloged tables: temp views by NAME + DML targets;
-            # names claimed but not yet committed (CREATE-then-INSERT
-            # window) are DML/INSERT targets without a view
-            for row in _cat.show_tables(args.warehouse):
-                dml_tables[row["name"]] = row["dir"]
-                if _m.latest_version(row["dir"]) > 0:
-                    (
-                        spark.read.format("manifest_table")
-                        .option("table_dir", row["dir"])
-                        .option("pushdown", "true")
-                        .load()
-                        .createOrReplaceTempView(row["name"])
-                    )
         if args.manifest_table:
             for spec in args.manifest_table:
                 name, _, rest = spec.partition("=")
@@ -463,9 +464,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.partition_by
             else None
         )
-        # the app_id must be stable across restarts: derive it from
-        # the sink's identity, not the run
-        app_id = f"drain:{_os.path.abspath(args.sink)}"
+        # the app_id must be stable across RESTARTS of this drain but
+        # distinct per checkpoint: batch ids are scoped to the
+        # checkpoint, so a sink-derived id would replay-drop every
+        # batch of a FRESH checkpoint into a previously-drained sink
+        app_id = f"drain:{_os.path.abspath(args.checkpoint)}"
         out = drain(
             spark,
             args.src,

@@ -294,13 +294,14 @@ def ivf_skew(index_dir: str) -> float:
     # declared cell count from the meta table's manifest stats —
     # metadata-only like the counts themselves
     mdir = _meta_dir(index_dir)
-    mm = M._read_manifest(mdir, M.latest_version(mdir))
     declared = None
-    for d in mm["dirs"]:
-        for e in M._dir_entries(mdir, mm, d) or []:
-            st = e.get("stats", {}).get("n_cells")
-            if st and st.get("max") is not None:
-                declared = int(st["max"])
+    if M.latest_version(mdir) > 0:  # pre-meta indexes degrade below
+        mm = M._read_manifest(mdir, M.latest_version(mdir))
+        for d in mm["dirs"]:
+            for e in M._dir_entries(mdir, mm, d) or []:
+                st = e.get("stats", {}).get("n_cells")
+                if st and st.get("max") is not None:
+                    declared = int(st["max"])
     n = declared or len(counts)
     return max(counts.values()) / (total / n)
 

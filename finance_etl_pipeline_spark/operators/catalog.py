@@ -113,6 +113,20 @@ def _to_abs(root: str, stored: str) -> str:
     )
 
 
+def _validate_name(name: str) -> None:
+    if not _NAME_RE.match(name or ""):
+        raise CatalogError(
+            f"invalid table name {name!r} (want [A-Za-z_][A-Za-z0-9_]*)"
+        )
+    if name.startswith("_"):
+        raise CatalogError(
+            f"invalid table name {name!r}: the leading-underscore "
+            "namespace is reserved for warehouse internals "
+            "(a managed table named '_catalog' would collide with "
+            "the catalog's own storage)"
+        )
+
+
 def create_table(
     root: str, name: str, location: str | None = None
 ) -> str:
@@ -122,10 +136,7 @@ def create_table(
     ``location`` registers an external path verbatim.  The dir is NOT
     created or written here — this is the CREATE-then-INSERT shape
     (use ``create_table_as`` for CTAS)."""
-    if not _NAME_RE.match(name or ""):
-        raise CatalogError(
-            f"invalid table name {name!r} (want [A-Za-z_][A-Za-z0-9_]*)"
-        )
+    _validate_name(name)
     stored = name if location is None else os.path.abspath(location)
 
     def build(tables: dict):
@@ -237,10 +248,7 @@ def rename_table(root: str, old: str, new: str) -> None:
     managed rename without the data move; readers resolving the old
     name fail loudly from the rename's publish on).  Refuses unknown
     ``old`` and an already-mapped ``new`` atomically against the tip."""
-    if not _NAME_RE.match(new or ""):
-        raise CatalogError(
-            f"invalid table name {new!r} (want [A-Za-z_][A-Za-z0-9_]*)"
-        )
+    _validate_name(new)
 
     def build(tables: dict):
         if old not in tables:

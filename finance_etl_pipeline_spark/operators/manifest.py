@@ -1010,6 +1010,12 @@ def _read_checkpoint(table_dir: str, version: int) -> dict | None:
         return None
     if ck.get("version") != version or not ck.get("every"):
         return None
+    summaries = ck.get("summaries")
+    if not isinstance(summaries, dict) or any(
+        str(w) not in summaries
+        for w in range(version - int(ck["every"]) + 1, version + 1)
+    ):
+        return None  # partial/corrupt ckpt: fall back per-manifest
     return ck
 
 
@@ -1113,13 +1119,8 @@ def version_as_of(table_dir: str, as_of) -> int:
         ):
             ck = None  # stale ckpt: block (partially) vacuumed
         if ck is not None:
-            block = None
             for w in range(v, v - int(ck["every"]), -1):
-                s = ck["summaries"].get(str(w))
-                if s is None:
-                    block = w  # partial ckpt: finish per-manifest
-                    break
-                ts = s.get("ts")
+                ts = ck["summaries"][str(w)].get("ts")
                 if ts is None:
                     continue
                 earliest = (w, ts)
@@ -1128,7 +1129,7 @@ def version_as_of(table_dir: str, as_of) -> int:
                     break
             if best is not None:
                 break
-            v = block if block is not None else v - int(ck["every"])
+            v -= int(ck["every"])
             continue
         try:
             ts = _read_manifest(table_dir, v).get("ts")
@@ -2598,9 +2599,12 @@ def _interleaved_commits_disjoint(
     read_preds = _phys_preds(_load_mapping(m_base)[0], read_preds)
 
     def _dir_present(m: dict, cache: dict) -> dict:
-        if id(m) not in cache:
+        # keyed by the manifest's VERSION: an id(m) key would collide
+        # when a freed dict's address is reused by a later manifest
+        key = m.get("version", id(m))
+        if key not in cache:
             ds = _load_dir_schemas(m)
-            cache[id(m)] = {
+            cache[key] = {
                 d: (
                     set(StructType.fromJson(sj).fieldNames())
                     if (sj := ds.get(d))
@@ -2608,7 +2612,7 @@ def _interleaved_commits_disjoint(
                 )
                 for d in m["dirs"]
             }
-        return cache[id(m)]
+        return cache[key]
 
     pres_cache: dict = {}
     m_a = m_base
@@ -2656,8 +2660,9 @@ def _interleaved_commits_disjoint(
         # dirs whose shard ref is byte-identical have identical
         # entries: only changed/new/dropped dirs are opened — the
         # walk stays O(changed files), not O(table)
+        dirs_a, dirs_b = set(m_a["dirs"]), set(m_b["dirs"])
         changed = set()
-        for d in set(m_a["dirs"]) | set(m_b["dirs"]):
+        for d in dirs_a | dirs_b:
             ra, rb = refs_a.get(d), refs_b.get(d)
             if ra is None or rb is None or ra.get("shard") != rb.get("shard"):
                 changed.add(d)
@@ -2666,12 +2671,12 @@ def _interleaved_commits_disjoint(
         for d in changed:
             ea = (
                 {x["path"]: x for x in _dir_entries(table_dir, m_a, d) or []}
-                if d in set(m_a["dirs"])
+                if d in dirs_a
                 else {}
             )
             eb = (
                 {x["path"]: x for x in _dir_entries(table_dir, m_b, d) or []}
-                if d in set(m_b["dirs"])
+                if d in dirs_b
                 else {}
             )
             added = [(eb[p], pres_b.get(d)) for p in eb.keys() - ea.keys()]
@@ -3181,17 +3186,10 @@ def history(table_dir: str) -> list[dict]:
         ):
             ck = None  # stale ckpt: block (partially) vacuumed
         if ck is not None:
-            broke = None
             for w in range(v, v - int(ck["every"]), -1):
-                s = ck["summaries"].get(str(w))
-                if s is None:
-                    broke = w
-                    break
-                out.append({"version": w, **s})
-            if broke is None:
-                v -= int(ck["every"])
-                continue
-            v = broke
+                out.append({"version": w, **ck["summaries"][str(w)]})
+            v -= int(ck["every"])
+            continue
         try:
             m = _read_manifest(table_dir, v)
         except VersionNotFoundError:

@@ -73,7 +73,20 @@ _VERBS = (
 
 def is_dml(statement: str) -> bool:
     head = statement.lstrip().split(None, 1)
-    return bool(head) and head[0].upper() in _VERBS
+    if not head or head[0].upper() not in _VERBS:
+        return False
+    stripped = statement.strip().rstrip(";").strip()
+    if head[0].upper() == "DESCRIBE":
+        # only DESCRIBE HISTORY is ours; DESCRIBE <view>/TABLE/QUERY
+        # stay plain Spark SQL
+        return bool(
+            re.match(r"^DESCRIBE\s+HISTORY\b", stripped, re.IGNORECASE)
+        )
+    if head[0].upper() == "INSERT":
+        # only the parsable bare-name form; INSERT INTO parquet.`...`
+        # and other Spark-native shapes stay plain Spark SQL
+        return bool(_INSERT_RE.match(stripped))
+    return True
 
 
 # ---------------------------------------------------------------- lexing

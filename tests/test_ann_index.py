@@ -292,3 +292,19 @@ def test_recluster_restores_recall_after_drift(spark, tmp_path):
     after = _recall(spark, idx, corpus, queries)
     assert after >= 0.9, (frozen, after)
     assert sum(ivf_cell_counts(idx).values()) == 280
+
+
+def test_skew_on_pre_meta_index_degrades(spark, tmp_path):
+    """An index built before the meta table existed (legacy layout)
+    must still answer ivf_skew from the observed cell count instead of
+    crashing on the missing meta manifest."""
+    import shutil
+
+    from finance_etl_pipeline_spark.operators.ann_index import ivf_skew
+
+    rows, _, _ = _drift_corpus()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "index")
+    ivf_build_index(spark, emb, idx, method="kmeans")
+    shutil.rmtree(idx + "/meta")  # simulate a pre-r10 index
+    assert 1.0 <= ivf_skew(idx) <= 1.5

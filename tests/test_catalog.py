@@ -436,3 +436,64 @@ def test_catalog_model_fuzz(spark, tmp_path):
             assert got == want, f"step {step} op {op}"
     finally:
         C._publish = orig
+
+
+# ----------------------------------------- r10 self-review regressions
+
+
+def test_reserved_underscore_names_refused(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    with pytest.raises(C.CatalogError, match="reserved"):
+        C.create_table(root, "_catalog")
+    with pytest.raises(C.CatalogError, match="reserved"):
+        C.create_table(root, "_anything")
+    C.create_table(root, "ok")
+    with pytest.raises(C.CatalogError, match="reserved"):
+        C.rename_table(root, "ok", "_catalog")
+
+
+def test_plain_spark_describe_still_works(spark, capsys):
+    """DESCRIBE <view> is plain Spark SQL, not our DESCRIBE HISTORY —
+    it must reach spark.sql, not die in the DML parser."""
+    rc = cli_main(
+        ["sql", "DESCRIBE orders", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    assert "o_orderkey" in capsys.readouterr().out
+
+
+def test_ctas_from_cataloged_table(spark, tmp_path, capsys):
+    """CTAS selecting FROM another cataloged table: the views register
+    before DDL routing, and analysis errors exit 2, not traceback."""
+    root = str(tmp_path / "wh")
+    sf = "/root/testdata/sf0.001"
+    rc = cli_main(
+        [
+            "sql",
+            "CREATE TABLE base_t AS SELECT o_orderkey FROM orders "
+            "WHERE o_orderkey <= 100",
+            "--sf-dir", sf, "--warehouse", root,
+        ]
+    )
+    assert rc == 0
+    rc = cli_main(
+        [
+            "sql",
+            "CREATE TABLE derived_t AS SELECT * FROM base_t "
+            "WHERE o_orderkey <= 50",
+            "--sf-dir", sf, "--warehouse", root,
+        ]
+    )
+    assert rc == 0
+    assert M.count_rows(C.resolve(root, "derived_t")) is not None
+    # an unknown view in the CTAS is a clean exit-2, not a traceback
+    rc = cli_main(
+        [
+            "sql",
+            "CREATE TABLE bad_t AS SELECT * FROM no_such_view",
+            "--sf-dir", sf, "--warehouse", root,
+        ]
+    )
+    assert rc == 2
+    with pytest.raises(C.CatalogError):
+        C.resolve(root, "bad_t")  # CTAS claim rolled back

@@ -246,3 +246,34 @@ def test_cli_drain_by_catalog_name(spark, tmp_path, capsys):
     assert "drained at v3" in capsys.readouterr().out
     got = _sink_rows(spark, C.resolve(root, "sink_t"))
     assert len(got) == 18
+
+
+def test_fresh_checkpoint_into_reused_sink_lands(spark, tmp_path, capsys):
+    """A SECOND source drained into the SAME sink under a FRESH
+    checkpoint must land (the txn app_id is checkpoint-scoped — a
+    sink-derived id would silently replay-drop every batch because
+    batch ids restart at 0)."""
+    from finance_etl_pipeline_spark.cli import main as cli_main
+
+    src1 = str(tmp_path / "src1")
+    src2 = str(tmp_path / "src2")
+    sink_t = str(tmp_path / "sink")
+    _backlog(spark, src1, n_versions=3, files_per=1)
+    for v in range(3):
+        df = spark.createDataFrame(
+            [(1000 + v * 6 + j, f"w{v}") for j in range(6)],
+            "id long, tag string",
+        ).coalesce(1)
+        M.commit(df, src2)
+
+    rc = cli_main(
+        ["drain", src1, sink_t, "--checkpoint", str(tmp_path / "ck1")]
+    )
+    assert rc == 0
+    rc = cli_main(
+        ["drain", src2, sink_t, "--checkpoint", str(tmp_path / "ck2")]
+    )
+    assert rc == 0
+    got = _sink_rows(spark, sink_t)
+    assert len(got) == 36  # both sources, no silent replay-drop
+    assert (1000, "w0") in got

@@ -184,3 +184,28 @@ def test_checkpointed_200_version_history(spark, tmp_path):
     assert kept_ck and all(cv - 9 >= 151 for cv in kept_ck)
     assert M.version_as_of(t, ts_of[200]) == 200
     assert M.read_version(spark, t, 151).count() == 800
+
+
+def test_partial_checkpoint_falls_back(spark, tmp_path):
+    """A ckpt file whose summaries miss a covered version (corrupt /
+    foreign) is IGNORED by both consumers — per-manifest fallback, no
+    wrong rows, no infinite loop in version_as_of."""
+    import json as _json
+
+    t = str(tmp_path / "tbl")
+    M.commit(spark.createDataFrame([(1,)], "k int").coalesce(1), t)
+    for i in range(11):
+        M.delete_where(t, [("k", "==", 1000 + i)])
+    ck = M._checkpoint_path(t, 10)
+    assert os.path.exists(ck)
+    with open(ck) as fh:
+        payload = _json.load(fh)
+    del payload["summaries"]["10"]  # corrupt: drop its own version
+    with open(ck, "w") as fh:
+        _json.dump(payload, fh)
+    assert M._read_checkpoint(t, 10) is None  # fails validation
+    ts7 = M._read_manifest(t, 7)["ts"]
+    assert M.version_as_of(t, ts7) == 7  # resolves, terminates
+    assert [r["version"] for r in M.history(t)] == list(
+        range(12, 0, -1)
+    )
