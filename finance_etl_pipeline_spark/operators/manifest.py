@@ -3297,8 +3297,59 @@ def vacuum(
                 live_files.update(
                     os.path.join(d, e["path"]) for e in entries
                 )
-    removed = []
+    # ---- clone protection: dirs a LIVE clone's retained manifests
+    # still reference stay, file-granularly (clones register at every
+    # owner root before publishing — see _register_clone) ----
     now = time.time()
+    reg_dir = os.path.join(table_dir, _MANIFESTS, "clones")
+    rroot = os.path.realpath(table_dir)
+    if os.path.isdir(reg_dir):
+        for f in sorted(os.listdir(reg_dir)):
+            if not f.endswith(".json"):
+                continue
+            reg_path = os.path.join(reg_dir, f)
+            try:
+                with open(reg_path) as fh:
+                    clone = json.load(fh)["clone"]
+            except (OSError, ValueError, KeyError):
+                continue  # unreadable: conservative keep of nothing
+            if latest_version(clone) == 0:
+                # clone gone (or a failed clone's stale claim): prune,
+                # with the same in-flight retention guard commits get
+                try:
+                    if now - os.path.getmtime(reg_path) >= retention_seconds:
+                        os.remove(reg_path)
+                except OSError:
+                    pass
+                continue
+            cmdir = os.path.join(clone, _MANIFESTS)
+            cvers = sorted(
+                int(n[1:7])
+                for n in os.listdir(cmdir)
+                if n.startswith("v") and n.endswith(".json")
+            )
+            for cv in cvers:
+                try:
+                    cm = _read_manifest(clone, cv)
+                except VersionNotFoundError:
+                    continue
+                for d in cm["dirs"]:
+                    if not os.path.isabs(d):
+                        continue
+                    dr = os.path.realpath(d)
+                    droot = os.path.join(rroot, _DATA) + os.sep
+                    if not dr.startswith(droot):
+                        continue  # not this table's data root
+                    rel = os.path.join(_DATA, dr[len(droot):])
+                    live.add(rel)
+                    entries = _dir_entries(clone, cm, d)
+                    if entries is None:
+                        no_proof.add(rel)
+                    else:
+                        live_files.update(
+                            os.path.join(rel, e["path"]) for e in entries
+                        )
+    removed = []
     data_root = os.path.join(table_dir, _DATA)
     for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
         rel = os.path.join(_DATA, d)
@@ -3848,6 +3899,37 @@ def compact_where(
     return _publish(table_dir, build)
 
 
+def _owner_root(abs_dir: str) -> str | None:
+    """The table root owning an absolute data dir
+    (``.../<root>/data/...``), or None when the path has no data
+    segment."""
+    marker = f"{os.sep}{_DATA}{os.sep}"
+    i = abs_dir.rfind(marker)
+    return abs_dir[:i] if i > 0 else None
+
+
+def _register_clone(owner_root: str, clone_dir: str) -> None:
+    """Record ``clone_dir`` in ``owner_root``'s clone registry
+    (``_manifests/clones/<hash>.json``) — one file per clone, atomic
+    create, idempotent content — so the owner's ``vacuum`` can keep
+    the dirs live clones still reference.  Registered BEFORE the
+    clone's manifest publishes; a failed clone leaves a stale entry
+    the next vacuum prunes (same retention guard as in-flight
+    commits)."""
+    import hashlib
+
+    d = os.path.join(owner_root, _MANIFESTS, "clones")
+    os.makedirs(d, exist_ok=True)
+    key = hashlib.sha1(
+        os.path.realpath(clone_dir).encode("utf-8")
+    ).hexdigest()[:16]
+    path = os.path.join(d, f"{key}.json")
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"clone": os.path.realpath(clone_dir)}, fh)
+    os.replace(tmp, path)
+
+
 def clone_table(
     src_dir: str, dst_dir: str, version: int | None = None
 ) -> int:
@@ -3870,8 +3952,11 @@ def clone_table(
 
     The dev/test-branch shape: experiment against production data
     with full DML, throw the clone away, nothing shared was touched.
-    Caveat (same as Delta's): vacuum on the SOURCE does not know
-    about clones — hold source retention while clones live.  Writer
+    Unlike Delta, vacuum on the SOURCE is clone-AWARE: the clone
+    registers itself at every owner root before publishing
+    (``_register_clone``), and the owner's ``vacuum`` keeps any dir a
+    live clone's retained manifests still reference (abandoned
+    clones' registry entries are pruned).  Writer
     ``txns`` are NOT carried (they track per-table writer progress;
     a clone is a new table), and constraints ARE (table properties
     travel with the data contract)."""
@@ -3884,6 +3969,15 @@ def clone_table(
     schemas = _load_dir_schemas(m)
     part_dirs = m.get("partitioned_dirs", {})
     absd = {d: os.path.join(src_dir, d) for d in m["dirs"]}
+    # register at EVERY owner root the clone will reference (a clone
+    # of a clone references the ORIGINAL table's dirs directly), so
+    # each owner's vacuum protects them; registered before publish so
+    # there is no window where an unprotected clone exists
+    dst_real = os.path.realpath(dst_dir)
+    for a in absd.values():
+        root = _owner_root(os.path.realpath(a))
+        if root and root != dst_real:
+            _register_clone(root, dst_dir)
 
     def build(prev: int) -> dict:
         if prev != 0:

@@ -144,3 +144,77 @@ def test_clone_partitioned_source_prunes(spark, sf_dir, tmp_path):
     pruned = M.files_for_version(dst, where=[("o_orderstatus", "==", "F")])
     assert pruned and all("o_orderstatus=F" in f for f in pruned)
     assert len(pruned) < len(M.files_for_version(dst))
+
+
+# --------------------------------------------- r10: clone-safe vacuum
+
+
+def test_source_vacuum_keeps_clone_referenced_dirs(
+    spark, sf_dir, tmp_path
+):
+    """Vacuum on the SOURCE is clone-aware (beyond Delta): dirs a live
+    clone still references survive a keep_last=1 sweep after the
+    source overwrote itself; the clone keeps reading; once the clone
+    is deleted, the next vacuum reclaims both dirs and registry."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    M.commit(_orders(spark, sf_dir).limit(50), src)
+    M.clone_table(src, dst)
+    before = {tuple(r) for r in M.read_version(spark, dst).collect()}
+
+    # source moves on: the v1 dirs are unreferenced by its tip
+    M.commit(_orders(spark, sf_dir).limit(5), src, mode="overwrite")
+    removed = M.vacuum(src, keep_last=1, retention_seconds=0.0)
+    assert removed == []  # protected by the clone registry
+    after = {tuple(r) for r in M.read_version(spark, dst).collect()}
+    assert after == before  # clone intact
+
+    # clone abandoned -> registry pruned, dirs reclaimed
+    shutil.rmtree(dst)
+    removed = M.vacuum(src, keep_last=1, retention_seconds=0.0)
+    assert removed, "clone gone: v1 dirs must be reclaimable"
+    reg = os.path.join(src, M._MANIFESTS, "clones")
+    assert os.listdir(reg) == []
+
+
+def test_clone_of_clone_protects_the_original(spark, sf_dir, tmp_path):
+    """A second-level clone references the ORIGINAL table's dirs
+    directly; it registers there, so vacuuming the original keeps its
+    dirs even after the FIRST clone is gone."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    M.commit(_orders(spark, sf_dir).limit(30), src)
+    M.clone_table(src, a)
+    M.clone_table(a, b)
+    want = {tuple(r) for r in M.read_version(spark, b).collect()}
+
+    shutil.rmtree(a)  # the intermediate clone dies
+    M.commit(_orders(spark, sf_dir).limit(3), src, mode="overwrite")
+    removed = M.vacuum(src, keep_last=1, retention_seconds=0.0)
+    assert removed == []  # b registered at src directly
+    got = {tuple(r) for r in M.read_version(spark, b).collect()}
+    assert got == want
+
+
+def test_file_granular_sweep_respects_clone_files(
+    spark, sf_dir, tmp_path
+):
+    """A merge on the source rewrites files inside a still-live dir;
+    the swept leftovers must exclude files the clone still reads."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    o = _orders(spark, sf_dir).limit(40)
+    M.commit(o.repartition(4), src)
+    M.clone_table(src, dst)
+    before = {tuple(r) for r in M.read_version(spark, dst).collect()}
+    upd = o.limit(5).withColumn("o_totalprice", F.lit(1.0))
+    M.merge_into(spark, src, upd, ["o_orderkey"])
+    M.vacuum(src, keep_last=1, retention_seconds=0.0)
+    assert {
+        tuple(r) for r in M.read_version(spark, dst).collect()
+    } == before
