@@ -305,18 +305,35 @@ def main(argv: list[str] | None = None) -> int:
                 is_ddl,
             )
 
-            # cataloged tables register FIRST so DDL (a CTAS
-            # selecting from another cataloged table) can see them
-            for row in _cat.show_tables(args.warehouse):
-                dml_tables[row["name"]] = row["dir"]
-                if _m.latest_version(row["dir"]) > 0:
-                    (
-                        spark.read.format("manifest_table")
-                        .option("table_dir", row["dir"])
-                        .option("pushdown", "true")
-                        .load()
-                        .createOrReplaceTempView(row["name"])
-                    )
+            # pure-catalog DDL (SHOW/DROP/RENAME/plain CREATE)
+            # must work even when a cataloged table is broken, and
+            # needs no Spark loads — register views only for
+            # statements that read tables (CTAS, DML, SELECT), and
+            # degrade a broken table to a warning, never a wedge
+            import re as _re
+
+            stmt_reads_tables = not is_ddl(args.statement) or bool(
+                _re.search(r"\bAS\b", args.statement, _re.IGNORECASE)
+            )
+            if stmt_reads_tables:
+                for row in _cat.show_tables(args.warehouse):
+                    dml_tables[row["name"]] = row["dir"]
+                    try:
+                        if _m.latest_version(row["dir"]) > 0:
+                            (
+                                spark.read.format("manifest_table")
+                                .option("table_dir", row["dir"])
+                                .option("pushdown", "true")
+                                .load()
+                                .createOrReplaceTempView(row["name"])
+                            )
+                    except Exception as e:  # noqa: BLE001
+                        print(
+                            f"warning: cataloged table "
+                            f"{row['name']!r} failed to register "
+                            f"({e}); skipping its view",
+                            file=sys.stderr,
+                        )
             if is_ddl(args.statement):
                 from pyspark.errors import AnalysisException
 
@@ -390,6 +407,8 @@ def main(argv: list[str] | None = None) -> int:
                     )
                     return 2
                 txn = (app_id, int(txn_ver))
+            from pyspark.errors import AnalysisException
+
             from finance_etl_pipeline_spark.operators.manifest import (
                 ConcurrentTableModificationError,
             )
@@ -405,6 +424,10 @@ def main(argv: list[str] | None = None) -> int:
             except ConcurrentTableModificationError as e:
                 print(f"conflict: {e}", file=sys.stderr)
                 return 3
+            except AnalysisException as e:
+                # an INSERT payload with a bad expression lands here
+                print(f"DML error: {e}", file=sys.stderr)
+                return 2
             except ValueError as e:
                 # SqlDmlError (parse subset) and operator-level aborts
                 # (schema evolution, dup keys, ...) both land here —

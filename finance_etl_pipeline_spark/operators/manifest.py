@@ -1008,14 +1008,19 @@ def _read_checkpoint(table_dir: str, version: int) -> dict | None:
             ck = json.load(fh)
     except (OSError, ValueError):
         return None
-    if ck.get("version") != version or not ck.get("every"):
+    try:
+        every = int(ck.get("every"))
+    except (TypeError, ValueError):
+        return None
+    if ck.get("version") != version or every <= 0:
         return None
     summaries = ck.get("summaries")
     if not isinstance(summaries, dict) or any(
-        str(w) not in summaries
-        for w in range(version - int(ck["every"]) + 1, version + 1)
+        not isinstance(summaries.get(str(w)), dict)
+        for w in range(version - every + 1, version + 1)
     ):
         return None  # partial/corrupt ckpt: fall back per-manifest
+    ck["every"] = every
     return ck
 
 
@@ -3313,19 +3318,36 @@ def vacuum(
                     clone = json.load(fh)["clone"]
             except (OSError, ValueError, KeyError):
                 continue  # unreadable: conservative keep of nothing
+            if not isinstance(clone, str):
+                continue  # corrupt value: never crash the sweep
             if latest_version(clone) == 0:
-                # clone gone (or a failed clone's stale claim): prune,
-                # with the same in-flight retention guard commits get
                 try:
-                    if now - os.path.getmtime(reg_path) >= retention_seconds:
-                        os.remove(reg_path)
+                    age = now - os.path.getmtime(reg_path)
                 except OSError:
-                    pass
-                continue
+                    continue
+                if age >= retention_seconds:
+                    # clone gone (or a failed clone's stale claim)
+                    try:
+                        os.remove(reg_path)
+                    except OSError:
+                        pass
+                    continue
+                # IN-FLIGHT clone: registered (before publish, by
+                # contract) but its manifest has not landed yet.  It
+                # may be snapshotting ANY of our versions right now,
+                # so this sweep cannot prove any dir dead — return
+                # empty rather than race the clone's read set.  The
+                # window is retention-bounded: a crashed clone's
+                # claim ages out and the next vacuum prunes it.
+                return []
             cmdir = os.path.join(clone, _MANIFESTS)
+            try:
+                cnames = os.listdir(cmdir)
+            except FileNotFoundError:
+                continue  # clone rmtree'd after the version check
             cvers = sorted(
                 int(n[1:7])
-                for n in os.listdir(cmdir)
+                for n in cnames
                 if n.startswith("v") and n.endswith(".json")
             )
             for cv in cvers:
@@ -3342,7 +3364,13 @@ def vacuum(
                         continue  # not this table's data root
                     rel = os.path.join(_DATA, dr[len(droot):])
                     live.add(rel)
-                    entries = _dir_entries(clone, cm, d)
+                    try:
+                        entries = _dir_entries(clone, cm, d)
+                    except FileNotFoundError:
+                        # the clone's own vacuum swept this shard
+                        # concurrently: degrade to no-proof (the dir
+                        # is kept whole, never file-swept)
+                        entries = None
                     if entries is None:
                         no_proof.add(rel)
                     else:
@@ -3974,10 +4002,11 @@ def clone_table(
     # each owner's vacuum protects them; registered before publish so
     # there is no window where an unprotected clone exists
     dst_real = os.path.realpath(dst_dir)
-    for a in absd.values():
-        root = _owner_root(os.path.realpath(a))
-        if root and root != dst_real:
-            _register_clone(root, dst_dir)
+    owner_roots = {
+        _owner_root(os.path.realpath(a)) for a in absd.values()
+    }
+    for root in sorted(r for r in owner_roots if r and r != dst_real):
+        _register_clone(root, dst_dir)
 
     def build(prev: int) -> dict:
         if prev != 0:

@@ -218,3 +218,41 @@ def test_file_granular_sweep_respects_clone_files(
     assert {
         tuple(r) for r in M.read_version(spark, dst).collect()
     } == before
+
+
+def test_inflight_clone_blocks_the_sweep(spark, sf_dir, tmp_path):
+    """A registered-but-unpublished clone (the creation window) makes
+    vacuum return [] instead of racing the clone's read set; the
+    stale claim of a CRASHED clone ages out and is pruned."""
+    src = str(tmp_path / "src")
+    M.commit(_orders(spark, sf_dir).limit(20), src)
+    M.commit(_orders(spark, sf_dir).limit(5), src, mode="overwrite")
+    # age every data dir past retention: without the in-flight claim
+    # the v1 dirs would sweep
+    data_root = os.path.join(src, "data")
+    for d in os.listdir(data_root):
+        os.utime(os.path.join(data_root, d), (1, 1))
+    # simulate a clone mid-creation: fresh registry entry, no manifest
+    M._register_clone(src, str(tmp_path / "never_published"))
+    assert M.vacuum(src, keep_last=1, retention_seconds=60.0) == []
+    # the CRASHED clone's claim ages out: pruned, sweep proceeds
+    reg = os.path.join(src, M._MANIFESTS, "clones")
+    entry = os.path.join(reg, os.listdir(reg)[0])
+    os.utime(entry, (1, 1))
+    removed = M.vacuum(src, keep_last=1, retention_seconds=60.0)
+    assert removed  # v1 dirs reclaimed
+    assert os.listdir(reg) == []
+
+
+def test_corrupt_clone_registry_entry_never_crashes(spark, sf_dir, tmp_path):
+    import json as _json
+
+    src = str(tmp_path / "src")
+    M.commit(_orders(spark, sf_dir).limit(10), src)
+    reg = os.path.join(src, M._MANIFESTS, "clones")
+    os.makedirs(reg, exist_ok=True)
+    with open(os.path.join(reg, "bad1.json"), "w") as fh:
+        fh.write("{not json")
+    with open(os.path.join(reg, "bad2.json"), "w") as fh:
+        _json.dump({"clone": 5}, fh)
+    assert M.vacuum(src, keep_last=1, retention_seconds=0.0) == []
