@@ -411,6 +411,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from finance_etl_pipeline_spark.operators.manifest import (
                 ConcurrentTableModificationError,
+                VersionNotFoundError,
             )
 
             try:
@@ -424,6 +425,10 @@ def main(argv: list[str] | None = None) -> int:
             except ConcurrentTableModificationError as e:
                 print(f"conflict: {e}", file=sys.stderr)
                 return 3
+            except VersionNotFoundError as e:
+                # RESTORE to a never-published or vacuumed version
+                print(f"DML error: {e}", file=sys.stderr)
+                return 2
             except AnalysisException as e:
                 # an INSERT payload with a bad expression lands here
                 print(f"DML error: {e}", file=sys.stderr)
@@ -451,7 +456,23 @@ def main(argv: list[str] | None = None) -> int:
                     f"{res['table']} -> v{res['version']} ({res['op']})"
                 )
             return 0
-        df = spark.sql(args.statement)
+        # Delta-style time travel in SELECT: `FROM t VERSION AS OF 3`,
+        # `FROM t TIMESTAMP AS OF '...'`, `t@3` — rewritten to pinned
+        # snapshot views before Spark parses the statement
+        from finance_etl_pipeline_spark.operators.manifest import (
+            VersionNotFoundError,
+        )
+        from finance_etl_pipeline_spark.operators.sqldml import (
+            SqlDmlError,
+            expand_time_travel,
+        )
+
+        try:
+            stmt = expand_time_travel(spark, args.statement, dml_tables)
+        except (SqlDmlError, VersionNotFoundError) as e:
+            print(f"time travel error: {e}", file=sys.stderr)
+            return 2
+        df = spark.sql(stmt)
         if args.explain:
             df.explain(mode="formatted")
         else:

@@ -213,17 +213,36 @@ def drop_table(
     without ``purge=True`` (which deletes its directory tree); an
     external table is only ever unregistered — its data is not ours
     to delete.  ``force`` skips the data check (internal: CTAS
-    rollback)."""
+    rollback).
+
+    PURGE protocol: the managed directory is atomically RENAMED to a
+    ``.trash-<uuid>`` sibling BEFORE the unregister publishes, then
+    the trash is deleted after.  An rmtree-after-publish would race a
+    concurrent ``create_table`` of the same name (which re-registers
+    ``<root>/<name>``): the rmtree could delete the NEW table's
+    directory out from under it.  After the rename the path is vacant,
+    and the name stays registered until the publish, so no creator can
+    share the doomed directory.  ``.trash-*`` can never collide with a
+    table name (names must start with a letter/underscore and
+    leading-underscore is reserved)."""
     from finance_etl_pipeline_spark.operators import manifest as M
 
-    dropped: dict = {}
+    trash = purged_dir = None
+    if purge:
+        snap = _snapshot(root)
+        ent = snap["tables"].get(name)
+        if ent is not None and not os.path.isabs(ent["dir"]):
+            purged_dir = _to_abs(root, ent["dir"])
+            trash = os.path.join(root, f".trash-{uuid.uuid4().hex}")
+            try:
+                os.rename(purged_dir, trash)
+            except FileNotFoundError:
+                trash = None  # never written: nothing to purge
 
     def build(tables: dict):
         ent = tables.pop(name, None)
         if ent is None:
             raise CatalogError(f"unknown table {name!r}")
-        dropped.clear()
-        dropped.update(ent)
         managed = not os.path.isabs(ent["dir"])
         if managed and not purge and not force:
             tdir = _to_abs(root, ent["dir"])
@@ -235,11 +254,21 @@ def drop_table(
                 )
         return tables, f"drop {name}"
 
-    _publish(root, build)
-    if purge and dropped and not os.path.isabs(dropped["dir"]):
+    try:
+        _publish(root, build)
+    except BaseException:
+        if trash is not None:
+            # the drop lost (e.g. a concurrent drop won the name):
+            # put the data back where the mapping pointed
+            try:
+                os.rename(trash, purged_dir)
+            except OSError:
+                pass  # concurrent dropper moved it first
+        raise
+    if trash is not None:
         import shutil
 
-        shutil.rmtree(_to_abs(root, dropped["dir"]), ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
 
 
 def rename_table(root: str, old: str, new: str) -> None:

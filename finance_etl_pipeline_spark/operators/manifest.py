@@ -2594,7 +2594,26 @@ def _interleaved_commits_disjoint(
 
     One busy appender — or a concurrent OPTIMIZE of a cold partition,
     the thing that runs concurrently with everything on a real table —
-    no longer starves every MERGE."""
+    no longer starves every MERGE.
+
+    A concurrent vacuum may expire a manifest or shard in (base, prev]
+    mid-walk; that surfaces as a clean (False, reason) — the caller's
+    ``ConcurrentTableModificationError`` abort — never a raw
+    FileNotFoundError out of a rebase attempt."""
+    try:
+        return _interleaved_commits_disjoint_walk(
+            table_dir, base, prev, read_preds
+        )
+    except FileNotFoundError:
+        return False, (
+            "a manifest or shard in the interleaved span was expired "
+            "by a concurrent vacuum mid-walk"
+        )
+
+
+def _interleaved_commits_disjoint_walk(
+    table_dir: str, base: int, prev: int, read_preds: list | None
+) -> tuple[bool, str]:
     if read_preds is None:
         return False, "the operation's read set has no pruning envelope"
     m_base = _read_manifest(table_dir, base)
@@ -2674,16 +2693,18 @@ def _interleaved_commits_disjoint(
         pres_a = _dir_present(m_a, pres_cache)
         pres_b = _dir_present(m_b, pres_cache)
         for d in changed:
-            ea = (
-                {x["path"]: x for x in _dir_entries(table_dir, m_a, d) or []}
-                if d in dirs_a
-                else {}
-            )
-            eb = (
-                {x["path"]: x for x in _dir_entries(table_dir, m_b, d) or []}
-                if d in dirs_b
-                else {}
-            )
+            # None (a legacy dir with no per-file entries) is NOT an
+            # empty dir: files this version added/removed there cannot
+            # be proven disjoint from the read set — abort, exactly
+            # like the tombstone branch (an `or []` here would let a
+            # rebased UPDATE/MERGE/compact lose or resurrect rows on
+            # legacy tables)
+            ents_a = _dir_entries(table_dir, m_a, d) if d in dirs_a else []
+            ents_b = _dir_entries(table_dir, m_b, d) if d in dirs_b else []
+            if ents_a is None or ents_b is None:
+                return False, f"dir {d} has no per-file entries"
+            ea = {x["path"]: x for x in ents_a}
+            eb = {x["path"]: x for x in ents_b}
             added = [(eb[p], pres_b.get(d)) for p in eb.keys() - ea.keys()]
             removed = [(ea[p], pres_a.get(d)) for p in ea.keys() - eb.keys()]
             if removed and mode not in ("compact", "merge"):
@@ -3308,6 +3329,7 @@ def vacuum(
     now = time.time()
     reg_dir = os.path.join(table_dir, _MANIFESTS, "clones")
     rroot = os.path.realpath(table_dir)
+    data_sweep_blocked = False
     if os.path.isdir(reg_dir):
         for f in sorted(os.listdir(reg_dir)):
             if not f.endswith(".json"):
@@ -3335,11 +3357,30 @@ def vacuum(
                 # IN-FLIGHT clone: registered (before publish, by
                 # contract) but its manifest has not landed yet.  It
                 # may be snapshotting ANY of our versions right now,
-                # so this sweep cannot prove any dir dead — return
-                # empty rather than race the clone's read set.  The
-                # window is retention-bounded: a crashed clone's
-                # claim ages out and the next vacuum prunes it.
-                return []
+                # so this sweep cannot prove any DATA dir or file
+                # dead — block the data sweep rather than race the
+                # clone's read set.  Manifest/ckpt/shard/tmp expiry
+                # below still runs: a clone mid-read of an expiring
+                # version fails loudly (VersionNotFoundError) and its
+                # published manifest references data dirs, never our
+                # metadata.  The window is retention-bounded: a
+                # crashed clone's claim ages out and the next vacuum
+                # prunes it.  Warn so an operator can diagnose a
+                # vacuum that reclaims no data (e.g. a clone dir
+                # rmtree'd without unregistering keeps a young
+                # registry file behind).
+                import warnings
+
+                warnings.warn(
+                    f"vacuum({table_dir}): data sweep skipped — "
+                    f"clone registry entry {reg_path} points at an "
+                    f"in-flight (or abandoned-young) clone at "
+                    f"{clone}; data dirs/files are kept until the "
+                    "claim publishes or ages past retention",
+                    stacklevel=2,
+                )
+                data_sweep_blocked = True
+                continue
             cmdir = os.path.join(clone, _MANIFESTS)
             try:
                 cnames = os.listdir(cmdir)
@@ -3379,7 +3420,12 @@ def vacuum(
                         )
     removed = []
     data_root = os.path.join(table_dir, _DATA)
-    for d in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+    sweep_dirs = (
+        sorted(os.listdir(data_root))
+        if os.path.isdir(data_root) and not data_sweep_blocked
+        else []
+    )
+    for d in sweep_dirs:
         rel = os.path.join(_DATA, d)
         path = os.path.join(data_root, d)
         if rel not in live and now - os.path.getmtime(path) >= retention_seconds:
@@ -4044,6 +4090,79 @@ def clone_table(
         return payload
 
     return _publish(dst_dir, build)
+
+
+def restore_table(
+    table_dir: str, version: int | None = None, as_of=None
+) -> int:
+    """ROLLBACK as a NEW version (Delta's RESTORE TABLE): publish a
+    tip whose data state — file set, tombstones, schema, partition
+    layouts, column mapping, constraints — is byte-identical to the
+    target ``version`` (or the version resolved by ``as_of``
+    timestamp), while HISTORY is preserved: the bad versions stay
+    time-travelable until vacuum, the changefeed across the restore
+    shows exactly the undo delta, and a reader mid-flight never sees a
+    torn state (it is one atomic publish like any commit).
+
+    Files are resurrected BY REFERENCE: the target's shard refs carry
+    by name (O(#dirs) metadata, zero data copied or rewritten) — the
+    target version is retained by definition (its manifest must exist,
+    else ``VersionNotFoundError``), so vacuum has kept every file and
+    shard it names, and once the restore publishes, the new tip itself
+    keeps them live even after the interim versions expire.
+
+    What does NOT roll back: the writer ``txns`` map carries from the
+    TIP, not the target — it tracks WRITER progress, and restoring it
+    would make every streaming sink replay (double-commit) its batches
+    since the target.  Restoring to the current tip is a no-op (no
+    version published, the tip is returned).
+
+    Concurrency: the publish is pinned to the tip observed at entry —
+    any interleaved commit raises ``ConcurrentTableModificationError``
+    (a restore is a history decision made against a snapshot; silently
+    rebasing it over someone's new data would undo their write).
+
+    Reference parity: the reference pipeline re-reads curated outputs
+    per month (scripts/export_bi_datasets.py:58-122) but has no
+    rollback; this follows the public Delta RESTORE semantics on the
+    manifest log."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = version_as_of(table_dir, as_of)
+    tip = latest_version(table_dir)
+    if version is None or version < 1:
+        raise ValueError(f"restore needs a target version >= 1, got {version}")
+    if version == tip:
+        return tip  # already there: no version spam
+    m_t = _read_manifest(table_dir, version)  # VersionNotFoundError if gone
+    files_payload = _carry_files(table_dir, m_t)
+
+    def build(prev: int) -> dict:
+        if prev != tip:
+            raise ConcurrentTableModificationError(
+                f"table advanced to v{prev} while RESTORE TO v{version} "
+                f"was computing against v{tip}; re-examine the history "
+                "and re-run"
+            )
+        m_tip = _read_manifest(table_dir, prev)
+        payload = {
+            "dirs": list(m_t["dirs"]),
+            "mode": "restore",
+            "restore_of": version,
+            "files": dict(files_payload),
+            "dir_schemas": _load_dir_schemas(m_t),
+            "partitioned_dirs": dict(m_t.get("partitioned_dirs", {})),
+            "deletes": list(m_t.get("deletes", [])),
+            "constraints": _carry_constraints(m_t),
+            "txns": _carry_txns(m_tip),
+            **_carry_mapping(m_t),
+        }
+        if "schema" in m_t:
+            payload["schema"] = m_t["schema"]
+        return payload
+
+    return _publish(table_dir, build)
 
 
 def changefeed_rows(

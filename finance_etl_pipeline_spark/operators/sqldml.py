@@ -67,7 +67,7 @@ class SqlDmlError(ValueError):
 
 _VERBS = (
     "UPDATE", "DELETE", "MERGE", "ALTER", "INSERT", "OPTIMIZE",
-    "VACUUM", "DESCRIBE",
+    "VACUUM", "DESCRIBE", "RESTORE",
 )
 
 
@@ -158,6 +158,104 @@ def _split_top_keyword(s: str, kw: str) -> list[str]:
             return parts
         parts.append(s[pos:i])
         pos = i + len(kw)
+
+
+# ------------------------------------------------------ SELECT time travel
+
+
+def _mask_quotes(s: str) -> str:
+    """Same-length copy with quoted-literal CONTENTS blanked (quote
+    chars kept), so regexes over the mask can never match inside a
+    string literal while match spans still index into the original."""
+    out = list(s)
+    q = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                if i + 1 < len(s) and s[i + 1] == q:
+                    out[i] = out[i + 1] = " "
+                    i += 1
+                else:
+                    q = None
+            else:
+                out[i] = " "
+        elif c in ("'", '"'):
+            q = c
+        i += 1
+    return "".join(out)
+
+
+#: `t VERSION AS OF 3` / `t TIMESTAMP AS OF '2026-01-01T00:00:00'` (or
+#: epoch seconds) / the `t@3` shorthand — matched OUTSIDE quotes only
+_TT_RE = re.compile(
+    r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b"
+    r"|\b(\w+)\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+(?:\.\d+)?)"
+    r"|\b(\w+)@(\d+)\b",
+    re.IGNORECASE,
+)
+
+
+def expand_time_travel(
+    spark: SparkSession, statement: str, tables: dict[str, str]
+) -> str:
+    """Rewrite Delta-style time travel in a SELECT into pinned temp
+    views: ``FROM t VERSION AS OF 3``, ``FROM t TIMESTAMP AS OF
+    '<ISO-8601 | epoch seconds>'``, and the ``t@3`` shorthand each
+    become a reference to a registered snapshot view (named
+    ``<t>__asof_v<n>``) reading through ``manifest.read_version`` —
+    the rest of the statement stays Spark SQL verbatim, so time travel
+    composes with joins/subqueries/CTEs for free.
+
+    ``tables`` maps manifest-table view names to table dirs (the same
+    map DML targets use).  Explicit VERSION/TIMESTAMP AS OF on a name
+    NOT in the map is an error (silently handing Spark the unparsed
+    clause would produce a confusing syntax failure); the ``@``
+    shorthand only rewrites registered names, since ``name@digits``
+    can legitimately appear in non-travel SQL only inside literals —
+    which the quote mask already excludes.
+
+    Timestamp resolution (``version_as_of``) raises
+    ``VersionNotFoundError`` when the instant predates the earliest
+    retained version; a pinned VERSION that never existed or was
+    vacuumed raises it here at expansion (the snapshot's manifest is
+    resolved eagerly), never as a downstream scan failure."""
+    masked = _mask_quotes(statement)
+    out = statement
+    # right-to-left so earlier spans stay valid while we splice
+    for m in sorted(
+        _TT_RE.finditer(masked), key=lambda mm: -mm.start()
+    ):
+        if m.group(1) is not None:
+            name, spec, kind = m.group(1), m.group(2), "version"
+        elif m.group(3) is not None:
+            name, spec, kind = m.group(3), m.group(4), "as_of"
+        else:
+            name, spec, kind = m.group(5), m.group(6), "version"
+            if name not in tables:
+                continue  # non-travel @: leave for Spark
+        if name not in tables:
+            raise SqlDmlError(
+                f"time travel on {name!r}, which is not a registered "
+                f"manifest table (have: {sorted(tables) or 'none'}); "
+                "register it via --manifest-table NAME=DIR or a "
+                "--warehouse catalog"
+            )
+        from finance_etl_pipeline_spark.operators import manifest as M
+
+        if kind == "version":
+            v = int(spec)
+        else:
+            raw = statement[m.start(4):m.end(4)]  # unmasked literal
+            val = raw[1:-1] if raw.startswith("'") else float(raw)
+            v = M.version_as_of(tables[name], val)
+        view = f"{name}__asof_v{v}"
+        M.read_version(
+            spark, tables[name], version=v
+        ).createOrReplaceTempView(view)
+        out = out[: m.start()] + view + out[m.end():]
+    return out
 
 
 # ------------------------------------------------------------- literals
@@ -558,7 +656,38 @@ def execute_dml(
         return _exec_vacuum(spark, statement, tables)
     if verb == "DESCRIBE":
         return _exec_describe(spark, statement, tables)
+    if verb == "RESTORE":
+        return _exec_restore(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")
+
+
+_RESTORE_RE = re.compile(
+    r"^RESTORE\s+TABLE\s+(\w+)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+(?:\.\d+)?))$",
+    re.IGNORECASE,
+)
+
+
+def _exec_restore(spark, stmt: str, tables: dict[str, str]) -> dict:
+    """``RESTORE TABLE t TO VERSION AS OF n`` / ``TO TIMESTAMP AS OF
+    '<ISO-8601 | epoch>'`` → ``manifest.restore_table`` (rollback as a
+    new history-preserving version)."""
+    m = _RESTORE_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise SqlDmlError(
+            "malformed RESTORE: want `RESTORE TABLE <table> TO "
+            "VERSION AS OF <n>` or `... TO TIMESTAMP AS OF "
+            "'<ISO-8601 | epoch seconds>'`"
+        )
+    name, ver, ts = m.group(1), m.group(2), m.group(3)
+    tdir = _resolve(name, tables)
+    if ver is not None:
+        version = M.restore_table(tdir, version=int(ver))
+    else:
+        val = ts[1:-1] if ts.startswith("'") else float(ts)
+        version = M.restore_table(tdir, as_of=val)
+    return {"op": "restore", "table": name, "version": version}
 
 
 # ------------------------------------------------------------ catalog DDL
@@ -735,6 +864,14 @@ def _exec_insert(
     tdir = _resolve(name, tables)
     df = spark.sql(payload)
     mode = "append" if kind.upper() == "INTO" else "overwrite"
+    # VALUES is detected SYNTACTICALLY (the payload starts with the
+    # keyword), never inferred from colN-shaped output names: a
+    # genuine SELECT whose source columns are literally col1..colN
+    # must match BY NAME (and error when the names differ), not be
+    # silently positionally renamed to the table schema
+    is_values = bool(
+        re.match(r"^VALUES\b", payload.lstrip(), re.IGNORECASE)
+    )
     part = None
     if M.latest_version(tdir) > 0:
         from pyspark.sql.types import StructType
@@ -748,9 +885,13 @@ def _exec_insert(
         if tbl_schema is not None:
             have = set(df.columns)
             want = [f.name for f in tbl_schema.fields]
-            if all(
-                re.fullmatch(r"col\d+", c) for c in df.columns
-            ) and len(df.columns) == len(want):
+            if is_values:
+                if len(df.columns) != len(want):
+                    raise SqlDmlError(
+                        f"INSERT {kind.upper()} {name}: VALUES arity "
+                        f"{len(df.columns)} does not match the table's "
+                        f"{len(want)} column(s) {want}"
+                    )
                 df = df.toDF(*want)  # bare VALUES: positional
             elif set(want) == have and df.columns != want:
                 df = df.select(*want)  # named source: by name

@@ -1406,3 +1406,87 @@ def manifest_sql_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_signed_e2"),
     )
+
+
+@register(
+    "manifest_sql_time_travel",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 3 = 0
+    """,
+    "lake",
+)
+def manifest_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel in SELECT (r11): ``FROM t VERSION AS OF 1``
+    rewrites to a pinned snapshot view (operators/sqldml.py::
+    expand_time_travel — the Delta SELECT-surface shape) while the
+    LATEST version holds a second third plus a delete.  The pinned
+    read must equal the v1 slice exactly; the function also proves the
+    latest tip genuinely differs (so a pass cannot come from the
+    rewrite silently resolving to the tip) and that the ``t@1``
+    shorthand resolves to the same snapshot."""
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        expand_time_travel,
+    )
+
+    t = tempfile.mkdtemp(prefix="mlake_sqltt_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 0), t)  # v1: the pin
+    M.commit(o.filter(F.col("o_orderkey") % 3 == 1), t)  # v2
+    M.delete_where(t, [("o_orderkey", "<", 1000)])  # v3: tip differs
+    stmt = expand_time_travel(
+        spark, "SELECT * FROM tt VERSION AS OF 1", {"tt": t}
+    )
+    assert "tt__asof_v1" in stmt, stmt
+    pinned = spark.sql(stmt)
+    # shorthand resolves to the same snapshot; tip genuinely differs
+    short = spark.sql(expand_time_travel(spark, "SELECT * FROM tt@1", {"tt": t}))
+    assert short.count() == pinned.count()
+    assert M.read_version(spark, t).count() != pinned.count()
+    return pinned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )
+
+
+@register(
+    "manifest_restore_table",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1)
+    """,
+    "lake",
+)
+def manifest_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE end to end (r11): two good appends (quarters 0
+    and 1), then a BAD delete (drops half the rows) and a bad append
+    (quarter 2), then ``RESTORE TABLE t TO VERSION AS OF 2`` through
+    the SQL surface — the tip must equal the v2 snapshot exactly
+    (both good quarters, nothing deleted, no quarter 2), history is
+    preserved (the bad versions stay time-travelable), and the
+    restore landed as a NEW version, not a history rewrite."""
+    from finance_etl_pipeline_spark.operators.sqldml import execute_dml
+
+    t = tempfile.mkdtemp(prefix="mlake_restore_") + "/tbl"
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    M.commit(o.filter(F.col("o_orderkey") % 4 == 0), t)  # v1
+    M.commit(o.filter(F.col("o_orderkey") % 4 == 1), t)  # v2: the target
+    M.delete_where(t, [("o_orderkey", ">", 0)])  # v3: the bad delete
+    M.commit(o.filter(F.col("o_orderkey") % 4 == 2), t)  # v4: bad append
+    res = execute_dml(
+        spark, "RESTORE TABLE t TO VERSION AS OF 2", {"t": t}
+    )
+    assert res == {"op": "restore", "table": "t", "version": 5}, res
+    # history preserved: the bad tip is still readable by version
+    assert M.latest_version(t) == 5
+    assert M._read_manifest(t, 4)["mode"] == "append"
+    return M.read_version(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )
