@@ -334,6 +334,20 @@ def main(argv: list[str] | None = None) -> int:
                             f"({e}); skipping its view",
                             file=sys.stderr,
                         )
+                from finance_etl_pipeline_spark.operators.sqldml import (
+                    register_catalog_views,
+                )
+
+                for vname, err in sorted(
+                    register_catalog_views(spark, args.warehouse).items()
+                ):
+                    if err is not None:
+                        print(
+                            f"warning: cataloged view {vname!r} "
+                            f"failed to register ({err.splitlines()[0]})"
+                            "; skipping it",
+                            file=sys.stderr,
+                        )
             if is_ddl(args.statement):
                 from pyspark.errors import AnalysisException
 
@@ -350,6 +364,9 @@ def main(argv: list[str] | None = None) -> int:
                             "managed" if row["managed"] else "external"
                         )
                         print(f"{row['name']}\t{row['dir']}\t{kind}")
+                elif res["op"] == "show_views":
+                    for row in res["rows"]:
+                        print(f"{row['name']}\t{row['sql']}")
                 elif "version" in res:
                     print(
                         f"{res['table']} -> {res['dir']} "

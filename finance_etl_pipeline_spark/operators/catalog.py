@@ -75,23 +75,31 @@ def _read(root: str, v: int) -> dict:
 
 def _snapshot(root: str) -> dict:
     v = _latest_version(root)
-    return _read(root, v) if v else {"version": 0, "tables": {}}
+    snap = _read(root, v) if v else {"version": 0, "tables": {}}
+    snap.setdefault("views", {})  # pre-view catalogs read as view-free
+    return snap
 
 
 def _publish(root: str, build) -> int:
-    """``build(tables: dict) -> (tables, op)`` — same retry/link CAS
-    as the manifest log; build is re-invoked against the winner's
-    snapshot on a lost race."""
+    """``build(tables: dict, views: dict) -> (tables, views, op)`` —
+    same retry/link CAS as the manifest log; build is re-invoked
+    against the winner's snapshot on a lost race.  Tables and views
+    share one atomic snapshot, so cross-namespace collision checks
+    (a view may not shadow a table and vice versa) are race-free."""
     os.makedirs(_cat_dir(root), exist_ok=True)
     while True:
         prev = _latest_version(root)
         snap = _read(root, prev) if prev else {"tables": {}}
-        tables, op = build(dict(snap["tables"]))
+        snap.setdefault("views", {})
+        tables, views, op = build(
+            dict(snap["tables"]), dict(snap["views"])
+        )
         payload = {
             "version": prev + 1,
             "ts": time.time(),
             "op": op,
             "tables": tables,
+            "views": views,
         }
         tmp = os.path.join(_cat_dir(root), f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -139,14 +147,19 @@ def create_table(
     _validate_name(name)
     stored = name if location is None else os.path.abspath(location)
 
-    def build(tables: dict):
+    def build(tables: dict, views: dict):
         if name in tables:
             raise TableExistsError(
                 f"table {name!r} already exists at "
                 f"{_to_abs(root, tables[name]['dir'])}"
             )
+        if name in views:
+            raise TableExistsError(
+                f"{name!r} already names a VIEW (tables and views "
+                "share one namespace); DROP VIEW it first"
+            )
         tables[name] = {"dir": stored, "created_ts": time.time()}
-        return tables, f"create {name}"
+        return tables, views, f"create {name}"
 
     _publish(root, build)
     return _to_abs(root, stored)
@@ -239,7 +252,7 @@ def drop_table(
             except FileNotFoundError:
                 trash = None  # never written: nothing to purge
 
-    def build(tables: dict):
+    def build(tables: dict, views: dict):
         ent = tables.pop(name, None)
         if ent is None:
             raise CatalogError(f"unknown table {name!r}")
@@ -252,7 +265,7 @@ def drop_table(
                     f"{M.latest_version(tdir)}); DROP TABLE {name} "
                     "PURGE to delete it, or drop_table(purge=True)"
                 )
-        return tables, f"drop {name}"
+        return tables, views, f"drop {name}"
 
     try:
         _publish(root, build)
@@ -279,7 +292,7 @@ def rename_table(root: str, old: str, new: str) -> None:
     ``old`` and an already-mapped ``new`` atomically against the tip."""
     _validate_name(new)
 
-    def build(tables: dict):
+    def build(tables: dict, views: dict):
         if old not in tables:
             raise CatalogError(f"unknown table {old!r}")
         if new in tables:
@@ -287,7 +300,136 @@ def rename_table(root: str, old: str, new: str) -> None:
                 f"table {new!r} already exists at "
                 f"{_to_abs(root, tables[new]['dir'])}"
             )
+        if new in views:
+            raise TableExistsError(
+                f"{new!r} already names a VIEW (tables and views "
+                "share one namespace)"
+            )
         tables[new] = tables.pop(old)
-        return tables, f"rename {old} -> {new}"
+        return tables, views, f"rename {old} -> {new}"
 
     _publish(root, build)
+
+
+# ------------------------------------------------------------------ views
+
+
+_WORD_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+
+
+def _view_refs(sql: str, view_names) -> set[str]:
+    """View names a SELECT references, by word-token scan.  Tokens
+    inside string literals are excluded (the same quote discipline as
+    the DML lexer); anything else that MATCHES a registered view name
+    counts — over-approximate on purpose, since a false positive only
+    tightens the cycle check."""
+    out, q = [], None
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if q:
+            if c == q:
+                if i + 1 < len(sql) and sql[i + 1] == q:
+                    out.append(" ")
+                    i += 1
+                else:
+                    q = None
+                out.append(" ")
+            else:
+                out.append(" ")
+        elif c in ("'", '"'):
+            q = c
+            out.append(" ")
+        else:
+            out.append(c)
+        i += 1
+    toks = set(_WORD_RE.findall("".join(out)))
+    return toks & set(view_names)
+
+
+def create_view(
+    root: str, name: str, sql: str, or_replace: bool = False
+) -> None:
+    """Persist ``name`` as a catalog VIEW over the given SELECT text
+    (the shared-SELECT shape: the reference re-derives the same
+    month-filter/margin pipeline in three scripts — reference
+    scripts/export_bi_datasets.py:37-55, export_powerbi_star_schema
+    .py:60-68, build_dashboard.py:53-71; a view states it once).
+
+    The SQL is stored VERBATIM and expands at read time (CLI ``sql``
+    registers every catalog view as a Spark temp view over the
+    resolved tables), so a view always reflects the CURRENT table
+    state.  Semantic validation (do the referenced columns exist?)
+    happens where a SparkSession exists — ``sqldml.execute_ddl`` runs
+    the SELECT once at CREATE; this layer enforces name validity,
+    namespace uniqueness against tables AND views, and rejects
+    circular references (a view reachable from itself through the
+    stored texts) atomically against the snapshot."""
+    _validate_name(name)
+
+    def build(tables: dict, views: dict):
+        if name in tables:
+            raise TableExistsError(
+                f"{name!r} already names a TABLE (tables and views "
+                "share one namespace)"
+            )
+        if name in views and not or_replace:
+            raise TableExistsError(
+                f"view {name!r} already exists; use CREATE OR REPLACE "
+                "VIEW to redefine it"
+            )
+        candidate = dict(views)
+        candidate[name] = {"sql": sql, "created_ts": time.time()}
+        # cycle check over the stored texts: any path from this view
+        # back to itself (including a direct self-reference) is
+        # circular — there is no recursive-view semantics here
+        seen, stack = set(), [name]
+        while stack:
+            cur = stack.pop()
+            for ref in sorted(
+                _view_refs(candidate[cur]["sql"], candidate)
+            ):
+                if ref == name:
+                    raise CatalogError(
+                        f"view {name!r} would be circular: "
+                        f"{cur!r} references {ref!r}"
+                    )
+                if ref not in seen:
+                    seen.add(ref)
+                    stack.append(ref)
+        return tables, candidate, f"create view {name}"
+
+    _publish(root, build)
+
+
+def drop_view(root: str, name: str) -> None:
+    def build(tables: dict, views: dict):
+        if name not in views:
+            raise CatalogError(
+                f"unknown view {name!r} (have: "
+                f"{sorted(views) or 'none'})"
+            )
+        del views[name]
+        return tables, views, f"drop view {name}"
+
+    _publish(root, build)
+
+
+def show_views(root: str) -> list[dict]:
+    """[{name, sql}] sorted by name."""
+    snap = _snapshot(root)
+    return [
+        {"name": n, "sql": ent["sql"]}
+        for n, ent in sorted(snap["views"].items())
+    ]
+
+
+def view_sql(root: str, name: str) -> str:
+    snap = _snapshot(root)
+    ent = snap["views"].get(name)
+    if ent is None:
+        raise CatalogError(
+            f"unknown view {name!r} (have: "
+            f"{sorted(snap['views']) or 'none'})"
+        )
+    return ent["sql"]

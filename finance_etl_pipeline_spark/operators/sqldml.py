@@ -719,6 +719,11 @@ _CREATE_RE = re.compile(
 _DROP_RE = re.compile(
     r"^DROP\s+TABLE\s+(\w+)(\s+PURGE)?$", re.IGNORECASE
 )
+_CREATE_VIEW_RE = re.compile(
+    r"^CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(r"^DROP\s+VIEW\s+(\w+)$", re.IGNORECASE)
 
 
 def execute_ddl(
@@ -757,29 +762,54 @@ def execute_ddl(
             "dir": C.resolve(warehouse_root, m.group(2)),
         }
     if head == "SHOW":
-        if stmt.upper().split() != ["SHOW", "TABLES"]:
-            raise SqlDmlError(
-                f"unsupported SHOW statement: {stmt[:60]!r} "
-                "(supported: SHOW TABLES)"
-            )
-        return {"op": "show_tables", "rows": C.show_tables(warehouse_root)}
+        words = stmt.upper().split()
+        if words == ["SHOW", "TABLES"]:
+            return {
+                "op": "show_tables",
+                "rows": C.show_tables(warehouse_root),
+            }
+        if words == ["SHOW", "VIEWS"]:
+            return {"op": "show_views", "rows": C.show_views(warehouse_root)}
+        raise SqlDmlError(
+            f"unsupported SHOW statement: {stmt[:60]!r} "
+            "(supported: SHOW TABLES, SHOW VIEWS)"
+        )
     if head == "DROP":
+        m = _DROP_VIEW_RE.match(stmt)
+        if m:
+            C.drop_view(warehouse_root, m.group(1))
+            return {"op": "drop_view", "table": m.group(1)}
         m = _DROP_RE.match(stmt)
         if not m:
             raise SqlDmlError(
                 f"unsupported DROP statement: {stmt[:60]!r} "
-                "(supported: DROP TABLE name [PURGE])"
+                "(supported: DROP TABLE name [PURGE], DROP VIEW name)"
             )
         name, purge = m.group(1), bool(m.group(2))
         C.drop_table(warehouse_root, name, purge=purge)
         return {"op": "drop_table", "table": name}
     if head == "CREATE":
+        m = _CREATE_VIEW_RE.match(stmt)
+        if m:
+            replace, name, select = (
+                bool(m.group(1)),
+                m.group(2),
+                m.group(3).strip(),
+            )
+            # semantic validation while a session is at hand: the
+            # SELECT must analyze against the registered views/tables
+            # (catches typo'd columns at CREATE, not at first read).
+            # The catalog layer re-checks names/cycles atomically.
+            spark.sql(select)
+            C.create_view(warehouse_root, name, select, or_replace=replace)
+            return {"op": "create_view", "table": name}
         m = _CREATE_RE.match(stmt)
         if not m:
             raise SqlDmlError(
                 f"unsupported CREATE statement: {stmt[:60]!r} "
                 "(supported: CREATE TABLE name [PARTITIONED BY (...)]"
-                " [LOCATION '<dir>'] [AS <select>])"
+                " [LOCATION '<dir>'] [AS <select>], "
+                "CREATE [OR REPLACE] VIEW name AS <select>)"
             )
         name, parts, location, select = m.groups()
         partition_by = (
@@ -812,6 +842,34 @@ def execute_ddl(
         tdir = C.create_table(warehouse_root, name, location=location)
         return {"op": "create_table", "table": name, "dir": tdir}
     raise SqlDmlError(f"not a DDL statement: {statement[:60]!r}")
+
+
+def register_catalog_views(spark: SparkSession, warehouse_root: str) -> dict:
+    """Expand every catalog VIEW into a Spark temp view — call AFTER
+    the warehouse's tables are registered.  Views may reference other
+    views, so registration iterates to a fixpoint (a view registers
+    once everything it references resolves); creation-time cycle
+    rejection guarantees termination.  Returns {view name: None on
+    success, else the analysis error string} so callers can warn about
+    broken views (e.g. a referenced table was dropped) without wedging
+    the whole session."""
+    from finance_etl_pipeline_spark.operators import catalog as C
+
+    pending = {v["name"]: v["sql"] for v in C.show_views(warehouse_root)}
+    status: dict = {}
+    progress = True
+    while pending and progress:
+        progress = False
+        for name in sorted(pending):
+            try:
+                spark.sql(pending[name]).createOrReplaceTempView(name)
+            except Exception as e:  # noqa: BLE001 — analysis errors vary
+                status[name] = str(e)
+                continue
+            status[name] = None
+            del pending[name]
+            progress = True
+    return status
 
 
 # ------------------------------------------- utility / insert verbs

@@ -1490,3 +1490,81 @@ def manifest_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_catalog_view",
+    f"""
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM (
+        SELECT CAST(o_orderkey % 7 AS INT) AS bucket, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 2 = 0
+    )
+    WHERE bucket < 3
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    "lake",
+)
+def manifest_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog VIEWS end to end (r11): CTAS a named table, persist a
+    view over it (the shared-SELECT shape the reference re-derives in
+    three scripts — see operators/catalog.py::create_view), persist a
+    SECOND view over the FIRST (dependency-ordered fixpoint
+    registration), then answer through the outer view.  Also proves
+    the view reflects CURRENT table state: the result is computed
+    AFTER an INSERT that landed post-CREATE VIEW."""
+    from finance_etl_pipeline_spark.operators import catalog as C
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        execute_ddl,
+        execute_dml,
+        register_catalog_views,
+    )
+
+    root = tempfile.mkdtemp(prefix="mlake_view_") + "/wh"
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).createOrReplaceTempView("vw_orders_src")
+    execute_ddl(
+        spark,
+        "CREATE TABLE vt AS SELECT o_orderkey, o_totalprice "
+        "FROM vw_orders_src WHERE o_orderkey % 4 = 0",
+        root,
+    )
+    names = {r["name"]: r["dir"] for r in C.show_tables(root)}
+    # the table view for CREATE VIEW validation + later reads
+    M.read_version(spark, names["vt"]).createOrReplaceTempView("vt")
+    execute_ddl(
+        spark,
+        "CREATE VIEW v_even AS SELECT CAST(o_orderkey % 7 AS INT) AS "
+        "bucket, o_totalprice FROM vt",
+        root,
+    )
+    # the CLI registers existing catalog views before each statement;
+    # mirror that so the second CREATE's validation can see the first
+    register_catalog_views(spark, root)
+    execute_ddl(
+        spark,
+        "CREATE VIEW v_low AS SELECT * FROM v_even WHERE bucket < 3",
+        root,
+    )
+    # the other even half arrives AFTER the views were defined
+    execute_dml(
+        spark,
+        "INSERT INTO vt SELECT o_orderkey, o_totalprice FROM "
+        "vw_orders_src WHERE o_orderkey % 4 = 2",
+        names,
+    )
+    M.read_version(spark, names["vt"]).createOrReplaceTempView("vt")
+    status = register_catalog_views(spark, root)
+    assert status == {"v_even": None, "v_low": None}, status
+    return spark.sql(
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5001) AS BIGINT)) "
+        "AS BIGINT) AS sum_price_e2 "
+        "FROM v_low GROUP BY bucket ORDER BY bucket"
+    )

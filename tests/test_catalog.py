@@ -387,8 +387,9 @@ def test_catalog_model_fuzz(spark, tmp_path):
             counter["extra"] += 1
             orig(
                 r,
-                lambda tables: (
+                lambda tables, views: (
                     {**tables, nm: {"dir": nm, "created_ts": 0.0}},
+                    views,
                     f"race {nm}",
                 ),
             )

@@ -73,6 +73,10 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
     model.update({k: (universe[k], None) for k in first})
     M.commit(frame(first).repartition(3), t)
     history = {1: dict(model)}
+    #: schema state per recorded version — restore rolls the logical
+    #: schema back with the data, so the harness must roll its own
+    #: evolved flag back too
+    evolved_at = {1: False}
     evolved = False
 
     for step in range(N_OPS):
@@ -88,9 +92,22 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 "merge_race",
                 "compact_race",
                 "delete_race",
+                "restore",
             ]
         )
-        if op == "delete_race" and model:
+        if op == "restore" and len(history) > 1:
+            # rollback to any RECORDED snapshot as a new version: the
+            # read, pruning, and time-travel assertions below then
+            # re-verify the restored state like any other op's
+            hv = rng.choice(sorted(history))
+            v = M.restore_table(t, hv)
+            if v == hv:
+                continue  # restored to the current tip: no-op
+            model = dict(history[hv])
+            evolved = evolved_at[hv]
+        elif op == "restore":
+            continue
+        elif op == "delete_race" and model:
             # CONCURRENT WRITER #3 (r10): a file-disjoint delete_where
             # lands between a merge's compute and its publish — the
             # generalized rebase must land BOTH (delete held, merge
@@ -107,6 +124,7 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 **pre,
                 **{k: (p, None) for k, p in sac_rows},
             }
+            evolved_at[v_sac] = evolved
             upd = rng.sample(
                 sorted(model), min(len(model), rng.randint(3, 12))
             )
@@ -141,6 +159,7 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
             finally:
                 M._publish = orig_pub
             history[v - 1] = dict(pre)  # the interleaved delete's snap
+            evolved_at[v - 1] = evolved
             model = {**pre, **merged}
         elif op == "compact_race":
             # CONCURRENT WRITER under OPTIMIZE: compaction must rebase
@@ -171,6 +190,7 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
                 M._publish = orig_pub
             race_model = {k: (p, None) for k, p in race_rows}
             history[v - 1] = {**pre, **race_model}
+            evolved_at[v - 1] = evolved
             model = {**pre, **race_model}
             # the interleaved rows were 2-column; compaction carried
             # their dir verbatim, so q stays NULL for them regardless
@@ -224,6 +244,7 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
             race_model = {k: (p, None) for k, p in race_rows}
             # v-1 = the interleaved append's own snapshot
             history[v - 1] = {**pre, **race_model}
+            evolved_at[v - 1] = evolved
             model = {**pre, **race_model, **merged}
         elif op in ("merge", "evolve") and model:
             upd = rng.sample(
@@ -296,6 +317,7 @@ def test_random_dml_sequence_matches_model(spark, sf_dir, seed, tmp_path):
         else:
             continue
         history[v] = dict(model)
+        evolved_at[v] = evolved
 
         got = _read_model(spark, t)
         assert got == model, f"seed={seed} step={step} op={op}"
