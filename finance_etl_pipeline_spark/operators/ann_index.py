@@ -262,32 +262,201 @@ def ivf_search(
     )
 
 
-def ivf_cell_counts(index_dir: str) -> dict[int, int]:
-    """Per-cell row counts answered from the assignment table's
-    MANIFEST (per-file stats grouped by the hive partition value) — no
-    data file is opened, so monitoring index balance is O(#files) of
-    metadata even at 100 TB.  The assignment table is append-only by
-    construction (build overwrites, appends append; no tombstones), so
-    the per-file counts are exact."""
+def ivf_delete(index_dir: str, vec_ids: list[int]) -> int:
+    """Delete vectors from the index by id — a merge-on-read tombstone
+    on the assignment table (``manifest.delete_where``), so the delete
+    is METADATA-ONLY (no cell file rewritten) and every search path is
+    correct by construction: ``ivf_search`` reads through
+    ``read_version``, which applies the tombstone, so deleted ids can
+    never surface as neighbors.  Returns the assignment table's new
+    version.  Exact per-cell counts under tombstones need a scan —
+    ``ivf_cell_counts`` switches automatically (pass ``spark``).
+
+    Keep the id list bounded (it is stored in the manifest as an IN
+    predicate); for bulk churn driven by a base table, use
+    ``ivf_sync`` — its removals ride a file-granular COW merge whose
+    metadata cost is O(1) per version, not O(|ids|)."""
+    if not vec_ids:
+        return M.latest_version(_assignments_dir(index_dir))
+    return M.delete_where(
+        _assignments_dir(index_dir),
+        [("vec_id", "in", [int(i) for i in vec_ids])],
+    )
+
+
+def _sync_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "sync")
+
+
+def ivf_sync(
+    spark: SparkSession,
+    index_dir: str,
+    table_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    from_version: int | None = None,
+) -> dict:
+    """Incrementally reconcile the index with a BASE manifest table's
+    churn by consuming its changefeed (``manifest.changefeed_rows``)
+    since the last sync: added vectors are assigned against the
+    persisted centroids and inserted, removed ids deleted, changed
+    vectors re-assigned — one file-granular copy-on-write
+    ``merge_into`` version on the assignment table, cost ∝ |delta| +
+    |touched cell files|, never a rebuild or a base-table scan beyond
+    the two snapshot reads the feed itself needs.
+
+    The cursor (last synced base version) persists as a 1-row manifest
+    table under ``<index_dir>/sync``, so syncs resume across processes
+    exactly-once-per-version.  With no cursor and no ``from_version``,
+    the first sync bootstraps from the full snapshot (the
+    ``from_version=0`` feed — every key 'added'); an index just built
+    from ``read_version(base)`` at a known version passes
+    ``from_version=<that version>`` once to mark itself synced without
+    replaying the bootstrap.  Returns {'from_version', 'to_version',
+    'n_changes'} (n_changes = feed rows applied; 0 means the index was
+    already current).
+
+    A changed vector may move cells: the merge updates its row (new
+    cell_id) inside a rewrite dir, so the hive cell layout degrades
+    gradually under churn — per-file min/max stats keep cell pruning
+    CORRECT regardless, and ``ivf_maybe_recluster`` restores the clean
+    layout once skew crosses the bound (the monitor→recluster loop
+    this module already ships)."""
+    sdir = _sync_dir(index_dir)
+    stored = None
+    if M.latest_version(sdir) > 0:
+        stored = int(
+            M.read_version(spark, sdir).collect()[0]["base_version"]
+        )
+    from_v = from_version if from_version is not None else (stored or 0)
+    to_v = M.latest_version(table_dir)
+    if to_v == from_v:
+        if stored != from_v:  # an explicit mark-synced still persists
+            M.commit(
+                spark.createDataFrame([(int(to_v),)], "base_version long"),
+                sdir,
+                mode="overwrite",
+            )
+        return {"from_version": from_v, "to_version": to_v, "n_changes": 0}
+    feed = M.changefeed_rows(
+        spark, table_dir, [id_col], from_v, to_v
+    ).cache()
+    try:
+        n_changes = feed.count()
+        if n_changes:
+            cents = M.read_version(spark, _centroids_dir(index_dir))
+            live = feed.filter(F.col("change_type") != "removed").select(
+                F.col(id_col), F.col(vec_col)
+            )
+            base = _base(live, id_col, vec_col)
+            assigned = (
+                _assign_cells(base, cents, top=1)
+                .select("vec_id", "cell_id")
+                .join(base, "vec_id")
+                .select(
+                    "vec_id", "v", "nrm", "cell_id",
+                    F.lit(False).alias("__del"),
+                )
+            )
+            sch = {f.name: f.dataType for f in assigned.schema.fields}
+            removed = feed.filter(
+                F.col("change_type") == "removed"
+            ).select(
+                F.col(id_col).cast(sch["vec_id"]).alias("vec_id"),
+                F.lit(None).cast(sch["v"]).alias("v"),
+                F.lit(None).cast(sch["nrm"]).alias("nrm"),
+                F.lit(None).cast(sch["cell_id"]).alias("cell_id"),
+                F.lit(True).alias("__del"),
+            )
+            M.merge_into(
+                spark,
+                _assignments_dir(index_dir),
+                assigned.unionByName(removed),
+                ["vec_id"],
+                delete_col="__del",
+            )
+    finally:
+        feed.unpersist()
+    M.commit(
+        spark.createDataFrame([(int(to_v),)], "base_version long"),
+        sdir,
+        mode="overwrite",
+    )
+    return {
+        "from_version": from_v,
+        "to_version": to_v,
+        "n_changes": int(n_changes),
+    }
+
+
+def ivf_cell_counts(
+    index_dir: str, spark: SparkSession | None = None
+) -> dict[int, int]:
+    """Per-cell LIVE row counts.  Append-only indexes (no tombstones)
+    answer from the assignment table's MANIFEST alone (per-file stats
+    grouped by the hive partition value — O(#files) of metadata even
+    at 100 TB).  Once ``ivf_delete`` has landed merge-on-read
+    tombstones, per-file counts over-count the deleted rows, so the
+    metadata path is no longer exact: pass ``spark`` and the counts
+    come from one tombstone-applying scan (a groupBy over the pruned
+    read); without a session this raises rather than return wrong
+    numbers."""
     adir = _assignments_dir(index_dir)
     m = M._read_manifest(adir, M.latest_version(adir))
+    if m.get("deletes"):
+        if spark is None:
+            raise ValueError(
+                "the assignment table carries delete tombstones "
+                "(ivf_delete); exact cell counts need a scan — pass "
+                "spark"
+            )
+        return {
+            int(r["cell_id"]): int(r["n"])
+            for r in M.read_version(spark, adir)
+            .groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     counts: dict[int, int] = {}
     for d in m["dirs"]:
         for e in M._dir_entries(adir, m, d) or []:
             cid = (e.get("parts") or {}).get("cell_id")
             if cid is None:
-                continue
+                # merge-rewritten files are unpartitioned: their exact
+                # per-cell split needs the stats min==max fast path or
+                # a scan
+                st = (e.get("stats") or {}).get("cell_id") or {}
+                if (
+                    st.get("min") is not None
+                    and st.get("min") == st.get("max")
+                ):
+                    cid = st["min"]
+                elif spark is not None:
+                    return {
+                        int(r["cell_id"]): int(r["n"])
+                        for r in M.read_version(spark, adir)
+                        .groupBy("cell_id")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                else:
+                    raise ValueError(
+                        "a rewritten assignment file spans cells; "
+                        "exact counts need a scan — pass spark"
+                    )
             counts[int(cid)] = counts.get(int(cid), 0) + int(e["rows"])
     return counts
 
 
-def ivf_skew(index_dir: str) -> float:
+def ivf_skew(index_dir: str, spark: SparkSession | None = None) -> float:
     """Balance factor of the index: max cell rows / ideal-even rows
     (1.0 = perfectly balanced, n_cells = everything in one cell).
-    Computed metadata-only via ``ivf_cell_counts``; the declared
-    n_cells (meta table at build time) is the denominator's cell
-    count, so cells EMPTIED by drift count against balance too."""
-    counts = ivf_cell_counts(index_dir)
+    Computed metadata-only via ``ivf_cell_counts`` while the index is
+    append-only (pass ``spark`` to stay exact after deletes/sync
+    churn); the declared n_cells (meta table at build time) is the
+    denominator's cell count, so cells EMPTIED by drift count against
+    balance too."""
+    counts = ivf_cell_counts(index_dir, spark)
     total = sum(counts.values())
     if not total:
         return 1.0
@@ -325,7 +494,7 @@ def ivf_maybe_recluster(
     assign into the ORIGINAL cells, so under drift cells skew — a
     probed giant cell approaches a full scan and recall decays for
     queries whose true neighbors straddle stale boundaries."""
-    if ivf_skew(index_dir) <= skew_threshold:
+    if ivf_skew(index_dir, spark) <= skew_threshold:
         return None
     mdir = _meta_dir(index_dir)
     meta = M.read_version(spark, mdir).collect()[0]

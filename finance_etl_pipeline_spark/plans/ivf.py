@@ -496,3 +496,107 @@ def ann_ivf_reclustered_cells(
     }
     assert meta_counts == content_counts, (meta_counts, content_counts)
     return out
+
+
+_DELETE_SYNC_SQL = f"""
+    WITH orig AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    live AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 25 = 7
+                  THEN list_transform(v, x -> -x) ELSE v END AS v
+      FROM orig WHERE vec_id % 10 <> 9
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, v AS cv,
+             sqrt(list_dot_product(v, v)) AS cn
+      FROM orig WHERE vec_id < {N_CELLS}
+    ),
+    nb AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM live
+    ),
+    assign AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT b.vec_id, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY b.vec_id
+                 ORDER BY floor((list_dot_product(b.v, c.cv)
+                   / nullif(b.nrm * c.cn, 0.0)) * 1000000 + 0.5001)
+                   / 1000000 DESC,
+                          c.cell_id
+               ) AS rn
+        FROM nb b CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+    SELECT CAST(cell_id AS BIGINT) AS cell_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+    FROM assign GROUP BY cell_id ORDER BY cell_id
+"""
+
+
+@register("ann_ivf_delete_sync", _DELETE_SYNC_SQL, "llm", "similarity")
+def ann_ivf_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance under base-table churn (r11): the corpus
+    lives as a manifest table, the persisted IVF index is built from
+    its v1 (frozen first-8 centroids), then the base DELETEs every
+    %10==9 vector and UPDATEs (negates) every %25==7 vector —
+    ``ivf_sync`` consumes the base's changefeed and reconciles the
+    assignment table in ONE copy-on-write merge (removed ids deleted,
+    changed vectors re-assigned against the frozen centroids; no
+    retraining, no rebuild).  The oracle recomputes the full post-churn
+    assignment symbolically: any leaked deleted id, stale vector, or
+    assignment drift diverges the per-cell (count, id-sum) pair.  The
+    emitted counts are additionally asserted equal to the scan-exact
+    ``ivf_cell_counts(spark=...)`` — the monitor contract after
+    deletes."""
+    import tempfile
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+    from finance_etl_pipeline_spark.operators.ann_index import (
+        ivf_build_index,
+        ivf_cell_counts,
+        ivf_sync,
+    )
+
+    work = tempfile.mkdtemp(prefix="ann_ivf_sync_")
+    base_t, idx = work + "/base", work + "/index"
+    emb = spread(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 10).cast("int").alias("b10"),
+        (F.col("vec_id") % 25).cast("int").alias("b25"),
+    )
+    M.commit(emb, base_t)  # v1
+    ivf_build_index(spark, M.read_version(spark, base_t), idx)
+    ivf_sync(spark, idx, base_t, from_version=1)  # mark synced at v1
+    M.delete_where(base_t, [("b10", "==", 9)])  # v2
+    M.update_where(
+        spark,
+        base_t,
+        [("b25", "==", 7)],
+        {"embedding": F.expr("transform(embedding, x -> -x)")},
+    )  # v3
+    res = ivf_sync(spark, idx, base_t)
+    assert res["from_version"] == 1 and res["to_version"] == 3, res
+    out = (
+        M.read_version(spark, os.path.join(idx, "assignments"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("vec_id").alias("sum_vec_id"),
+        )
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_vec_id").cast("long").alias("sum_vec_id"),
+        )
+        .orderBy("cell_id")
+    )
+    exact_counts = ivf_cell_counts(idx, spark)
+    content_counts = {
+        int(r["cell_id"]): int(r["n_rows"]) for r in out.collect()
+    }
+    assert exact_counts == content_counts, (exact_counts, content_counts)
+    return out
