@@ -126,11 +126,28 @@ def apply_changefeed_each_batch(
     return stream.writeStream.foreachBatch(_process)
 
 
+def _batch_resolver(table_dir: str, warehouse: str | None):
+    """Per-batch table-dir resolution.  Without a warehouse the dir is
+    literal (resolved once, closure-captured).  WITH a warehouse,
+    ``table_dir`` is a catalog NAME re-resolved on EVERY micro-batch:
+    a rename/drop that lands mid-stream then fails the next batch
+    loudly with the catalog error (stopping the query) instead of
+    silently appending versions to a directory the catalog no longer
+    maps — the same freshness contract a metastore-backed Delta sink
+    gives a long-running stream."""
+    if warehouse is None:
+        return lambda: table_dir
+    from finance_etl_pipeline_spark.operators import catalog as C
+
+    return lambda: C.resolve(warehouse, table_dir)
+
+
 def append_stream_to_manifest(
     stream: DataFrame,
     table_dir: str,
     app_id: str,
     partition_by: list[str] | None = None,
+    warehouse: str | None = None,
 ):
     """writeStream query that appends every micro-batch to a manifest
     table (operators/manifest.py) EXACTLY ONCE.
@@ -149,8 +166,14 @@ def append_stream_to_manifest(
     ``partition_by`` writes each batch hive-partitioned — the
     streaming-ingest-into-partitioned-table shape (e.g. by event
     date), so downstream ``read_version(where=...)`` prunes whole
-    partitions from metadata while the stream keeps appending."""
+    partitions from metadata while the stream keeps appending.
+
+    ``warehouse`` makes ``table_dir`` a catalog NAME (operators/
+    catalog.py), re-resolved per micro-batch — see ``_batch_resolver``
+    for the rename-mid-stream contract."""
     from finance_etl_pipeline_spark.operators import manifest as M
+
+    resolve = _batch_resolver(table_dir, warehouse)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -159,7 +182,7 @@ def append_stream_to_manifest(
             # and replaying an empty batch is a no-op by definition.
         M.commit(
             batch_df,
-            table_dir,
+            resolve(),
             mode="append",
             partition_by=partition_by,
             txn=(app_id, batch_id),
@@ -174,6 +197,7 @@ def apply_changefeed_to_manifest_each_batch(
     table_dir: str,
     keys: list[str],
     app_id: str,
+    warehouse: str | None = None,
 ):
     """``apply_changefeed_each_batch``'s exactly-once twin with a
     MANIFEST TABLE as the replica: each micro-batch of changefeed rows
@@ -183,8 +207,13 @@ def apply_changefeed_to_manifest_each_batch(
     batch_id)`` so a replayed batch is a no-op instead of a duplicate
     version.  No directory swap at all: the manifest publish is
     atomic, readers time-travel mid-apply, and a crash at ANY point
-    leaves either the old or the new version, never a torn replica."""
+    leaves either the old or the new version, never a torn replica.
+
+    ``warehouse`` makes ``table_dir`` a catalog NAME, re-resolved per
+    micro-batch — see ``_batch_resolver``."""
     from finance_etl_pipeline_spark.operators import manifest as M
+
+    resolve = _batch_resolver(table_dir, warehouse)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -194,7 +223,7 @@ def apply_changefeed_to_manifest_each_batch(
         ).drop("change_type")
         M.merge_into(
             spark,
-            table_dir,
+            resolve(),
             src,
             keys,
             delete_col="__is_delete",
