@@ -181,6 +181,7 @@ def main(argv: list[str] | None = None) -> int:
             "columns",
             "bloom",
             "partitions",
+            "restore",
         ],
     )
     tbl_p.add_argument(
@@ -239,7 +240,8 @@ def main(argv: list[str] | None = None) -> int:
         "--version",
         type=int,
         default=None,
-        help="source version to clone (default latest)",
+        help="source version to clone, or the rollback target for "
+        "`restore` (required there)",
     )
 
     args = parser.parse_args(argv)
@@ -463,6 +465,16 @@ def main(argv: list[str] | None = None) -> int:
                         f"ts={row['ts']}\tdirs={row['n_dirs']}\t"
                         f"files={row['n_files']}\trows={row['n_rows']}"
                     )
+            elif res["op"] == "describe_detail":
+                for k, val in res["detail"].items():
+                    print(f"{k}\t{val}")
+            elif res["op"] == "vacuum_dry_run":
+                for p in res["paths"]:
+                    print(p)
+                print(
+                    f"{res['table']} v{res['version']} "
+                    f"(dry run: {res['removed']} path(s) reclaimable)"
+                )
             elif res["op"] == "vacuum":
                 print(
                     f"{res['table']} v{res['version']} "
@@ -676,6 +688,25 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             v = M.clone_table(args.dir, args.into, version=args.version)
             print(f"cloned {args.dir} -> {args.into} v{v} (zero-copy)")
+            return 0
+        if args.action == "restore":
+            if args.version is None:
+                print(
+                    "table restore requires --version N (the rollback "
+                    "target; history is preserved — the restore lands "
+                    "as a NEW version)",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                v = M.restore_table(args.dir, args.version)
+            except (M.VersionNotFoundError, ValueError) as e:
+                print(f"restore error: {e}", file=sys.stderr)
+                return 2
+            if v == args.version:
+                print(f"already at v{v}: no-op")
+            else:
+                print(f"restored to v{args.version} as v{v}")
             return 0
         if args.action == "changes":
             if not args.keys or args.from_version is None:

@@ -3227,6 +3227,55 @@ def history(table_dir: str) -> list[dict]:
     return out
 
 
+def describe_detail(table_dir: str) -> dict:
+    """DESCRIBE DETAIL (the Delta table-level summary): ONE dict for
+    the current snapshot — version, commit ts, mode, location, counts,
+    total size in bytes, the distinct hive partition layouts in force,
+    tombstone count, constraint names, whether column mapping is
+    active, and the number of registered live clones.  Driver-side
+    metadata only (manifest + shard JSON, O(#files); no data file is
+    opened).  ``n_rows`` is None when tombstones make the metadata
+    count unknowable — same contract as ``history()``/``count_rows``."""
+    v = latest_version(table_dir)
+    if v == 0:
+        return {"location": os.path.abspath(table_dir), "version": 0}
+    m = _read_manifest(table_dir, v)
+    files = _load_files(table_dir, m)
+    n_files = sum(len(es) for es in files.values())
+    size_bytes = sum(
+        int(e.get("bytes", 0)) for es in files.values() for e in es
+    )
+    layouts = sorted(
+        {tuple(c) for c in m.get("partitioned_dirs", {}).values()}
+    )
+    n_clones = 0
+    reg_dir = os.path.join(table_dir, _MANIFESTS, "clones")
+    if os.path.isdir(reg_dir):
+        n_clones = sum(
+            1 for f in os.listdir(reg_dir) if f.endswith(".json")
+        )
+    return {
+        "location": os.path.abspath(table_dir),
+        "version": v,
+        "ts": m.get("ts"),
+        "mode": m.get("mode"),
+        "n_dirs": len(m["dirs"]),
+        "n_files": n_files,
+        "n_rows": count_rows(table_dir),
+        "size_bytes": size_bytes,
+        "partition_layouts": [list(c) for c in layouts],
+        "n_tombstones": len(m.get("deletes", [])),
+        "constraints": sorted(m.get("constraints", {})),
+        "column_mapping": bool(m.get("column_mapping")),
+        "schema_fields": (
+            len(StructType.fromJson(m["schema"]).fields)
+            if "schema" in m
+            else None
+        ),
+        "registered_clones": n_clones,
+    }
+
+
 def files_for_version(
     table_dir: str,
     version: int | None = None,
@@ -3267,6 +3316,7 @@ def vacuum(
     table_dir: str,
     keep_last: int = 1,
     retention_seconds: float = 3600.0,
+    dry_run: bool = False,
 ) -> list[str]:
     """Delete data dirs referenced only by expired versions (older
     than the ``keep_last`` most recent) and drop their manifests.
@@ -3290,7 +3340,14 @@ def vacuum(
     manifest references (and that is older than retention — a writer
     may be mid-write into a dir it has not published yet) is deleted
     individually.  Dirs without per-file entries in every retained
-    manifest (legacy) are skipped — no proof, no deletion."""
+    manifest (legacy) are skipped — no proof, no deletion.
+
+    ``dry_run=True`` (the ``VACUUM t DRY RUN`` surface) reports the
+    DATA paths the sweep would reclaim without deleting anything —
+    no data, no manifests, no shards, no registry pruning; the
+    returned list covers the data dir/file sweep (metadata expiry is
+    derived state and not listed, matching what the big formats
+    report)."""
     import glob as _glob
 
     tip = latest_version(table_dir)
@@ -3349,10 +3406,11 @@ def vacuum(
                     continue
                 if age >= retention_seconds:
                     # clone gone (or a failed clone's stale claim)
-                    try:
-                        os.remove(reg_path)
-                    except OSError:
-                        pass
+                    if not dry_run:
+                        try:
+                            os.remove(reg_path)
+                        except OSError:
+                            pass
                     continue
                 # IN-FLIGHT clone: registered (before publish, by
                 # contract) but its manifest has not landed yet.  It
@@ -3429,7 +3487,8 @@ def vacuum(
         rel = os.path.join(_DATA, d)
         path = os.path.join(data_root, d)
         if rel not in live and now - os.path.getmtime(path) >= retention_seconds:
-            shutil.rmtree(path)
+            if not dry_run:
+                shutil.rmtree(path)
             removed.append(rel)
         elif rel in live and rel not in no_proof:
             # file-granular sweep of merge-rewritten leftovers
@@ -3444,10 +3503,13 @@ def vacuum(
                         frel not in live_files
                         and now - os.path.getmtime(f) >= retention_seconds
                     ):
-                        os.remove(f)
+                        if not dry_run:
+                            os.remove(f)
                         removed.append(frel)
                 except FileNotFoundError:
                     pass  # concurrent vacuum got it first
+    if dry_run:
+        return removed  # metadata expiry never runs on a dry run
     mdir = os.path.join(table_dir, _MANIFESTS)
     for f in os.listdir(mdir):
         path = os.path.join(mdir, f)

@@ -30,8 +30,14 @@ the manifest log can execute as one atomic version:
   table's hive layout; by-name column matching; optional ``txn``);
 * ``OPTIMIZE t [WHERE <conjunction>] [ZORDER BY (c, ...)]`` →
   ``compact_table`` / scoped ``compact_where``;
-* ``VACUUM t [RETAIN n HOURS] [KEEP LAST k]`` → ``vacuum``;
-* ``DESCRIBE HISTORY t`` → ``history()``;
+* ``VACUUM t [RETAIN n HOURS] [KEEP LAST k] [DRY RUN]`` → ``vacuum``;
+* ``DESCRIBE HISTORY t`` → ``history()``; ``DESCRIBE DETAIL t`` →
+  ``describe_detail()``;
+* ``RESTORE TABLE t TO VERSION AS OF n | TIMESTAMP AS OF 'ts'`` →
+  ``restore_table`` (rollback as a new history-preserving version);
+* SELECT-side time travel (``FROM t VERSION AS OF n`` / ``TIMESTAMP
+  AS OF 'ts'`` / ``t@n``) via ``expand_time_travel`` — also expanded
+  inside INSERT/CTAS payloads and MERGE subquery sources;
 * ``MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
   ON a.k = b.k [AND ...]
   [WHEN MATCHED THEN UPDATE SET *]
@@ -77,10 +83,12 @@ def is_dml(statement: str) -> bool:
         return False
     stripped = statement.strip().rstrip(";").strip()
     if head[0].upper() == "DESCRIBE":
-        # only DESCRIBE HISTORY is ours; DESCRIBE <view>/TABLE/QUERY
-        # stay plain Spark SQL
+        # only DESCRIBE HISTORY/DETAIL are ours; DESCRIBE <view>/
+        # TABLE/QUERY stay plain Spark SQL
         return bool(
-            re.match(r"^DESCRIBE\s+HISTORY\b", stripped, re.IGNORECASE)
+            re.match(
+                r"^DESCRIBE\s+(HISTORY|DETAIL)\b", stripped, re.IGNORECASE
+            )
         )
     if head[0].upper() == "INSERT":
         # only the parsable bare-name form; INSERT INTO parquet.`...`
@@ -446,7 +454,7 @@ def _exec_merge(
                 "a MERGE subquery source needs an alias: "
                 "USING (SELECT ...) AS s"
             )
-        source = spark.sql(sub)
+        source = spark.sql(expand_time_travel(spark, sub, tables))
     else:
         toks = src_part.split()
         if len(toks) == 1:
@@ -824,7 +832,10 @@ def execute_ddl(
                 "writes managed data — pick one"
             )
         if select:
-            df = spark.sql(select)
+            names = {
+                r["name"]: r["dir"] for r in C.show_tables(warehouse_root)
+            }
+            df = spark.sql(expand_time_travel(spark, select, names))
             tdir, v = C.create_table_as(
                 spark, warehouse_root, name, df, partition_by=partition_by
             )
@@ -885,7 +896,7 @@ _OPTIMIZE_RE = re.compile(
 )
 _VACUUM_RE = re.compile(
     r"^VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
-    r"(?:\s+KEEP\s+LAST\s+(\d+))?$",
+    r"(?:\s+KEEP\s+LAST\s+(\d+))?(\s+DRY\s+RUN)?$",
     re.IGNORECASE,
 )
 
@@ -920,7 +931,9 @@ def _exec_insert(
         )
     kind, name, payload = m.groups()
     tdir = _resolve(name, tables)
-    df = spark.sql(payload)
+    # time travel composes: INSERT INTO t SELECT * FROM t VERSION AS
+    # OF 3 is the restore-into-copy shape
+    df = spark.sql(expand_time_travel(spark, payload, tables))
     mode = "append" if kind.upper() == "INTO" else "overwrite"
     # VALUES is detected SYNTACTICALLY (the payload starts with the
     # keyword), never inferred from colN-shaped output names: a
@@ -992,46 +1005,57 @@ def _exec_optimize(spark, stmt: str, tables: dict[str, str]) -> dict:
 
 
 def _exec_vacuum(spark, stmt: str, tables: dict[str, str]) -> dict:
-    """``VACUUM t [RETAIN n HOURS] [KEEP LAST k]`` → ``vacuum``
-    (defaults: 1 hour retention, keep the tip only — the operator's
-    own defaults)."""
+    """``VACUUM t [RETAIN n HOURS] [KEEP LAST k] [DRY RUN]`` →
+    ``vacuum`` (defaults: 1 hour retention, keep the tip only — the
+    operator's own defaults).  DRY RUN reports the reclaimable data
+    paths without deleting anything."""
     m = _VACUUM_RE.match(stmt.strip().rstrip(";"))
     if not m:
         raise SqlDmlError(
             "malformed VACUUM: want `VACUUM <table> "
-            "[RETAIN <n> HOURS] [KEEP LAST <k>]`"
+            "[RETAIN <n> HOURS] [KEEP LAST <k>] [DRY RUN]`"
         )
-    name, hours, keep = m.groups()
+    name, hours, keep, dry = m.groups()
     tdir = _resolve(name, tables)
     removed = M.vacuum(
         tdir,
         keep_last=int(keep) if keep else 1,
         retention_seconds=float(hours) * 3600.0 if hours else 3600.0,
+        dry_run=bool(dry),
     )
-    return {
-        "op": "vacuum",
+    out = {
+        "op": "vacuum_dry_run" if dry else "vacuum",
         "table": name,
         "version": M.latest_version(tdir),
         "removed": len(removed),
     }
+    if dry:
+        out["paths"] = removed
+    return out
 
 
 def _exec_describe(spark, stmt: str, tables: dict[str, str]) -> dict:
     """``DESCRIBE HISTORY t`` → ``history()`` rows (checkpoint-served
-    on long histories)."""
-    m = re.match(
-        r"^DESCRIBE\s+HISTORY\s+(\w+)$",
-        stmt.strip().rstrip(";"),
-        re.IGNORECASE,
+    on long histories); ``DESCRIBE DETAIL t`` → the one-dict snapshot
+    summary (``describe_detail``)."""
+    s = stmt.strip().rstrip(";")
+    m = re.match(r"^DESCRIBE\s+HISTORY\s+(\w+)$", s, re.IGNORECASE)
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        return {
+            "op": "describe_history",
+            "table": m.group(1),
+            "rows": M.history(tdir),
+        }
+    m = re.match(r"^DESCRIBE\s+DETAIL\s+(\w+)$", s, re.IGNORECASE)
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        return {
+            "op": "describe_detail",
+            "table": m.group(1),
+            "detail": M.describe_detail(tdir),
+        }
+    raise SqlDmlError(
+        "malformed DESCRIBE: want `DESCRIBE HISTORY <table>` or "
+        "`DESCRIBE DETAIL <table>`"
     )
-    if not m:
-        raise SqlDmlError(
-            "malformed DESCRIBE: want `DESCRIBE HISTORY <table>`"
-        )
-    name = m.group(1)
-    tdir = _resolve(name, tables)
-    return {
-        "op": "describe_history",
-        "table": name,
-        "rows": M.history(tdir),
-    }
