@@ -344,10 +344,11 @@ def main(argv: list[str] | None = None) -> int:
                     register_catalog_views(spark, args.warehouse).items()
                 ):
                     if err is not None:
+                        # split (never empty), not splitlines ([] on "")
                         print(
                             f"warning: cataloged view {vname!r} "
-                            f"failed to register ({err.splitlines()[0]})"
-                            "; skipping it",
+                            f"failed to register "
+                            f"({err.split(chr(10), 1)[0]}); skipping it",
                             file=sys.stderr,
                         )
             if is_ddl(args.statement):
@@ -700,6 +701,9 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             try:
                 v = M.restore_table(args.dir, args.version)
+            except M.ConcurrentTableModificationError as e:
+                print(f"conflict: {e}", file=sys.stderr)
+                return 3
             except (M.VersionNotFoundError, ValueError) as e:
                 print(f"restore error: {e}", file=sys.stderr)
                 return 2

@@ -403,13 +403,8 @@ def ivf_cell_counts(
     numbers."""
     adir = _assignments_dir(index_dir)
     m = M._read_manifest(adir, M.latest_version(adir))
-    if m.get("deletes"):
-        if spark is None:
-            raise ValueError(
-                "the assignment table carries delete tombstones "
-                "(ivf_delete); exact cell counts need a scan — pass "
-                "spark"
-            )
+
+    def _scan_counts() -> dict[int, int]:
         return {
             int(r["cell_id"]): int(r["n"])
             for r in M.read_version(spark, adir)
@@ -417,6 +412,15 @@ def ivf_cell_counts(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+
+    if m.get("deletes"):
+        if spark is None:
+            raise ValueError(
+                "the assignment table carries delete tombstones "
+                "(ivf_delete); exact cell counts need a scan — pass "
+                "spark"
+            )
+        return _scan_counts()
     counts: dict[int, int] = {}
     for d in m["dirs"]:
         for e in M._dir_entries(adir, m, d) or []:
@@ -432,13 +436,7 @@ def ivf_cell_counts(
                 ):
                     cid = st["min"]
                 elif spark is not None:
-                    return {
-                        int(r["cell_id"]): int(r["n"])
-                        for r in M.read_version(spark, adir)
-                        .groupBy("cell_id")
-                        .agg(F.count(F.lit(1)).alias("n"))
-                        .collect()
-                    }
+                    return _scan_counts()
                 else:
                     raise ValueError(
                         "a rewritten assignment file spans cells; "

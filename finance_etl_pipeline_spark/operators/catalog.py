@@ -219,6 +219,29 @@ def show_tables(root: str) -> list[dict]:
     return out
 
 
+def _sweep_trash(root: str, retention_seconds: float = 3600.0) -> None:
+    """Reclaim ``.trash-*`` dirs a crashed PURGE left behind — only
+    those older than ``retention_seconds``, so an IN-FLIGHT drop's
+    freshly-renamed trash (rename → publish → rmtree window) is never
+    swept out from under it."""
+    import shutil
+
+    now = time.time()
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return
+    for n in names:
+        if not n.startswith(".trash-"):
+            continue
+        p = os.path.join(root, n)
+        try:
+            if now - os.path.getmtime(p) >= retention_seconds:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def drop_table(
     root: str, name: str, purge: bool = False, force: bool = False
 ) -> None:
@@ -237,9 +260,18 @@ def drop_table(
     and the name stays registered until the publish, so no creator can
     share the doomed directory.  ``.trash-*`` can never collide with a
     table name (names must start with a letter/underscore and
-    leading-underscore is reserved)."""
+    leading-underscore is reserved).
+
+    Crash window: a kill between the rename and the publish leaves the
+    name registered with a vacant directory (it reads as an EMPTY
+    table — ``create_table`` never pre-creates dirs, so readers handle
+    a vacant managed path by construction) and the data parked in
+    ``.trash-*``; recover by renaming the trash back, or drop again.
+    A janitor sweep at the start of every drop reclaims trash older
+    than an hour, so an abandoned window never leaks disk forever."""
     from finance_etl_pipeline_spark.operators import manifest as M
 
+    _sweep_trash(root)
     trash = purged_dir = None
     if purge:
         snap = _snapshot(root)
@@ -249,6 +281,10 @@ def drop_table(
             trash = os.path.join(root, f".trash-{uuid.uuid4().hex}")
             try:
                 os.rename(purged_dir, trash)
+                # rename keeps the (possibly old) dir mtime — stamp it
+                # NOW so the janitor's retention window protects this
+                # in-flight drop from a concurrent sweep
+                os.utime(trash, None)
             except FileNotFoundError:
                 trash = None  # never written: nothing to purge
 
@@ -319,31 +355,14 @@ _WORD_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
 
 def _view_refs(sql: str, view_names) -> set[str]:
     """View names a SELECT references, by word-token scan.  Tokens
-    inside string literals are excluded (the same quote discipline as
-    the DML lexer); anything else that MATCHES a registered view name
-    counts — over-approximate on purpose, since a false positive only
-    tightens the cycle check."""
-    out, q = [], None
-    i = 0
-    while i < len(sql):
-        c = sql[i]
-        if q:
-            if c == q:
-                if i + 1 < len(sql) and sql[i + 1] == q:
-                    out.append(" ")
-                    i += 1
-                else:
-                    q = None
-                out.append(" ")
-            else:
-                out.append(" ")
-        elif c in ("'", '"'):
-            q = c
-            out.append(" ")
-        else:
-            out.append(c)
-        i += 1
-    toks = set(_WORD_RE.findall("".join(out)))
+    inside string literals and backticked identifiers are excluded
+    (operators/sqltext.py — the SAME masker the DML lexer uses);
+    anything else that MATCHES a registered view name counts —
+    over-approximate on purpose, since a false positive only tightens
+    the cycle check."""
+    from finance_etl_pipeline_spark.operators.sqltext import mask_quotes
+
+    toks = set(_WORD_RE.findall(mask_quotes(sql)))
     return toks & set(view_names)
 
 

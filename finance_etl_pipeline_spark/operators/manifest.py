@@ -3240,11 +3240,17 @@ def describe_detail(table_dir: str) -> dict:
     if v == 0:
         return {"location": os.path.abspath(table_dir), "version": 0}
     m = _read_manifest(table_dir, v)
-    files = _load_files(table_dir, m)
-    n_files = sum(len(es) for es in files.values())
-    size_bytes = sum(
-        int(e.get("bytes", 0)) for es in files.values() for e in es
-    )
+    # legacy manifests with dirs lacking per-file entries: report None
+    # (no proof, no partial number — the count_rows contract), never a
+    # confidently-wrong undercount
+    if _files_summary(m) is None:
+        n_files = size_bytes = None
+    else:
+        files = _load_files(table_dir, m)
+        n_files = sum(len(es) for es in files.values())
+        size_bytes = sum(
+            int(e.get("bytes", 0)) for es in files.values() for e in es
+        )
     layouts = sorted(
         {tuple(c) for c in m.get("partitioned_dirs", {}).values()}
     )
@@ -3261,7 +3267,7 @@ def describe_detail(table_dir: str) -> dict:
         "mode": m.get("mode"),
         "n_dirs": len(m["dirs"]),
         "n_files": n_files,
-        "n_rows": count_rows(table_dir),
+        "n_rows": count_rows(table_dir, v),
         "size_bytes": size_bytes,
         "partition_layouts": [list(c) for c in layouts],
         "n_tombstones": len(m.get("deletes", [])),
@@ -4173,6 +4179,18 @@ def restore_table(
     shard it names, and once the restore publishes, the new tip itself
     keeps them live even after the interim versions expire.
 
+    A CONCURRENT vacuum (which publishes no version, so the OCC pin
+    cannot see it) is handled in two layers: before publishing, every
+    target data dir, file, and shard is mtime-TOUCHED, so a vacuum
+    with a sane retention window skips them as in-flight (the same
+    contract that protects a mid-commit writer — retention 0 remains
+    'only when no writer can be concurrent', and restore IS a writer);
+    after publishing, the restored file set is re-verified on disk,
+    and on any loss the restore SELF-HEALS by publishing a rollback to
+    the pre-restore tip (whose files the vacuum provably kept) and
+    raising — a loud retryable error, never a tip pointing at
+    vanished files.
+
     What does NOT roll back: the writer ``txns`` map carries from the
     TIP, not the target — it tracks WRITER progress, and restoring it
     would make every streaming sink replay (double-commit) its batches
@@ -4199,6 +4217,43 @@ def restore_table(
         return tip  # already there: no version spam
     m_t = _read_manifest(table_dir, version)  # VersionNotFoundError if gone
     files_payload = _carry_files(table_dir, m_t)
+    # touch everything the restore will reference: a concurrent
+    # vacuum's retention window then treats them as in-flight
+    target_files = _load_files(table_dir, m_t)
+    now = time.time()
+    for d in m_t["dirs"]:
+        absd = os.path.join(table_dir, d)
+        for p in [absd] + [
+            os.path.join(absd, e["path"]) for e in target_files.get(d) or []
+        ]:
+            try:
+                os.utime(p, (now, now))
+            except OSError:
+                pass  # verified after publish either way
+    for r in (m_t.get("files_ref") or {}).values():
+        try:
+            os.utime(
+                os.path.join(table_dir, _MANIFESTS, r["shard"]), (now, now)
+            )
+        except OSError:
+            pass
+
+    def _restore_payload(m_src: dict, of_version: int, m_now: dict) -> dict:
+        payload = {
+            "dirs": list(m_src["dirs"]),
+            "mode": "restore",
+            "restore_of": of_version,
+            "files": _carry_files(table_dir, m_src),
+            "dir_schemas": _load_dir_schemas(m_src),
+            "partitioned_dirs": dict(m_src.get("partitioned_dirs", {})),
+            "deletes": list(m_src.get("deletes", [])),
+            "constraints": _carry_constraints(m_src),
+            "txns": _carry_txns(m_now),
+            **_carry_mapping(m_src),
+        }
+        if "schema" in m_src:
+            payload["schema"] = m_src["schema"]
+        return payload
 
     def build(prev: int) -> dict:
         if prev != tip:
@@ -4207,24 +4262,49 @@ def restore_table(
                 f"was computing against v{tip}; re-examine the history "
                 "and re-run"
             )
-        m_tip = _read_manifest(table_dir, prev)
-        payload = {
-            "dirs": list(m_t["dirs"]),
-            "mode": "restore",
-            "restore_of": version,
-            "files": dict(files_payload),
-            "dir_schemas": _load_dir_schemas(m_t),
-            "partitioned_dirs": dict(m_t.get("partitioned_dirs", {})),
-            "deletes": list(m_t.get("deletes", [])),
-            "constraints": _carry_constraints(m_t),
-            "txns": _carry_txns(m_tip),
-            **_carry_mapping(m_t),
-        }
-        if "schema" in m_t:
-            payload["schema"] = m_t["schema"]
-        return payload
+        return _restore_payload(m_t, version, _read_manifest(table_dir, prev))
 
-    return _publish(table_dir, build)
+    new_v = _publish(table_dir, build)
+    # post-publish verification against a concurrent vacuum that
+    # computed its live set before this publish: every referenced
+    # file must still exist (legacy dirs without entries verify at
+    # dir granularity).  On loss, SELF-HEAL: roll the tip back to the
+    # pre-restore snapshot — ITS files were the vacuum's keep set —
+    # and raise loudly so the caller re-runs against intact history.
+    missing = [
+        p
+        for d in m_t["dirs"]
+        for p in (
+            [
+                os.path.join(table_dir, d, e["path"])
+                for e in target_files[d]
+            ]
+            if target_files.get(d) is not None
+            else [os.path.join(table_dir, d)]
+        )
+        if not os.path.exists(p)
+    ]
+    if missing:
+        m_tip = _read_manifest(table_dir, tip)
+
+        def heal(prev: int) -> dict:
+            if prev != new_v:
+                raise ConcurrentTableModificationError(
+                    f"restore to v{version} lost files to a concurrent "
+                    f"vacuum AND v{new_v} gained a successor while "
+                    "healing; repair the tip manually from history"
+                )
+            return _restore_payload(m_tip, tip, _read_manifest(table_dir, prev))
+
+        _publish(table_dir, heal)
+        raise ConcurrentTableModificationError(
+            f"RESTORE TO v{version} raced a concurrent vacuum: "
+            f"{len(missing)} referenced file(s) were swept (first: "
+            f"{missing[0]}); the tip was rolled back to the v{tip} "
+            "state — re-run the restore only if the target is still "
+            "retained"
+        )
+    return new_v
 
 
 def changefeed_rows(

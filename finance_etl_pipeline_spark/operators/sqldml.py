@@ -171,28 +171,12 @@ def _split_top_keyword(s: str, kw: str) -> list[str]:
 # ------------------------------------------------------ SELECT time travel
 
 
-def _mask_quotes(s: str) -> str:
-    """Same-length copy with quoted-literal CONTENTS blanked (quote
-    chars kept), so regexes over the mask can never match inside a
-    string literal while match spans still index into the original."""
-    out = list(s)
-    q = None
-    i = 0
-    while i < len(s):
-        c = s[i]
-        if q:
-            if c == q:
-                if i + 1 < len(s) and s[i + 1] == q:
-                    out[i] = out[i + 1] = " "
-                    i += 1
-                else:
-                    q = None
-            else:
-                out[i] = " "
-        elif c in ("'", '"'):
-            q = c
-        i += 1
-    return "".join(out)
+#: shared with catalog._view_refs — ONE escape-rule implementation.
+#: Backticks are masked too: a backtick-quoted identifier whose text
+#: happens to look like `t@2` must never be rewritten as time travel.
+from finance_etl_pipeline_spark.operators.sqltext import (  # noqa: E402
+    mask_quotes as _mask_quotes,
+)
 
 
 #: `t VERSION AS OF 3` / `t TIMESTAMP AS OF '2026-01-01T00:00:00'` (or
