@@ -694,6 +694,64 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     return _publish(table_dir, build)
 
 
+def add_column(table_dir: str, name: str, dtype) -> int:
+    """ALTER TABLE ... ADD COLUMN — a metadata-only version: the
+    logical schema widens with a nullable field, every EXISTING file
+    reads the column as typed NULLs through the ``dir_schemas``
+    machinery (the same rule append-mode evolution already uses), and
+    later writes may supply values.  No byte of data moves.
+
+    ``dtype`` is a ``pyspark.sql.types.DataType`` or a DDL type
+    string ('int', 'array<double>', ...).  The new column's PHYSICAL
+    name is assigned through ``_assign_physical``: if the logical name
+    collides with a live or RETIRED physical (e.g. the column was
+    dropped earlier), the fresh physical guarantees the new column can
+    never resurrect the dropped column's bytes.  Time travel to
+    pre-add versions shows the narrow schema."""
+    from pyspark.sql.types import DataType
+
+    if not isinstance(dtype, DataType):
+        field = StructType.fromDDL(f"`{name}` {dtype}").fields[0]
+        dtype = field.dataType
+
+    def build(prev: int) -> dict:
+        if prev == 0:
+            raise ValueError("cannot add a column to an empty table")
+        m = _read_manifest(table_dir, prev)
+        if "schema" not in m:
+            raise ValueError(
+                "manifest predates schema records; rewrite the table"
+            )
+        schema = StructType.fromJson(m["schema"])
+        names = schema.fieldNames()
+        if name in names:
+            raise ValueError(f"column {name!r} already exists")
+        mapping, retired = _load_mapping(m)
+        full = _assign_physical([name], mapping, retired, names)
+        from pyspark.sql.types import StructField
+
+        payload = {
+            "dirs": list(m["dirs"]),
+            "mode": "set_schema",
+            "files": _carry_files(table_dir, m),
+            "dir_schemas": _load_dir_schemas(m),
+            "partitioned_dirs": dict(m.get("partitioned_dirs", {})),
+            "deletes": list(m.get("deletes", [])),
+            "schema": StructType(
+                list(schema.fields) + [StructField(name, dtype, True)]
+            ).jsonValue(),
+            "constraints": _carry_constraints(m),
+            "txns": _carry_txns(m),
+        }
+        if full:
+            payload["column_mapping"] = full
+        if retired:
+            payload["retired_physical"] = retired
+        return payload
+
+    return _publish(table_dir, build)
+
+
 def drop_column(table_dir: str, name: str) -> int:
     """ALTER TABLE ... DROP COLUMN — a metadata-only version: the
     logical field disappears (reads never select it again — column

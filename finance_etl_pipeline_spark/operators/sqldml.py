@@ -605,10 +605,24 @@ def _exec_alter(spark, stmt: str, tables: dict[str, str]) -> dict:
             "table": m.group(1),
             "version": version,
         }
+    m = re.match(
+        r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        tdir = _resolve(m.group(1), tables)
+        version = M.add_column(tdir, m.group(2), m.group(3))
+        return {
+            "op": "add_column",
+            "table": m.group(1),
+            "version": version,
+        }
     raise SqlDmlError(
         "malformed ALTER: want `ALTER TABLE <t> ADD CONSTRAINT <name> "
         "CHECK (<expr>)`, `... DROP CONSTRAINT <name>`, "
-        "`... RENAME COLUMN <a> TO <b>`, or `... DROP COLUMN <c>` "
+        "`... RENAME COLUMN <a> TO <b>`, `... DROP COLUMN <c>`, or "
+        "`... ADD COLUMN <c> <type>` "
         "(the only ALTER forms the manifest log executes)"
     )
 
