@@ -50,7 +50,7 @@ def test_mapping_dml_model(spark, seed, tmp_path):
     for step in range(N_OPS):
         op = rng.choice(
             ["rename", "append", "update", "delete", "merge",
-             "bloom", "drop_readd"]
+             "bloom", "drop_readd", "addcol"]
         )
         if op == "rename":
             new = f"v{step}_{seed}"
@@ -100,6 +100,14 @@ def test_mapping_dml_model(spark, seed, tmp_path):
             model = {k: None for k in model}
             model.update(add)
             v = M.commit(frame(add.items()), t)
+        elif op == "addcol":
+            # drop then METADATA-ONLY re-add of the same name (r11
+            # add_column, no data write): the retired physical means
+            # every existing row reads NULL, and later update/merge
+            # ops in this sequence write the fresh column normally
+            M.drop_column(t, vname)
+            v = M.add_column(t, vname, "long")
+            model = {k: None for k in model}
         else:
             continue
         history[v] = (vname, dict(model))
