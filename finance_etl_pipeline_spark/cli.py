@@ -103,11 +103,14 @@ def main(argv: list[str] | None = None) -> int:
         "(repeatable); @N time-travels to version N, @<ISO-8601 or "
         "decimal epoch seconds> to the latest version at that "
         "instant (all-digits pins read as versions); default "
-        "latest. Reads go through the manifest_table "
+        "latest. UN-pinned names also time-travel INSIDE the "
+        "statement: FROM name VERSION AS OF n, TIMESTAMP AS OF "
+        "'ts', or name@n. Reads go through the manifest_table "
         "DataSource with filter pushdown into footer-stats file "
-        "skipping. UPDATE/DELETE/MERGE INTO statements against "
-        "UN-pinned names publish a new table version (see "
-        "operators/sqldml.py for the supported subset).",
+        "skipping. UPDATE/DELETE/MERGE INTO/INSERT/OPTIMIZE/"
+        "VACUUM [DRY RUN]/RESTORE TABLE/DESCRIBE HISTORY|DETAIL "
+        "statements against UN-pinned names execute on the manifest "
+        "log (see operators/sqldml.py for the supported subset).",
     )
     sql_p.add_argument(
         "--txn",
@@ -128,9 +131,11 @@ def main(argv: list[str] | None = None) -> int:
         metavar="ROOT",
         help="warehouse root with a name catalog (operators/"
         "catalog.py): every cataloged table is pre-registered as a "
-        "temp view AND as a DML target by NAME, and CREATE TABLE "
-        "[AS] / DROP TABLE [PURGE] / SHOW TABLES statements manage "
-        "the catalog",
+        "temp view AND as a DML target by NAME (catalog VIEWS expand "
+        "too), and CREATE TABLE [AS] / DROP TABLE [PURGE] / SHOW "
+        "TABLES / CREATE [OR REPLACE] VIEW ... AS / DROP VIEW / "
+        "SHOW VIEWS / ALTER TABLE RENAME TO statements manage the "
+        "catalog",
     )
 
     drain_p = sub.add_parser(
