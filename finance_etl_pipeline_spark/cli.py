@@ -500,14 +500,27 @@ def main(argv: list[str] | None = None) -> int:
         from finance_etl_pipeline_spark.operators.sqldml import (
             SqlDmlError,
             expand_time_travel,
+            try_metadata_select,
         )
 
-        try:
-            stmt = expand_time_travel(spark, args.statement, dml_tables)
-        except (SqlDmlError, VersionNotFoundError) as e:
-            print(f"time travel error: {e}", file=sys.stderr)
-            return 2
-        df = spark.sql(stmt)
+        # metadata-only fast path: count/min/max over one manifest
+        # table answers from the manifest stats (exact or it declines
+        # — never approximates), no data file opened
+        df = try_metadata_select(spark, args.statement, dml_tables)
+        if df is None:
+            try:
+                stmt = expand_time_travel(
+                    spark, args.statement, dml_tables
+                )
+            except (SqlDmlError, VersionNotFoundError) as e:
+                print(f"time travel error: {e}", file=sys.stderr)
+                return 2
+            df = spark.sql(stmt)
+        elif args.explain:
+            print(
+                "== Metadata-Only Aggregate ==\nanswered from manifest "
+                "per-file stats; 0 data files scanned"
+            )
         if args.explain:
             df.explain(mode="formatted")
         else:

@@ -185,6 +185,19 @@ def _harvest_one(data_dir: str, rel: str) -> dict:
                 if mn is None or mx is None:
                     bad.add(name)
                     continue
+                # parquet writers leak NaN into float min/max (observed:
+                # Spark's writer records max=NaN when any row is NaN).
+                # NaN poisons Python's min()/max() (order-dependent
+                # result) AND diverges from Spark's ordering (NaN sorts
+                # greatest), so a NaN-touched column gets NO stats for
+                # this file — skipping and metadata aggregates both
+                # fall back to the scan instead of trusting a bound a
+                # NaN row may violate.
+                if any(
+                    isinstance(x, float) and x != x for x in (mn, mx)
+                ):
+                    bad.add(name)
+                    continue
                 e["min"] = mn if e["min"] is None else min(e["min"], mn)
                 e["max"] = mx if e["max"] is None else max(e["max"], mx)
             elif st.null_count != rg_meta.num_rows:
@@ -3182,6 +3195,170 @@ def column_bounds(
             mn = st["min"] if mn is None else min(mn, st["min"])
             mx = st["max"] if mx is None else max(mx, st["max"])
     return None if mn is None else (mn, mx)
+
+
+def _stat_to_logical(value, field):
+    """A manifest stat value (its JSON-serialized ordering form, see
+    ``_json_safe``) reconstructed as the Python object Spark would
+    return for ``field``'s logical type — or raise ValueError when the
+    serialized form cannot be an EXACT witness of that type (type
+    drift between a path-inferred partition stat and the declared
+    column, an unexpected format), in which case the caller falls back
+    to a scan rather than publish a lossy reconstruction.
+
+    Exactness argument per type: integral/float stats are stored
+    verbatim from the footer (floats are NaN-free by the harvest
+    guard); date/timestamp go through the fixed-width forms
+    ``_json_safe`` wrote, so parsing is lossless; strings are exact
+    because every data file is written by THIS engine's Spark session,
+    whose parquet writer (observed behavior, pinned version) never
+    truncates binary stats — it drops them wholesale past the size
+    cap, which reads as missing stats and falls back."""
+    import datetime
+
+    t = field.dataType.typeName()
+    if isinstance(value, bool):
+        raise ValueError("boolean stats carry no ordering form")
+    if t in ("byte", "short", "integer", "long"):
+        if isinstance(value, int):
+            return value
+    elif t in ("float", "double"):
+        if isinstance(value, (int, float)):
+            return float(value)
+    elif t == "string":
+        if isinstance(value, str):
+            return value
+    elif t == "date":
+        if isinstance(value, str):
+            return datetime.date.fromisoformat(value)
+    elif t in ("timestamp", "timestamp_ntz"):
+        if isinstance(value, str):
+            return datetime.datetime.strptime(
+                value, "%Y-%m-%d %H:%M:%S.%f"
+            )
+    raise ValueError(f"stat {value!r} is not an exact {t} witness")
+
+
+def metadata_aggregate(
+    table_dir: str,
+    aggs: list[tuple],
+    version: int | None = None,
+):
+    """A whole-table aggregate answered from the MANIFEST alone — the
+    ``SELECT count(*)/count(c)/min(c)/max(c) FROM t`` shortcut every
+    lakehouse format serves without opening a data file.  O(#files)
+    driver-side metadata walk; on a 100 TB table this replaces a
+    full-corpus scan with a shard read.
+
+    ``aggs`` is a list of ``(op, col)`` with op in ``count_star``
+    (col ignored), ``count``, ``min``, ``max``; col names resolve
+    case-insensitively against the version's logical schema (Spark's
+    default resolution).  Returns ``(values, fields)`` — one Python
+    value + ``StructField`` (Spark's default output name and type) per
+    agg — or **None whenever exactness cannot be PROVEN**, and the
+    caller runs the normal scan instead.  Fallback triggers: any
+    outstanding merge-on-read tombstone, a dir without per-file
+    entries, a file missing stats for a needed column (includes
+    NaN-touched floats and oversized strings, which the harvest
+    refuses to record), non-orderable logical types, case-ambiguous
+    columns, or a stat whose serialized form is not an exact witness
+    of the column type (``_stat_to_logical``).  Pruning-oriented
+    callers that only need a safe envelope use ``column_bounds``."""
+    from pyspark.sql.types import LongType, StructField
+
+    v = latest_version(table_dir) if version is None else version
+    m = _read_manifest(table_dir, v)
+    if m.get("deletes") or "schema" not in m:
+        return None
+    schema = StructType.fromJson(m["schema"])
+    files = _load_files(table_dir, m)
+    if set(m["dirs"]) - set(files):
+        return None  # legacy dir with no per-file entries
+    # case-insensitive logical resolution, ambiguity falls back
+    by_lower: dict[str, object] = {}
+    for f in schema.fields:
+        if f.name.lower() in by_lower:
+            by_lower[f.name.lower()] = None
+        else:
+            by_lower[f.name.lower()] = f
+    fields_out: list = []
+    resolved: list = []  # schema-resolved column per agg (None = star)
+    need: dict[str, object] = {}
+    for op, col in aggs:
+        if op == "count_star":
+            fields_out.append(StructField("count(1)", LongType(), False))
+            resolved.append(None)
+            continue
+        f = by_lower.get(col.lower())
+        if f is None:
+            return None
+        need[f.name] = f
+        resolved.append(f.name)
+        if op == "count":
+            fields_out.append(
+                StructField(f"count({f.name})", LongType(), False)
+            )
+        else:
+            fields_out.append(
+                StructField(f"{op}({f.name})", f.dataType, True)
+            )
+    mapping, _ = _load_mapping(m)
+    dir_schemas = _load_dir_schemas(m)
+    total_rows = 0
+    acc = {
+        c: {"non_null": 0, "min": None, "max": None} for c in need
+    }
+    try:
+        for d in m["dirs"]:
+            sj = dir_schemas.get(d)
+            present = (
+                set(StructType.fromJson(sj).fieldNames()) if sj else None
+            )
+            for e in files[d]:
+                rows = e.get("rows", 0)
+                total_rows += rows
+                if rows == 0:
+                    continue
+                for c in need:
+                    p = mapping.get(c, c)
+                    if present is not None and p not in present:
+                        continue  # pre-evolution file: all-NULL here
+                    st = e.get("stats", {}).get(p)
+                    if st is None:
+                        raise ValueError("file without stats")
+                    a = acc[c]
+                    a["non_null"] += rows - st["nulls"]
+                    if st["min"] is not None:
+                        a["min"] = (
+                            st["min"]
+                            if a["min"] is None
+                            else min(a["min"], st["min"])
+                        )
+                        a["max"] = (
+                            st["max"]
+                            if a["max"] is None
+                            else max(a["max"], st["max"])
+                        )
+        values = []
+        for (op, _col), name in zip(aggs, resolved):
+            if op == "count_star":
+                values.append(total_rows)
+                continue
+            a = acc[name]
+            if op == "count":
+                values.append(a["non_null"])
+            else:
+                raw = a[op]
+                values.append(
+                    None
+                    if raw is None
+                    else _stat_to_logical(raw, need[name])
+                )
+    except (ValueError, TypeError):
+        # TypeError: un-orderable mixed stat forms (path-inferred
+        # partition value vs footer type) — exactness unprovable
+        return None
+    return values, fields_out
 
 
 def table_partitions(

@@ -250,6 +250,103 @@ def expand_time_travel(
     return out
 
 
+# ---------------------------------------------- metadata-only aggregates
+
+
+#: one select-list item the manifest can answer without a scan
+_META_AGG_RE = re.compile(
+    r"^(COUNT|MIN|MAX)\s*\(\s*(\*|1|\w+)\s*\)(?:\s+AS\s+(\w+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: the whole-statement shape: aggregates over ONE bare table (no
+#: WHERE/GROUP/JOIN/LIMIT/DISTINCT — anything else fails the match and
+#: takes the normal Spark path), with optional inline time travel
+_META_STMT_RE = re.compile(
+    r"^SELECT\s+(.+?)\s+FROM\s+(\w+)"
+    r"(?:@(\d+)|\s+VERSION\s+AS\s+OF\s+(\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+(?:\.\d+)?))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def try_metadata_select(
+    spark: SparkSession, statement: str, tables: dict[str, str]
+):
+    """The lakehouse metadata-query shortcut: a SELECT whose whole
+    select-list is ``count(*)/count(1)/count(c)/min(c)/max(c)`` over
+    ONE registered manifest table (optionally time-travel-pinned with
+    ``@n`` / ``VERSION AS OF`` / ``TIMESTAMP AS OF``) is answered from
+    the manifest's per-file stats — O(#files) driver metadata, zero
+    data files opened.  On a 100 TB table this turns the most common
+    interactive probe (`how many rows?`, `what's the date range?`)
+    from a full scan into a shard read.
+
+    Returns the one-row DataFrame with EXACTLY the schema
+    ``spark.sql`` would produce (Spark's default output names — the
+    function lowercased over the argument as typed, ``count(1)`` for
+    ``*`` — or the ``AS`` aliases), or **None when the statement does
+    not match the shape or the manifest cannot PROVE the exact
+    answer** (tombstones outstanding, missing per-file stats, see
+    ``manifest.metadata_aggregate``) — the caller then runs the
+    statement through the normal scan path, so this is an exactness-
+    preserving fast path, never a semantics fork."""
+    from pyspark.sql.types import StructField, StructType
+
+    from finance_etl_pipeline_spark.operators import manifest as M
+
+    m = _META_STMT_RE.match(statement.strip())
+    if not m:
+        return None
+    name = m.group(2)
+    if name not in tables:
+        return None
+    version = None
+    try:
+        if m.group(3) or m.group(4):
+            version = int(m.group(3) or m.group(4))
+        elif m.group(5):
+            lit = m.group(5)
+            val = lit[1:-1] if lit.startswith("'") else float(lit)
+            version = M.version_as_of(tables[name], val)
+    except (M.VersionNotFoundError, ValueError):
+        return None  # the normal path raises the user-facing error
+    aggs: list[tuple] = []
+    names: list[str] = []
+    for item in _split_top(m.group(1), ","):
+        im = _META_AGG_RE.match(item.strip())
+        if not im:
+            return None
+        func, arg, alias = (
+            im.group(1).upper(),
+            im.group(2),
+            im.group(3),
+        )
+        if func == "COUNT" and arg in ("*", "1"):
+            aggs.append(("count_star", None))
+            names.append(alias or "count(1)")
+        elif arg in ("*", "1"):
+            return None  # min(*)/max(*) is not a thing
+        else:
+            aggs.append((func.lower(), arg))
+            names.append(alias or f"{func.lower()}({arg})")
+    try:
+        res = M.metadata_aggregate(tables[name], aggs, version=version)
+    except (M.VersionNotFoundError, OSError):
+        return None
+    if res is None:
+        return None
+    values, fields = res
+    out_fields = [
+        StructField(n, f.dataType, f.nullable)
+        for n, f in zip(names, fields)
+    ]
+    return spark.createDataFrame(
+        [tuple(values)], StructType(out_fields)
+    )
+
+
 # ------------------------------------------------------------- literals
 
 

@@ -1568,3 +1568,69 @@ def manifest_catalog_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS BIGINT) AS sum_price_e2 "
         "FROM v_low GROUP BY bucket ORDER BY bucket"
     )
+
+
+@register(
+    "manifest_stats_agg",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END)
+                AS BIGINT) AS n_flag,
+           min(o_totalprice) AS mn_price,
+           max(o_totalprice) AS mx_price,
+           min(o_orderdate) AS mn_date,
+           max(o_orderdate) AS mx_date,
+           min(o_orderpriority) AS mn_prio,
+           max(o_orderstatus) AS mx_status
+    FROM orders
+    """,
+    "lake",
+)
+def manifest_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates: ``SELECT count/min/max FROM t`` routed
+    through ``sqldml.try_metadata_select`` — answered ENTIRELY from the
+    manifest's per-file footer stats (O(#files) driver walk, zero data
+    files opened; on 100 TB this is the difference between a shard read
+    and a full-corpus scan).  The table is built in two commits with an
+    appended column (``o_flag`` exists only in commit 2), so the oracle
+    must agree with the evolution semantics: ``count(o_flag)`` counts
+    only post-evolution rows while pre-evolution files contribute NULLs
+    without being opened.  The route either PROVES the exact answer or
+    declines (this entry raises rather than silently falling back, so
+    the correctness gate certifies the metadata path itself — compare
+    the scan-equivalence pytests in tests/test_metadata_select.py)."""
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        try_metadata_select,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    t = tempfile.mkdtemp(prefix="mlake_statsagg_") + "/tbl"
+    M.commit(orders.filter(F.col("o_orderkey") % 2 == 0), t)
+    M.commit(
+        orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+            "o_flag", F.lit(1).cast("long")
+        ),
+        t,
+        mode="append",
+    )
+    df = try_metadata_select(
+        spark,
+        "SELECT count(*) AS n_rows, count(o_flag) AS n_flag, "
+        "min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price, "
+        "min(o_orderdate) AS mn_date, max(o_orderdate) AS mx_date, "
+        "min(o_orderpriority) AS mn_prio, "
+        "max(o_orderstatus) AS mx_status FROM t",
+        {"t": t},
+    )
+    if df is None:
+        raise RuntimeError(
+            "metadata aggregate route declined on a stats-complete "
+            "table — the fast path regressed"
+        )
+    return df
