@@ -486,6 +486,12 @@ def main(argv: list[str] | None = None) -> int:
                     f"{res['table']} v{res['version']} "
                     f"({res['op']}: {res['removed']} removed)"
                 )
+            elif res["op"] == "copy_into":
+                print(
+                    f"{res['table']} -> v{res['version']} (copy_into: "
+                    f"{res['ingested']} ingested, "
+                    f"{res['skipped']} skipped)"
+                )
             else:
                 print(
                     f"{res['table']} -> v{res['version']} ({res['op']})"

@@ -1264,6 +1264,24 @@ def _publish(table_dir: str, build_payload) -> int:
         written: list[str] = []
         try:
             payload = build_payload(prev)
+            # COPY INTO load history carries by reference through
+            # EVERY publish (append/overwrite/DML/compact/restore —
+            # like txns, it tracks ingestion progress, not data), and
+            # it carries HERE so no build site can forget it.  A
+            # payload that sets the key itself (copy_into's union, or
+            # an explicit None to clear) wins.  Clones never inherit:
+            # their target's prev is 0.
+            if prev > 0 and "copy_sources_ref" not in payload:
+                try:
+                    ref = _read_manifest(table_dir, prev).get(
+                        "copy_sources_ref"
+                    )
+                    if ref:
+                        payload["copy_sources_ref"] = ref
+                except VersionNotFoundError:
+                    pass  # prev vacuumed mid-race: retry re-reads
+            elif payload.get("copy_sources_ref") is None:
+                payload.pop("copy_sources_ref", None)
             _finalize_payload(table_dir, payload, written)
             payload["version"] = prev + 1
             # commit timestamp, made MONOTONIC against the previous
@@ -1605,6 +1623,7 @@ def commit(
     expected_base: int | None = None,
     txn: tuple[str, int] | None = None,
     bloom_cols: list[str] | None = None,
+    extra_payload: dict | None = None,
 ) -> int:
     """Write ``df`` as immutable data files and publish the next
     version.  ``mode='append'`` extends the previous file set (and may
@@ -1702,6 +1721,7 @@ def commit(
         expected_base=expected_base,
         txn=txn,
         mapping_used=mapping_used,
+        extra_payload=extra_payload,
     )
 
 
@@ -1715,6 +1735,7 @@ def _publish_dir(
     expected_base: int | None = None,
     txn: tuple[str, int] | None = None,
     mapping_used: dict | None = None,
+    extra_payload: dict | None = None,
 ) -> int:
     """Publish an already-written data dir as the next version — the
     shared back half of ``commit`` and the DataSource write path
@@ -1828,6 +1849,16 @@ def _publish_dir(
             payload["column_mapping"] = pub_mapping
         if pub_retired:
             payload["retired_physical"] = pub_retired
+        if extra_payload:
+            # caller-owned keys (e.g. copy_into's load-history ref);
+            # reserved payload keys are not overridable
+            for k, v in extra_payload.items():
+                if k in payload:
+                    raise ValueError(
+                        f"extra_payload key {k!r} collides with a "
+                        "reserved manifest key"
+                    )
+                payload[k] = v
         return payload
 
     try:
@@ -3508,6 +3539,7 @@ def describe_detail(table_dir: str) -> dict:
         "n_tombstones": len(m.get("deletes", [])),
         "constraints": sorted(m.get("constraints", {})),
         "column_mapping": bool(m.get("column_mapping")),
+        "copy_sources": (m.get("copy_sources_ref") or {}).get("n", 0),
         "schema_fields": (
             len(StructType.fromJson(m["schema"]).fields)
             if "schema" in m
@@ -3607,6 +3639,9 @@ def vacuum(
         live_shards.update(
             r["shard"] for r in m.get("files_ref", {}).values()
         )
+        cref = m.get("copy_sources_ref")
+        if cref:
+            live_shards.add(cref["shard"])
         for d in m["dirs"]:
             try:
                 entries = _dir_entries(table_dir, m, d)
@@ -3764,11 +3799,14 @@ def vacuum(
             cv = int(f[5:-5])
             if cv - _CHECKPOINT_EVERY + 1 not in keep:
                 os.remove(path)
-        elif f.startswith(_SHARD_PREFIX) and f.endswith(".json"):
-            # reference-counted shard sweep: a shard no retained
-            # manifest names is dead — unless it is younger than
-            # retention (it may belong to a publish in flight that
-            # wrote its shards but has not linked its manifest yet)
+        elif (
+            f.startswith(_SHARD_PREFIX) or f.startswith(_COPY_PREFIX)
+        ) and f.endswith(".json"):
+            # reference-counted shard sweep (file shards AND copy
+            # load-history shards): a shard no retained manifest
+            # names is dead — unless it is younger than retention (it
+            # may belong to a publish in flight that wrote its shards
+            # but has not linked its manifest yet)
             try:
                 if (
                     f not in live_shards
@@ -4540,6 +4578,148 @@ def restore_table(
             "retained"
         )
     return new_v
+
+
+# ------------------------------------------------------------ COPY INTO
+#
+# Idempotent file ingestion (Delta's COPY INTO): each successful copy
+# records its source files (by absolute path — Delta's identity too) in
+# a load-history shard ``_manifests/cs-<uuid>.json``; the manifest
+# carries only ``copy_sources_ref: {shard, n}``, O(1) per publish, and
+# ``_publish`` carries the ref through EVERY commit mode centrally, so
+# re-running the same COPY — after a crash, from a rescheduled job,
+# against a compacted/overwritten/restored table — ingests nothing
+# twice.  The data itself is RE-WRITTEN through ``commit`` (never
+# adopted in place): the table's files stay this engine's own parquet,
+# so footer-stat exactness (skipping, metadata aggregates) never
+# depends on a foreign writer's statistics behavior.
+
+_COPY_PREFIX = "cs-"
+_COPY_RETRIES = 5
+
+
+def _read_copy_sources(table_dir: str, m: dict | None) -> dict:
+    """The cumulative {source path: {bytes}} load history of a
+    manifest, {} when none."""
+    ref = (m or {}).get("copy_sources_ref")
+    if not ref:
+        return {}
+    path = os.path.join(table_dir, _MANIFESTS, ref["shard"])
+    with open(path) as fh:
+        return json.load(fh)["sources"]
+
+
+def copy_sources(table_dir: str, version: int | None = None) -> dict:
+    """Public inspector: the source files a version's load history
+    records as already ingested."""
+    v = latest_version(table_dir) if version is None else version
+    if v == 0:
+        return {}
+    return _read_copy_sources(table_dir, _read_manifest(table_dir, v))
+
+
+def copy_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: str,
+    pattern: str = "*.parquet",
+) -> dict:
+    """Ingest the parquet files under ``source`` (a directory,
+    searched recursively with ``pattern``, or a glob) into the table,
+    SKIPPING every file the load history already records — re-running
+    the exact same statement is a no-op that publishes no version.
+    Identity is the source file's absolute path (Delta's COPY INTO
+    rule: an overwritten source file is NOT re-ingested; ingest
+    changed data under a new name).
+
+    Concurrency: the read-history → write-data → publish cycle pins
+    ``expected_base`` to the tip it planned against, so a racing
+    writer conflict-aborts the publish; the loop then re-reads the
+    (possibly grown) load history and re-plans — two concurrent
+    copies of one source ingest each file exactly once.  Returns
+    {version, ingested, skipped}."""
+    import glob as _glob
+
+    src = os.path.realpath(source)
+    tbl_real = os.path.realpath(table_dir)
+    if os.path.isdir(src):
+        cands = sorted(
+            _glob.glob(os.path.join(src, "**", pattern), recursive=True)
+        )
+    else:
+        cands = sorted(_glob.glob(src))
+    cands = [os.path.realpath(f) for f in cands if os.path.isfile(f)]
+    if not cands:
+        raise ValueError(
+            f"COPY INTO source matched no files: {source!r} "
+            f"(pattern {pattern!r})"
+        )
+    for f in cands:
+        if os.path.commonpath([f, tbl_real]) == tbl_real:
+            raise ValueError(
+                f"COPY INTO source file {f} lies inside the target "
+                "table directory — self-ingestion refused"
+            )
+    for _attempt in range(_COPY_RETRIES):
+        tip = latest_version(table_dir)
+        m_tip = _read_manifest(table_dir, tip) if tip else None
+        loaded = _read_copy_sources(table_dir, m_tip)
+        new = [f for f in cands if f not in loaded]
+        if not new:
+            return {
+                "version": tip,
+                "ingested": 0,
+                "skipped": len(cands),
+            }
+        merged = dict(loaded)
+        for f in new:
+            merged[f] = {"bytes": os.path.getsize(f)}
+        os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
+        name = f"{_COPY_PREFIX}{uuid.uuid4().hex}.json"
+        spath = os.path.join(table_dir, _MANIFESTS, name)
+        tmp = os.path.join(table_dir, _MANIFESTS, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            json.dump({"sources": merged}, fh)
+        os.replace(tmp, spath)
+        # mergeSchema: heterogeneous source batches union by name
+        # instead of silently adopting one sampled file's schema;
+        # incompatible TYPES still fail loudly (at read or at
+        # _merge_schema)
+        df = spark.read.option("mergeSchema", "true").parquet(*new)
+        try:
+            v = commit(
+                df,
+                table_dir,
+                mode="append",
+                expected_base=tip,
+                extra_payload={
+                    "copy_sources_ref": {
+                        "shard": name,
+                        "n": len(merged),
+                    }
+                },
+            )
+        except ConcurrentTableModificationError:
+            try:
+                os.unlink(spath)  # this attempt's history is dead
+            except OSError:
+                pass
+            continue
+        except BaseException:
+            try:
+                os.unlink(spath)
+            except OSError:
+                pass
+            raise
+        return {
+            "version": v,
+            "ingested": len(new),
+            "skipped": len(cands) - len(new),
+        }
+    raise ConcurrentTableModificationError(
+        f"COPY INTO lost the publish race {_COPY_RETRIES} times "
+        "(table is under heavy concurrent writes) — re-run"
+    )
 
 
 def changefeed_rows(

@@ -73,7 +73,7 @@ class SqlDmlError(ValueError):
 
 _VERBS = (
     "UPDATE", "DELETE", "MERGE", "ALTER", "INSERT", "OPTIMIZE",
-    "VACUUM", "DESCRIBE", "RESTORE",
+    "VACUUM", "DESCRIBE", "RESTORE", "COPY",
 )
 
 
@@ -761,7 +761,39 @@ def execute_dml(
         return _exec_describe(spark, statement, tables)
     if verb == "RESTORE":
         return _exec_restore(spark, statement, tables)
+    if verb == "COPY":
+        return _exec_copy(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")
+
+
+_COPY_RE = re.compile(
+    r"^COPY\s+INTO\s+(\w+)\s+FROM\s+'([^']+)'"
+    r"(?:\s+PATTERN\s*=?\s*'([^']+)')?$",
+    re.IGNORECASE,
+)
+
+
+def _exec_copy(spark, stmt: str, tables: dict[str, str]) -> dict:
+    """``COPY INTO t FROM '<dir or glob>' [PATTERN = '<glob>']`` —
+    idempotent file ingestion via ``manifest.copy_into`` (load-history
+    dedup by source path; re-running the statement is a no-op)."""
+    m = _COPY_RE.match(stmt.strip().rstrip(";").strip())
+    if not m:
+        raise SqlDmlError(
+            "malformed COPY: want `COPY INTO <t> FROM '<dir|glob>' "
+            "[PATTERN = '<glob>']`"
+        )
+    tdir = _resolve(m.group(1), tables)
+    res = M.copy_into(
+        spark, tdir, m.group(2), pattern=m.group(3) or "*.parquet"
+    )
+    return {
+        "op": "copy_into",
+        "table": m.group(1),
+        "version": res["version"],
+        "ingested": res["ingested"],
+        "skipped": res["skipped"],
+    }
 
 
 _RESTORE_RE = re.compile(

@@ -1634,3 +1634,47 @@ def manifest_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "table — the fast path regressed"
         )
     return df
+
+
+@register(
+    "manifest_copy_into_idempotent",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 3 <> 2
+    """,
+    "lake",
+)
+def manifest_copy_into_idempotent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COPY INTO (idempotent file ingestion): two source batches land
+    via three COPY statements — the middle one re-runs the first batch
+    verbatim and must ingest NOTHING (load-history dedup by source
+    path).  The oracle is the plain union of both batches; if
+    idempotence regressed, every first-batch row double-counts and
+    n_rows/sum diverge.  n_keys (distinct) would NOT catch the dup —
+    n_rows and the sum are the sensitive probes.  Reference ingest
+    shape: src/finance_etl/pipeline.py:53-84 re-reads the same raw_dir
+    file drops on every scheduled run — idempotent ingestion is what
+    keeps a re-run from double-loading that directory."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="mlake_copyinto_")
+    src1, src2, t = f"{root}/b1", f"{root}/b2", f"{root}/tbl"
+    orders.filter(F.col("o_orderkey") % 3 == 0).repartition(3).write.parquet(src1)
+    orders.filter(F.col("o_orderkey") % 3 == 1).repartition(2).write.parquet(src2)
+    r1 = M.copy_into(spark, t, src1)
+    r2 = M.copy_into(spark, t, src1)  # replay: must be a no-op
+    if r2["ingested"] != 0 or r2["version"] != r1["version"]:
+        raise RuntimeError(f"COPY INTO replay ingested rows: {r2}")
+    M.copy_into(spark, t, src2)
+    return M.read_version(spark, t).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+    )
