@@ -486,6 +486,20 @@ def main(argv: list[str] | None = None) -> int:
                     f"{res['table']} v{res['version']} "
                     f"({res['op']}: {res['removed']} removed)"
                 )
+            elif res["op"] == "show_partitions":
+                for p in res["partitions"]:
+                    combo = "/".join(
+                        f"{k}={v}" for k, v in p["values"].items()
+                    )
+                    approx = "~" if p.get("approx") else ""
+                    print(
+                        f"{combo}\tfiles={p['n_files']}\t"
+                        f"rows={approx}{p['n_rows']}"
+                    )
+                print(
+                    f"{res['table']} v{res['version']} "
+                    f"({len(res['partitions'])} partition(s))"
+                )
             elif res["op"] == "copy_into":
                 print(
                     f"{res['table']} -> v{res['version']} (copy_into: "

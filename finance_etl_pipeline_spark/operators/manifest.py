@@ -3272,26 +3272,37 @@ def _stat_to_logical(value, field):
 
 def metadata_aggregate(
     table_dir: str,
-    aggs: list[tuple],
+    items: list[tuple],
     version: int | None = None,
+    group_by: list[str] | None = None,
 ):
-    """A whole-table aggregate answered from the MANIFEST alone — the
+    """An aggregate answered from the MANIFEST alone — the
     ``SELECT count(*)/count(c)/min(c)/max(c) FROM t`` shortcut every
-    lakehouse format serves without opening a data file.  O(#files)
-    driver-side metadata walk; on a 100 TB table this replaces a
-    full-corpus scan with a shard read.
+    lakehouse format serves without opening a data file, optionally
+    ``GROUP BY`` partition columns (per-file partition identities are
+    exact min = max stats, so each file contributes wholesale to one
+    group).  O(#files) driver-side metadata walk; on a 100 TB table
+    this replaces a full-corpus scan with a shard read.
 
-    ``aggs`` is a list of ``(op, col)`` with op in ``count_star``
-    (col ignored), ``count``, ``min``, ``max``; col names resolve
+    ``items`` is a list of ``(op, col)`` with op in ``count_star``
+    (col ignored), ``count``, ``min``, ``max``, or ``group`` (a bare
+    reference to a GROUP BY column); col names resolve
     case-insensitively against the version's logical schema (Spark's
-    default resolution).  Returns ``(values, fields)`` — one Python
-    value + ``StructField`` (Spark's default output name and type) per
-    agg — or **None whenever exactness cannot be PROVEN**, and the
-    caller runs the normal scan instead.  Fallback triggers: any
-    outstanding merge-on-read tombstone, a dir without per-file
+    default resolution).  ``group_by`` lists the GROUP BY columns —
+    every one must be a hive-partition column of EVERY data dir with
+    an exactly-known identity, else the whole call declines.
+
+    Returns ``(rows, fields)`` — a list of value tuples (one for the
+    ungrouped form, one per live partition combo otherwise) +
+    ``StructField`` per item (Spark's default output name, type and
+    nullability) — or **None whenever exactness cannot be PROVEN**,
+    and the caller runs the normal scan instead.  Fallback triggers:
+    any outstanding merge-on-read tombstone, a dir without per-file
     entries, a file missing stats for a needed column (includes
     NaN-touched floats and oversized strings, which the harvest
-    refuses to record), non-orderable logical types, case-ambiguous
+    refuses to record), a dir not partitioned by every group column,
+    an inexact partition identity (numeric-looking string partitions
+    on legacy entries), non-orderable logical types, case-ambiguous
     columns, or a stat whose serialized form is not an exact witness
     of the column type (``_stat_to_logical``).  Pruning-oriented
     callers that only need a safe envelope use ``column_bounds``."""
@@ -3312,19 +3323,35 @@ def metadata_aggregate(
             by_lower[f.name.lower()] = None
         else:
             by_lower[f.name.lower()] = f
+    group_fields: list = []
+    if group_by:
+        for g in group_by:
+            f = by_lower.get(g.lower())
+            if f is None:
+                return None
+            group_fields.append(f)
+    gnames = {f.name for f in group_fields}
     fields_out: list = []
-    resolved: list = []  # schema-resolved column per agg (None = star)
+    resolved: list = []  # (op, schema-resolved column | None)
     need: dict[str, object] = {}
-    for op, col in aggs:
+    for op, col in items:
         if op == "count_star":
             fields_out.append(StructField("count(1)", LongType(), False))
-            resolved.append(None)
+            resolved.append((op, None))
             continue
         f = by_lower.get(col.lower())
         if f is None:
             return None
+        if op == "group":
+            if f.name not in gnames:
+                return None  # bare column not in GROUP BY: not valid SQL
+            fields_out.append(
+                StructField(f.name, f.dataType, f.nullable)
+            )
+            resolved.append((op, f.name))
+            continue
         need[f.name] = f
-        resolved.append(f.name)
+        resolved.append((op, f.name))
         if op == "count":
             fields_out.append(
                 StructField(f"count({f.name})", LongType(), False)
@@ -3335,21 +3362,48 @@ def metadata_aggregate(
             )
     mapping, _ = _load_mapping(m)
     dir_schemas = _load_dir_schemas(m)
-    total_rows = 0
-    acc = {
-        c: {"non_null": 0, "min": None, "max": None} for c in need
-    }
+    part_dirs = m.get("partitioned_dirs", {})
+    phys_group = [mapping.get(f.name, f.name) for f in group_fields]
+
+    def _blank():
+        return {
+            "rows": 0,
+            "cols": {
+                c: {"non_null": 0, "min": None, "max": None}
+                for c in need
+            },
+        }
+
+    groups: dict[tuple, dict] = {}
     try:
         for d in m["dirs"]:
             sj = dir_schemas.get(d)
+            s_struct = StructType.fromJson(sj) if sj else None
             present = (
-                set(StructType.fromJson(sj).fieldNames()) if sj else None
+                set(s_struct.fieldNames()) if s_struct else None
             )
+            if group_by:
+                pcols = part_dirs.get(d)
+                if pcols is None or not set(phys_group) <= set(pcols):
+                    return None  # dir not partitioned by the group cols
+                strings = _string_typed(s_struct)
             for e in files[d]:
                 rows = e.get("rows", 0)
-                total_rows += rows
                 if rows == 0:
-                    continue
+                    continue  # contributes no rows and no group
+                if group_by:
+                    combo = _entry_partition_combo(
+                        e, phys_group, strings
+                    )
+                    if combo is None:
+                        return None  # identity not exactly known
+                    key = tuple(combo)
+                else:
+                    key = ()
+                g = groups.get(key)
+                if g is None:
+                    g = groups[key] = _blank()
+                g["rows"] += rows
                 for c in need:
                     p = mapping.get(c, c)
                     if present is not None and p not in present:
@@ -3357,7 +3411,7 @@ def metadata_aggregate(
                     st = e.get("stats", {}).get(p)
                     if st is None:
                         raise ValueError("file without stats")
-                    a = acc[c]
+                    a = g["cols"][c]
                     a["non_null"] += rows - st["nulls"]
                     if st["min"] is not None:
                         a["min"] = (
@@ -3370,26 +3424,44 @@ def metadata_aggregate(
                             if a["max"] is None
                             else max(a["max"], st["max"])
                         )
-        values = []
-        for (op, _col), name in zip(aggs, resolved):
-            if op == "count_star":
-                values.append(total_rows)
-                continue
-            a = acc[name]
-            if op == "count":
-                values.append(a["non_null"])
-            else:
-                raw = a[op]
-                values.append(
-                    None
-                    if raw is None
-                    else _stat_to_logical(raw, need[name])
-                )
+        if not groups and not group_by:
+            groups[()] = _blank()  # empty table: one all-zero row
+        out_rows = []
+        for key, g in groups.items():
+            vals: list = []
+            for op, name in resolved:
+                if op == "count_star":
+                    vals.append(g["rows"])
+                elif op == "group":
+                    i = next(
+                        i
+                        for i, f in enumerate(group_fields)
+                        if f.name == name
+                    )
+                    raw = key[i]
+                    if raw is None:
+                        if not group_fields[i].nullable:
+                            return None  # cannot represent NULL group
+                        vals.append(None)
+                    else:
+                        vals.append(
+                            _stat_to_logical(raw, group_fields[i])
+                        )
+                elif op == "count":
+                    vals.append(g["cols"][name]["non_null"])
+                else:
+                    raw = g["cols"][name][op]
+                    vals.append(
+                        None
+                        if raw is None
+                        else _stat_to_logical(raw, need[name])
+                    )
+            out_rows.append(tuple(vals))
     except (ValueError, TypeError):
         # TypeError: un-orderable mixed stat forms (path-inferred
         # partition value vs footer type) — exactness unprovable
         return None
-    return values, fields_out
+    return out_rows, fields_out
 
 
 def table_partitions(

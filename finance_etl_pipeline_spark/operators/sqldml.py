@@ -73,7 +73,7 @@ class SqlDmlError(ValueError):
 
 _VERBS = (
     "UPDATE", "DELETE", "MERGE", "ALTER", "INSERT", "OPTIMIZE",
-    "VACUUM", "DESCRIBE", "RESTORE", "COPY",
+    "VACUUM", "DESCRIBE", "RESTORE", "COPY", "SHOW",
 )
 
 
@@ -94,6 +94,12 @@ def is_dml(statement: str) -> bool:
         # only the parsable bare-name form; INSERT INTO parquet.`...`
         # and other Spark-native shapes stay plain Spark SQL
         return bool(_INSERT_RE.match(stripped))
+    if head[0].upper() == "SHOW":
+        # only SHOW PARTITIONS targets a table; SHOW TABLES/VIEWS are
+        # warehouse-catalog DDL
+        return bool(
+            re.match(r"^SHOW\s+PARTITIONS\b", stripped, re.IGNORECASE)
+        )
     return True
 
 
@@ -259,13 +265,20 @@ _META_AGG_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: a bare column reference (legal only with a GROUP BY that lists it)
+_META_COL_RE = re.compile(
+    r"^(\w+)(?:\s+AS\s+(\w+))?$", re.IGNORECASE
+)
+
 #: the whole-statement shape: aggregates over ONE bare table (no
-#: WHERE/GROUP/JOIN/LIMIT/DISTINCT — anything else fails the match and
-#: takes the normal Spark path), with optional inline time travel
+#: WHERE/JOIN/LIMIT/DISTINCT/ORDER — anything else fails the match and
+#: takes the normal Spark path), with optional inline time travel and
+#: an optional GROUP BY over partition columns
 _META_STMT_RE = re.compile(
     r"^SELECT\s+(.+?)\s+FROM\s+(\w+)"
     r"(?:@(\d+)|\s+VERSION\s+AS\s+OF\s+(\d+)"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+(?:\.\d+)?))?"
+    r"(?:\s+GROUP\s+BY\s+(\w+(?:\s*,\s*\w+)*))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -283,12 +296,19 @@ def try_metadata_select(
     interactive probe (`how many rows?`, `what's the date range?`)
     from a full scan into a shard read.
 
-    Returns the one-row DataFrame with EXACTLY the schema
-    ``spark.sql`` would produce (Spark's default output names — the
-    function lowercased over the argument as typed, ``count(1)`` for
-    ``*`` — or the ``AS`` aliases), or **None when the statement does
+    A ``GROUP BY`` over hive-partition columns is served too — each
+    file's partition identity is an exact manifest fact, so per-
+    partition counts/mins/maxes need no scan either (the SHOW
+    PARTITIONS shape, as real SQL).
+
+    Returns the DataFrame (one row ungrouped, one per live partition
+    combo grouped) with EXACTLY the schema ``spark.sql`` would produce
+    (Spark's default output names — the function lowercased over the
+    argument as typed, ``count(1)`` for ``*``, bare group columns as
+    typed — or the ``AS`` aliases), or **None when the statement does
     not match the shape or the manifest cannot PROVE the exact
-    answer** (tombstones outstanding, missing per-file stats, see
+    answer** (tombstones outstanding, missing per-file stats, a GROUP
+    BY column that is not a partition column of every dir, see
     ``manifest.metadata_aggregate``) — the caller then runs the
     statement through the normal scan path, so this is an exactness-
     preserving fast path, never a semantics fork."""
@@ -312,39 +332,53 @@ def try_metadata_select(
             version = M.version_as_of(tables[name], val)
     except (M.VersionNotFoundError, ValueError):
         return None  # the normal path raises the user-facing error
-    aggs: list[tuple] = []
+    group_by = (
+        [g.strip() for g in m.group(6).split(",")] if m.group(6) else None
+    )
+    glower = {g.lower() for g in (group_by or [])}
+    items: list[tuple] = []
     names: list[str] = []
+    saw_agg = False
     for item in _split_top(m.group(1), ","):
-        im = _META_AGG_RE.match(item.strip())
-        if not im:
-            return None
-        func, arg, alias = (
-            im.group(1).upper(),
-            im.group(2),
-            im.group(3),
-        )
-        if func == "COUNT" and arg in ("*", "1"):
-            aggs.append(("count_star", None))
-            names.append(alias or "count(1)")
-        elif arg in ("*", "1"):
-            return None  # min(*)/max(*) is not a thing
-        else:
-            aggs.append((func.lower(), arg))
-            names.append(alias or f"{func.lower()}({arg})")
+        item = item.strip()
+        im = _META_AGG_RE.match(item)
+        if im:
+            func, arg, alias = (
+                im.group(1).upper(),
+                im.group(2),
+                im.group(3),
+            )
+            saw_agg = True
+            if func == "COUNT" and arg in ("*", "1"):
+                items.append(("count_star", None))
+                names.append(alias or "count(1)")
+            elif arg in ("*", "1"):
+                return None  # min(*)/max(*) is not a thing
+            else:
+                items.append((func.lower(), arg))
+                names.append(alias or f"{func.lower()}({arg})")
+            continue
+        cm = _META_COL_RE.match(item)
+        if not cm or cm.group(1).lower() not in glower:
+            return None  # bare column outside GROUP BY / other expr
+        items.append(("group", cm.group(1)))
+        names.append(cm.group(2) or cm.group(1))
+    if not saw_agg:
+        return None  # a pure column projection is not an aggregate
     try:
-        res = M.metadata_aggregate(tables[name], aggs, version=version)
+        res = M.metadata_aggregate(
+            tables[name], items, version=version, group_by=group_by
+        )
     except (M.VersionNotFoundError, OSError):
         return None
     if res is None:
         return None
-    values, fields = res
+    rows, fields = res
     out_fields = [
         StructField(n, f.dataType, f.nullable)
         for n, f in zip(names, fields)
     ]
-    return spark.createDataFrame(
-        [tuple(values)], StructType(out_fields)
-    )
+    return spark.createDataFrame(rows, StructType(out_fields))
 
 
 # ------------------------------------------------------------- literals
@@ -763,7 +797,46 @@ def execute_dml(
         return _exec_restore(spark, statement, tables)
     if verb == "COPY":
         return _exec_copy(spark, statement, tables)
+    if verb == "SHOW":
+        return _exec_show_partitions(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")
+
+
+_SHOW_PARTS_RE = re.compile(
+    r"^SHOW\s+PARTITIONS\s+(\w+)"
+    r"(?:@(\d+)|\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+    re.IGNORECASE,
+)
+
+
+def _exec_show_partitions(
+    spark, stmt: str, tables: dict[str, str]
+) -> dict:
+    """``SHOW PARTITIONS t [VERSION AS OF n | @n]`` — the partition
+    inventory from METADATA only (``manifest.table_partitions``: exact
+    per-file partition identities; no directory listing, no file
+    opened)."""
+    m = _SHOW_PARTS_RE.match(stmt.strip().rstrip(";").strip())
+    if not m:
+        raise SqlDmlError(
+            "malformed SHOW: want `SHOW PARTITIONS <t> "
+            "[VERSION AS OF n | @n]` (SHOW TABLES/VIEWS are "
+            "warehouse DDL)"
+        )
+    tdir = _resolve(m.group(1), tables)
+    version = (
+        int(m.group(2) or m.group(3))
+        if (m.group(2) or m.group(3))
+        else None
+    )
+    return {
+        "op": "show_partitions",
+        "table": m.group(1),
+        "version": version
+        if version is not None
+        else M.latest_version(tdir),
+        "partitions": M.table_partitions(tdir, version=version),
+    }
 
 
 _COPY_RE = re.compile(
@@ -839,6 +912,12 @@ _RENAME_TBL_RE = re.compile(
 def is_ddl(statement: str) -> bool:
     head = statement.lstrip().split(None, 1)
     if bool(head) and head[0].upper() in _DDL_VERBS:
+        # SHOW PARTITIONS targets a TABLE (DML side, like DESCRIBE
+        # HISTORY); only SHOW TABLES/VIEWS manage the catalog
+        if re.match(
+            r"^SHOW\s+PARTITIONS\b", statement.strip(), re.IGNORECASE
+        ):
+            return False
         return True
     # table rename is catalog DDL; every other ALTER stays DML
     return bool(_RENAME_TBL_RE.match(statement.strip()))

@@ -1678,3 +1678,60 @@ def manifest_copy_into_idempotent(
         F.countDistinct("o_orderkey").alias("n_keys"),
         F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
     )
+
+
+@register(
+    "manifest_partition_agg",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS mn_price,
+           max(o_totalprice) AS mx_price,
+           CAST(count(o_orderdate) AS BIGINT) AS n_dates
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+    "lake",
+)
+def manifest_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY over a hive-partition column answered from METADATA
+    alone: each file's partition identity is an exact manifest fact
+    (min = max path stats, raw strings for string columns), so
+    per-partition count/min/max aggregate per-file stats without
+    opening a data file — SHOW PARTITIONS as real SQL, exact row
+    counts included.  Two appends fragment every partition across
+    commits, so the entry also proves cross-commit accumulation."""
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        try_metadata_select,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    t = tempfile.mkdtemp(prefix="mlake_partagg_") + "/tbl"
+    M.commit(
+        orders.filter(F.col("o_orderkey") % 4 == 0),
+        t,
+        partition_by=["o_orderpriority"],
+    )
+    M.commit(
+        orders.filter(F.col("o_orderkey") % 4 == 2),
+        t,
+        mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    df = try_metadata_select(
+        spark,
+        "SELECT o_orderpriority, count(*) AS n_rows, "
+        "min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price, "
+        "count(o_orderdate) AS n_dates "
+        "FROM t GROUP BY o_orderpriority",
+        {"t": t},
+    )
+    if df is None:
+        raise RuntimeError(
+            "grouped metadata aggregate declined on a fully "
+            "partitioned table — the fast path regressed"
+        )
+    return df
