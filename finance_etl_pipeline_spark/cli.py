@@ -107,10 +107,15 @@ def main(argv: list[str] | None = None) -> int:
         "statement: FROM name VERSION AS OF n, TIMESTAMP AS OF "
         "'ts', or name@n. Reads go through the manifest_table "
         "DataSource with filter pushdown into footer-stats file "
-        "skipping. UPDATE/DELETE/MERGE INTO/INSERT/OPTIMIZE/"
-        "VACUUM [DRY RUN]/RESTORE TABLE/DESCRIBE HISTORY|DETAIL "
-        "statements against UN-pinned names execute on the manifest "
-        "log (see operators/sqldml.py for the supported subset).",
+        "skipping; SELECTs whose whole select-list is count/min/max "
+        "over ONE table (optionally GROUP BY partition columns) "
+        "answer from manifest stats alone — exact or they fall back, "
+        "0 data files opened. UPDATE/DELETE/MERGE INTO/INSERT/"
+        "OPTIMIZE/VACUUM [DRY RUN]/RESTORE TABLE/COPY INTO t FROM "
+        "'<dir|glob>' [PATTERN = '<glob>'] (idempotent ingestion)/"
+        "DESCRIBE HISTORY|DETAIL/SHOW PARTITIONS statements against "
+        "UN-pinned names execute on the manifest log (see "
+        "operators/sqldml.py for the supported subset).",
     )
     sql_p.add_argument(
         "--txn",
