@@ -1264,6 +1264,14 @@ def _publish(table_dir: str, build_payload) -> int:
         written: list[str] = []
         try:
             payload = build_payload(prev)
+            # ONE read of the previous manifest serves both the
+            # copy-history carry and the monotonic-ts rule below
+            m_prev = None
+            if prev > 0:
+                try:
+                    m_prev = _read_manifest(table_dir, prev)
+                except VersionNotFoundError:
+                    pass  # prev vacuumed mid-race: retry re-reads
             # COPY INTO load history carries by reference through
             # EVERY publish (append/overwrite/DML/compact/restore —
             # like txns, it tracks ingestion progress, not data), and
@@ -1271,15 +1279,10 @@ def _publish(table_dir: str, build_payload) -> int:
             # payload that sets the key itself (copy_into's union, or
             # an explicit None to clear) wins.  Clones never inherit:
             # their target's prev is 0.
-            if prev > 0 and "copy_sources_ref" not in payload:
-                try:
-                    ref = _read_manifest(table_dir, prev).get(
-                        "copy_sources_ref"
-                    )
-                    if ref:
-                        payload["copy_sources_ref"] = ref
-                except VersionNotFoundError:
-                    pass  # prev vacuumed mid-race: retry re-reads
+            if "copy_sources_ref" not in payload:
+                ref = (m_prev or {}).get("copy_sources_ref")
+                if ref:
+                    payload["copy_sources_ref"] = ref
             elif payload.get("copy_sources_ref") is None:
                 payload.pop("copy_sources_ref", None)
             _finalize_payload(table_dir, payload, written)
@@ -1289,13 +1292,10 @@ def _publish(table_dir: str, build_payload) -> int:
             # stepping backwards between commits must not make
             # ``as_of`` resolution non-deterministic
             ts = time.time()
-            if prev > 0:
-                try:
-                    prev_ts = _read_manifest(table_dir, prev).get("ts")
-                    if prev_ts is not None and ts <= prev_ts:
-                        ts = prev_ts + 1e-6
-                except VersionNotFoundError:
-                    pass  # prev vacuumed mid-race: retry will re-read
+            if m_prev is not None:
+                prev_ts = m_prev.get("ts")
+                if prev_ts is not None and ts <= prev_ts:
+                    ts = prev_ts + 1e-6
             payload["ts"] = ts
             # Atomic CONTENT publication: the payload is fully written
             # to a private temp file first, then hard-linked to the
@@ -1748,7 +1748,15 @@ def _publish_dir(
     mapping-unaware caller (the DataSource writer), which is refused
     on mapped tables; a mapping that changed concurrently between
     write and publish conflict-aborts (the files carry stale physical
-    names)."""
+    names).
+
+    ``extra_payload`` may be a CALLABLE — evaluated here, after the
+    (possibly hours-long) data write and immediately before the
+    publish, so side effects it performs (copy_into's load-history
+    shard write) stay inside the same sub-second in-flight window
+    retention protects for file shards."""
+    if callable(extra_payload):
+        extra_payload = extra_payload()
     abs_dir = os.path.join(table_dir, rel)
     phys_schema_json = _physical_schema(
         schema, mapping_used or {}
@@ -3254,7 +3262,10 @@ def _stat_to_logical(value, field):
         if isinstance(value, int):
             return value
     elif t in ("float", "double"):
-        if isinstance(value, (int, float)):
+        # NaN never qualifies (Spark orders it greatest; a footer
+        # NaN says nothing about the true extreme) — current harvests
+        # refuse NaN stats, this guards manifests written before that
+        if isinstance(value, (int, float)) and value == value:
             return float(value)
     elif t == "string":
         if isinstance(value, str):
@@ -3414,6 +3425,13 @@ def metadata_aggregate(
                     a = g["cols"][c]
                     a["non_null"] += rows - st["nulls"]
                     if st["min"] is not None:
+                        for x in (st["min"], st["max"]):
+                            # pre-NaN-guard harvest: NaN poisons
+                            # Python min/max ORDER-DEPENDENTLY — a
+                            # wrong non-NaN answer could survive, so
+                            # reject at accumulation, not just output
+                            if isinstance(x, float) and x != x:
+                                raise ValueError("NaN stat (legacy)")
                         a["min"] = (
                             st["min"]
                             if a["min"] is None
@@ -4677,8 +4695,20 @@ def _read_copy_sources(table_dir: str, m: dict | None) -> dict:
     if not ref:
         return {}
     path = os.path.join(table_dir, _MANIFESTS, ref["shard"])
-    with open(path) as fh:
-        return json.load(fh)["sources"]
+    try:
+        with open(path) as fh:
+            return json.load(fh)["sources"]
+    except FileNotFoundError:
+        # a manifest that references a missing history shard means
+        # something external swept it; degrading to {} would silently
+        # DOUBLE-LOAD every previously ingested file — block loudly
+        raise RuntimeError(
+            f"load-history shard {ref['shard']} referenced by the "
+            f"manifest is missing from {table_dir!r}; refusing to "
+            "ingest (an empty history would re-load every source "
+            "file). Restore the shard or OVERWRITE the table to "
+            "reset its load history."
+        ) from None
 
 
 def copy_sources(table_dir: str, version: int | None = None) -> dict:
@@ -4712,6 +4742,8 @@ def copy_into(
     {version, ingested, skipped}."""
     import glob as _glob
 
+    import fnmatch
+
     src = os.path.realpath(source)
     tbl_real = os.path.realpath(table_dir)
     if os.path.isdir(src):
@@ -4719,7 +4751,14 @@ def copy_into(
             _glob.glob(os.path.join(src, "**", pattern), recursive=True)
         )
     else:
-        cands = sorted(_glob.glob(src))
+        # glob source: PATTERN still filters by basename, so
+        # `FROM '<root>/drop*' PATTERN '*.parquet'` never feeds a
+        # matching non-parquet sibling to the reader
+        cands = sorted(
+            f
+            for f in _glob.glob(src)
+            if fnmatch.fnmatch(os.path.basename(f), pattern)
+        )
     cands = [os.path.realpath(f) for f in cands if os.path.isfile(f)]
     if not cands:
         raise ValueError(
@@ -4746,42 +4785,61 @@ def copy_into(
         merged = dict(loaded)
         for f in new:
             merged[f] = {"bytes": os.path.getsize(f)}
-        os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
-        name = f"{_COPY_PREFIX}{uuid.uuid4().hex}.json"
-        spath = os.path.join(table_dir, _MANIFESTS, name)
-        tmp = os.path.join(table_dir, _MANIFESTS, f".tmp-{name}")
-        with open(tmp, "w") as fh:
-            json.dump({"sources": merged}, fh)
-        os.replace(tmp, spath)
         # mergeSchema: heterogeneous source batches union by name
         # instead of silently adopting one sampled file's schema;
         # incompatible TYPES still fail loudly (at read or at
-        # _merge_schema)
-        df = spark.read.option("mergeSchema", "true").parquet(*new)
+        # _merge_schema).  Read failures (corrupt/non-parquet source)
+        # surface as a clean ValueError, not a raw JVM traceback.
+        try:
+            df = spark.read.option("mergeSchema", "true").parquet(*new)
+        except Exception as e:  # noqa: BLE001 — rewrap for the caller
+            raise ValueError(
+                f"COPY INTO could not read {len(new)} source file(s) "
+                f"under {source!r}: {e}"
+            ) from e
+        # the load-history shard is written by a commit callback that
+        # runs AFTER the (possibly hours-long) data write, immediately
+        # before the publish — so a concurrent vacuum's
+        # unreferenced-shard sweep sees it only inside the same
+        # sub-second window retention already protects
+        shard_written: list[str] = []
+
+        def _write_history() -> dict:
+            os.makedirs(
+                os.path.join(table_dir, _MANIFESTS), exist_ok=True
+            )
+            name = f"{_COPY_PREFIX}{uuid.uuid4().hex}.json"
+            spath = os.path.join(table_dir, _MANIFESTS, name)
+            tmp = os.path.join(table_dir, _MANIFESTS, f".tmp-{name}")
+            with open(tmp, "w") as fh:
+                json.dump({"sources": merged}, fh)
+            os.replace(tmp, spath)
+            shard_written.append(spath)
+            return {
+                "copy_sources_ref": {"shard": name, "n": len(merged)}
+            }
+
         try:
             v = commit(
                 df,
                 table_dir,
                 mode="append",
                 expected_base=tip,
-                extra_payload={
-                    "copy_sources_ref": {
-                        "shard": name,
-                        "n": len(merged),
-                    }
-                },
+                extra_payload=_write_history,
             )
         except ConcurrentTableModificationError:
-            try:
-                os.unlink(spath)  # this attempt's history is dead
-            except OSError:
-                pass
+            for s in shard_written:  # this attempt's history is dead
+                try:
+                    os.unlink(s)
+                except OSError:
+                    pass
             continue
         except BaseException:
-            try:
-                os.unlink(spath)
-            except OSError:
-                pass
+            for s in shard_written:
+                try:
+                    os.unlink(s)
+                except OSError:
+                    pass
             raise
         return {
             "version": v,

@@ -181,3 +181,50 @@ def test_sql_verb_and_cli(spark, tmp_path, capsys):
         {"t": t},
     )
     assert res2["ingested"] == 0
+
+
+# ------------------------------------------------- review-pass fixes
+
+
+def test_glob_source_honors_pattern(spark, tmp_path):
+    """PATTERN filters a GLOB source too — a matching non-parquet
+    sibling must be excluded, not fed to the reader."""
+    root = str(tmp_path / "drops")
+    _mk_source(spark, root + "/drop1", 0, 10, parts=1)
+    f = glob.glob(os.path.join(root, "drop1", "part-*.parquet"))[0]
+    os.rename(f, os.path.join(root, "drop1", "batch.parquet"))
+    with open(os.path.join(root, "drop1", "batch-notes.txt"), "w") as fh:
+        fh.write("not parquet")
+    t = str(tmp_path / "tbl")
+    r = M.copy_into(
+        spark, t, root + "/drop1/batch*", pattern="*.parquet"
+    )
+    assert r["ingested"] == 1  # the .txt never reached the reader
+    assert M.read_version(spark, t).count() == 10
+
+
+def test_unreadable_source_is_clean_error_and_no_shard_leak(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "junk.parquet"), "w") as fh:
+        fh.write("definitely not parquet")
+    t = str(tmp_path / "tbl")
+    M.commit(spark.range(3).withColumn("v", F.lit(1.0)), t)
+    with pytest.raises(ValueError, match="could not read"):
+        M.copy_into(spark, t, src)
+    # no orphan load-history shard was written for the failed attempt
+    assert glob.glob(os.path.join(t, "_manifests", "cs-*.json")) == []
+
+
+def test_dangling_history_shard_blocks_loudly(spark, tmp_path):
+    """A missing referenced history shard must BLOCK ingestion, never
+    degrade to an empty history (that would double-load)."""
+    src = _mk_source(spark, str(tmp_path / "src"), 0, 10)
+    t = str(tmp_path / "tbl")
+    M.copy_into(spark, t, src)
+    for p in glob.glob(os.path.join(t, "_manifests", "cs-*.json")):
+        os.unlink(p)
+    with pytest.raises(RuntimeError, match="load-history shard"):
+        M.copy_into(spark, t, src)
