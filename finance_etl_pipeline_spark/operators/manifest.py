@@ -3281,11 +3281,38 @@ def _stat_to_logical(value, field):
     raise ValueError(f"stat {value!r} is not an exact {t} witness")
 
 
+def _pred_literal(lit, field):
+    """A WHERE literal normalized to ``field``'s Python type-kind, or
+    raise ValueError when the kinds mismatch — the caller DECLINES and
+    lets Spark's own coercion rules answer (comparing `int_col = '5'`
+    metadata-side would have to reimplement those rules to stay
+    exact)."""
+    import datetime
+
+    t = field.dataType.typeName()
+    if isinstance(lit, bool):
+        raise ValueError("boolean literals are not metadata-served")
+    if t == "string":
+        if isinstance(lit, str):
+            return lit
+    elif t in ("byte", "short", "integer", "long"):
+        if isinstance(lit, int):
+            return lit
+    elif t in ("float", "double"):
+        if isinstance(lit, (int, float)) and lit == lit:
+            return float(lit)
+    elif t == "date":
+        if isinstance(lit, str):
+            return datetime.date.fromisoformat(lit)
+    raise ValueError(f"literal {lit!r} is not a {t} kind")
+
+
 def metadata_aggregate(
     table_dir: str,
     items: list[tuple],
     version: int | None = None,
     group_by: list[str] | None = None,
+    where: list[tuple] | None = None,
 ):
     """An aggregate answered from the MANIFEST alone — the
     ``SELECT count(*)/count(c)/min(c)/max(c) FROM t`` shortcut every
@@ -3302,6 +3329,16 @@ def metadata_aggregate(
     default resolution).  ``group_by`` lists the GROUP BY columns —
     every one must be a hive-partition column of EVERY data dir with
     an exactly-known identity, else the whole call declines.
+
+    ``where`` restricts the walk to files whose PARTITION identity
+    satisfies every predicate — ``(col, '=', literal)`` or
+    ``(col, 'is_null', None)`` conjunctions over partition columns
+    only (same exact-identity rule as ``group_by``).  The literal must
+    already be the column's Python type-kind (str for string/date
+    columns — dates parse from ISO — int for integral, int/float for
+    float): a kind mismatch DECLINES rather than guessing Spark's
+    coercion.  Every row of a file shares its partition values, so
+    filtering whole files is exact, never approximate.
 
     Returns ``(rows, fields)`` — a list of value tuples (one for the
     ungrouped form, one per live partition combo otherwise) +
@@ -3342,6 +3379,18 @@ def metadata_aggregate(
                 return None
             group_fields.append(f)
     gnames = {f.name for f in group_fields}
+    pred_fields: list = []  # (field, op, normalized literal)
+    if where:
+        try:
+            for col, op, lit in where:
+                f = by_lower.get(col.lower())
+                if f is None or op not in ("=", "is_null"):
+                    return None
+                pred_fields.append(
+                    (f, op, None if op == "is_null" else _pred_literal(lit, f))
+                )
+        except (ValueError, TypeError):
+            return None  # literal kind mismatch: Spark coercion rules apply
     fields_out: list = []
     resolved: list = []  # (op, schema-resolved column | None)
     need: dict[str, object] = {}
@@ -3375,6 +3424,9 @@ def metadata_aggregate(
     dir_schemas = _load_dir_schemas(m)
     part_dirs = m.get("partitioned_dirs", {})
     phys_group = [mapping.get(f.name, f.name) for f in group_fields]
+    phys_pred = [
+        mapping.get(f.name, f.name) for f, _, _ in pred_fields
+    ]
 
     def _blank():
         return {
@@ -3393,15 +3445,34 @@ def metadata_aggregate(
             present = (
                 set(s_struct.fieldNames()) if s_struct else None
             )
-            if group_by:
+            part_needed = phys_group + phys_pred
+            if part_needed:
                 pcols = part_dirs.get(d)
-                if pcols is None or not set(phys_group) <= set(pcols):
-                    return None  # dir not partitioned by the group cols
+                if pcols is None or not set(part_needed) <= set(pcols):
+                    return None  # dir not partitioned by group/pred cols
                 strings = _string_typed(s_struct)
             for e in files[d]:
                 rows = e.get("rows", 0)
                 if rows == 0:
                     continue  # contributes no rows and no group
+                if pred_fields:
+                    pvals = _entry_partition_combo(
+                        e, phys_pred, strings
+                    )
+                    if pvals is None:
+                        return None  # identity not exactly known
+                    keep = True
+                    for raw, (f, op, lit) in zip(pvals, pred_fields):
+                        if op == "is_null":
+                            keep = raw is None
+                        elif raw is None:
+                            keep = False  # NULL = lit is never true
+                        else:
+                            keep = _stat_to_logical(raw, f) == lit
+                        if not keep:
+                            break
+                    if not keep:
+                        continue  # whole file excluded, exactly
                 if group_by:
                     combo = _entry_partition_combo(
                         e, phys_group, strings

@@ -271,17 +271,25 @@ _META_COL_RE = re.compile(
 )
 
 #: the whole-statement shape: aggregates over ONE bare table (no
-#: WHERE/JOIN/LIMIT/DISTINCT/ORDER — anything else fails the match and
-#: takes the normal Spark path), with optional inline time travel and
-#: an optional GROUP BY over partition columns
+#: JOIN/LIMIT/DISTINCT/ORDER — anything else fails the match and
+#: takes the normal Spark path), with optional inline time travel, an
+#: optional WHERE of partition-equality conjuncts, and an optional
+#: GROUP BY over partition columns
 _META_STMT_RE = re.compile(
     r"^SELECT\s+(.+?)\s+FROM\s+(\w+)"
     r"(?:@(\d+)|\s+VERSION\s+AS\s+OF\s+(\d+)"
     r"|\s+TIMESTAMP\s+AS\s+OF\s+('[^']*'|\d+(?:\.\d+)?))?"
+    r"(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+GROUP\s+BY\s+(\w+(?:\s*,\s*\w+)*))?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: one WHERE conjunct: `<col> = <'str' | number>` or `<col> IS NULL`
+_META_PRED_RE = re.compile(
+    r"^(\w+)\s*=\s*('(?:[^']|'')*'|[+-]?\d+(?:\.\d+)?)$", re.DOTALL
+)
+_META_NULL_RE = re.compile(r"^(\w+)\s+IS\s+NULL$", re.IGNORECASE)
 
 
 def try_metadata_select(
@@ -299,7 +307,12 @@ def try_metadata_select(
     A ``GROUP BY`` over hive-partition columns is served too — each
     file's partition identity is an exact manifest fact, so per-
     partition counts/mins/maxes need no scan either (the SHOW
-    PARTITIONS shape, as real SQL).
+    PARTITIONS shape, as real SQL).  Likewise a ``WHERE`` of
+    partition-equality conjuncts (``p = 'x' AND q IS NULL``): every
+    row of a file shares its partition values, so whole-file
+    inclusion/exclusion is exact; any other predicate shape (ranges,
+    OR, non-partition columns, literals whose type-kind mismatches
+    the column) declines to the scan.
 
     Returns the DataFrame (one row ungrouped, one per live partition
     combo grouped) with EXACTLY the schema ``spark.sql`` would produce
@@ -332,8 +345,28 @@ def try_metadata_select(
             version = M.version_as_of(tables[name], val)
     except (M.VersionNotFoundError, ValueError):
         return None  # the normal path raises the user-facing error
+    where = None
+    if m.group(6):
+        where = []
+        for part in _split_top_keyword(m.group(6), "AND"):
+            part = part.strip()
+            nm = _META_NULL_RE.match(part)
+            if nm:
+                where.append((nm.group(1), "is_null", None))
+                continue
+            pm = _META_PRED_RE.match(part)
+            if not pm:
+                return None  # OR / ranges / expressions: normal path
+            rawlit = pm.group(2)
+            if rawlit.startswith("'"):
+                lit: object = rawlit[1:-1].replace("''", "'")
+            elif "." in rawlit:
+                lit = float(rawlit)
+            else:
+                lit = int(rawlit)
+            where.append((pm.group(1), "=", lit))
     group_by = (
-        [g.strip() for g in m.group(6).split(",")] if m.group(6) else None
+        [g.strip() for g in m.group(7).split(",")] if m.group(7) else None
     )
     glower = {g.lower() for g in (group_by or [])}
     items: list[tuple] = []
@@ -367,7 +400,11 @@ def try_metadata_select(
         return None  # a pure column projection is not an aggregate
     try:
         res = M.metadata_aggregate(
-            tables[name], items, version=version, group_by=group_by
+            tables[name],
+            items,
+            version=version,
+            group_by=group_by,
+            where=where,
         )
     except (M.VersionNotFoundError, OSError):
         return None

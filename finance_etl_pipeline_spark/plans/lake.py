@@ -1735,3 +1735,52 @@ def manifest_partition_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partitioned table — the fast path regressed"
         )
     return df
+
+
+@register(
+    "manifest_partition_filter_agg",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_totalprice) AS mn_price,
+           max(o_totalprice) AS mx_price
+    FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_partition_filter_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHERE partition-equality + GROUP BY partition column, both
+    served from METADATA: the predicate includes/excludes whole files
+    by their exact partition identity (every row of a file shares its
+    partition values), then surviving files aggregate per group — the
+    `count the rows of ONE partition` probe a 100 TB table answers
+    without opening a data file."""
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        try_metadata_select,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 2 == 0)
+    t = tempfile.mkdtemp(prefix="mlake_partfilter_") + "/tbl"
+    M.commit(
+        orders, t, partition_by=["o_orderpriority", "o_orderstatus"]
+    )
+    df = try_metadata_select(
+        spark,
+        "SELECT o_orderstatus, count(*) AS n_rows, "
+        "min(o_totalprice) AS mn_price, max(o_totalprice) AS mx_price "
+        "FROM t WHERE o_orderpriority = '1-URGENT' "
+        "GROUP BY o_orderstatus",
+        {"t": t},
+    )
+    if df is None:
+        raise RuntimeError(
+            "filtered metadata aggregate declined on a fully "
+            "partitioned table — the fast path regressed"
+        )
+    return df
