@@ -108,9 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         "'ts', or name@n. Reads go through the manifest_table "
         "DataSource with filter pushdown into footer-stats file "
         "skipping; SELECTs whose whole select-list is count/min/max "
-        "over ONE table (optionally GROUP BY partition columns) "
-        "answer from manifest stats alone — exact or they fall back, "
-        "0 data files opened. UPDATE/DELETE/MERGE INTO/INSERT/"
+        "over ONE table (optionally WHERE partition-equality "
+        "conjuncts and/or GROUP BY partition columns) answer from "
+        "manifest stats alone — exact or they fall back, 0 data "
+        "files opened. UPDATE/DELETE/MERGE INTO/INSERT/"
         "OPTIMIZE/VACUUM [DRY RUN]/RESTORE TABLE/COPY INTO t FROM "
         "'<dir|glob>' [PATTERN = '<glob>'] (idempotent ingestion)/"
         "DESCRIBE HISTORY|DETAIL/SHOW PARTITIONS statements against "
