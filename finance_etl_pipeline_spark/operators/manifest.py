@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -3281,28 +3282,41 @@ def _stat_to_logical(value, field):
     raise ValueError(f"stat {value!r} is not an exact {t} witness")
 
 
+_STRICT_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+
+
 def _pred_literal(lit, field):
     """A WHERE literal normalized to ``field``'s Python type-kind, or
     raise ValueError when the kinds mismatch — the caller DECLINES and
     lets Spark's own coercion rules answer (comparing `int_col = '5'`
     metadata-side would have to reimplement those rules to stay
-    exact)."""
+    exact).  Three deliberate narrownesses, each a decline-not-guess:
+
+    * a string literal containing a backslash declines — Spark's
+      parser processes ``\\n``-style escapes (escapedStringLiterals
+      defaults false) and this route does not reimplement them;
+    * date literals must be EXACTLY ``yyyy-mm-dd`` — Python 3.11+
+      ``fromisoformat`` accepts ``20240105`` / ISO-week forms that
+      Spark's string→date cast rejects (returns NULL);
+    * FloatType (32-bit) columns decline — Spark compares after
+      float→double widening (0.1f widens to 0.10000000149…), which a
+      double-precision equality here would silently get wrong."""
     import datetime
 
     t = field.dataType.typeName()
     if isinstance(lit, bool):
         raise ValueError("boolean literals are not metadata-served")
     if t == "string":
-        if isinstance(lit, str):
+        if isinstance(lit, str) and "\\" not in lit:
             return lit
     elif t in ("byte", "short", "integer", "long"):
         if isinstance(lit, int):
             return lit
-    elif t in ("float", "double"):
+    elif t == "double":
         if isinstance(lit, (int, float)) and lit == lit:
             return float(lit)
     elif t == "date":
-        if isinstance(lit, str):
+        if isinstance(lit, str) and _STRICT_DATE.match(lit):
             return datetime.date.fromisoformat(lit)
     raise ValueError(f"literal {lit!r} is not a {t} kind")
 
@@ -3438,6 +3452,9 @@ def metadata_aggregate(
         }
 
     groups: dict[tuple, dict] = {}
+    #: ONE identity resolution per file covers predicates AND grouping
+    part_needed = phys_pred + phys_group
+    n_pred = len(phys_pred)
     try:
         for d in m["dirs"]:
             sj = dir_schemas.get(d)
@@ -3445,7 +3462,6 @@ def metadata_aggregate(
             present = (
                 set(s_struct.fieldNames()) if s_struct else None
             )
-            part_needed = phys_group + phys_pred
             if part_needed:
                 pcols = part_dirs.get(d)
                 if pcols is None or not set(part_needed) <= set(pcols):
@@ -3455,14 +3471,17 @@ def metadata_aggregate(
                 rows = e.get("rows", 0)
                 if rows == 0:
                     continue  # contributes no rows and no group
-                if pred_fields:
-                    pvals = _entry_partition_combo(
-                        e, phys_pred, strings
+                if part_needed:
+                    combo_all = _entry_partition_combo(
+                        e, part_needed, strings
                     )
-                    if pvals is None:
+                    if combo_all is None:
                         return None  # identity not exactly known
+                if pred_fields:
                     keep = True
-                    for raw, (f, op, lit) in zip(pvals, pred_fields):
+                    for raw, (f, op, lit) in zip(
+                        combo_all[:n_pred], pred_fields
+                    ):
                         if op == "is_null":
                             keep = raw is None
                         elif raw is None:
@@ -3473,15 +3492,7 @@ def metadata_aggregate(
                             break
                     if not keep:
                         continue  # whole file excluded, exactly
-                if group_by:
-                    combo = _entry_partition_combo(
-                        e, phys_group, strings
-                    )
-                    if combo is None:
-                        return None  # identity not exactly known
-                    key = tuple(combo)
-                else:
-                    key = ()
+                key = tuple(combo_all[n_pred:]) if group_by else ()
                 g = groups.get(key)
                 if g is None:
                     g = groups[key] = _blank()

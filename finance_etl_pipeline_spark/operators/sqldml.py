@@ -345,6 +345,13 @@ def try_metadata_select(
             version = M.version_as_of(tables[name], val)
     except (M.VersionNotFoundError, ValueError):
         return None  # the normal path raises the user-facing error
+    # deliberately NARROWER than parse_where/_parse_literal (the DML
+    # predicate grammar): this route's bar is bit-exact parity with
+    # spark.sql, so it accepts only shapes whose semantics it can
+    # prove (equality + IS NULL, backslash-free strings, strict
+    # yyyy-mm-dd dates — see manifest._pred_literal) and declines the
+    # rest; reusing the wider DML grammar would serve shapes whose
+    # Spark coercion rules are not reimplemented here
     where = None
     if m.group(6):
         where = []

@@ -82,8 +82,7 @@ def _mk_stmt(rng):
         if kind == "count_star":
             items.append("count(*)")
         else:
-            items.append(f"{kind.replace('count_star', 'count')}"
-                         f"({rng.choice(AGG_COLS)})")
+            items.append(f"{kind}({rng.choice(AGG_COLS)})")
     stmt = f"SELECT {', '.join(items)} FROM t"
     if rng.random() < 0.5:
         conj = rng.sample(PREDS, rng.randrange(1, 3))
