@@ -38,6 +38,16 @@ the manifest log can execute as one atomic version:
 * SELECT-side time travel (``FROM t VERSION AS OF n`` / ``TIMESTAMP
   AS OF 'ts'`` / ``t@n``) via ``expand_time_travel`` — also expanded
   inside INSERT/CTAS payloads and MERGE subquery sources;
+* ``COPY INTO t FROM '<dir|glob>' [PATTERN = '<glob>']`` →
+  ``copy_into`` (idempotent ingestion: load-history dedup by source
+  path, re-running the statement is a no-op);
+* ``SHOW PARTITIONS t [VERSION AS OF n | @n]`` →
+  ``table_partitions`` (metadata-only inventory with exact counts);
+* metadata-only aggregates (``try_metadata_select``): a SELECT whose
+  whole list is count(*)/count(c)/min(c)/max(c) over ONE table —
+  optionally WHERE partition-equality conjuncts and/or GROUP BY
+  partition columns — answers from manifest stats, bit-exact parity
+  with spark.sql or it declines to the scan;
 * ``MERGE INTO t [AS a] USING <view | (subquery)> [AS b]
   ON a.k = b.k [AND ...]
   [WHEN MATCHED THEN UPDATE SET *]
