@@ -193,6 +193,7 @@ def main(argv: list[str] | None = None) -> int:
             "bloom",
             "partitions",
             "restore",
+            "convert",
         ],
     )
     tbl_p.add_argument(
@@ -245,7 +246,10 @@ def main(argv: list[str] | None = None) -> int:
     tbl_p.add_argument(
         "--into",
         default=None,
-        help="clone target directory (required for `clone`)",
+        help="clone target directory (required for `clone`), or the "
+        "NEW table directory for `convert` (required there; the "
+        "positional dir is then the parquet SOURCE to adopt in "
+        "place — zero bytes copied)",
     )
     tbl_p.add_argument(
         "--version",
@@ -614,7 +618,20 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             try:
-                args.dir = _cat.resolve(args.warehouse, args.dir)
+                if args.action == "convert":
+                    # convert's positional is a raw parquet SOURCE
+                    # path; the catalog name is the NEW table (--into)
+                    if args.into:
+                        try:
+                            args.into = _cat.resolve(
+                                args.warehouse, args.into
+                            )
+                        except _cat.CatalogError:
+                            args.into = _cat.create_table(
+                                args.warehouse, args.into
+                            )
+                else:
+                    args.dir = _cat.resolve(args.warehouse, args.dir)
             except _cat.CatalogError as e:
                 print(f"catalog error: {e}", file=sys.stderr)
                 return 2
@@ -733,6 +750,30 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             v = M.clone_table(args.dir, args.into, version=args.version)
             print(f"cloned {args.dir} -> {args.into} v{v} (zero-copy)")
+            return 0
+        if args.action == "convert":
+            if not args.into:
+                print(
+                    "table convert requires --into DIR (the NEW table "
+                    "root; the positional dir is the parquet source "
+                    "adopted in place)",
+                    file=sys.stderr,
+                )
+                return 2
+            from finance_etl_pipeline_spark.session import get_spark
+
+            spark = get_spark(app_name="table-convert")
+            try:
+                v = M.convert_parquet(spark, args.dir, args.into)
+            except (ValueError, M.ConcurrentTableModificationError) as e:
+                print(f"convert error: {e}", file=sys.stderr)
+                return 2
+            d = M.describe_detail(args.into)
+            print(
+                f"converted {args.dir} -> {args.into} v{v} "
+                f"({d['n_files']} file(s), {d['n_rows']} row(s), "
+                "zero bytes copied)"
+            )
             return 0
         if args.action == "restore":
             if args.version is None:

@@ -1286,6 +1286,20 @@ def _publish(table_dir: str, build_payload) -> int:
                     payload["copy_sources_ref"] = ref
             elif payload.get("copy_sources_ref") is None:
                 payload.pop("copy_sources_ref", None)
+            # CONVERT's foreign-stats marker carries intersected with
+            # the live dir set: an overwrite/compact that rewrites the
+            # adopted files first-party drops the marker naturally
+            # (and thereby re-enables exact metadata min/max)
+            if "foreign_stats_dirs" not in payload:
+                prev_f = (m_prev or {}).get("foreign_stats_dirs")
+                if prev_f:
+                    kept = [
+                        d
+                        for d in prev_f
+                        if d in payload.get("dirs", [])
+                    ]
+                    if kept:
+                        payload["foreign_stats_dirs"] = kept
             _finalize_payload(table_dir, payload, written)
             payload["version"] = prev + 1
             # commit timestamp, made MONOTONIC against the previous
@@ -3374,6 +3388,14 @@ def metadata_aggregate(
     m = _read_manifest(table_dir, v)
     if m.get("deletes") or "schema" not in m:
         return None
+    if m.get("foreign_stats_dirs") and any(
+        op in ("min", "max") for op, _ in items
+    ):
+        # adopted (CONVERT) files: foreign footer min/max are BOUNDS
+        # (sound for skipping) but possibly truncated, so they are not
+        # exact value witnesses; counts and partition identities stay
+        # served
+        return None
     schema = StructType.fromJson(m["schema"])
     files = _load_files(table_dir, m)
     if set(m["dirs"]) - set(files):
@@ -3712,6 +3734,7 @@ def describe_detail(table_dir: str) -> dict:
         "constraints": sorted(m.get("constraints", {})),
         "column_mapping": bool(m.get("column_mapping")),
         "copy_sources": (m.get("copy_sources_ref") or {}).get("n", 0),
+        "foreign_stats_dirs": len(m.get("foreign_stats_dirs", [])),
         "schema_fields": (
             len(StructType.fromJson(m["schema"]).fields)
             if "schema" in m
@@ -4750,6 +4773,146 @@ def restore_table(
             "retained"
         )
     return new_v
+
+
+# ------------------------------------------------- CONVERT TO MANIFEST
+
+
+def convert_parquet(
+    spark: SparkSession, src_dir: str, table_dir: str
+) -> int:
+    """CONVERT TO MANIFEST (Delta's CONVERT TO DELTA): adopt an
+    EXISTING parquet directory — flat or hive-partitioned, any file
+    names, any writer — as version 1 of a new manifest table IN
+    PLACE.  Zero bytes are copied or rewritten (the onboarding path
+    for a 100 TB corpus, where COPY INTO's rewrite would be a second
+    full write); the manifest references the source files absolutely,
+    exactly like a shallow clone, so every reader/DML path composes:
+    reads scan the adopted files directly, DML copy-on-writes into
+    the table's own ``data/`` root and merely de-references adopted
+    files (vacuum's data sweep is scoped to the table root, so the
+    user's source bytes are structurally out of its reach).
+
+    Foreign-writer stats honesty: footer stats are harvested for the
+    adopted files and trusted for FILE SKIPPING (the parquet spec
+    requires min/max to BOUND the values, so pruning stays sound even
+    under writer-side truncation) but the dir is recorded in
+    ``foreign_stats_dirs``, which makes ``metadata_aggregate`` DECLINE
+    exact min/max answers — a truncated bound is a valid bound but
+    not necessarily a value present in the data.  count(*)/count(col)
+    stay metadata-served (row and null counts are exact in any
+    spec-compliant footer), and partition identities are path-derived,
+    so WHERE/GROUP BY partition shapes still serve.  The marker
+    carries through every publish intersected with the live dir set:
+    the first OPTIMIZE rewrites the data first-party and thereby
+    re-enables exact metadata min/max.
+
+    Partition columns are discovered from the ``k=v`` path layout
+    (every file must agree on the same column sequence); their types
+    follow Spark's own partition inference over the directory read."""
+    import glob as _glob
+
+    src = os.path.realpath(src_dir)
+    if not os.path.isdir(src):
+        raise ValueError(f"CONVERT source is not a directory: {src_dir!r}")
+    tbl = os.path.realpath(table_dir)
+    if os.path.commonpath([src, tbl]) in (src, tbl):
+        raise ValueError(
+            "CONVERT source and table directories must not nest"
+        )
+    if latest_version(table_dir) != 0:
+        raise ValueError(
+            f"CONVERT target {table_dir!r} already has versions; "
+            "convert only creates NEW tables"
+        )
+    rels = sorted(
+        os.path.relpath(f, src)
+        for f in _glob.glob(
+            os.path.join(src, "**", "*.parquet"), recursive=True
+        )
+        if os.path.isfile(f)
+    )
+    if not rels:
+        raise ValueError(f"no parquet files under {src_dir!r}")
+    if len(rels) >= _DISTRIBUTED_HARVEST_MIN_FILES:
+        sc = spark.sparkContext
+        entries = sorted(
+            sc.parallelize(rels, min(len(rels), 256))
+            .map(lambda r: _harvest_one(src, r))
+            .collect(),
+            key=lambda e: e["path"],
+        )
+    else:
+        entries = [_harvest_one(src, r) for r in rels]
+    # one partition layout for the whole dir, derived from the paths
+    def _layout(rel: str) -> list[str]:
+        return [
+            comp.partition("=")[0]
+            for comp in rel.split(os.sep)[:-1]
+            if "=" in comp
+        ]
+
+    part_cols = _layout(rels[0])
+    for r in rels[1:]:
+        if _layout(r) != part_cols:
+            raise ValueError(
+                f"inconsistent partition layouts under {src_dir!r}: "
+                f"{part_cols} vs {_layout(r)} ({r}); a convert "
+                "adopts ONE hive layout"
+            )
+    files_abs = [os.path.join(src, r) for r in rels]
+    # data-FILE schema (no partition discovery): union by name so an
+    # evolved source still converts; incompatible types fail loudly
+    file_schema = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*files_abs)
+        .schema
+    )
+    if part_cols:
+        dup = set(part_cols) & set(file_schema.fieldNames())
+        if dup:
+            raise ValueError(
+                f"partition column(s) {sorted(dup)} also present "
+                "inside the data files — unsupported layout"
+            )
+        # logical schema includes partition columns, typed by Spark's
+        # own partition inference (the types its reader will produce)
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", src)
+            .parquet(src)
+            .schema
+        )
+    else:
+        schema = file_schema
+
+    def build(prev: int) -> dict:
+        if prev != 0:
+            raise ConcurrentTableModificationError(
+                f"convert target {table_dir} gained a version "
+                "mid-convert"
+            )
+        payload = {
+            "dirs": [src],
+            "mode": "convert",
+            "files": {src: entries},
+            # commit's convention: the dir schema INCLUDES partition
+            # columns (the basePath scan reconstructs them) — a
+            # file-only schema would read them as evolution-missing
+            # all-NULL and wrongly prune every partition predicate
+            "dir_schemas": {src: schema.jsonValue()},
+            "partitioned_dirs": (
+                {src: list(part_cols)} if part_cols else {}
+            ),
+            "deletes": [],
+            "schema": schema.jsonValue(),
+            "constraints": {},
+            "txns": {},
+            "foreign_stats_dirs": [src],
+        }
+        return payload
+
+    return _publish(table_dir, build)
 
 
 # ------------------------------------------------------------ COPY INTO

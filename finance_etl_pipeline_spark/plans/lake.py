@@ -1784,3 +1784,44 @@ def manifest_partition_filter_agg(
             "partitioned table — the fast path regressed"
         )
     return df
+
+
+@register(
+    "manifest_convert_parquet",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum({sql_igrid('o_totalprice', 2)}) AS BIGINT)
+             AS sum_price_e2
+    FROM orders
+    WHERE o_orderkey % 3 = 0 AND o_orderpriority = '2-HIGH'
+    GROUP BY o_orderstatus
+    """,
+    "lake",
+)
+def manifest_convert_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO MANIFEST: a hive-partitioned parquet directory is
+    adopted IN PLACE (zero bytes copied) as v1 of a new table, then
+    read back through the manifest with a partition predicate — the
+    answer proves both the adopted file inventory (nothing lost or
+    doubled) and partition pruning over path-derived identities.  The
+    filter goes through read_version(where=...), so a pruning bug
+    that wrongly drops or keeps an adopted file diverges from the
+    oracle."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 3 == 0)
+    root = tempfile.mkdtemp(prefix="mlake_convert_")
+    src = f"{root}/src"
+    orders.write.partitionBy("o_orderpriority").parquet(src)
+    t = f"{root}/tbl"
+    M.convert_parquet(spark, src, t)
+    df = M.read_version(
+        spark, t, where=[("o_orderpriority", "==", "2-HIGH")]
+    )
+    return (
+        df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(igrid(F.col("o_totalprice"), 2)).alias("sum_price_e2"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""CONVERT TO MANIFEST (``manifest.convert_parquet``): in-place
+adoption of an existing parquet directory — flat or hive-partitioned,
+foreign writers, arbitrary file names — with the foreign-stats honesty
+contract: skipping works, exact metadata min/max declines until a
+first-party rewrite, and the user's source bytes are never deleted."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+import pytest
+
+from finance_etl_pipeline_spark.operators import manifest as M
+from finance_etl_pipeline_spark.operators.sqldml import (
+    try_metadata_select,
+)
+
+
+@pytest.fixture()
+def foreign_src(tmp_path):
+    """A pyarrow-written (foreign) hive dir with non-part-* names."""
+    src = str(tmp_path / "src")
+    for p in ("a", "b"):
+        os.makedirs(f"{src}/cat={p}")
+        pq.write_table(
+            pa.table(
+                {
+                    "k": list(range(5)),
+                    "x": [1.5 * i for i in range(5)],
+                }
+            ),
+            f"{src}/cat={p}/data_0.parquet",
+        )
+    return src
+
+
+def test_adopt_read_and_prune(spark, tmp_path, foreign_src):
+    t = str(tmp_path / "tbl")
+    v = M.convert_parquet(spark, foreign_src, t)
+    assert v == 1
+    df = M.read_version(spark, t)
+    assert df.count() == 10
+    assert sorted(r["cat"] for r in df.select("cat").distinct().collect()) == ["a", "b"]
+    # partition pruning over path-derived identities
+    assert (
+        M.read_version(spark, t, where=[("cat", "==", "a")]).count()
+        == 5
+    )
+    assert (
+        len(M.files_for_version(t, where=[("cat", "==", "a")])) == 1
+    )
+    # zero-copy: the source files are the table's files
+    assert all(
+        f.startswith(os.path.realpath(foreign_src))
+        for f in M.files_for_version(t)
+    )
+
+
+def test_foreign_stats_honesty(spark, tmp_path, foreign_src):
+    t = str(tmp_path / "tbl")
+    M.convert_parquet(spark, foreign_src, t)
+    # counts + partition shapes serve from metadata
+    md = try_metadata_select(
+        spark,
+        "SELECT cat, count(*) AS n, count(k) AS nk FROM t "
+        "WHERE cat = 'a' GROUP BY cat",
+        {"t": t},
+    )
+    assert md is not None
+    assert md.collect()[0].asDict() == {"cat": "a", "n": 5, "nk": 5}
+    # exact min/max declines on foreign footers (possible truncation)
+    assert (
+        try_metadata_select(spark, "SELECT max(x) FROM t", {"t": t})
+        is None
+    )
+    assert M.describe_detail(t)["foreign_stats_dirs"] == 1
+
+
+def test_first_party_rewrite_reenables_minmax(
+    spark, tmp_path, foreign_src
+):
+    """OPTIMIZE rewrites the adopted files through this engine's own
+    writer — the foreign marker drops (carry intersects the live dir
+    set) and exact metadata min/max serves again; the user's source
+    files are untouched throughout."""
+    t = str(tmp_path / "tbl")
+    M.convert_parquet(spark, foreign_src, t)
+    M.compact_table(spark, t)
+    m = M._read_manifest(t, M.latest_version(t))
+    assert "foreign_stats_dirs" not in m
+    md = try_metadata_select(
+        spark, "SELECT max(x) AS mx, count(*) AS n FROM t", {"t": t}
+    )
+    assert md is not None
+    assert md.collect()[0].asDict() == {"mx": 6.0, "n": 10}
+    # zero-copy promise kept: source bytes still on disk
+    assert (
+        len(glob.glob(os.path.join(foreign_src, "**", "*.parquet"),
+                      recursive=True))
+        == 2
+    )
+    # and vacuum of the table never reaches the external source
+    M.vacuum(t, keep_last=1, retention_seconds=0.0)
+    assert (
+        len(glob.glob(os.path.join(foreign_src, "**", "*.parquet"),
+                      recursive=True))
+        == 2
+    )
+
+
+def test_append_and_dml_after_convert(spark, tmp_path, foreign_src):
+    t = str(tmp_path / "tbl")
+    M.convert_parquet(spark, foreign_src, t)
+    M.commit(
+        spark.createDataFrame(
+            [(99, 0.25, "c")], "k long, x double, cat string"
+        ),
+        t,
+        mode="append",
+    )
+    assert M.read_version(spark, t).count() == 11
+    M.delete_where(t, [("k", "==", 0)])  # one per adopted partition
+    assert M.read_version(spark, t).count() == 9
+    # the foreign marker survives appends (adopted dir still live)
+    m = M._read_manifest(t, M.latest_version(t))
+    assert m.get("foreign_stats_dirs")
+
+
+def test_errors(spark, tmp_path, foreign_src):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="not a directory"):
+        M.convert_parquet(spark, str(tmp_path / "missing"), t)
+    os_empty = tmp_path / "empty"
+    os_empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        M.convert_parquet(spark, str(os_empty), t)
+    M.convert_parquet(spark, foreign_src, t)
+    with pytest.raises(ValueError, match="already has versions"):
+        M.convert_parquet(spark, foreign_src, t)
+    # mixed layouts refuse
+    mixed = str(tmp_path / "mixed")
+    os.makedirs(f"{mixed}/cat=a")
+    pq.write_table(pa.table({"k": [1]}), f"{mixed}/cat=a/f.parquet")
+    pq.write_table(pa.table({"k": [2]}), f"{mixed}/flat.parquet")
+    with pytest.raises(ValueError, match="inconsistent partition"):
+        M.convert_parquet(spark, mixed, str(tmp_path / "t2"))
+    # partition column duplicated inside the data files
+    dup = str(tmp_path / "dup")
+    os.makedirs(f"{dup}/cat=a")
+    pq.write_table(
+        pa.table({"k": [1], "cat": ["a"]}), f"{dup}/cat=a/f.parquet"
+    )
+    with pytest.raises(ValueError, match="also present"):
+        M.convert_parquet(spark, dup, str(tmp_path / "t3"))
+    # nesting refused
+    with pytest.raises(ValueError, match="must not nest"):
+        M.convert_parquet(
+            spark, foreign_src, os.path.join(foreign_src, "tbl")
+        )
+
+
+def test_cli_convert(spark, tmp_path, foreign_src, capsys):
+    from finance_etl_pipeline_spark.cli import main as cli_main
+
+    t = str(tmp_path / "tbl")
+    rc = cli_main(["table", "convert", foreign_src, "--into", t])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "zero bytes copied" in out and "2 file(s)" in out
+    assert M.latest_version(t) == 1
