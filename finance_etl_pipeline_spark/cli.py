@@ -627,6 +627,13 @@ def main(argv: list[str] | None = None) -> int:
                                 args.warehouse, args.into
                             )
                         except _cat.CatalogError:
+                            # remember the registration so a failed
+                            # convert rolls it back instead of leaving
+                            # a dangling zero-version catalog entry
+                            args._convert_created = (
+                                args.warehouse,
+                                args.into,
+                            )
                             args.into = _cat.create_table(
                                 args.warehouse, args.into
                             )
@@ -766,6 +773,18 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 v = M.convert_parquet(spark, args.dir, args.into)
             except (ValueError, M.ConcurrentTableModificationError) as e:
+                created = getattr(args, "_convert_created", None)
+                if created:
+                    from finance_etl_pipeline_spark.operators import (
+                        catalog as _cat,
+                    )
+
+                    try:
+                        _cat.drop_table(
+                            created[0], created[1], purge=True
+                        )
+                    except _cat.CatalogError:
+                        pass  # racing unregister: nothing to undo
                 print(f"convert error: {e}", file=sys.stderr)
                 return 2
             d = M.describe_detail(args.into)

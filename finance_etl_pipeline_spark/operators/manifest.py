@@ -121,7 +121,9 @@ def _parse_partition_value(s: str):
     return s
 
 
-def _harvest_one(data_dir: str, rel: str) -> dict:
+def _harvest_one(
+    data_dir: str, rel: str, forbid_cols: tuple = ()
+) -> dict:
     """The manifest entry for ONE parquet file: relative path, row
     count, and per-column {min, max, nulls} aggregated over the
     file's row groups — read from the footer only (no data scan).
@@ -156,7 +158,19 @@ def _harvest_one(data_dir: str, rel: str) -> dict:
                 # (dynamic partition overwrite) need the exact string
                 raw_parts[k] = unquote(v)
     abs_path = os.path.join(data_dir, rel)
-    md = pq.ParquetFile(abs_path).metadata
+    pf = pq.ParquetFile(abs_path)
+    md = pf.metadata
+    if forbid_cols:
+        # CONVERT adoption: a path-partition column duplicated inside
+        # a data file makes the read ambiguous — reject per file, so
+        # the check rides the (possibly executor-distributed) harvest
+        # instead of a second footer sweep
+        clash = set(pf.schema_arrow.names) & set(forbid_cols)
+        if clash:
+            raise ValueError(
+                f"partition column(s) {sorted(clash)} also present "
+                f"inside the data file {rel} — unsupported layout"
+            )
     stats: dict[str, dict] = {}
     bad: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -4623,6 +4637,16 @@ def clone_table(
         }
         if "schema" in m:
             payload["schema"] = m["schema"]
+        # a clone of a CONVERT-adopted table references the same
+        # foreign files — the stats-honesty marker travels with them
+        # (re-keyed to the absolute names like every other dir map)
+        fsd = [
+            absd.get(d, d)
+            for d in m.get("foreign_stats_dirs", [])
+            if d in m["dirs"]
+        ]
+        if fsd:
+            payload["foreign_stats_dirs"] = fsd
         return payload
 
     return _publish(dst_dir, build)
@@ -4721,6 +4745,14 @@ def restore_table(
         }
         if "schema" in m_src:
             payload["schema"] = m_src["schema"]
+        # restoring a CONVERT-adopted state must restore its
+        # foreign-stats honesty marker too, or the restored tip would
+        # serve exact min/max from foreign footer bounds (when absent
+        # here, _publish's carry intersects the TIP's marker with the
+        # restored dir set — correct for every other shape)
+        fsd = m_src.get("foreign_stats_dirs")
+        if fsd:
+            payload["foreign_stats_dirs"] = list(fsd)
         return payload
 
     def build(prev: int) -> dict:
@@ -4831,20 +4863,19 @@ def convert_parquet(
             os.path.join(src, "**", "*.parquet"), recursive=True
         )
         if os.path.isfile(f)
+        # Spark's listing ignores '_'/'.'-prefixed paths (_SUCCESS,
+        # _temporary task-attempt leftovers, .crc) — adopting them
+        # would double-count aborted writes the user's own reads skip
+        and not any(
+            c.startswith(("_", "."))
+            for c in os.path.relpath(f, src).split(os.sep)
+        )
     )
     if not rels:
         raise ValueError(f"no parquet files under {src_dir!r}")
-    if len(rels) >= _DISTRIBUTED_HARVEST_MIN_FILES:
-        sc = spark.sparkContext
-        entries = sorted(
-            sc.parallelize(rels, min(len(rels), 256))
-            .map(lambda r: _harvest_one(src, r))
-            .collect(),
-            key=lambda e: e["path"],
-        )
-    else:
-        entries = [_harvest_one(src, r) for r in rels]
-    # one partition layout for the whole dir, derived from the paths
+
+    # CHEAP validations first (pure string work) — before any footer
+    # sweep: one partition layout for the whole dir, from the paths
     def _layout(rel: str) -> list[str]:
         return [
             comp.partition("=")[0]
@@ -4860,23 +4891,30 @@ def convert_parquet(
                 f"{part_cols} vs {_layout(r)} ({r}); a convert "
                 "adopts ONE hive layout"
             )
-    files_abs = [os.path.join(src, r) for r in rels]
-    # data-FILE schema (no partition discovery): union by name so an
-    # evolved source still converts; incompatible types fail loudly
-    file_schema = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*files_abs)
-        .schema
-    )
-    if part_cols:
-        dup = set(part_cols) & set(file_schema.fieldNames())
-        if dup:
-            raise ValueError(
-                f"partition column(s) {sorted(dup)} also present "
-                "inside the data files — unsupported layout"
+    # sweep 1: footer-stats harvest (executor-distributed when large);
+    # the duplicated-partition-column check rides it per file
+    forbid = tuple(part_cols)
+    try:
+        if len(rels) >= _DISTRIBUTED_HARVEST_MIN_FILES:
+            sc = spark.sparkContext
+            entries = sorted(
+                sc.parallelize(rels, min(len(rels), 256))
+                .map(lambda r: _harvest_one(src, r, forbid))
+                .collect(),
+                key=lambda e: e["path"],
             )
-        # logical schema includes partition columns, typed by Spark's
-        # own partition inference (the types its reader will produce)
+        else:
+            entries = [_harvest_one(src, r, forbid) for r in rels]
+    except Exception as e:  # noqa: BLE001 — unwrap executor errors
+        if "also present inside the data file" in str(e):
+            raise ValueError(str(e)) from e
+        raise
+    # sweep 2: ONE Spark schema inference.  Partitioned sources read
+    # the directory (partition columns typed by Spark's own
+    # inference — the types its reader will produce); flat sources
+    # read the explicit file list, so stray non-parquet junk cannot
+    # fail a conversion it does not participate in
+    if part_cols:
         schema = (
             spark.read.option("mergeSchema", "true")
             .option("basePath", src)
@@ -4884,7 +4922,21 @@ def convert_parquet(
             .schema
         )
     else:
-        schema = file_schema
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(src, r) for r in rels])
+            .schema
+        )
+    # the adopted dir may live inside ANOTHER manifest table's data
+    # root (converting one table's dir into a new table) — register
+    # like a clone so the owner's vacuum keeps the referenced files
+    owner = _owner_root(src)
+    if (
+        owner
+        and os.path.realpath(owner) != tbl
+        and os.path.isdir(os.path.join(owner, _MANIFESTS))
+    ):
+        _register_clone(owner, table_dir)
 
     def build(prev: int) -> dict:
         if prev != 0:

@@ -172,3 +172,108 @@ def test_cli_convert(spark, tmp_path, foreign_src, capsys):
     out = capsys.readouterr().out
     assert "zero bytes copied" in out and "2 file(s)" in out
     assert M.latest_version(t) == 1
+
+
+# ------------------------------------------------- review-pass fixes
+
+
+def test_clone_carries_foreign_marker(spark, tmp_path, foreign_src):
+    t = str(tmp_path / "tbl")
+    M.convert_parquet(spark, foreign_src, t)
+    c = str(tmp_path / "clone")
+    M.clone_table(t, c)
+    # the clone references the same foreign files: min/max declines
+    assert (
+        try_metadata_select(spark, "SELECT max(x) FROM t", {"t": c})
+        is None
+    )
+    md = try_metadata_select(
+        spark, "SELECT count(*) AS n FROM t", {"t": c}
+    )
+    assert md is not None and md.collect()[0]["n"] == 10
+
+
+def test_restore_carries_foreign_marker(spark, tmp_path, foreign_src):
+    """v1 convert (marker), v2 OPTIMIZE (first-party, marker drops),
+    restore to v1 -> the restored tip must decline again."""
+    t = str(tmp_path / "tbl")
+    M.convert_parquet(spark, foreign_src, t)
+    M.compact_table(spark, t)
+    assert (
+        try_metadata_select(spark, "SELECT max(x) FROM t", {"t": t})
+        is not None
+    )
+    M.restore_table(t, version=1)
+    assert (
+        try_metadata_select(spark, "SELECT max(x) FROM t", {"t": t})
+        is None
+    )
+    md = try_metadata_select(
+        spark, "SELECT count(*) AS n FROM t", {"t": t}
+    )
+    assert md is not None and md.collect()[0]["n"] == 10
+
+
+def test_hidden_paths_excluded(spark, tmp_path, foreign_src):
+    """_temporary task-attempt leftovers and _-prefixed files are
+    ignored, matching Spark's own listing — adopting them would
+    double-count aborted writes."""
+    leftover = os.path.join(
+        foreign_src, "_temporary", "0", "cat=a"
+    )
+    os.makedirs(leftover)
+    pq.write_table(
+        pa.table({"k": [999], "x": [0.0]}),
+        os.path.join(leftover, "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": [998], "x": [0.0]}),
+        os.path.join(foreign_src, "cat=a", "_committing.parquet"),
+    )
+    t = str(tmp_path / "tbl")
+    M.convert_parquet(spark, foreign_src, t)
+    df = M.read_version(spark, t)
+    assert df.count() == 10  # neither leftover adopted
+    assert df.filter(F.col("k") > 900).count() == 0
+
+
+def test_convert_from_another_tables_data_dir(spark, tmp_path):
+    """Adopting a dir inside another manifest table's data root
+    registers at the owner like a clone, so the owner's vacuum keeps
+    the referenced files alive."""
+    owner = str(tmp_path / "owner")
+    M.commit(
+        spark.createDataFrame([(1, 2.0), (2, 4.0)], "k long, x double")
+        .coalesce(1),
+        owner,
+    )
+    data_dir = os.path.dirname(M.files_for_version(owner)[0])
+    t = str(tmp_path / "derived")
+    M.convert_parquet(spark, data_dir, t)
+    assert M.read_version(spark, t).count() == 2
+    # owner rewrites + vacuums: the adopted files must survive
+    M.commit(
+        spark.createDataFrame([(3, 6.0)], "k long, x double"),
+        owner,
+        mode="overwrite",
+    )
+    M.vacuum(owner, keep_last=1, retention_seconds=0.0)
+    assert M.read_version(spark, t).count() == 2, (
+        "owner vacuum deleted files a converted table references"
+    )
+
+
+def test_cli_warehouse_rollback_on_failure(spark, tmp_path, capsys):
+    from finance_etl_pipeline_spark.cli import main as cli_main
+    from finance_etl_pipeline_spark.operators import catalog as C
+
+    wh = str(tmp_path / "wh")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    rc = cli_main(
+        ["table", "convert", str(empty), "--into", "sales",
+         "--warehouse", wh]
+    )
+    assert rc == 2
+    # the transient registration was rolled back
+    assert [r["name"] for r in C.show_tables(wh)] == []
