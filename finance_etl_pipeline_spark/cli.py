@@ -114,6 +114,7 @@ def main(argv: list[str] | None = None) -> int:
         "files opened. UPDATE/DELETE/MERGE INTO/INSERT/"
         "OPTIMIZE/VACUUM [DRY RUN]/RESTORE TABLE/COPY INTO t FROM "
         "'<dir|glob>' [PATTERN = '<glob>'] (idempotent ingestion)/"
+        "CONVERT TO MANIFEST '<dir>' AS t (zero-copy adoption)/"
         "DESCRIBE HISTORY|DETAIL/SHOW PARTITIONS statements against "
         "UN-pinned names execute on the manifest log (see "
         "operators/sqldml.py for the supported subset).",

@@ -43,6 +43,8 @@ the manifest log can execute as one atomic version:
   path, re-running the statement is a no-op);
 * ``SHOW PARTITIONS t [VERSION AS OF n | @n]`` →
   ``table_partitions`` (metadata-only inventory with exact counts);
+* ``CONVERT TO MANIFEST '<parquet dir>' AS t`` → ``convert_parquet``
+  (zero-copy in-place adoption of an existing parquet directory);
 * metadata-only aggregates (``try_metadata_select``): a SELECT whose
   whole list is count(*)/count(c)/min(c)/max(c) over ONE table —
   optionally WHERE partition-equality conjuncts and/or GROUP BY
@@ -83,7 +85,7 @@ class SqlDmlError(ValueError):
 
 _VERBS = (
     "UPDATE", "DELETE", "MERGE", "ALTER", "INSERT", "OPTIMIZE",
-    "VACUUM", "DESCRIBE", "RESTORE", "COPY", "SHOW",
+    "VACUUM", "DESCRIBE", "RESTORE", "COPY", "SHOW", "CONVERT",
 )
 
 
@@ -853,7 +855,36 @@ def execute_dml(
         return _exec_copy(spark, statement, tables)
     if verb == "SHOW":
         return _exec_show_partitions(spark, statement, tables)
+    if verb == "CONVERT":
+        return _exec_convert(spark, statement, tables)
     raise SqlDmlError(f"not a DML statement: {statement[:60]!r}")
+
+
+_CONVERT_RE = re.compile(
+    r"^CONVERT\s+TO\s+MANIFEST\s+'([^']+)'\s+AS\s+(\w+)$",
+    re.IGNORECASE,
+)
+
+
+def _exec_convert(spark, stmt: str, tables: dict[str, str]) -> dict:
+    """``CONVERT TO MANIFEST '<parquet dir>' AS t`` — adopt an
+    existing parquet directory in place as v1 of the (empty)
+    registered table ``t`` (``manifest.convert_parquet``; the Delta
+    ``CONVERT TO DELTA`` shape)."""
+    m = _CONVERT_RE.match(stmt.strip().rstrip(";").strip())
+    if not m:
+        raise SqlDmlError(
+            "malformed CONVERT: want `CONVERT TO MANIFEST "
+            "'<parquet dir>' AS <t>` (t must be a registered, "
+            "version-less table name)"
+        )
+    tdir = _resolve(m.group(2), tables)
+    version = M.convert_parquet(spark, m.group(1), tdir)
+    return {
+        "op": "convert",
+        "table": m.group(2),
+        "version": version,
+    }
 
 
 _SHOW_PARTS_RE = re.compile(

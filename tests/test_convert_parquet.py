@@ -277,3 +277,22 @@ def test_cli_warehouse_rollback_on_failure(spark, tmp_path, capsys):
     assert rc == 2
     # the transient registration was rolled back
     assert [r["name"] for r in C.show_tables(wh)] == []
+
+
+def test_sql_convert_verb(spark, tmp_path, foreign_src):
+    from finance_etl_pipeline_spark.operators.sqldml import (
+        SqlDmlError,
+        execute_dml,
+        is_dml,
+    )
+
+    t = str(tmp_path / "tbl")
+    stmt = f"CONVERT TO MANIFEST '{foreign_src}' AS t"
+    assert is_dml(stmt)
+    res = execute_dml(spark, stmt, {"t": t})
+    assert res == {"op": "convert", "table": "t", "version": 1}
+    assert M.read_version(spark, t).count() == 10
+    with pytest.raises(ValueError, match="already has versions"):
+        execute_dml(spark, stmt, {"t": t})
+    with pytest.raises(SqlDmlError, match="malformed CONVERT"):
+        execute_dml(spark, "CONVERT t TO parquet", {"t": t})
