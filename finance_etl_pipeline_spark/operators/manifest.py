@@ -2281,6 +2281,7 @@ def read_version(
     version: int | None = None,
     where: list[tuple] | None = None,
     as_of=None,
+    _only_files: set[str] | None = None,
 ) -> DataFrame:
     """The table as of ``version`` (default: latest) — a plain parquet
     read over that snapshot's immutable file set.
@@ -2302,7 +2303,16 @@ def read_version(
     (``unionByName(allowMissingColumns=True)``), and the result is
     projected to the version's logical schema / column order.  When
     all commits share one schema (the common case) the read collapses
-    to a single multi-path parquet scan — no union, no format tax."""
+    to a single multi-path parquet scan — no union, no format tax.
+
+    ``_only_files`` (internal) restricts the scan to the given set of
+    RESOLVED absolute file paths — file-granular, never row-filtering:
+    callers that already know exactly which files they need (e.g.
+    ``merge_into``'s touched-file rewrite) open those files instead of
+    scanning the table and filtering on ``input_file_name()``, which
+    no format can push down.  Dirs without per-file manifest entries
+    (legacy) cannot be intersected and are kept whole — a sound
+    superset; callers keep their residual filter."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version OR as_of, not both")
@@ -2362,6 +2372,8 @@ def read_version(
             if (not skip_preds or _file_may_match(e, skip_preds, present))
             and not any(_file_all_match(e, dp, present) for dp in del_preds)
         ]
+        if _only_files is not None:
+            kept = [p for p in kept if os.path.realpath(p) in _only_files]
         if not kept:
             continue
         if d in part_dirs:
@@ -3015,7 +3027,15 @@ def merge_into(
     for i, k in enumerate(keys):
         aggs.append(F.min(k).alias(f"lo{i}"))
         aggs.append(F.max(k).alias(f"hi{i}"))
+    # ONE pass over the source computes the key envelope AND the
+    # distinct-key count used for output sizing (previously a separate
+    # distinct().persist().count() job — guide §1.2: don't run a
+    # second pass for a number the first pass can carry).
+    # count_distinct skips rows with a NULL key column; that only
+    # shades the sizing ESTIMATE down, never correctness.
+    aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("__nk"))
     b = source.agg(*aggs).first()
+    n_src_keys = b["__nk"]
     env = []
     for i, k in enumerate(keys):
         lo, hi = b[f"lo{i}"], b[f"hi{i}"]
@@ -3033,10 +3053,9 @@ def merge_into(
     probe = read_version(spark, table_dir, base, where=where).withColumn(
         "__file", F.input_file_name()
     )
-    # the distinct source keys are reused twice (touched-file probe,
-    # then output sizing) — persist so the source plan runs once here
-    src_keys = source.select(*keys).distinct().persist()
-    n_src_keys = src_keys.count()
+    # semi-join dedups the build side itself; the explicit distinct
+    # keeps the shuffle map-side-combined at scale
+    src_keys = source.select(*keys).distinct()
     raw_files = [
         r["__file"]
         for r in probe.join(src_keys, keys, "left_semi")
@@ -3044,15 +3063,20 @@ def merge_into(
         .distinct()
         .collect()  # one row per touched FILE — bounded by #files
     ]
-    src_keys.unpersist()
     # realpath both sides: input_file_name() reports the resolved
     # physical path, which can differ from the manifest's logical one
     # under symlinks even after the abspath normalization above
     touched = {os.path.realpath(_strip_file_uri(u)) for u in raw_files}
 
-    tgt = read_version(spark, table_dir, base).withColumn(
-        "__file", F.input_file_name()
-    )
+    # open ONLY the touched files (file-granular scan restriction) —
+    # the previous shape read the WHOLE table and filtered on
+    # input_file_name(), which no scan can push down: an O(table) read
+    # for an O(touched) contract.  The isin filter stays as a residual
+    # guard (it also covers legacy whole-dir fallbacks, where the
+    # restriction cannot apply).
+    tgt = read_version(
+        spark, table_dir, base, _only_files=touched
+    ).withColumn("__file", F.input_file_name())
     tgt_touched = tgt.filter(
         F.col("__file").isin(raw_files) if raw_files else F.lit(False)
     ).drop("__file")

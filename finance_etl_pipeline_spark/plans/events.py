@@ -2364,11 +2364,20 @@ def e_cep_funnel_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", 9)
         .otherwise(0)
     )
+    # alphabet pre-filter INSIDE the aggregate: non-alphabet events
+    # fold as no-ops (code 0 matches no transition), so collecting
+    # them only inflates the shuffled arrays.  collect_list skips
+    # NULLs, and its partial (map-side) aggregate drops them before
+    # the exchange — every user still gets a row (the groupBy sees
+    # all events), so the completed=0 bucket is unchanged.  This is
+    # the docstring's "pre-filter to the pattern's alphabet" advice,
+    # done without a second pass over events.
     per_user = (
         e.select(
             "user_id",
-            F.struct(
-                F.col("ts"), F.col("event_id"), code.alias("c")
+            F.when(
+                code != 0,
+                F.struct(F.col("ts"), F.col("event_id"), code.alias("c")),
             ).alias("s"),
         )
         .groupBy("user_id")

@@ -817,33 +817,38 @@ def tx_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_etl_pipeline_spark.operators import logreg as LR
 
     docs = spread(table(spark, sf_dir, "documents"))
-    feats = LR.features(docs)
-    feats.persist()
-    try:
-        w_e6 = LR.train(feats)
-        m = LR.margin_expr(w_e6)
-        agg = feats.agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.col("y").cast("long")).cast("long").alias("n_pos"),
-            F.sum(
-                F.when(
-                    (m > 0.0) == (F.col("y") == 1.0), 1
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_correct"),
+    # eager localCheckpoint, not persist/unpersist: the returned
+    # DataFrame is LAZY, so a finally-scoped unpersist fired before
+    # the caller ever executed the final aggregate — the timed action
+    # then re-tokenized the whole corpus once more from parquet.  The
+    # checkpoint materializes the 5-double feature frame exactly once;
+    # train()'s ITERATIONS passes and the final accuracy aggregate all
+    # read it, and the ContextCleaner reclaims the blocks when the
+    # plan is collected (the package-wide iterative pattern; on a
+    # cluster prefer persist(DISK_ONLY) for fault tolerance).
+    feats = LR.features(docs).localCheckpoint(eager=True)
+    w_e6 = LR.train(feats)
+    m = LR.margin_expr(w_e6)
+    agg = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("y").cast("long")).cast("long").alias("n_pos"),
+        F.sum(
+            F.when(
+                (m > 0.0) == (F.col("y") == 1.0), 1
+            ).otherwise(0)
         )
-        return agg.select(
-            "n_docs",
-            "n_pos",
-            "n_correct",
-            igrid(
-                F.col("n_correct") / F.col("n_docs").cast("double"), 6
-            ).alias("train_acc_ppm"),
-            F.lit(w_e6[0]).alias("w_bias_e6"),
-            F.lit(w_e6[1]).alias("w_len_e6"),
-            F.lit(w_e6[2]).alias("w_stop_e6"),
-            F.lit(w_e6[3]).alias("w_shape_e6"),
-        )
-    finally:
-        feats.unpersist()
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_pos",
+        "n_correct",
+        igrid(
+            F.col("n_correct") / F.col("n_docs").cast("double"), 6
+        ).alias("train_acc_ppm"),
+        F.lit(w_e6[0]).alias("w_bias_e6"),
+        F.lit(w_e6[1]).alias("w_len_e6"),
+        F.lit(w_e6[2]).alias("w_stop_e6"),
+        F.lit(w_e6[3]).alias("w_shape_e6"),
+    )

