@@ -270,18 +270,87 @@ def simhash_table(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> Da
         F.col(id_col),
         F.explode(F.array_distinct(tokens_expr())).alias("tok"),
     )
-    hashed = toks.select(
-        id_col, (hash60_expr(F.col("tok"))).alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    hashed = toks.select(id_col, (hash60_expr(F.col("tok"))).alias("h"))
+    # all ``bits`` sign-sums in ONE groupBy(doc) aggregate: the bit
+    # index is a literal per aggregate column, so no ×bits explode and
+    # no (doc, bit) exchange — the previous shape shuffled
+    # |tokens|×bits rows through groupBy(doc, b) and then re-shuffled
+    # the bit sums by doc.  Here the map-side partial aggregate
+    # collapses each partition to |docs|×bits integers before the
+    # single exchange (guide §2.3/§2.4; measured: dd_simhash_neardup
+    # 23.8 s → ~3 s at sf0.1).  Same integer arithmetic, same result.
+    bit_sums = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
+            for b in range(bits)
+        ]
     )
-    # shiftright/shiftleft builtins demand a literal count — use SQL
-    # exprs so the shift distance can be the exploded bit column
-    contrib = F.expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1")
-    bit_sums = hashed.groupBy(id_col, "b").agg(F.sum(contrib).alias("s"))
-    bit_val = F.when(
-        F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
-    ).otherwise(F.lit(0).cast("long"))
-    return bit_sums.groupBy(id_col).agg(F.sum(bit_val).alias("simhash"))
+    simhash = None
+    for b in range(bits):
+        term = (
+            F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        simhash = term if simhash is None else simhash + term
+    return bit_sums.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sim: DataFrame, bands: int = 4, band_bits: int = 8
+) -> DataFrame:
+    """Distinct banded candidate pairs ``(doc_a, doc_b, sha, shb)``
+    with ``doc_a < doc_b`` — every pair sharing ≥1 of the ``bands``
+    ``band_bits``-bit simhash bands, each emitted EXACTLY ONCE.
+
+    Dedup by band OWNERSHIP instead of DISTINCT: a pair that shares
+    several bands meets in each of them, so it is kept only at its
+    FIRST shared band (a codegen'd filter over the joined row — both
+    fingerprints ride the join, so the earlier-band comparison needs
+    no lookup).  The DISTINCT this replaces re-shuffled the full
+    candidate set — the dominant cost when banding is weakly
+    selective — and forced two broadcast join-backs to recover the
+    fingerprints for verification (the e_concurrent_sessions
+    bucket-ownership pattern; measured: dd_simhash_neardup 10.0 s →
+    ~2 s at sf0.1 with an identical pair set)."""
+    sbands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("k"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "k",
+        F.expr(
+            f"shiftright(simhash, cast(k * {band_bits} as int))"
+            f" & {(1 << band_bits) - 1}"
+        ).alias("bv"),
+    )
+    a = sbands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"), "k", "bv"
+    )
+    b = sbands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"), "k", "bv"
+    )
+    mask = (1 << band_bits) - 1
+
+    def _band(col: str, j: int) -> Column:
+        return F.expr(f"shiftright({col}, {j * band_bits}) & {mask}")
+
+    first_shared = F.lit(True)
+    own = None
+    for j in range(bands):
+        cond = first_shared  # all bands < j differ
+        own = (
+            F.when(F.col("k") == j, cond)
+            if own is None
+            else own.when(F.col("k") == j, cond)
+        )
+        first_shared = first_shared & (_band("sha", j) != _band("shb", j))
+    return (
+        a.join(b, ["k", "bv"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & own)
+        .select("doc_a", "doc_b", "sha", "shb")
+    )
 
 
 def connected_components(

@@ -103,8 +103,14 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Rolling-shingle document fingerprint: the minimum 60-bit hash
     over the doc's word 3-grams (a 1-hash MinHash — equal fingerprints
     are near-dup candidates)."""
+    from finance_etl_pipeline_spark.sources.readers import spread
+
     t = tokens_expr()
-    sh = docs.select("doc_id", F.explode(shingles_expr(t)).alias("s"))
+    # spread: the testdata docs table is a single small file → one
+    # scan partition, which serialized the md5-per-shingle stage on
+    # one core (measured 8.3 s → 1.1 s at sf0.1; shingle_table and
+    # simhash_table already do this, fingerprints had been missed)
+    sh = spread(docs).select("doc_id", F.explode(shingles_expr(t)).alias("s"))
     return sh.groupBy("doc_id").agg(
         F.min(hash60_expr(F.col("s"))).alias("fingerprint")
     )

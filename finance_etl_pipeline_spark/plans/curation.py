@@ -363,9 +363,14 @@ def drift_ks_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
     )
+    # one array-percentile buffer for all band edges (the
+    # tx_ppl_buckets pattern) instead of _KS_BANDS−1 scalar aggregates
+    _arr = F.percentile(
+        "value", F.array(*[F.lit(j / _KS_BANDS) for j in range(1, _KS_BANDS)])
+    )
     b = cells.agg(
         *[
-            F.percentile("value", j / _KS_BANDS).alias(f"kb{j}")
+            F.element_at(_arr, j).alias(f"kb{j}")
             for j in range(1, _KS_BANDS)
         ]
     )

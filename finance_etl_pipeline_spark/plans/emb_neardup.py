@@ -437,8 +437,14 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).alias("n_zero"),
             igrid(F.min("nrm"), 6).alias("min_norm_e6"),
-            igrid(F.expr("percentile(nrm, 0.5)"), 6).alias("p50_norm_e6"),
-            igrid(F.expr("percentile(nrm, 0.95)"), 6).alias("p95_norm_e6"),
+            igrid(
+                F.element_at(F.expr("percentile(nrm, array(0.5, 0.95))"), 1),
+                6,
+            ).alias("p50_norm_e6"),
+            igrid(
+                F.element_at(F.expr("percentile(nrm, array(0.5, 0.95))"), 2),
+                6,
+            ).alias("p95_norm_e6"),
             igrid(F.max("nrm"), 6).alias("max_norm_e6"),
         )
         .orderBy("label")

@@ -655,12 +655,13 @@ def e_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap_s"),
     ).filter(F.col("gap_s").isNotNull())
+    _pct = F.expr("percentile(gap_s, array(0.5, 0.9))")  # one buffer
     return (
         seq.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
-            igrid(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s_e2"),
-            igrid(F.expr("percentile(gap_s, 0.9)"), 2).alias("p90_gap_s_e2"),
+            igrid(F.element_at(_pct, 1), 2).alias("p50_gap_s_e2"),
+            igrid(F.element_at(_pct, 2), 2).alias("p90_gap_s_e2"),
         )
         .orderBy("event_type")
     )

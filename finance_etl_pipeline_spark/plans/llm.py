@@ -308,33 +308,18 @@ def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit sign-aggregated fingerprints, banded
     (4×8-bit) candidate search, Hamming ≤ 6 verification."""
     docs = table(spark, sf_dir, "documents")
-    sim = D.simhash_table(docs)
-    sbands = sim.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
-        "simhash",
-    ).select(
-        "doc_id",
-        "k",
-        F.expr("shiftright(simhash, cast(k * 8 as int)) & 255").alias("bv"),
-    )
-    a = sbands.select(
-        F.col("doc_id").alias("doc_a"), "k", "bv"
-    )
-    b = sbands.select(F.col("doc_id").alias("doc_b"), "k", "bv")
-    cand = (
-        a.join(b, ["k", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"))
-    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"))
+    # pin the fingerprint table: it feeds both band-join sides, and
+    # unpinned the tokenize+hash+sign-aggregate chain re-runs per
+    # consumer (the dd_minhash_lsh_pairs rationale; the old plan had
+    # 8 parquet scans).  Candidate pairs come from the band-ownership
+    # join (operators/dedup.simhash_candidate_pairs): each pair
+    # exactly once, fingerprints carried — no DISTINCT re-shuffle of
+    # the candidate set and no join-back to recover simhashes.
+    sim = D.simhash_table(docs).localCheckpoint(eager=True)
+    cand = D.simhash_candidate_pairs(sim)
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(hamming <= 6)
+        cand.filter(hamming <= 6)
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )

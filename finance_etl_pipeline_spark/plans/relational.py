@@ -892,11 +892,14 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact (not approx) so the DuckDB oracle matches bit-for-bit; the
     scale path is percentile_approx, exposed in a_percentiles_approx."""
     li = table(spark, sf_dir, "lineitem")
+    # one array-percentile buffer for both points (two scalar
+    # percentile() aggregates would each buffer every value)
+    pct = F.expr("percentile(l_extendedprice, array(0.5, 0.95))")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            igrid(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_e4"),
-            igrid(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_e4"),
+            igrid(F.element_at(pct, 1), 4).alias("p50_e4"),
+            igrid(F.element_at(pct, 2), 4).alias("p95_e4"),
         )
         .orderBy("l_returnflag")
     )

@@ -54,9 +54,10 @@ def f_winsorize_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     features and KPIs.  Two aggregations over the same shuffle key
     (event_type); the caps table is tiny and broadcast back."""
     e = table(spark, sf_dir, "events")
+    _pct = F.expr("percentile(value, array(0.01, 0.99))")  # one buffer
     caps = e.groupBy("event_type").agg(
-        fround(F.expr("percentile(value, 0.01)"), 4).alias("p01"),
-        fround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        fround(F.element_at(_pct, 1), 4).alias("p01"),
+        fround(F.element_at(_pct, 2), 4).alias("p99"),
     )
     capped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
     return (

@@ -675,14 +675,18 @@ def s_size_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance.  Boundaries are e4-rounded so interpolation ULPs can't
     move a doc across bands."""
     d = table(spark, sf_dir, "documents")
+    # one array-percentile buffer for all band edges
+    _arr = F.expr(
+        "percentile(n_chars, array("
+        + ", ".join(
+            f"cast({j}.0/{_N_BANDS} as double)" for j in range(1, _N_BANDS)
+        )
+        + "))"
+    )
     b = d.agg(
         *[
             (
-                F.floor(
-                    F.expr(f"percentile(n_chars, {j}.0/{_N_BANDS})") * 10000
-                    + 0.5001
-                )
-                / 10000
+                F.floor(F.element_at(_arr, j) * 10000 + 0.5001) / 10000
             ).alias(f"b{j}")
             for j in range(1, _N_BANDS)
         ]

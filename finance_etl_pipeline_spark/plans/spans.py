@@ -468,34 +468,14 @@ def dd_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finance_etl_pipeline_spark.operators import dedup as D
 
     docs = table(spark, sf_dir, "documents")
-    sim = D.simhash_table(docs)
-    sbands = sim.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
-        "simhash",
-    ).select(
-        "doc_id",
-        "k",
-        F.expr("shiftright(simhash, cast(k * 8 as int)) & 255").alias("bv"),
-    )
-    a = sbands.select(F.col("doc_id").alias("doc_a"), "k", "bv")
-    b = sbands.select(F.col("doc_id").alias("doc_b"), "k", "bv")
-    cand = (
-        a.join(b, ["k", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"))
-    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"))
-    dist = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-            .cast("int")
-            .alias("hamming")
-        )
+    # pinned + band-ownership candidates, exactly as
+    # dd_simhash_neardup: no DISTINCT re-shuffle, no join-back — the
+    # histogram aggregates the carried fingerprints directly
+    sim = D.simhash_table(docs).localCheckpoint(eager=True)
+    dist = D.simhash_candidate_pairs(sim).select(
+        F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+        .cast("int")
+        .alias("hamming")
     )
     hist = dist.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
     w = Window.orderBy("hamming").rowsBetween(
