@@ -195,9 +195,27 @@ def main() -> None:
     registry = all_queries()
     bench_queries = {n: q for n, q in registry.items() if "bench" in q.tags}
 
+    import gc
+
+    def _release_blocks():
+        """Drop the storage blocks a query run leaves behind (eager
+        localCheckpoints, caches) BEFORE the next entry's warm-up —
+        outside every timed region.  Without this, blocks from the
+        checkpoint-pinning queries accumulate across the suite (3 runs
+        × each pinning entry) and later entries pay their GC pressure:
+        cross-entry contamination, not a real cost of either query.
+        Same hygiene as tools/plain_session_sweep._release_blocks."""
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — cleanup is best-effort
+            pass
+
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
     for name, qdef in sorted(bench_queries.items()):
+        _release_blocks()
         qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):  # best-of-2: JIT/scheduler noise dominates at this SF

@@ -99,6 +99,42 @@ def _assign_cells(base: DataFrame, cents: DataFrame, top: int) -> DataFrame:
     )
 
 
+def _assign_home_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, cell_id) — each vector in its home (top-1)
+    cell, as ONE map-side-combined aggregate.
+
+    The general ``_assign_cells(top=1)`` ranks with a window
+    partitioned by vec_id and then JOINS back to the corpus to
+    recover (v, nrm) — a ×n_cells row blow-up through a sort plus a
+    full corpus shuffle, for information the crossJoin row already
+    had in hand.  Here the argmax is ``min_by`` over the
+    (−sim, cell_id) struct (same ordering as the window: similarity
+    DESC, cell_id ASC; fround'd sim makes the negation exact) and
+    v/nrm ride along as ``first`` (constant within the group), so
+    the ×n_cells explosion collapses in the partial aggregate before
+    the single exchange and no join-back exists.  Used by every
+    top-1 consumer (build / append / sync); search keeps
+    ``_assign_cells`` for top=nprobe."""
+    best = F.min_by(
+        F.col("cell_id"),
+        F.struct((-F.col("centroid_sim")).alias("ns"), F.col("cell_id")),
+    )
+    return (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "nrm", "cell_id",
+            _centroid_sim().alias("centroid_sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            best.alias("cell_id"),
+        )
+        .select("vec_id", "v", "nrm", "cell_id")
+    )
+
+
 def _meta_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "meta")
 
@@ -146,7 +182,13 @@ def ivf_build_index(
         )
     else:
         raise ValueError(f"unknown IVF training method: {method!r}")
-    M.commit(cents.coalesce(1), _centroids_dir(index_dir), mode="overwrite")
+    # repartition(1), NOT coalesce(1): a coalesced single-task write
+    # over a many-partition local relation consistently stalls ~4-5 s
+    # in the scheduler (measured; repartition's one-round shuffle of
+    # the ≤ n_cells rows is ~0.5 s and trivially bounded)
+    M.commit(
+        cents.repartition(1), _centroids_dir(index_dir), mode="overwrite"
+    )
     M.commit(
         spark.createDataFrame(
             [(int(n_cells), method, int(iterations))],
@@ -155,12 +197,7 @@ def ivf_build_index(
         _meta_dir(index_dir),
         mode="overwrite",
     )
-    assigned = (
-        _assign_cells(base, cents, top=1)
-        .select("vec_id", "cell_id")
-        .join(base, "vec_id")
-        .select("vec_id", "v", "nrm", "cell_id")
-    )
+    assigned = _assign_home_cells(base, cents)
     # one output file per cell: the write is repartitioned ON the
     # partition column so each task owns whole cells
     assigned = assigned.repartition(n_cells, "cell_id")
@@ -186,12 +223,7 @@ def ivf_index_append(
     their snapshot."""
     cents = M.read_version(spark, _centroids_dir(index_dir))
     base = _base(new_emb, id_col, vec_col)
-    assigned = (
-        _assign_cells(base, cents, top=1)
-        .select("vec_id", "cell_id")
-        .join(base, "vec_id")
-        .select("vec_id", "v", "nrm", "cell_id")
-    )
+    assigned = _assign_home_cells(base, cents)
     n_cells = cents.count()  # tiny table; bounded by construction
     assigned = assigned.repartition(int(n_cells), "cell_id")
     return M.commit(
@@ -349,14 +381,9 @@ def ivf_sync(
                 F.col(id_col), F.col(vec_col)
             )
             base = _base(live, id_col, vec_col)
-            assigned = (
-                _assign_cells(base, cents, top=1)
-                .select("vec_id", "cell_id")
-                .join(base, "vec_id")
-                .select(
-                    "vec_id", "v", "nrm", "cell_id",
-                    F.lit(False).alias("__del"),
-                )
+            assigned = _assign_home_cells(base, cents).select(
+                "vec_id", "v", "nrm", "cell_id",
+                F.lit(False).alias("__del"),
             )
             sch = {f.name: f.dataType for f in assigned.schema.fields}
             removed = feed.filter(

@@ -277,8 +277,9 @@ def simhash_table(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> Da
     # |tokens|×bits rows through groupBy(doc, b) and then re-shuffled
     # the bit sums by doc.  Here the map-side partial aggregate
     # collapses each partition to |docs|×bits integers before the
-    # single exchange (guide §2.3/§2.4; measured: dd_simhash_neardup
-    # 23.8 s → ~3 s at sf0.1).  Same integer arithmetic, same result.
+    # single exchange (guide §2.3/§2.4; measured: simhash_table alone
+    # ~1.1 s at sf0.1 where the exploded form dominated a 23.8 s
+    # query).  Same integer arithmetic, same result.
     bit_sums = hashed.groupBy(id_col).agg(
         *[
             F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
@@ -310,8 +311,10 @@ def simhash_candidate_pairs(
     candidate set — the dominant cost when banding is weakly
     selective — and forced two broadcast join-backs to recover the
     fingerprints for verification (the e_concurrent_sessions
-    bucket-ownership pattern; measured: dd_simhash_neardup 10.0 s →
-    ~2 s at sf0.1 with an identical pair set)."""
+    bucket-ownership pattern; measured: dd_simhash_neardup 23.8 s →
+    5.2 s at sf0.1 across this + the simhash_table rewrite + the pin,
+    with an identical pair set — the remainder is the query's own
+    4.8 M-row ordered output)."""
     sbands = sim.select(
         "doc_id",
         "simhash",

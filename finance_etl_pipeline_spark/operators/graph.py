@@ -189,11 +189,15 @@ def hits_bipartite(
         h = h_raw.crossJoin(F.broadcast(h_tot)).select(
             "hub", (F.col("hs_raw") / F.col("tot")).alias("hs")
         )
+    # the post-loop half-step stays UNpinned: it is the caller-visible
+    # plan (the executed-strategy certification reads it), and its one
+    # extra evaluation for the total is a single final edge join —
+    # the loop rounds above, where the double-eval compounded
+    # ×iterations, carry the pins
     a_raw = (
         e_by_hub.join(h.hint("shuffle_hash"), "hub")
         .groupBy("auth")
         .agg(F.sum("hs").alias("as_raw"))
-        .localCheckpoint(eager=False)
     )
     a_tot = a_raw.agg(F.sum("as_raw").alias("tot"))
     return a_raw.crossJoin(F.broadcast(a_tot)).select(

@@ -60,7 +60,13 @@ def _final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     assigned, _ = KM.kmeans(base)
-    return assigned
+    # pin the final assignment: dd_semantic_dedup consumes it on BOTH
+    # sides of the within-cluster pair join, and unpinned each side
+    # re-runs the full literal-centroid argmin over the corpus (the
+    # HOF distance is the expensive part of this plan).  For
+    # emb_kmeans_clusters (single consumer) the checkpoint is
+    # cost-neutral: one materialization either way.
+    return assigned.localCheckpoint(eager=True)
 
 
 @register(

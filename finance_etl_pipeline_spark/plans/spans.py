@@ -878,8 +878,9 @@ def winnow_fp(docs):
     # shipped them all to the exchange; the aggregate form combines
     # map-side (the ×_WINNOW_W explode collapses before the shuffle)
     # and never sorts (guide §2.3 "aggregate before you shuffle").
-    # Measured at sf0.1: dd_winnow_fingerprints 1.60 s → ~1.2 s, plan
-    # loses the Window + one full-width pass.
+    # Measured at sf0.1: dd_winnow_fingerprints ~1.6 s → ~1.4 s
+    # (noise-bounded); the plan loses both Window nodes and the
+    # exploded rows collapse before the exchange.
     sel = (
         exp.groupBy("doc_id", "t")
         .agg(

@@ -45,10 +45,12 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-aggregate join against the date-filtered orders is
     equi-only, which AQE freely broadcasts by actual size.  The plan
     this replaces broadcast the ENTIRE raw lineitem projection as a
-    LeftSemi build side (~600k rows at sf0.1; unboundable at real
-    SF) — the rewrite's build side is the date-filtered orders slice.
-    Measured at sf0.1: 0.62 s → ~0.35 s, and shuffled bytes drop from
-    |lineitem| to |distinct recent orderkeys|."""
+    LeftSemi build side (~600k rows at sf0.1; unboundable at real SF
+    — left-semi can only build from the right, so AQE could never fix
+    it) — the rewrite's build side is the date-filtered orders slice.
+    Local seconds are scheduling-floor-bound either way (~0.6 s at
+    sf0.1); the win is shuffle/broadcast bytes: |lineitem| → |recent
+    distinct orderkeys| (plans/r11/q4_order_priority_*.txt)."""
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))

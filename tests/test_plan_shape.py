@@ -201,6 +201,7 @@ ALLOWED_BROADCASTS = {
     ("plans/importance.py", "emb_retrieval_ndcg", "qlab"): "query labels: bounded by query_set(QUERY_CAP)",
     ("plans/importance.py", "emb_retrieval_ndcg", "lbl"): "label-frequency aggregate: |label domain| rows",
     ("operators/ann_index.py", "_assign_cells", "cents"): "centroids: n_cells x dim by construction",
+    ("operators/ann_index.py", "_assign_home_cells", "cents"): "centroids: n_cells x dim by construction (fused top-1 twin of _assign_cells)",
     ("operators/ann_index.py", "ivf_search", 'q.join(qcells, "query_id")'): "query vector set — bounded by the capped query-set contract, joined to probe cells",
     ("plans/ivf.py", "ann_ivf_topk", "cents"): "k-means centroids: k x dim",
     ("plans/ivf.py", "ann_ivf_topk", 'q.join(qcells, "query_id")'): "query vector set — bounded by query_set(QUERY_CAP) in code, joined to probe cells",
