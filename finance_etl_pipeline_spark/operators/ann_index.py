@@ -54,6 +54,21 @@ from finance_etl_pipeline_spark.operators.similarity import (
 N_CELLS = 8
 NPROBE = 2
 
+_CENTROID_SCHEMA = "cell_id long, cv array<double>, cn double"
+
+
+def _read_centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The persisted centroids table — via the driver-local read fast
+    path when eligible (always, for tables this module writes: tiny,
+    overwrite-only, unmapped), else the full ``read_version``.  Same
+    snapshot, same values; spares a scan job per lifecycle call."""
+    local = M.read_version_local(spark, _centroids_dir(index_dir))
+    return (
+        local
+        if local is not None
+        else M.read_version(spark, _centroids_dir(index_dir))
+    )
+
 
 def _centroids_dir(index_dir: str) -> str:
     return os.path.join(index_dir, "centroids")
@@ -114,10 +129,27 @@ def _assign_home_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
     the ×n_cells explosion collapses in the partial aggregate before
     the single exchange and no join-back exists.  Used by every
     top-1 consumer (build / append / sync); search keeps
-    ``_assign_cells`` for top=nprobe."""
+    ``_assign_cells`` for top=nprobe.
+
+    NULL similarity (a zero-norm centroid makes every sim NULL via
+    the nullif guard) must lose to any real similarity: the window's
+    ``desc(centroid_sim)`` sorts NULLS LAST, but struct-field ordering
+    is NULLS FIRST, so the negated sim is coalesced to +inf — NULL
+    cells lose to every real cell, and all-NULL vectors tie-break to
+    the smallest cell_id exactly like the window did.
+
+    Contract: ``vec_id`` is assumed UNIQUE in ``base`` (true for every
+    caller — ids come from a keyed table).  Duplicate ids would
+    collapse to one output row here, where the window + join-back
+    emitted one row per duplicate."""
     best = F.min_by(
         F.col("cell_id"),
-        F.struct((-F.col("centroid_sim")).alias("ns"), F.col("cell_id")),
+        F.struct(
+            F.coalesce(
+                -F.col("centroid_sim"), F.lit(float("inf"))
+            ).alias("ns"),
+            F.col("cell_id"),
+        ),
     )
     return (
         base.crossJoin(F.broadcast(cents))
@@ -182,21 +214,35 @@ def ivf_build_index(
         )
     else:
         raise ValueError(f"unknown IVF training method: {method!r}")
-    # repartition(1), NOT coalesce(1): a coalesced single-task write
-    # over a many-partition local relation consistently stalls ~4-5 s
-    # in the scheduler (measured; repartition's one-round shuffle of
-    # the ≤ n_cells rows is ~0.5 s and trivially bounded)
-    M.commit(
-        cents.repartition(1), _centroids_dir(index_dir), mode="overwrite"
+    # tiny-commit fast path (r12): centroids are ≤ n_cells rows by
+    # construction — collect ONCE (bit-exact Spark-computed values)
+    # and publish driver-locally via commit_rows.  The old shape paid
+    # a repartition shuffle + a Spark write job + a footer-harvest
+    # pass for each of the two metadata-sized commits (~1-2 s per
+    # build; it also obsoletes the r11 repartition(1)-vs-coalesce(1)
+    # scheduler-stall workaround — no Spark write runs at all now).
+    cent_rows = [
+        (int(r["cell_id"]), list(r["cv"]), float(r["cn"]))
+        for r in cents.collect()
+    ]
+    M.commit_rows(
+        spark,
+        cent_rows,
+        _CENTROID_SCHEMA,
+        _centroids_dir(index_dir),
+        mode="overwrite",
     )
-    M.commit(
-        spark.createDataFrame(
-            [(int(n_cells), method, int(iterations))],
-            "n_cells long, method string, iterations long",
-        ),
+    M.commit_rows(
+        spark,
+        [(int(n_cells), method, int(iterations))],
+        "n_cells long, method string, iterations long",
         _meta_dir(index_dir),
         mode="overwrite",
     )
+    # the assignment consumes the collected centroids as a LOCAL
+    # relation — same values, and the broadcast build no longer
+    # re-runs the first_k filter scan
+    cents = spark.createDataFrame(cent_rows, _CENTROID_SCHEMA)
     assigned = _assign_home_cells(base, cents)
     # one output file per cell: the write is repartitioned ON the
     # partition column so each task owns whole cells
@@ -221,7 +267,7 @@ def ivf_index_append(
     append them to the assignment table — training is never re-run.
     The append is one manifest version; concurrent searches keep
     their snapshot."""
-    cents = M.read_version(spark, _centroids_dir(index_dir))
+    cents = _read_centroids(spark, index_dir)
     base = _base(new_emb, id_col, vec_col)
     assigned = _assign_home_cells(base, cents)
     n_cells = cents.count()  # tiny table; bounded by construction
@@ -254,7 +300,7 @@ def ivf_search(
     Training never runs here — the 'index built per query' gap this
     module closes."""
     adir = _assignments_dir(index_dir)
-    cents = M.read_version(spark, _centroids_dir(index_dir))
+    cents = _read_centroids(spark, index_dir)
     qbase = queries.select(
         F.col("query_id").alias("vec_id"),
         F.col("qv").alias("v"),
@@ -357,15 +403,20 @@ def ivf_sync(
     sdir = _sync_dir(index_dir)
     stored = None
     if M.latest_version(sdir) > 0:
-        stored = int(
-            M.read_version(spark, sdir).collect()[0]["base_version"]
-        )
+        cur = M.read_rows_local(sdir)
+        if cur is None:  # fallback: cursor table needs the full path
+            cur = [
+                r.asDict() for r in M.read_version(spark, sdir).collect()
+            ]
+        stored = int(cur[0]["base_version"])
     from_v = from_version if from_version is not None else (stored or 0)
     to_v = M.latest_version(table_dir)
     if to_v == from_v:
         if stored != from_v:  # an explicit mark-synced still persists
-            M.commit(
-                spark.createDataFrame([(int(to_v),)], "base_version long"),
+            M.commit_rows(
+                spark,
+                [(int(to_v),)],
+                "base_version long",
                 sdir,
                 mode="overwrite",
             )
@@ -376,7 +427,7 @@ def ivf_sync(
     try:
         n_changes = feed.count()
         if n_changes:
-            cents = M.read_version(spark, _centroids_dir(index_dir))
+            cents = _read_centroids(spark, index_dir)
             live = feed.filter(F.col("change_type") != "removed").select(
                 F.col(id_col), F.col(vec_col)
             )
@@ -404,10 +455,8 @@ def ivf_sync(
             )
     finally:
         feed.unpersist()
-    M.commit(
-        spark.createDataFrame([(int(to_v),)], "base_version long"),
-        sdir,
-        mode="overwrite",
+    M.commit_rows(
+        spark, [(int(to_v),)], "base_version long", sdir, mode="overwrite"
     )
     return {
         "from_version": from_v,
@@ -522,7 +571,12 @@ def ivf_maybe_recluster(
     if ivf_skew(index_dir, spark) <= skew_threshold:
         return None
     mdir = _meta_dir(index_dir)
-    meta = M.read_version(spark, mdir).collect()[0]
+    mrows = M.read_rows_local(mdir)
+    meta = (
+        mrows[0]
+        if mrows is not None
+        else M.read_version(spark, mdir).collect()[0].asDict()
+    )
     vecs = M.read_version(spark, _assignments_dir(index_dir)).select(
         "vec_id", "v"
     )

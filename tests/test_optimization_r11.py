@@ -76,6 +76,46 @@ def test_assign_home_cells_equals_window_rank_plus_joinback(spark, sf_dir):
     assert got == ref
 
 
+def test_assign_home_cells_zero_norm_centroid(spark, sf_dir):
+    """A zero-norm centroid (cn=0 → every sim NULL via the nullif
+    guard) must LOSE to every real cell, matching the window's
+    desc-NULLS-LAST ordering — the r11 ADVICE regression: struct-field
+    ordering is NULLS FIRST, so an uncoalesced −sim made the
+    degenerate cell win the argmin for every vector."""
+    from finance_etl_pipeline_spark.operators.ann_index import (
+        _assign_cells,
+        _assign_home_cells,
+        _base,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = _base(emb, "vec_id", "embedding")
+    dim = len(base.select("v").first()["v"])
+    real = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    degenerate = spark.createDataFrame(
+        [(-1, [0.0] * dim, 0.0)], "cell_id long, cv array<double>, cn double"
+    )
+    for cents in (
+        real.unionByName(degenerate),  # one degenerate among real cells
+        degenerate,  # ALL sims NULL → tie-break to smallest cell_id
+    ):
+        cents = cents.localCheckpoint()
+        got = {
+            r["vec_id"]: r["cell_id"]
+            for r in _assign_home_cells(base, cents).collect()
+        }
+        ref = {
+            r["vec_id"]: r["cell_id"]
+            for r in _assign_cells(base, cents, top=1).collect()
+        }
+        assert got == ref
+        assert -1 not in set(got.values()) or cents.count() == 1
+
+
 def test_winnow_aggregate_equals_window_formulation(spark, sf_dir):
     """max_by-based rightmost-min selection == the min-over-window +
     filter + re-group formulation it replaced."""
