@@ -1754,6 +1754,124 @@ def commit(
     )
 
 
+#: pyarrow types for the driver-local tiny-commit fast path; anything
+#: outside this set falls back to the Spark write path
+_PA_SIMPLE = {
+    # keys are Spark DataType.simpleString() names
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool_",
+}
+
+
+def _pa_schema(schema: StructType):
+    """pyarrow schema mirroring a Spark schema of simple scalars /
+    arrays of simple scalars, or None when any field is outside that
+    set (the caller falls back to ``commit``)."""
+    import pyarrow as pa
+
+    fields = []
+    for f in schema.fields:
+        tn = f.dataType.simpleString()
+        if tn in _PA_SIMPLE:
+            t = getattr(pa, _PA_SIMPLE[tn])()
+        elif tn.startswith("array<") and tn[6:-1] in _PA_SIMPLE:
+            t = pa.list_(getattr(pa, _PA_SIMPLE[tn[6:-1]])())
+        else:
+            return None
+        fields.append(pa.field(f.name, t, nullable=True))
+    return pa.schema(fields)
+
+
+def commit_rows(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema: StructType | str,
+    table_dir: str,
+    mode: str = "append",
+    txn: tuple[str, int] | None = None,
+    extra_payload: dict | None = None,
+) -> int:
+    """Driver-local fast path of ``commit`` for TINY row sets the
+    caller already holds in memory (version cursors, meta tables,
+    collected centroids — bounded by construction, never data).
+
+    A ``commit(spark.createDataFrame(...))`` of one row costs a full
+    Spark write job (plan → schedule → task → parquet codec → footer
+    harvest) — measured ~0.5-1 s per commit on local[32], a tax every
+    index/lifecycle operation pays several times over.  Here the
+    parquet file is written directly on the driver with pyarrow (no
+    Spark job at all), stats are harvested by the SAME ``_harvest_one``
+    every commit uses, and the version is published through the SAME
+    ``_publish_dir`` — so OCC, txn idempotence, constraints validation
+    and retention semantics are identical to ``commit``; only the
+    data-file producer differs.  Scale posture: this path is for
+    metadata-sized tables ONLY (the caller holds the rows by
+    contract); real data goes through ``commit``.
+
+    Falls back to ``commit`` verbatim when the schema needs types the
+    mirror doesn't cover or the table carries column mapping."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    tip = latest_version(table_dir)
+    m_tip = _read_manifest(table_dir, tip) if tip > 0 else None
+    if txn is not None and _txn_seen(m_tip, txn):
+        return tip  # replay detected before any data was written
+    mapping, retired = _load_mapping(m_tip)
+    pa_schema = (
+        None
+        if (mode != "overwrite" and (mapping or retired))
+        else _pa_schema(schema)
+    )
+    if pa_schema is None:
+        return commit(
+            spark.createDataFrame(list(rows), schema),
+            table_dir,
+            mode=mode,
+            txn=txn,
+            extra_payload=extra_payload,
+        )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    token = uuid.uuid4().hex[:12]
+    rel = os.path.join(_DATA, f"commit-{token}")
+    abs_dir = os.path.join(table_dir, rel)
+    os.makedirs(abs_dir)
+    fname = f"part-00000-{token}.parquet"
+    cols = (
+        list(zip(*rows)) if rows else [() for _ in schema.fields]
+    )
+    arrays = [
+        pa.array(list(c), type=pa_schema.field(i).type)
+        for i, c in enumerate(cols)
+    ]
+    pq.write_table(
+        pa.Table.from_arrays(arrays, schema=pa_schema),
+        os.path.join(abs_dir, fname),
+    )
+    entry = _harvest_one(abs_dir, fname)
+    return _publish_dir(
+        table_dir,
+        rel,
+        [entry],
+        schema,
+        mode,
+        txn=txn,
+        mapping_used={},
+        extra_payload=extra_payload,
+    )
+
+
 def _publish_dir(
     table_dir: str,
     rel: str,
@@ -2434,6 +2552,71 @@ def read_version(
     for col, op, value in preds:
         out = out.filter(_pred_column(col, op, value))
     return out
+
+
+def read_rows_local(
+    table_dir: str, version: int | None = None
+) -> list[dict] | None:
+    """Driver-local read of a TINY manifest table (version cursors,
+    meta tables, centroid tables — metadata-sized by construction):
+    the snapshot's rows as a list of dicts in the logical schema,
+    read with pyarrow on the driver — no Spark job, no scan stage.
+    The dual of ``commit_rows``: a 1-row cursor read through the full
+    ``read_version`` + collect path costs a schema-declared scan job
+    (~0.2-0.5 s on local[32]) for one tuple the driver needs in hand.
+
+    Returns ``None`` whenever the snapshot needs machinery this path
+    does not replicate — merge-on-read tombstones, column mapping,
+    hive-partitioned dirs, legacy dirs without per-file entries, or a
+    manifest without a recorded schema — and the caller falls back to
+    ``read_version``.  Values are identical either way: same files,
+    same snapshot resolution, no predicate involved."""
+    v = latest_version(table_dir) if version is None else version
+    if v <= 0:
+        return None
+    m = _read_manifest(table_dir, v)
+    if m.get("deletes") or m.get("partitioned_dirs") or "schema" not in m:
+        return None
+    mapping, retired = _load_mapping(m)
+    if mapping or retired:
+        return None
+    import pyarrow.parquet as pq
+
+    names = StructType.fromJson(m["schema"]).fieldNames()
+    files_meta = _load_files(table_dir, m)
+    out: list[dict] = []
+    for d in m["dirs"]:
+        entries = files_meta.get(d)
+        if entries is None:
+            return None  # legacy dir: membership unknown without listing
+        for e in entries:
+            t = pq.read_table(os.path.join(table_dir, d, e["path"]))
+            for r in t.to_pylist():
+                # evolved columns a file lacks contribute None, and
+                # the dict is projected to the logical column set —
+                # the unionByName(allowMissingColumns) + _align_to
+                # semantics of the full read path
+                out.append({n: r.get(n) for n in names})
+    return out
+
+
+def read_version_local(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """``read_rows_local`` surfaced as a LOCAL-RELATION DataFrame in
+    the snapshot's logical schema — for tiny tables that feed a plan
+    (broadcast centroid joins), sparing the scan job and the footer
+    round trip.  None on fallback, like ``read_rows_local``."""
+    rows = read_rows_local(table_dir, version)
+    if rows is None:
+        return None
+    v = latest_version(table_dir) if version is None else version
+    m = _read_manifest(table_dir, v)
+    schema = StructType.fromJson(m["schema"])
+    names = schema.fieldNames()
+    return spark.createDataFrame(
+        [tuple(r[n] for n in names) for r in rows], schema
+    )
 
 
 def _align_to(df: DataFrame, schema: StructType) -> DataFrame:
