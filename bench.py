@@ -49,6 +49,30 @@ Budget: the full suite (25 batch entries + 1 streaming) targets
 live in SCALE.md.  The JSON also records host-load context
 (``loadavg`` before/after, iteration count) so the next reader can
 tell noise from regression without re-running — the round-5 lesson.
+
+Round 12 measurement fixes (declared per the bench-contract rule;
+methodology otherwise unchanged — same queries, same SF, same noop
+sink, same warm-up):
+
+- **best-of-3 instead of best-of-2.**  The box shows multi-second
+  CPU-steal windows (a shared VM: ~4% steal at idle, bursts under
+  load) that inflate a whole entry's 2-iteration window 2-5× at
+  random — measured run-to-run: graph_pagerank 7.6 s vs 3.1 s,
+  manifest_pruned_read 0.27 s vs 1.39 s on IDENTICAL code minutes
+  apart.  One more timed iteration widens the window the min is
+  taken over; min over a superset can only shed positive noise, and
+  the r12 before/after numbers in OPTIMIZATION_r12.md record both
+  protocols so nothing becomes incomparable.
+- **bounded settle wait in _release_blocks** (outside every timed
+  region): ContextCleaner block/shuffle reclamation is asynchronous,
+  so the previous entry's cleanup could land inside the next entry's
+  timed window.
+- **truncation-proof JSON line**: the r10→r11 comparison was lost to
+  tail-capture truncation of the ~4 KB line (PERF_r11 n_common: 0).
+  The printed line now carries only the per-query Spark map + the
+  summary scalars (~1.2 KB); the bulky context (per-query DuckDB
+  baseline map, streaming-entry metadata) goes to a sidecar file
+  ``BENCH_DETAIL_last.json`` next to this script (best-effort).
 """
 
 from __future__ import annotations
@@ -100,7 +124,8 @@ def _stream_dedup_drain(spark, sf_dir: str) -> float:
         )
         try:
             best = float("inf")
-            for it in range(3):  # first run is the uncounted warm-up
+            for it in range(4):  # first run is the uncounted warm-up
+                # (best-of-3 like the batch entries — r12 variance fix)
                 stream = spark.readStream.schema(DOCS_SCHEMA).parquet(in_dir)
                 q = (
                     stream_exact_dedup(stream)
@@ -211,6 +236,12 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 — cleanup is best-effort
             pass
+        # bounded settle: ContextCleaner processes the unpersist /
+        # shuffle-cleanup queue ASYNCHRONOUSLY after the GC nudge —
+        # without this, the previous entry's reclamation lands inside
+        # the NEXT entry's timed window (r12 measurement fix; outside
+        # every timed region)
+        time.sleep(1.0)
 
     load_start = os.getloadavg()
     timings: dict[str, float] = {}
@@ -218,7 +249,10 @@ def main() -> None:
         _release_blocks()
         qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):  # best-of-2: JIT/scheduler noise dominates at this SF
+        # best-of-3 (r12; was best-of-2): the box's CPU-steal bursts
+        # inflate whole 2-iteration windows at random — see module
+        # docstring.  Declared measurement fix, not methodology change.
+        for _ in range(3):
             start = time.perf_counter()
             qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
@@ -249,51 +283,66 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                # round-over-round continuity: the streaming entry
-                # joined in round 5, so the batch-only subtotal is the
-                # number comparable with BENCH_r1..r4 totals
-                "batch_total_sec": batch_total,
-                # host-load context: single-box numbers are only
-                # comparable across rounds when taken on an idle
-                # machine (±10-15% noise otherwise; see SCALE.md's
-                # round-5 adjudication).  1-minute loadavg before the
-                # first timed query and after the last.
-                "loadavg": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
-                "iterations": "warm-up + best-of-2 per entry",
-                "batch_entries": len(timings) - 1,
-                # measured baseline: per-query DuckDB oracle timings
-                # on the same parquet/SF/box, and the Spark:DuckDB
-                # ratio over the comparable (oracle-bearing) subset.
-                # Spark pays JVM scheduling overhead per query at toy
-                # SFs that a 1000-executor run amortizes — the ratio
-                # is context, the per-query map is the signal.
-                "duckdb": duck["queries"],
-                "duckdb_skipped": duck["skipped"],
-                "duckdb_total_sec": duck_total,
-                "spark_comparable_total_sec": spark_comparable_total,
-                "vs_duckdb": (
-                    round(spark_comparable_total / duck_total, 3)
-                    if duck_total > 0
-                    else None
-                ),
-                "streaming": {
-                    "stream_exact_dedup_tws": {
-                        "batch_equivalent": "dd_exact_dedup (md5 groupBy, min-doc_id survivor)",
-                        "operator": "streaming/dedup.py::stream_exact_dedup",
-                        "timed": "sum(durationMs.addBatch) per drain, best-of-2 — batch execution incl. state-server round trips and RocksDB commit, excl. per-start queryPlanning",
-                    }
-                },
-            }
-        )
+    # The PRINTED line stays compact (~1.2 KB) so the driver's tail
+    # capture can never truncate the per-query Spark map again (the
+    # r10→r11 comparison died exactly that way).  The bulky context —
+    # per-query DuckDB baseline map, streaming-entry metadata — goes
+    # to a sidecar file next to this script (best-effort: the line is
+    # the contract, the file is context for the round docs).
+    line = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        # round-over-round continuity: the streaming entry joined in
+        # round 5, so the batch-only subtotal is the number comparable
+        # with BENCH_r1..r4 totals
+        "batch_total_sec": batch_total,
+        # host-load context: 1-minute loadavg before the first timed
+        # query and after the last (±10-15% noise on a loaded box;
+        # SCALE.md round-5 adjudication)
+        "loadavg": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+        "iterations": "warm-up + best-of-3 per entry",
+        "batch_entries": len(timings) - 1,
+        # measured baseline summary: the same bench queries' DuckDB
+        # oracles on the same parquet/SF/box (per-query map in the
+        # sidecar).  Spark pays JVM scheduling overhead per query at
+        # toy SFs that a 1000-executor run amortizes — context only.
+        "duckdb_total_sec": duck_total,
+        "spark_comparable_total_sec": spark_comparable_total,
+        "vs_duckdb": (
+            round(spark_comparable_total / duck_total, 3)
+            if duck_total > 0
+            else None
+        ),
+    }
+    detail = dict(line)
+    detail.update(
+        {
+            "duckdb": duck["queries"],
+            "duckdb_skipped": duck["skipped"],
+            "streaming": {
+                "stream_exact_dedup_tws": {
+                    "batch_equivalent": "dd_exact_dedup (md5 groupBy, min-doc_id survivor)",
+                    "operator": "streaming/dedup.py::stream_exact_dedup",
+                    "timed": "sum(durationMs.addBatch) per drain, best-of-3 — batch execution incl. state-server round trips and RocksDB commit, excl. per-start queryPlanning",
+                }
+            },
+        }
     )
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL_last.json",
+            ),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # the printed line is the contract; the sidecar is context
+    print(json.dumps(line))
     spark.stop()
 
 
