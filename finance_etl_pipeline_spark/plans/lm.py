@@ -226,19 +226,19 @@ def _bpe_fertility_oracle(n_steps: int = _BPE_STEPS) -> str:
     FROM occs JOIN enc USING (word)
     GROUP BY source ORDER BY source"""
 
-# train_bpe is deterministic in the corpus, so its rules are memoized
-# per corpus dir — tx_bpe_merges and tx_bpe_fertility share one
-# training run when the driver executes both in the same process.
-_BPE_CACHE: dict[str, list[dict]] = {}
-
-
 def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[dict]:
-    if sf_dir not in _BPE_CACHE:
-        from finance_etl_pipeline_spark.operators.bpe import train_bpe
+    """Train the 10 BPE merges from the corpus — ON EVERY CALL.  A
+    module-level per-sf_dir memo used to share one training run
+    between tx_bpe_merges and tx_bpe_fertility; that was the one
+    place in the registry where a query's work could be satisfied by
+    a prior call in the same process (r11 verdict nit).  Every
+    registry query is self-contained by contract (the ann_pq_rerank
+    precedent), so the memo is gone: both queries train from the
+    parquet input on each invocation."""
+    from finance_etl_pipeline_spark.operators.bpe import train_bpe
 
-        docs = spread(table(spark, sf_dir, "documents"))
-        _BPE_CACHE[sf_dir] = train_bpe(docs, n_merges=10)
-    return _BPE_CACHE[sf_dir]
+    docs = spread(table(spark, sf_dir, "documents"))
+    return train_bpe(docs, n_merges=10)
 
 
 @register(
