@@ -306,13 +306,18 @@ def ivf_search(
         F.col("qv").alias("v"),
         F.col("qn").alias("nrm"),
     )
-    qcells = _assign_cells(qbase, cents, top=nprobe).select(
+    qc = _assign_cells(qbase, cents, top=nprobe).select(
         F.col("vec_id").alias("query_id"), "cell_id"
     )
-    # bounded collect: at most n_cells distinct values — this is the
-    # partition-pruning predicate, the point of the layout
-    probed = sorted(
-        r["cell_id"] for r in qcells.select("cell_id").distinct().collect()
+    # bounded collect: ≤ |queries| × nprobe rows (queries are small by
+    # contract) — collected ONCE and reused as a local relation, so
+    # the probed-cell set and the candidate join's build side no
+    # longer evaluate the assignment window (and re-scan the query
+    # frame) separately (r12; guide §1.2 don't compute things twice)
+    qcells_rows = qc.collect()
+    probed = sorted({r["cell_id"] for r in qcells_rows})
+    qcells = spark.createDataFrame(
+        [tuple(r) for r in qcells_rows], qc.schema
     )
     members = M.read_version(
         spark, adir, where=[("cell_id", "in", probed)]
