@@ -330,9 +330,9 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: ground-truth n² pair join at test SF (same posture as
     ``emb_knn_label_accuracy``); at corpus scale the pair source swaps
-    to the ANN candidate sets and the rank/join tail — two windows and
-    an anchor-keyed join, all high-cardinality uniform keys — is
-    unchanged."""
+    to the ANN candidate sets and the aggregate tail — one
+    anchor-keyed hash aggregate over high-cardinality uniform keys —
+    is unchanged."""
     emb = table(spark, sf_dir, "embeddings")
     base = spread(emb).select(
         "vec_id",
@@ -340,6 +340,14 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("v"),
         norm(as_double(F.col("embedding"))).alias("nrm"),
     )
+    return _hard_triplets(base)
+
+
+def _hard_triplets(base: DataFrame) -> DataFrame:
+    """Triplet mining over a ``(vec_id, label, v, nrm)`` frame —
+    split out so the packed-argmax rewrite below can be pinned
+    bit-equal to the window formulation it replaced on crafted edge
+    corpora (tests/test_optimization_r12.py)."""
     a = base.select(
         F.col("vec_id").alias("anchor"),
         F.col("label").alias("actual"),
@@ -360,36 +368,67 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, F.col("anchor") != F.col("other")).select(
         "anchor", "actual", "other", "other_label", cos_e4.alias("cos_e4")
     )
-    w = Window.partitionBy("anchor").orderBy(F.desc("cos_e4"), "other")
-    pos = (
-        pairs.filter(F.col("other_label") == F.col("actual"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "anchor",
-            F.col("other").alias("pos_id"),
-            F.col("cos_e4").alias("pos_cos_e4"),
-        )
+    # ONE hash aggregate instead of two windowed rank towers over the
+    # same n² pair source — which evaluated the pair join (and every
+    # dot product) TWICE, once per branch — plus a join-back.  The
+    # argmax is encoded as a primitive-long max so the aggregate
+    # hash-combines map-side (max over a struct, and max_by, both
+    # plan as SortAggregate, which re-sorts the n² pair rows — A/B
+    # measured 7.7 s vs 1.9 s at sf0.1):
+    #
+    #   pack = (cos_e4 + 20000) * 2^43 + (2^43 - 1 - other)
+    #
+    # max(pack) = highest cosine, then smallest `other` — exactly the
+    # window's (desc(cos_e4), other) rk=1 row.  Exact by range:
+    # cos_e4 = igrid(cosine, 4) ∈ [-10001, 10001] so the high part is
+    # positive and ≤ 30001 < 2^15, and vec_id is a non-negative
+    # sequence id ≪ 2^43 by the data model (the regression test pins
+    # the bound); decode uses shiftright/bitwiseAND, integer-exact.
+    # NULL cosines (zero-norm vectors) are ranked by the window's
+    # desc-NULLS-LAST: they can win only when EVERY candidate on
+    # their side is NULL, so they ride a separate min(other) that the
+    # decode falls back to when no real cosine exists.  Rows whose
+    # label test is NULL feed neither side, like the ==/!= filters
+    # they replace; anchors missing either side drop with the inner
+    # join they replace.  Bit-equal to the window formulation
+    # (tests/test_optimization_r12.py::test_hard_negatives_*).
+    _B = 1 << 43
+    same = F.col("other_label") == F.col("actual")
+    has_cos = F.col("cos_e4").isNotNull()
+    pack = (F.col("cos_e4") + F.lit(20000)) * F.lit(_B) + (
+        F.lit(_B - 1) - F.col("other")
     )
-    neg = (
-        pairs.filter(F.col("other_label") != F.col("actual"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "anchor",
-            F.col("other").alias("neg_id"),
-            F.col("cos_e4").alias("neg_cos_e4"),
-        )
+
+    def side(cond, tag):
+        return [
+            F.max(F.when(cond & has_cos, pack)).alias(f"{tag}m"),
+            F.min(F.when(cond & ~has_cos, F.col("other"))).alias(
+                f"{tag}0"
+            ),
+        ]
+
+    agg = pairs.groupBy("anchor").agg(
+        *side(same, "p"), *side(~same, "n")
     )
+
+    def decode(tag, pref):
+        m = F.col(f"{tag}m")
+        oid = F.when(
+            m.isNotNull(), F.lit(_B - 1) - m.bitwiseAND(F.lit(_B - 1))
+        ).otherwise(F.col(f"{tag}0"))
+        cos = F.shiftright(m, 43) - F.lit(20000)
+        return oid.alias(f"{pref}_id"), cos.alias(f"{pref}_cos_e4")
+
+    pos_id, pos_cos = decode("p", "pos")
+    neg_id, neg_cos = decode("n", "neg")
     return (
-        pos.join(neg, "anchor")
-        .select(
-            "anchor",
-            "pos_id",
-            "pos_cos_e4",
-            "neg_id",
-            "neg_cos_e4",
-            (F.col("pos_cos_e4") - F.col("neg_cos_e4")).alias("margin_e4"),
+        agg.filter(
+            (F.col("pm").isNotNull() | F.col("p0").isNotNull())
+            & (F.col("nm").isNotNull() | F.col("n0").isNotNull())
+        )
+        .select("anchor", pos_id, pos_cos, neg_id, neg_cos)
+        .withColumn(
+            "margin_e4", F.col("pos_cos_e4") - F.col("neg_cos_e4")
         )
         .orderBy("anchor")
     )

@@ -134,3 +134,143 @@ def test_read_rows_local_schema_evolution(spark, tmp_path):
     M.commit_rows(spark, [(2, "b")], "id long, s string", t)
     local = sorted(M.read_rows_local(t), key=lambda r: r["id"])
     assert local == [{"id": 1, "s": None}, {"id": 2, "s": "b"}]
+
+
+def _hard_triplets_window_reference(base):
+    """The pre-round-12 window formulation of emb_hard_negatives'
+    mining tail, kept verbatim as the equivalence reference for the
+    packed-argmax aggregate that replaced it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+    from finance_etl_pipeline_spark.operators.similarity import dot
+
+    a = base.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("actual"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("other"),
+        F.col("label").alias("other_label"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos_e4 = igrid(
+        dot(F.col("va"), F.col("vb"))
+        / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        4,
+    )
+    pairs = a.join(b, F.col("anchor") != F.col("other")).select(
+        "anchor", "actual", "other", "other_label", cos_e4.alias("cos_e4")
+    )
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos_e4"), "other")
+    pos = (
+        pairs.filter(F.col("other_label") == F.col("actual"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("pos_id"),
+            F.col("cos_e4").alias("pos_cos_e4"),
+        )
+    )
+    neg = (
+        pairs.filter(F.col("other_label") != F.col("actual"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "anchor",
+            F.col("other").alias("neg_id"),
+            F.col("cos_e4").alias("neg_cos_e4"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor")
+        .select(
+            "anchor",
+            "pos_id",
+            "pos_cos_e4",
+            "neg_id",
+            "neg_cos_e4",
+            (F.col("pos_cos_e4") - F.col("neg_cos_e4")).alias("margin_e4"),
+        )
+        .orderBy("anchor")
+    )
+
+
+def _base_from_rows(spark, rows):
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        norm,
+    )
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    return df.select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+
+
+def test_hard_negatives_packed_equals_window_edge_corpus(spark):
+    """The packed-argmax aggregate must be row-for-row equal to the
+    window formulation on every edge the pack encoding has to get
+    right: NULL cosines (zero-norm vectors) losing to any real cosine
+    but winning when a side is all-NULL, cosine ties breaking to the
+    smallest other id, NULL labels feeding neither side, and anchors
+    missing a side dropping entirely."""
+    from finance_etl_pipeline_spark.plans.emb_neardup import _hard_triplets
+
+    rows = [
+        (1, "A", [1.0, 0.0]),     # ties with 2 for others' rankings
+        (2, "A", [1.0, 0.0]),
+        (3, "A", [0.0, 0.0]),     # zero norm: NULL cosine vs everyone
+        (4, "B", [0.0, 1.0]),
+        (5, None, [1.0, 1.0]),    # NULL label: feeds neither side
+        (6, "C", [1.0, 0.0]),     # no same-label other: no pos -> drops
+        (7, "D", [0.0, 0.0]),     # 8's only pos candidate, NULL cosine
+        (8, "D", [2.0, 0.0]),     # pos side all-NULL -> null fallback
+    ]
+    base = _base_from_rows(spark, rows)
+    got = _hard_triplets(base).collect()
+    want = _hard_triplets_window_reference(base).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    by_anchor = {r["anchor"]: r for r in got}
+    # spot-pin the edges so the reference itself is sanity-checked
+    assert 5 not in by_anchor and 6 not in by_anchor
+    assert by_anchor[1]["pos_id"] == 2  # tie (cos 10000 vs 2 and... )
+    r8 = by_anchor[8]
+    assert r8["pos_id"] == 7 and r8["pos_cos_e4"] is None
+    assert r8["margin_e4"] is None
+
+
+def test_hard_negatives_packed_equals_window_real_table(spark, sf_dir):
+    """Same pin on the real embeddings table at the test SF."""
+    from pyspark.sql import functions as F
+
+    from finance_etl_pipeline_spark.operators.similarity import (
+        as_double,
+        norm,
+    )
+    from finance_etl_pipeline_spark.plans.emb_neardup import _hard_triplets
+    from finance_etl_pipeline_spark.sources.readers import spread, table
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = spread(emb).select(
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        norm(as_double(F.col("embedding"))).alias("nrm"),
+    )
+    got = _hard_triplets(base).collect()
+    want = _hard_triplets_window_reference(base).collect()
+    assert len(got) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
