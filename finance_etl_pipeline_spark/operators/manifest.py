@@ -196,7 +196,17 @@ def _harvest_one(
             )
             e["nulls"] += st.null_count
             if st.has_min_max:
-                mn, mx = _json_safe(st.min), _json_safe(st.max)
+                try:
+                    # .min/.max are lazy: pyarrow's statistics cast can
+                    # raise HERE (not at col.statistics) for logical
+                    # types it does not implement — observed with
+                    # DECIMAL columns written by Spark.  Same treatment
+                    # as the guard above: the column loses skipping,
+                    # never the commit.
+                    mn, mx = _json_safe(st.min), _json_safe(st.max)
+                except Exception:
+                    bad.add(name)
+                    continue
                 if mn is None or mx is None:
                     bad.add(name)
                     continue

@@ -274,3 +274,31 @@ def test_hard_negatives_packed_equals_window_real_table(spark, sf_dir):
     want = _hard_triplets_window_reference(base).collect()
     assert len(got) > 0
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_commit_decimal_column_harvest_survives(spark, tmp_path):
+    """pyarrow's statistics cast raises lazily at .min/.max for
+    DECIMAL columns Spark writes; the harvest must drop that column's
+    stats (no skipping) and never fail the commit, and a predicate on
+    the column must still answer correctly via the scan."""
+    from decimal import Decimal
+
+    t = str(tmp_path / "decfull")
+    df = spark.createDataFrame(
+        [(1, Decimal("2.50")), (2, Decimal("7.25"))],
+        "id long, amt decimal(10,2)",
+    )
+    v = M.commit(df, t)
+    assert v == 1
+    got = M.read_version(spark, t)
+    assert {(r["id"], r["amt"]) for r in got.collect()} == {
+        (1, Decimal("2.50")),
+        (2, Decimal("7.25")),
+    }
+    # id keeps harvested stats (skipping works); amt has none, so a
+    # where on it must fall back to scanning, not mis-prune
+    assert M.read_version(spark, t, where=[("id", "==", 2)]).count() == 1
+    rows = M.read_version(
+        spark, t, where=[("amt", ">", Decimal("3.00"))]
+    ).collect()
+    assert [(r["id"], r["amt"]) for r in rows] == [(2, Decimal("7.25"))]
