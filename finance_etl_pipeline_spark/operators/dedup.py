@@ -220,11 +220,20 @@ def jaccard_pairs(
     candidates: DataFrame | None,
     threshold: float,
     id_col: str = "doc_id",
+    key: str = "s",
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for (candidate) pairs.
 
     With ``candidates`` None this is the brute-force inverted-index
     join (ground truth); with candidates it verifies only LSH hits.
+
+    ``key`` names the shingle-identity column: ``"s"`` for the raw
+    shingle strings (:func:`shingle_table`), ``"h"`` for their 60-bit
+    hashes (:func:`hashed_shingle_rows`) — the hashed form joins and
+    aggregates on 8-byte longs instead of shingle strings (¼-⅓ the
+    shuffle bytes, primitive-key compares) and is value-identical
+    under the same hash-injectivity the LSH verification path
+    (:func:`jaccard_verify_hashed`) already relies on and documents.
 
     Scale-critical ordering: the candidate restriction is applied
     BEFORE the pairwise join — first a semi-join keeps only candidate
@@ -243,9 +252,9 @@ def jaccard_pairs(
             .distinct()
         )
         pair_sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
-    a = pair_sh.select(F.col(id_col).alias("doc_a"), "s")
-    b = pair_sh.select(F.col(id_col).alias("doc_b"), "s")
-    pairs = a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+    a = pair_sh.select(F.col(id_col).alias("doc_a"), key)
+    b = pair_sh.select(F.col(id_col).alias("doc_b"), key)
+    pairs = a.join(b, key).filter(F.col("doc_a") < F.col("doc_b"))
     if candidates is not None:
         pairs = pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"], "left_semi")
     inter = pairs.groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("i"))

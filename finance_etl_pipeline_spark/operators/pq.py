@@ -174,7 +174,15 @@ def adc_distance(qv: Column, books: Codebooks, dim: int) -> Column:
 
     ``code{i}`` columns must be in scope.  The codebooks enter as
     literal code→centroid maps, so the lookup is a map probe inside
-    whole-stage codegen — no join, no corpus vector access."""
+    whole-stage codegen — no join, no corpus vector access.
+
+    Reference formulation: evaluates the M subvector distances per
+    ROW it is applied to.  ``adc_topk`` instead precomputes the same
+    fround'd terms once per QUERY via :func:`adc_lut` (the classic
+    ADC distance-table trick) so each (query, corpus) pair pays M map
+    probes, not M recomputed ‖q_sub − c‖² folds; the two produce
+    bit-identical distances (pinned by
+    tests/test_optimization_r12.py)."""
     terms = []
     for i, (start, length) in enumerate(subspace_bounds(dim, len(books))):
         lookup = F.map_from_arrays(
@@ -194,6 +202,40 @@ def adc_distance(qv: Column, books: Codebooks, dim: int) -> Column:
     return total
 
 
+def adc_lut(qv: Column, books: Codebooks, dim: int) -> list[Column]:
+    """Per-query ADC lookup tables (Jégou et al. 2011, the distance
+    table that makes ADC fast): for each subspace, a literal-keyed
+    code → fround(‖q_sub − centroid[code]‖²) map computed from the
+    query vector.  Projected onto the (small, broadcast) query side
+    BEFORE the pair join, each map is evaluated once per QUERY row;
+    the per-pair distance then reduces to M map probes + the same
+    fixed-order sum.  Entry values are exactly the per-subspace terms
+    :func:`adc_distance` computes per pair, so the total is
+    bit-identical — only where the arithmetic runs changes
+    (|q| × M × K distance folds total, instead of |q| × n × M)."""
+    luts = []
+    for i, (start, length) in enumerate(subspace_bounds(dim, len(books))):
+        sub = F.slice(qv, start, length)
+        luts.append(
+            F.map_from_arrays(
+                F.array(*[F.lit(cid) for cid, _ in books[i]]),
+                F.array(
+                    *[
+                        fround(
+                            sqdist(
+                                sub,
+                                F.array(*[F.lit(float(x)) for x in vec]),
+                            ),
+                            KM.ROUND_N,
+                        )
+                        for _, vec in books[i]
+                    ]
+                ),
+            ).alias(f"lut{i}")
+        )
+    return luts
+
+
 def adc_topk(
     base: DataFrame,
     dim: int,
@@ -205,20 +247,34 @@ def adc_topk(
 
     Queries (small by construction) broadcast against the encoded
     corpus; the per-query top-k is a rank window.  Ties break to the
-    lowest vec_id, ranks ascend with distance."""
+    lowest vec_id, ranks ascend with distance.
+
+    The broadcast query rows carry their ADC lookup tables
+    (:func:`adc_lut`) instead of the raw vector: the M per-subspace
+    distance folds run once per query against the K centroids, and
+    every (query, corpus) pair pays only M map probes + the
+    fixed-order sum — bit-identical distances to the per-pair
+    :func:`adc_distance` formulation (regression-pinned), ~K×
+    less arithmetic on the pair side."""
     codes = encode(base, dim, books)
     q = query_set(base, query_pred).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        *adc_lut(F.col("v"), books, dim),
     )
+    terms = [
+        F.element_at(F.col(f"lut{i}"), F.col(f"code{i}"))
+        for i in range(len(books))
+    ]
+    total = terms[0]
+    for t in terms[1:]:  # same left-to-right order as adc_distance
+        total = total + t
     pairs = (
         F.broadcast(q)
         .join(codes, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            fround(adc_distance(F.col("qv"), books, dim), KM.ROUND_N).alias(
-                "adist"
-            ),
+            fround(total, KM.ROUND_N).alias("adist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy("adist", "vec_id")

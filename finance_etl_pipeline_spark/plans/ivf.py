@@ -490,6 +490,11 @@ def ann_ivf_reclustered_cells(
         )
         .orderBy("cell_id")
     )
+    # pin the per-cell aggregate before the assertion collect: the
+    # returned frame is consumed AGAIN by the caller's action, and
+    # unpinned that re-runs the assignment-table read + groupBy (r12;
+    # guide §1.2 don't compute twice — the pin is 8 rows)
+    out = out.localCheckpoint(eager=True)
     meta_counts = ivf_cell_counts(idx)
     content_counts = {
         int(r["cell_id"]): int(r["n_rows"]) for r in out.collect()
@@ -594,6 +599,9 @@ def ann_ivf_delete_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_id")
     )
+    # same 8-row pin as ann_ivf_reclustered_cells: assertion collect +
+    # the caller's action would otherwise each run the read + groupBy
+    out = out.localCheckpoint(eager=True)
     exact_counts = ivf_cell_counts(idx, spark)
     content_counts = {
         int(r["cell_id"]): int(r["n_rows"]) for r in out.collect()

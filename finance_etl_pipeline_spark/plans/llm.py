@@ -195,10 +195,18 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth near-dup: word-3-gram inverted index → self-join →
     exact Jaccard ≥ 0.7. The brute-force baseline the LSH variant is
     measured against. Deliberately NOT a bench query: all-pairs
-    shingle joins are the thing LSH exists to avoid at scale."""
+    shingle joins are the thing LSH exists to avoid at scale.
+
+    r12: the inverted index is the HASHED shingle table (8-byte longs
+    as join/agg keys instead of 3-gram strings — value-identical under
+    the injectivity jaccard_verify_hashed documents and every SF's
+    oracle re-verifies), pinned once for its three consumers (two join
+    sides + sizes), which otherwise each re-run scan+tokenize+explode."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_table(docs)
-    return D.jaccard_pairs(sh, None, 0.7).orderBy("doc_a", "doc_b")
+    sh = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    return D.jaccard_pairs(sh, None, 0.7, key="h").orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 @register(
@@ -787,14 +795,18 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth: brute-force here as correctness baseline; at scale the pair
     generation comes from LSH candidates (containment-biased variants
     band only the smaller doc's signature) with this exact verifier
-    downstream."""
+    downstream.
+
+    r12: hashed shingle identities + a single pinned index, same as
+    dd_ngram_jaccard_pairs (value-identical under documented hash
+    injectivity; three consumers otherwise re-run the explode)."""
     docs = table(spark, sf_dir, "documents")
-    sh = D.shingle_table(docs)
+    sh = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
-        a.join(b, ["s"])
+        a.join(b, ["h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -924,9 +936,24 @@ def dd_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: both operands are the existing oracle-verified plans;
     the scorecard is a pair-keyed outer union + one global aggregate.
     At 100 TB you run it on a stratified sample of documents — the
-    query shape is unchanged."""
-    t = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    l = dd_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    query shape is unchanged.
+
+    r12: both arms share ONE pinned hashed-shingle index — the truth
+    arm's all-pairs join and the LSH arm's signature/verify chain are
+    the same plans the standalone queries run, minus the second
+    scan+tokenize+explode+md5 pass each standalone invocation pays
+    (guide §1.2: don't compute the same thing twice within a query)."""
+    docs = table(spark, sf_dir, "documents")
+    sh_hashed = D.hashed_shingle_rows(docs).localCheckpoint(eager=True)
+    t = D.jaccard_pairs(sh_hashed, None, 0.7, key="h").select(
+        "doc_a", "doc_b"
+    )
+    mh = D.minhash_signatures_hashed(sh_hashed)
+    bands = D.band_signatures(mh)
+    cand = D.candidate_pairs(bands).localCheckpoint(eager=False)
+    l = D.jaccard_verify_hashed(sh_hashed, cand, 0.7).select(
+        "doc_a", "doc_b"
+    )
     u = (
         t.withColumn("src", F.lit("t"))
         .unionByName(l.withColumn("src", F.lit("l")))

@@ -276,6 +276,196 @@ def test_hard_negatives_packed_equals_window_real_table(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def _adc_pairs_reference(base, books, dim, pred):
+    """The pre-r12 per-pair ADC formulation: adc_distance recomputes
+    every subspace distance for each (query, corpus) row."""
+    from finance_etl_pipeline_spark.operators import pq as PQ
+    from finance_etl_pipeline_spark.operators.kmeans import ROUND_N
+    from finance_etl_pipeline_spark.operators.similarity import query_set
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    codes = PQ.encode(base, dim, books)
+    q = query_set(base, pred).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            fround(
+                PQ.adc_distance(F.col("qv"), books, dim), ROUND_N
+            ).alias("adist"),
+        )
+    )
+
+
+def _adc_pairs_lut(base, books, dim, pred):
+    """The shipped r12 formulation: per-query lookup tables, per-pair
+    map probes (mirrors adc_topk's pair stage exactly)."""
+    from finance_etl_pipeline_spark.operators import pq as PQ
+    from finance_etl_pipeline_spark.operators.kmeans import ROUND_N
+    from finance_etl_pipeline_spark.operators.similarity import query_set
+    from finance_etl_pipeline_spark.functions.scalars import fround
+
+    codes = PQ.encode(base, dim, books)
+    q = query_set(base, pred).select(
+        F.col("vec_id").alias("query_id"),
+        *PQ.adc_lut(F.col("v"), books, dim),
+    )
+    terms = [
+        F.element_at(F.col(f"lut{i}"), F.col(f"code{i}"))
+        for i in range(len(books))
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (
+        F.broadcast(q)
+        .join(codes, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", fround(total, ROUND_N).alias("adist")
+        )
+    )
+
+
+def test_adc_lut_equals_per_pair_distance_real_table(spark, sf_dir):
+    """Every (query, corpus) ADC distance from the r12 lookup-table
+    pair stage is bit-equal to the per-pair adc_distance formulation
+    it replaced — over the real embeddings table and real trained
+    codebooks (dropped-cluster ids included if training drops any)."""
+    from finance_etl_pipeline_spark.operators import pq as PQ
+    from finance_etl_pipeline_spark.operators.similarity import as_double
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    dim = 64
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .cache()
+    )
+    books = PQ.train_codebooks(base, dim)
+    pred = F.col("vec_id") % 50 == 0
+    ref = {
+        (r.query_id, r.vec_id): r.adist
+        for r in _adc_pairs_reference(base, books, dim, pred).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id): r.adist
+        for r in _adc_pairs_lut(base, books, dim, pred).collect()
+    }
+    base.unpersist()
+    assert ref and got.keys() == ref.keys()
+    assert got == ref  # exact float equality: same folds, same order
+
+
+def test_adc_lut_handles_non_contiguous_code_ids(spark):
+    """A codebook whose cluster ids are NOT contiguous (empty clusters
+    drop out of Lloyd's) must probe correctly through the map-keyed
+    LUT — the case an array-indexed table would get wrong."""
+    from finance_etl_pipeline_spark.operators import pq as PQ
+
+    rows = [
+        (0, [0.0, 0.0, 4.0, 4.0]),
+        (1, [1.0, 0.0, 0.0, 1.0]),
+        (2, [9.0, 9.0, 9.0, 9.0]),
+        (3, [0.5, 0.5, 3.5, 3.5]),
+    ]
+    base = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    # hand-built books with gaps in the id space (ids 0, 2, 5)
+    books = [
+        [(0, [0.0, 0.0]), (2, [1.0, 1.0]), (5, [9.0, 9.0])],
+        [(0, [4.0, 4.0]), (2, [0.0, 1.0]), (5, [9.0, 9.0])],
+    ]
+    pred = F.col("vec_id") >= 0  # every row is a query
+    ref = {
+        (r.query_id, r.vec_id): r.adist
+        for r in _adc_pairs_reference(base, books, 4, pred).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id): r.adist
+        for r in _adc_pairs_lut(base, books, 4, pred).collect()
+    }
+    assert ref and got == ref
+
+
+def test_hashed_jaccard_pairs_equal_string_formulation(spark, sf_dir):
+    """The r12 hashed-key brute-force Jaccard (dd_ngram_jaccard_pairs'
+    new shape) emits exactly the pairs and gridded values of the
+    string-keyed formulation it replaced — hash injectivity holds on
+    the real shingle set, so counts and denominators are identical."""
+    from finance_etl_pipeline_spark.operators import dedup as D
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    docs = table(spark, sf_dir, "documents")
+    ref = {
+        (r.doc_a, r.doc_b): r.jaccard_e4
+        for r in D.jaccard_pairs(
+            D.shingle_table(docs), None, 0.7
+        ).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_e4
+        for r in D.jaccard_pairs(
+            D.hashed_shingle_rows(docs), None, 0.7, key="h"
+        ).collect()
+    }
+    assert got == ref and ref
+
+
+def test_hashed_containment_equals_string_formulation(spark, sf_dir):
+    """Same injectivity pin for the containment variant: intersection
+    counts and per-doc sizes over hashed shingles match the string
+    formulation pair-for-pair (both directions' grids)."""
+    from finance_etl_pipeline_spark.operators import dedup as D
+    from finance_etl_pipeline_spark.functions.scalars import igrid
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    docs = table(spark, sf_dir, "documents")
+
+    def containment(sh, key):
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), key)
+        b = sh.select(F.col("doc_id").alias("doc_b"), key)
+        inter = (
+            a.join(b, [key])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+        )
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                igrid(F.col("i").cast("double") / F.col("na"), 4).alias(
+                    "ca"
+                ),
+                igrid(F.col("i").cast("double") / F.col("nb"), 4).alias(
+                    "cb"
+                ),
+            )
+        )
+
+    ref = {
+        (r.doc_a, r.doc_b): (r.ca, r.cb)
+        for r in containment(D.shingle_table(docs), "s").collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): (r.ca, r.cb)
+        for r in containment(D.hashed_shingle_rows(docs), "h").collect()
+    }
+    assert got == ref and ref
+
+
 def test_commit_decimal_column_harvest_survives(spark, tmp_path):
     """pyarrow's statistics cast raises lazily at .min/.max for
     DECIMAL columns Spark writes; the harvest must drop that column's
