@@ -381,9 +381,16 @@ def tx_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind "do we need more of this source?".
 
     Spark shape: gram extraction is the usual narrow map+explode;
-    first-occurrence is one min-aggregate keyed on the gram (high
-    cardinality, uniform); the curve is a 10-row join.  The global
-    ntile is a range-partitioned sort over doc ids only."""
+    ONE aggregate keyed on the gram reduces the corpus-sized rows to
+    a per-gram decile SET (≤ 10 ints), and both readouts derive from
+    that pinned table: n_grams per decile = grams whose set contains
+    it (explode + count), n_new = grams whose set-minimum is it —
+    identical to the old pair of independent aggregates
+    (min-per-gram + count_distinct-per-decile), which evaluated the
+    corpus-sized gram join TWICE through two separate exchanges (r12;
+    guide §1.2/§2.4).  The curve is a 10-row join.  The global ntile
+    is a range-partitioned sort over doc ids only; on a cluster the
+    pin is persist(DISK_ONLY) — same caveat as the shingle index."""
     from finance_etl_pipeline_spark.operators.dedup import (
         shingles_expr,
         tokens_expr,
@@ -398,11 +405,19 @@ def tx_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(shingles_expr(tokens_expr(), n=3)).alias("g")
     )
     gd = grams.join(d, "doc_id").select("g", "decile")
-    firsts = gd.groupBy("g").agg(F.min("decile").alias("first_decile"))
-    per = gd.groupBy("decile").agg(F.count_distinct("g").alias("n_grams"))
-    news = firsts.groupBy(F.col("first_decile").alias("decile")).agg(
-        F.count(F.lit(1)).alias("n_new")
+    gsets = (
+        gd.groupBy("g")
+        .agg(F.collect_set("decile").alias("ds"))
+        .localCheckpoint(eager=True)
     )
+    per = (
+        gsets.select(F.explode("ds").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    news = gsets.select(F.array_min("ds").alias("decile")).groupBy(
+        "decile"
+    ).agg(F.count(F.lit(1)).alias("n_new"))
     return (
         per.join(news, "decile", "left")
         .select(
