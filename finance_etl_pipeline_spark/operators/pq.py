@@ -107,21 +107,15 @@ def train_codebooks(
         stack_entries = []
         for si, (start, length) in enumerate(bounds):
             sub = F.slice("v", start, length)
-            candidates = F.array(
-                *[
-                    F.struct(
-                        fround(KM.sqdist_to(sub, vec), KM.ROUND_N).alias(
-                            "dist"
-                        ),
-                        F.lit(cid).alias("cluster"),
-                    )
-                    for cid, vec in books[si]
-                ]
-            )
+            # single-lambda candidate argmin (KM.argmin_candidates):
+            # same values as the per-candidate unrolled form, k×
+            # fewer operator nodes per subspace (r12)
             stack_entries.append(
                 F.struct(
                     F.lit(si).alias("sub"),
-                    F.array_min(candidates)["cluster"].alias("cluster"),
+                    KM.argmin_candidates(sub, books[si])["cluster"].alias(
+                        "cluster"
+                    ),
                     sub.alias("sv"),
                 )
             )
@@ -156,16 +150,11 @@ def encode(base: DataFrame, dim: int, books: Codebooks) -> DataFrame:
     cols = [F.col("vec_id")]
     for i, (start, length) in enumerate(subspace_bounds(dim, len(books))):
         sub = F.slice("v", start, length)
-        candidates = F.array(
-            *[
-                F.struct(
-                    fround(KM.sqdist_to(sub, vec), KM.ROUND_N).alias("dist"),
-                    F.lit(cid).alias("code"),
-                )
-                for cid, vec in books[i]
-            ]
+        # single-lambda candidate argmin — same values, k× fewer
+        # operator nodes per subspace (r12; see KM.argmin_candidates)
+        cols.append(
+            KM.argmin_candidates(sub, books[i])["cluster"].alias(f"code{i}")
         )
-        cols.append(F.array_min(candidates)["code"].alias(f"code{i}"))
     return base.select(*cols)
 
 

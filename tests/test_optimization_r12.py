@@ -466,6 +466,74 @@ def test_hashed_containment_equals_string_formulation(spark, sf_dir):
     assert got == ref and ref
 
 
+def test_argmin_candidates_equals_unrolled_form(spark, sf_dir):
+    """The r12 single-lambda candidate argmin (one literal array of
+    (cv, cluster) structs + transform) assigns exactly like the
+    per-candidate unrolled expression tree it replaced — same
+    fround'd distances, same lowest-cluster tie-break — on the real
+    corpus and on a crafted tie case."""
+    from finance_etl_pipeline_spark.operators import kmeans as KM
+    from finance_etl_pipeline_spark.functions.scalars import fround
+    from finance_etl_pipeline_spark.operators.similarity import as_double
+    from finance_etl_pipeline_spark.sources.readers import table
+
+    def assign_unrolled(base, centroids):
+        candidates = F.array(
+            *[
+                F.struct(
+                    fround(
+                        KM.sqdist_to(F.col("v"), vec), KM.ROUND_N
+                    ).alias("dist"),
+                    F.lit(cid).alias("cluster"),
+                )
+                for cid, vec in centroids
+            ]
+        )
+        best = F.array_min(candidates)
+        return base.select(
+            "vec_id",
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+
+    base = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .cache()
+    )
+    cents = KM.initial_centroids(base, 8)
+    ref = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in assign_unrolled(base, cents).collect()
+    }
+    got = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in KM.assign_clusters(base, cents)
+        .select("vec_id", "cluster", "dist")
+        .collect()
+    }
+    base.unpersist()
+    assert ref and got == ref
+
+    # tie case: two identical centroids (non-contiguous ids) — the
+    # argmin must break to the lower cluster id in both forms
+    tie = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [5.0, 5.0])], "vec_id long, v array<double>"
+    )
+    tie_cents = [(2, [1.0, 1.0]), (5, [1.0, 1.0]), (7, [5.0, 5.0])]
+    r1 = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in assign_unrolled(tie, tie_cents).collect()
+    }
+    r2 = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in KM.assign_clusters(tie, tie_cents)
+        .select("vec_id", "cluster", "dist")
+        .collect()
+    }
+    assert r1 == r2 and r1[0][0] == 2
+
+
 def test_commit_decimal_column_harvest_survives(spark, tmp_path):
     """pyarrow's statistics cast raises lazily at .min/.max for
     DECIMAL columns Spark writes; the harvest must drop that column's
